@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector scalar-function family.
+  *
+  * Semantics mirror the reference engine's `VectorUtil` /
+  * `VectorSimilarityFunction` (jvector:
+  * `jvector-base/src/main/java/io/github/jbellis/jvector/vector/VectorUtil.java:45-163`,
+  * `vector/VectorSimilarityFunction.java:37-69`), re-expressed as Catalyst
+  * column expressions built from Spark's higher-order array functions so the
+  * whole computation stays inside Tungsten with no UDF/serialization
+  * boundary and survives whole-stage codegen planning around it.
+  *
+  * Numeric contract (important for DuckDB-oracle parity): inputs are cast to
+  * `array<double>` first, products are computed per-element in double, and
+  * sums are *sequential left folds* (`aggregate`), matching a scalar loop.
+  * Score normalization formulas are part of query semantics and must match
+  * the reference exactly:
+  *   EUCLIDEAN -> 1 / (1 + ||a-b||^2)
+  *   DOT       -> (1 + a.b) / 2
+  *   COSINE    -> (1 + cos(a,b)) / 2
+  */
+object VectorFunctions {
+
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential left-fold sum of an array<double> column. */
+  private def seqSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float/double array columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    seqSum(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)))
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = {
+    val d = asDouble(a)
+    aggregate(d, lit(0.0), (acc, x) => acc + x * x)
+  }
+
+  /** Raw cosine in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** L2-normalized copy of the vector. */
+  def l2Normalize(a: Column): Column = {
+    val d = asDouble(a)
+    transform(d, x => x / sqrt(aggregate(d, lit(0.0), (acc, y) => acc + y * y)))
+  }
+
+  /** Similarity score in (0, 1], higher = more similar — reference formulas. */
+  def euclideanSim(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l2Sq(a, b))
+  def dotSim(a: Column, b: Column): Column = (lit(1.0) + dot(a, b)) / lit(2.0)
+  def cosineSim(a: Column, b: Column): Column = (lit(1.0) + cosine(a, b)) / lit(2.0)
+
+  /** Dispatch by metric name (EUCLIDEAN | DOT_PRODUCT | COSINE). */
+  def similarity(metric: String)(a: Column, b: Column): Column = metric.toUpperCase match {
+    case "EUCLIDEAN" => euclideanSim(a, b)
+    case "DOT_PRODUCT" | "DOT" => dotSim(a, b)
+    case "COSINE" => cosineSim(a, b)
+    case m => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  /** Hamming distance between two array<long> bit-packed code columns
+    * (reference: `VectorUtil.hammingDistance`, BQ scoring). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0L), (acc, x) => acc + x)
+
+  /** Elementwise sum of two vectors. */
+  def add(a: Column, b: Column): Column = zip_with(asDouble(a), asDouble(b), (x, y) => x + y)
+
+  /** Elementwise difference a - b. */
+  def sub(a: Column, b: Column): Column = zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
+
+  /** Scale a vector by a scalar column. */
+  def scale(a: Column, s: Column): Column = transform(asDouble(a), x => x * s)
+
+  /** Subvector slice [start, start+len) — 0-based (Spark slice is 1-based). */
+  def subVector(a: Column, start: Int, len: Int): Column = slice(a, start + 1, len)
+}

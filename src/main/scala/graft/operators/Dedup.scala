@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for the training-data pipeline:
+  * exact (fingerprint groupBy), MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every variant is a map-side fingerprint/signature step
+  * (pure codegen'd expressions, no shuffle) followed by ONE shuffle keyed on
+  * the fingerprint / LSH band — candidate generation never compares all
+  * pairs. Only candidate pairs sharing a band are verified. Hash functions
+  * are md5-based and deterministic, so results are reproducible and
+  * oracle-verifiable in DuckDB SQL.
+  */
+object Dedup {
+
+  /** Per-doc exact-dup resolution: normalized-token-stream fingerprint,
+    * canonical keeper = min id per fingerprint.
+    * Output: (id, fp, keep_id, is_dup). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val keep = fp.groupBy("fp").agg(min("id").as("keep_id"))
+    // fp cardinality ~= doc count; broadcast only if tiny — let AQE decide.
+    fp.join(keep, "fp")
+      .select(col("id"), col("fp"), col("keep_id"),
+        (col("id") =!= col("keep_id")).as("is_dup"))
+  }
+
+  /** MinHash signature: numHashes permutations simulated by seeded md5;
+    * element i = min over the distinct token set of md5(i || '|' || token).
+    * Deterministic and engine-portable (string min over hex digests). */
+  def minhashSignature(text: Column, numHashes: Int): Column = {
+    val toks = array_distinct(TextFunctions.tokens(text))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(toks, t => md5(concat(i.cast("string"), lit("|"), t)))))
+  }
+
+  /** LSH band hashes: bands of `rowsPerBand` signature slots, md5-combined. */
+  def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    val bands = numHashes / rowsPerBand
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => md5(concat_ws("|", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))))
+  }
+
+  /** MinHash-LSH near-dup pairs verified by exact Jaccard over distinct
+    * token sets. Output: (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
+    *
+    * Candidate generation is a self-equi-join on (band_idx, band_hash): a
+    * shuffle-hash join keyed on the band hash — no cross product. At 100 TB
+    * the band join is the only shuffle and is uniformly keyed unless the
+    * corpus has giant near-identical clusters (then salting the verify side
+    * applies).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val withBands = base
+      .withColumn("sig", minhashSignature(col("text"), numHashes))
+      .select(col("id"), posexplode(lshBands(col("sig"), numHashes, rowsPerBand)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+    val l = withBands.select(col("band_idx"), col("band_hash"), col("id").as("id1"))
+    val r = withBands.select(col("band_idx"), col("band_hash"), col("id").as("id2"))
+    val cand = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+
+    val tokSets = base.select(col("id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+    cand
+      .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
+      .join(tokSets.select(col("id").as("id2"), col("toks").as("toks2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
+          size(array_union(col("toks1"), col("toks2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Portable SimHash: 64-char '0'/'1' string. Bit b is the majority vote
+    * over distinct tokens of hash-bit b, where a token's bit b is the high
+    * bit of the first nibble of md5(b || '|' || token). Deterministic and
+    * expressible identically in DuckDB for the oracle. */
+  def simhashBits(text: Column, nBits: Int = 64): Column = {
+    val toks = array_distinct(TextFunctions.tokens(text))
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    array_join(
+      transform(sequence(lit(0), lit(nBits - 1)), b =>
+        when(
+          size(filter(toks, t =>
+            array_contains(array(highNibble: _*),
+              substring(md5(concat(b.cast("string"), lit("|"), t)), 1, 1)))) * 2
+            > size(toks),
+          lit("1")).otherwise(lit("0"))),
+      "")
+  }
+
+  /** N-gram (shingle) Jaccard similarity between candidate pairs drawn from
+    * a blocking key (e.g. same source). Shingles are n-token windows joined
+    * by a single space. Output: (id1, id2, jaccard). */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
+
+    def shingles(text: Column): Column = {
+      val toks = TextFunctions.tokens(text)
+      array_distinct(
+        when(size(toks) < n, array(array_join(toks, " ")))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    }
+
+    val base = docs.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
+      shingles(col(textCol)).as("sh"))
+    val l = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
+    l.join(r, "blk")
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (exact verify
+    * path; the ANN module provides the LSH/IVF candidate path at scale).
+    * Output: (id1, id2, sim) with sim = (1+cos)/2 >= threshold. */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+
+    val base = emb.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("v"))
+    val l = base.select(col("blk"), col("id").as("id1"), col("v").as("v1"))
+    val r = base.select(col("blk"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, "blk")
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", VectorFunctions.cosineSim(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface over the TPC-H-ish driver tables.
+  *
+  * The reference engine has no relational operators (SURVEY.md §2.3/§2.4) —
+  * these come free from Spark SQL; each query here exists to pin exact,
+  * DuckDB-verifiable semantics for scans, joins (broadcast + shuffle),
+  * aggregation, windows, rollup and anti-joins.
+  *
+  * Numeric determinism convention (oracle hash parity): money/measure
+  * aggregates are computed in DECIMAL (exact, order-independent) and cast to
+  * DOUBLE at the end; raw column values pass through untouched; ratios are
+  * DOUBLE divisions of exactly-equal numerators/denominators. Every LIMIT
+  * has a deterministic ORDER BY tiebreak.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  /** exact decimal revenue term: extendedprice * (1 - discount) */
+  private def revenueTerm(price: org.apache.spark.sql.Column, disc: org.apache.spark.sql.Column) =
+    dec(price) * (lit(1).cast("decimal(18,4)") - dec(disc))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(%REV%) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+      .replace("%REV%", revenueSql)
+
+  /** Top-10 orders by revenue for one market segment (broadcast dim join →
+    * shuffle agg → global top-k; deterministic tiebreak on orderkey). */
+  def q3Top10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Top10Sql: String =
+    """SELECT l_orderkey, CAST(SUM(%REV%) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+      .replace("%REV%", revenueSql)
+
+  /** Revenue by nation for one region — 6-way join; small dims broadcast. */
+  def q5Nation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  val q5NationSql: String =
+    """SELECT n_name, CAST(SUM(%REV%) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin.replace("%REV%", revenueSql)
+
+  /** Per-supplier running quantity + row_number (window over unique sort key). */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast("int").as("rn"),
+        sum(dec(col("l_quantity"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS rn,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+      |FROM lineitem""".stripMargin
+
+  /** Top-3 orders per customer by total price (rank window). */
+  def top3PerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("int").as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
+  val top3PerCustSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      |FROM orders QUALIFY rk <= 3""".stripMargin
+
+  /** Customers with no orders (anti-join). */
+  def custNoOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  val custNoOrdersSql: String =
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+
+  /** Part stats per brand: counts, distinct types, price extremes, avg size. */
+  def brandStats(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).groupBy("p_brand").agg(
+      count(lit(1)).as("n_parts"),
+      countDistinct(col("p_type")).as("n_types"),
+      min(col("p_retailprice")).as("min_price"),
+      max(col("p_retailprice")).as("max_price"),
+      (sum(col("p_size").cast("long")).cast("double") / count(lit(1))).as("avg_size"))
+
+  val brandStatsSql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
+      | min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+      | CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_size
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  /** Rollup over returnflag/linestatus (grouping-set aggregation). */
+  def rollupReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("l_quantity"))).cast("double").as("qty"))
+
+  val rollupReturnsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Hourly event rollup (batch twin of the streaming tumbling window). */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+
+  val eventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Market-segment order stats (fact->dim shuffle join + distinct agg). */
+  def mktSegmentRev(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  val mktSegmentRevSql: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT o_orderkey) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_top10" -> q3Top10 _,
+    "q5_nation" -> q5Nation _,
+    "window_running" -> windowRunning _,
+    "top3_per_cust" -> top3PerCust _,
+    "cust_no_orders" -> custNoOrders _,
+    "brand_stats" -> brandStats _,
+    "rollup_returns" -> rollupReturns _,
+    "events_hourly" -> eventsHourly _,
+    "mkt_segment_rev" -> mktSegmentRev _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_top10" -> q3Top10Sql,
+    "q5_nation" -> q5NationSql,
+    "window_running" -> windowRunningSql,
+    "top3_per_cust" -> top3PerCustSql,
+    "cust_no_orders" -> custNoOrdersSql,
+    "brand_stats" -> brandStatsSql,
+    "rollup_returns" -> rollupReturnsSql,
+    "events_hourly" -> eventsHourlySql,
+    "mkt_segment_rev" -> mktSegmentRevSql)
+}

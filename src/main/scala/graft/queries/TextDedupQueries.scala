@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication query surface over `documents`.
+  *
+  * Each query has a DuckDB oracle whose expressions mirror the Spark side
+  * op-for-op (same tokenization, same md5-based hashing, same fold order),
+  * so results hash-match exactly. See TextFunctions / Dedup for semantics.
+  */
+object TextDedupQueries {
+
+  /** DuckDB twin of TextFunctions.tokens(text). */
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin.replace("\n", "")
+
+  private def listLit(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  // ---------------- text analysis ----------------
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+      round(TextFunctions.avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"))
+
+  private val textStatsSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(toks) AS INT) AS n_tokens,
+       | CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       | round(CASE WHEN len(toks) = 0 THEN 0.0
+       |   ELSE list_reduce(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), (acc, x) -> acc + x) / len(toks) END, 6) AS avg_token_len,
+       | round(CASE WHEN length(text) = 0 THEN 0.0
+       |   ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)""".stripMargin
+
+  private val enStops = TextFunctions.stopwordsByLang.toMap.apply("en")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text"), enStops).as("quality"),
+      round(TextFunctions.stopwordRatio(col("text"), enStops), 6).as("stopword_ratio"))
+
+  private val textQualitySql: String = {
+    val sw = listLit(enStops)
+    s"""SELECT doc_id,
+       | round((least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+       |   + (1.0 - least(swr_punct * 10.0, 1.0))
+       |   + least(swr * 5.0, 1.0)) / 3.0, 6) AS quality,
+       | round(swr, 6) AS stopword_ratio
+       |FROM (SELECT doc_id,
+       |   toks,
+       |   CASE WHEN len(toks) = 0 THEN 0.0
+       |     ELSE CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / len(toks) END AS swr,
+       |   CASE WHEN length(text) = 0 THEN 0.0
+       |     ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS swr_punct
+       | FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
+  }
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  private val textLangIdSql: String = {
+    val hits = TextFunctions.stopwordsByLang.map { case (l, sws) =>
+      s"len(list_filter(toks, t -> list_contains(${listLit(sws)}, t))) AS h_$l"
+    }.mkString(", ")
+    val langs = TextFunctions.stopwordsByLang.map(_._1)
+    val g = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN h_$l = g THEN '$l'").mkString(" ")
+    s"""SELECT doc_id,
+       | CASE WHEN g = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, $g AS g, * FROM
+       |  (SELECT doc_id, $hits FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
+  }
+
+  private def langSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+
+  private val langSummarySql: String =
+    """SELECT lang, COUNT(*) AS n,
+      | CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------- dedup ----------------
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  private val dedupExactSql: String =
+    s"""WITH fp AS (SELECT doc_id AS id, md5(array_to_string($toksSql, ' ')) AS fp FROM documents),
+       |k AS (SELECT fp, min(id) AS keep_id FROM fp GROUP BY fp)
+       |SELECT id, fp.fp, keep_id, id <> keep_id AS is_dup FROM fp JOIN k USING (fp)""".stripMargin
+
+  // Corpus is tiny-vocab word salad: median pairwise jaccard ~0.6, so LSH
+  // parameters are tuned selective (4 bands x 8 rows, t=0.9) to keep the
+  // candidate join from degenerating into the full cross product.
+  private val numHashes = 32
+  private val rowsPerBand = 8
+  private val mhThreshold = 0.9
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"), numHashes)))
+      .select(col("doc_id"), col("pos").cast("int").as("hash_idx"), col("col").as("mh"))
+
+  private val minhashSigSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS ts FROM documents)
+       |SELECT doc_id, CAST(i AS INT) AS hash_idx,
+       | list_min(list_transform(ts, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))) AS mh
+       |FROM t, range(0, $numHashes) r(i)""".stripMargin
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+      numHashes, rowsPerBand, mhThreshold)
+
+  private val minhashPairsSql: String = {
+    val bands = numHashes / rowsPerBand
+    s"""WITH t AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks FROM documents),
+       |sig AS (SELECT id, toks, list_transform(range(0, $numHashes),
+       |   i -> list_min(list_transform(toks, tok -> md5(CAST(i AS VARCHAR) || '|' || tok)))) AS sg FROM t),
+       |bands AS (SELECT id, j, md5(array_to_string(sg[j*$rowsPerBand+1:j*$rowsPerBand+$rowsPerBand], '|')) AS bh
+       |   FROM sig, range(0, $bands) r(j)),
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |   FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id),
+       |ver AS (SELECT id1, id2,
+       |   CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) / len(list_distinct(list_concat(x.toks, y.toks))) AS jac
+       |   FROM cand JOIN t x ON x.id = cand.id1 JOIN t y ON y.id = cand.id2)
+       |SELECT id1, id2, round(jac, 6) AS jaccard FROM ver WHERE jac >= $mhThreshold""".stripMargin
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
+
+  private val simhashSql: String =
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS td FROM documents)
+       |SELECT doc_id, array_to_string(list_transform(range(0, 64),
+       |  b -> CASE WHEN 2 * len(list_filter(td, tok -> list_contains(['8','9','a','b','c','d','e','f'],
+       |         substr(md5(CAST(b AS VARCHAR) || '|' || tok), 1, 1)))) > len(td)
+       |       THEN '1' ELSE '0' END), '') AS simhash
+       |FROM t""".stripMargin
+
+  private val ngramN = 3
+  private val ngramThreshold = 0.1
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", "source",
+      ngramN, ngramThreshold)
+
+  private val ngramPairsSql: String =
+    s"""WITH t AS (SELECT doc_id AS id, source AS blk, $toksSql AS toks FROM documents),
+       |sh AS (SELECT id, blk, list_distinct(
+       |   CASE WHEN len(toks) < $ngramN THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(range(0, len(toks) - ${ngramN - 1}),
+       |               i -> array_to_string(toks[i+1:i+$ngramN], ' ')) END) AS sh FROM t),
+       |p AS (SELECT a.id AS id1, b.id AS id2,
+       |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+       |   FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id)
+       |SELECT id1, id2, round(jac, 6) AS jaccard FROM p WHERE jac >= $ngramThreshold""".stripMargin
+
+  // Embedding sims within label top out at ~0.74 on this data; 0.65 keeps
+  // the tail (~1% of within-label pairs) as near-dups.
+  private val nearDupThreshold = 0.65
+
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", nearDupThreshold)
+
+  private val embedNearDupSql: String = {
+    def d(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    def n(a: String) =
+      s"list_reduce(list_transform(CAST($a AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)"
+    val sim = s"(1.0 + ${d("a.v", "b.v")} / (sqrt(${n("a.v")}) * sqrt(${n("b.v")}))) / 2.0"
+    s"""WITH t AS (SELECT vec_id AS id, label AS blk, embedding AS v FROM embeddings),
+       |p AS (SELECT a.id AS id1, b.id AS id2, $sim AS sim
+       |   FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id)
+       |SELECT id1, id2, round(sim, 6) AS sim FROM p WHERE sim >= $nearDupThreshold""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "lang_summary" -> (langSummary _),
+    "dedup_exact" -> (dedupExact _),
+    "minhash_sig" -> (minhashSig _),
+    "minhash_pairs" -> (minhashPairs _),
+    "simhash" -> (simhash _),
+    "ngram_pairs" -> (ngramPairs _),
+    "embed_neardup" -> (embedNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "lang_summary" -> langSummarySql,
+    "dedup_exact" -> dedupExactSql,
+    "minhash_sig" -> minhashSigSql,
+    "minhash_pairs" -> minhashPairsSql,
+    "simhash" -> simhashSql,
+    "ngram_pairs" -> ngramPairsSql,
+    "embed_neardup" -> embedNearDupSql)
+}
