@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refDot(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+  private def refNormSq(a: Seq[Float]): Double =
+    a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+  private def refL2Sq(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      val d = x.toDouble - y.toDouble; acc + d * d
+    }
+
+  private val rnd = new scala.util.Random(42)
+  private def randVec(dim: Int): Seq[Float] =
+    Seq.fill(dim)(rnd.nextFloat() * 10f - 5f)
+
+  test("dot / normSq / l2Sq match sequential scalar reference bit-exactly") {
+    val cases = Seq.fill(25)((randVec(8), randVec(8)))
+    val rows = cases.toDF("a", "b")
+      .select(dot($"a", $"b"), normSq($"a"), l2Sq($"a", $"b"))
+      .collect()
+    for (((a, b), row) <- cases.zip(rows)) {
+      assert(row.getDouble(0) === refDot(a, b))
+      assert(row.getDouble(1) === refNormSq(a))
+      assert(row.getDouble(2) === refL2Sq(a, b))
+    }
+  }
+
+  test("similarity normalization formulas match the reference engine") {
+    // jvector VectorSimilarityFunction.java:37-69:
+    // EUCLIDEAN 1/(1+d2), DOT (1+dot)/2, COSINE (1+cos)/2
+    val a = Seq(1.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      euclideanSim($"a", $"b"), dotSim($"a", $"b"), cosineSim($"a", $"b"),
+      cosineSim($"a", $"a")).head()
+    assert(r.getDouble(0) === 1.0 / 3.0) // l2sq = 2
+    assert(r.getDouble(1) === 0.5) // dot = 0
+    assert(r.getDouble(2) === 0.5) // cos = 0
+    assert(r.getDouble(3) === 1.0) // self-cosine
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val cases = Seq.fill(10)(randVec(16)).filter(v => refNormSq(v) > 1e-6)
+    val rows = cases.map(Tuple1(_)).toDF("a")
+      .select(normSq(l2Normalize($"a"))).collect()
+    for (row <- rows) assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("hammingDistance counts differing bits in packed longs") {
+    val df = Seq((Array(0xFFL, 0x0FL), Array(0x0FL, 0x0FL))).toDF("a", "b")
+    assert(df.select(hammingDistance($"a", $"b")).head().getLong(0) === 4L)
+  }
+
+  test("subVector slices 0-based") {
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("a")
+    assert(df.select(subVector($"a", 1, 2)).head().getSeq[Float](0) === Seq(2.0f, 3.0f))
+  }
+}
