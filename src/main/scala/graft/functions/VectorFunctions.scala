@@ -83,4 +83,12 @@ object VectorFunctions {
 
   /** Subvector slice [start, start+len) — 0-based (Spark slice is 1-based). */
   def subVector(a: Column, start: Int, len: Int): Column = slice(a, start + 1, len)
+
+  /** Driver-side scalar dot product (same sequential fold as `dot`). */
+  def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 }

@@ -1,0 +1,326 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product Quantization model (jvector `quantization/ProductQuantization.java`):
+  * the vector dimension is split into `m` subspaces (sizes `dim/m`, remainder
+  * spread over the first subspaces — `getSubvectorSizesAndOffsets`,
+  * ProductQuantization.java:122), each with its own k-means codebook.
+  *
+  * Codebooks are tiny (m * k * subDim doubles ≤ a few MB) and are shipped to
+  * executors inside closures/literals — the 100 TB-scale design is:
+  * train on a bounded driver-side sample (reference caps at 128k vectors,
+  * ProductQuantization.java:62-64), encode distributed, score via per-query
+  * lookup tables (ADC, `PQVectors.java:210`).
+  */
+case class PQModel(
+    dim: Int,
+    m: Int,
+    k: Int,
+    subSizes: Array[Int],
+    subOffsets: Array[Int],
+    codebooks: Array[Array[Array[Double]]]) {
+
+  def decode(code: Array[Int]): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < m) {
+      val c = codebooks(i)(code(i))
+      System.arraycopy(c, 0, out, subOffsets(i), subSizes(i))
+      i += 1
+    }
+    out
+  }
+
+  def encodeOne(v: Array[Double]): Array[Int] = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      val cb = codebooks(i)
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        val off = subOffsets(i)
+        while (j < subSizes(i)) {
+          val diff = v(off + j) - cb(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    out
+  }
+}
+
+object PQ {
+
+  /** dim split into m subspaces; remainder distributed to the first ones. */
+  def subvectorSizes(dim: Int, m: Int): (Array[Int], Array[Int]) = {
+    val base = dim / m
+    val rem = dim % m
+    val sizes = Array.tabulate(m)(i => base + (if (i < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _).dropRight(1)
+    (sizes, offsets)
+  }
+
+  /** Deterministic k-means++ + Lloyd's iterations on a local sample
+    * (mirrors jvector KMeansPlusPlusClusterer semantics: k-means++ seeding,
+    * fixed iteration count, empty clusters keep their centroid). */
+  private[graft] def kmeans(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.length >= k, s"need >= $k training points, got ${points.length}")
+    val rnd = new scala.util.Random(seed)
+    val dim = points(0).length
+    val centers = new Array[Array[Double]](k)
+    // k-means++ seeding
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    val d2 = Array.fill(points.length)(Double.MaxValue)
+    def updateD2(c: Array[Double]): Unit = {
+      var i = 0
+      while (i < points.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = points(i)(j) - c(j); d += t * t; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    updateD2(centers(0))
+    var ci = 1
+    while (ci < k) {
+      val total = d2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(points.length)
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < points.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        pick = i
+      }
+      centers(ci) = points(pick).clone()
+      updateD2(centers(ci))
+      ci += 1
+    }
+    // Lloyd's
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i)
+        counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Train a PQ model on a bounded sample of `df`'s vector column.
+    * Reference defaults: k=256 clusters, 6 iterations, sample cap 128k
+    * (ProductQuantization.java:62-64). */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      m: Int,
+      k: Int = 256,
+      iters: Int = 6,
+      sampleCap: Int = 128000,
+      seed: Long = 1L): PQModel = {
+
+    val total = df.count()
+    val sampled =
+      if (total <= sampleCap) df.select(vecCol)
+      else df.select(vecCol).sample(withReplacement = false,
+        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
+    val vectors = sampled
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(vectors.nonEmpty, "empty training set")
+    val dim = vectors(0).length
+    val (sizes, offsets) = subvectorSizes(dim, m)
+    val codebooks = Array.tabulate(m) { i =>
+      val sub = vectors.map(v => java.util.Arrays.copyOfRange(v, offsets(i), offsets(i) + sizes(i)))
+      kmeans(sub, math.min(k, sub.length), iters, seed + i)
+    }
+    PQModel(dim, m, k, sizes, offsets, codebooks)
+  }
+
+  /** Distributed encode: adds `codeCol` array<int> (one centroid id per
+    * subspace). The model rides inside the UDF closure (small). */
+  def encode(df: DataFrame, vecCol: String, model: PQModel, codeCol: String = "pq_code"): DataFrame = {
+    val enc = udf { v: Seq[Double] => model.encodeOne(v.toArray) }
+    df.withColumn(codeCol, enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** Distributed decode of a code column back to approximate vectors. */
+  def decode(df: DataFrame, codeCol: String, model: PQModel, outCol: String = "pq_decoded"): DataFrame = {
+    val dec = udf { c: Seq[Int] => model.decode(c.toArray) }
+    df.withColumn(outCol, dec(col(codeCol)))
+  }
+
+  /** Per-query ADC tables (jvector `PQVectors.precomputedScoreFunctionFor`,
+    * O3 per-query constant folding): partial dot products and centroid
+    * squared magnitudes per (subspace, centroid), flattened to m*k arrays. */
+  def adcTables(q: Array[Double], model: PQModel): (Array[Double], Array[Double]) = {
+    val dots = new Array[Double](model.m * model.codebooks(0).length)
+    val mags = new Array[Double](dots.length)
+    var i = 0
+    while (i < model.m) {
+      val cb = model.codebooks(i)
+      val off = model.subOffsets(i)
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var g = 0.0; var j = 0
+        while (j < model.subSizes(i)) {
+          d += q(off + j) * cb(c)(j)
+          g += cb(c)(j) * cb(c)(j)
+          j += 1
+        }
+        dots(i * cb.length + c) = d
+        mags(i * cb.length + c) = g
+        c += 1
+      }
+      i += 1
+    }
+    (dots, mags)
+  }
+
+  /** Approximate kNN over PQ codes with optional exact rerank (two-phase
+    * search, jvector `GraphSearcher.java:471-507` / NodeQueue.rerank):
+    * phase 1 scores all codes via ADC table lookups (cheap, in-memory),
+    * keeps rerankK per query; phase 2 joins survivors back to the full-res
+    * vectors and re-scores exactly — late materialization (O2).
+    *
+    * `queries` must carry (qid, qvec). Returns (qid, rank, nid, score).
+    */
+  def knn(
+      baseEncoded: DataFrame,
+      queries: DataFrame,
+      model: PQModel,
+      topK: Int,
+      rerankK: Int,
+      metric: String,
+      baseId: String = "id",
+      baseVec: String = "vec",
+      codeCol: String = "pq_code"): DataFrame = {
+
+    val kk = model.codebooks(0).length
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qTab = qRows.map { case (qid, qv) =>
+      val (dots, mags) = adcTables(qv, model)
+      (qid, qv, dots, mags, VectorFunctions.dotSeq(qv, qv))
+    }
+    val spark = baseEncoded.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qTab.toSeq.toDF("qid", "qvec", "adc_dots", "adc_mags", "qnorm"))
+
+    // approx score from table lookups: built-in HOF expression, no UDF
+    val m = model.m
+    val codeIdx = sequence(lit(0), lit(m - 1))
+    def lookupSum(table: Column): Column =
+      aggregate(
+        transform(codeIdx, i => element_at(table, i * kk + element_at(col(codeCol), i + 1) + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val approxScore = metric.toUpperCase match {
+      case "DOT_PRODUCT" | "DOT" => (lit(1.0) + lookupSum(col("adc_dots"))) / 2.0
+      case "COSINE" =>
+        (lit(1.0) + lookupSum(col("adc_dots")) /
+          (sqrt(lookupSum(col("adc_mags"))) * sqrt(col("qnorm")))) / 2.0
+      case "EUCLIDEAN" =>
+        // ||q-c||^2 = |q|^2 - 2 q.c + |c|^2 summed per subspace
+        lit(1.0) / (lit(1.0) + (col("qnorm") - lit(2.0) * lookupSum(col("adc_dots"))
+          + lookupSum(col("adc_mags"))))
+      case other => throw new IllegalArgumentException(other)
+    }
+
+    val approx = baseEncoded
+      .select(col(baseId).cast("long").as("__nid"), col(codeCol))
+      .crossJoin(qdf)
+      .withColumn("__approx", approxScore)
+    val topkAgg = TopK.udf(rerankK)
+    val candidates = approx.groupBy("qid")
+      .agg(topkAgg(col("__nid"), col("__approx")).as("t"))
+      .select(col("qid"), explode(col("t._1")).as("__nid"))
+
+    // phase 2: exact rerank on full-res vectors
+    val exact = candidates
+      .join(baseEncoded.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")), "__nid")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("__score", VectorFunctions.similarity(metric)(col("__vec"), col("qvec")))
+    val finalAgg = TopK.udf(topK)
+    exact.groupBy("qid")
+      .agg(finalAgg(col("__nid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+}
+
+/** Binary Quantization (jvector `quantization/BinaryQuantization.java:100-115`,
+  * `BQVectors.java:117`): bit j of word i is set iff v[i*64+j] > 0;
+  * similarity = 1 - hammingDistance/dim. */
+object BQ {
+
+  private val powers: Column = typedLit((0 until 64).map(j => 1L << j))
+
+  /** Pack sign bits into array<long>, 64 per word, little-endian within word. */
+  def encodePacked(vec: Column, dim: Int): Column = {
+    val nWords = (dim + 63) / 64
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+        val idx = w * 64 + j
+        acc.bitwiseOR(
+          when(idx < dim && element_at(vec.cast("array<double>"), idx + 1) > 0.0,
+            element_at(powers, j + 1)).otherwise(lit(0L)))
+      }))
+  }
+
+  /** '0'/'1' string view of a packed code (for oracle verification). */
+  def bitsString(packed: Column, dim: Int): Column =
+    array_join(
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        when(element_at(packed, (i / 64).cast("int") + 1)
+          .bitwiseAND(element_at(powers, pmod(i, lit(64)) + 1)) =!= 0L, lit("1"))
+          .otherwise(lit("0"))),
+      "")
+
+  /** BQ similarity between two packed codes. */
+  def sim(a: Column, b: Column, dim: Int): Column =
+    lit(1.0) - VectorFunctions.hammingDistance(a, b).cast("double") / lit(dim.toDouble)
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.{BQ, PQ, TopK}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantization query surface (jvector §2.7): BQ has exact, SQL-expressible
+  * semantics (sign bits + hamming) so its encode AND its quantized top-k
+  * search are DuckDB-oracled. PQ involves k-means training, so its entries
+  * get the rows-only check; PQ quality is gated by PQSpec (reconstruction
+  * error, ADC recall vs exact oracle).
+  */
+object QuantizationQueries {
+
+  private val dim = 64
+  private val nQueries = 5
+  private val k = 10
+
+  /** BQ sign-bit encode, emitted as a '0'/'1' string computed from the
+    * packed long words — oracle recomputes the bits straight from the
+    * embedding, cross-verifying the packing. */
+  private def bqBits(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      BQ.bitsString(BQ.encodePacked(col("embedding"), dim), dim).as("bits"))
+
+  private val bqBitsSql: String =
+    s"""SELECT vec_id, array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+       |  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bits
+       |FROM embeddings""".stripMargin
+
+  /** Top-k by BQ hamming similarity (1 - hd/dim) — the quantized search
+    * path end-to-end, oracle-verified. Heavy ties are resolved id-asc. */
+  private def bqHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), BQ.encodePacked(col("embedding"), dim).as("code"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val scored = emb.crossJoin(broadcast(q))
+      .withColumn("score", BQ.sim(col("code"), col("qcode"), dim))
+    val agg = TopK.udf(k)
+    scored.groupBy("qid")
+      .agg(agg(col("vec_id"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
+  private val bqHammingTopkSql: String =
+    s"""WITH b AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |       x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits FROM embeddings),
+       |q AS (SELECT vec_id AS qid, bits AS qb FROM b WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, b.vec_id AS nid,
+       |   1.0 - CAST(len(list_filter(range(1, $dim + 1), i -> b.bits[i] <> q.qb[i])) AS DOUBLE) / $dim.0 AS score
+       |   FROM b CROSS JOIN q)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS "rank",
+       |       nid, score
+       |FROM sc QUALIFY "rank" <= $k""".stripMargin
+
+  // ---- PQ (k-means-trained; rows-only driver check, quality gated in specs) ----
+
+  private val pqM = 8
+  private val pqK = 64 // embeddings tables are small (500-2000 rows); 256 needs more points
+
+  private def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = PQ.train(emb, "embedding", pqM, pqK)
+    PQ.encode(emb, "embedding", model)
+      .select(col("vec_id"), concat_ws(",", col("pq_code")).as("code"))
+  }
+
+  private def pqReconError(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = PQ.train(emb, "embedding", pqM, pqK)
+    val dec = PQ.decode(PQ.encode(emb, "embedding", model), "pq_code", model)
+    dec.select(col("label"),
+      VectorFunctions.l2Sq(col("embedding"), col("pq_decoded")).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("err")), 4).as("avg_sq_err"))
+  }
+
+  private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = PQ.train(emb, "embedding", pqM, pqK)
+    val encoded = PQ.encode(emb, "embedding", model)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    PQ.knn(encoded, queries, model, topK = k, rerankK = 4 * k, metric = "COSINE",
+      baseId = "vec_id", baseVec = "embedding")
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bq_bits" -> (bqBits _),
+    "bq_hamming_topk" -> (bqHammingTopk _),
+    "pq_encode" -> (pqEncode _),
+    "pq_recon_error" -> (pqReconError _),
+    "pq_adc_topk" -> (pqAdcTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "bq_bits" -> bqBitsSql,
+    "bq_hamming_topk" -> bqHammingTopkSql)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{BQ, KnnExact, PQ}
+import org.apache.spark.sql.functions._
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans is deterministic and reduces within-cluster distance") {
+    val rnd = new scala.util.Random(7)
+    val pts = Array.fill(300)(Array.fill(4)(rnd.nextDouble() * 10))
+    val c1 = PQ.kmeans(pts, 16, 6, seed = 1)
+    val c2 = PQ.kmeans(pts, 16, 6, seed = 1)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+
+    def cost(centers: Array[Array[Double]]) = pts.map { p =>
+      centers.map(c => c.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    val seeded = PQ.kmeans(pts, 16, 0, seed = 1) // k-means++ only, no Lloyd's
+    assert(cost(c1) < cost(seeded))
+  }
+
+  test("PQ roundtrip reconstruction error is bounded and improves with k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def avgErr(kk: Int): Double = {
+      val model = PQ.train(emb, "embedding", m = 8, k = kk)
+      PQ.decode(PQ.encode(emb, "embedding", model), "pq_code", model)
+        .select(avg(VectorFunctions.l2Sq(col("embedding"), col("pq_decoded"))))
+        .head().getDouble(0)
+    }
+    val e16 = avgErr(16)
+    val e64 = avgErr(64)
+    val norm = emb.select(avg(VectorFunctions.normSq(col("embedding")))).head().getDouble(0)
+    assert(e64 < e16, s"error should shrink with more clusters: $e64 vs $e16")
+    assert(e64 < norm, "reconstruction must beat the zero-vector baseline")
+  }
+
+  test("PQ ADC + rerank achieves high recall vs exact kNN") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // Uniform-random 64-d vectors have no cluster structure (the hardest PQ
+    // case), so use finer subspaces (m=16) and 10x overquery to clear the
+    // reference's 0.95 recall contract.
+    val model = PQ.train(emb, "embedding", m = 16, k = 64)
+    val encoded = PQ.encode(emb, "embedding", model)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val approx = PQ.knn(encoded, queries, model, topK = 10, rerankK = 100,
+      metric = "COSINE", baseId = "vec_id", baseVec = "embedding")
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = KnnExact.knn(emb, queries, 10, "COSINE", "vec_id", "embedding")
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (q, want) =>
+      approx.get(q).map(got => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // BASELINE.md filtered-search contract is recall@10 > 0.95; ADC+4x rerank
+    // on 64-d embeddings should clear it comfortably.
+    assert(meanRecall >= 0.95, s"mean recall $meanRecall below 0.95")
+  }
+
+  test("BQ packing matches sign bits and hamming sim is exact") {
+    val df = Seq(
+      (0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (1L, Seq(-1.0f, -1.0f, 0.5f, 2.0f))).toDF("id", "v")
+    val bits = df.select($"id", BQ.bitsString(BQ.encodePacked($"v", 4), 4).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(bits(0L) === "1010") // >0 at idx 0,2 ; 0.0 is not > 0
+    assert(bits(1L) === "0011")
+    val sim = df.filter($"id" === 0).select(BQ.encodePacked($"v", 4).as("a"))
+      .crossJoin(df.filter($"id" === 1).select(BQ.encodePacked($"v", 4).as("b")))
+      .select(BQ.sim($"a", $"b", 4)).head().getDouble(0)
+    assert(sim === 1.0 - 2.0 / 4.0) // bits differ at idx 0 and 3
+  }
+
+  test("BQ packs >64 dims into multiple words") {
+    val v = (0 until 100).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val bits = Seq(Tuple1(v)).toDF("v")
+      .select(BQ.bitsString(BQ.encodePacked($"v", 100), 100)).head().getString(0)
+    assert(bits.length === 100)
+    assert(bits === (0 until 100).map(i => if (i % 3 == 0) '1' else '0').mkString)
+  }
+}
