@@ -1,0 +1,199 @@
+package graft.index
+
+import graft.operators.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Spark-level ANN search over per-partition Vamana segments.
+  *
+  * Architecture (mirrors the reference's multi-segment design — jvector
+  * runs one graph per SSTable segment and merges per-segment top-k sharing
+  * a rerank floor, `GraphSearcher.java:386-404`):
+  *
+  *   - each Spark partition builds ONE in-memory segment graph (parallelism
+  *     across partitions, not threads — SURVEY.md §3.2);
+  *   - queries are broadcast (small side), each segment runs beam search
+  *     locally and emits its top-k per query — zero shuffle of base data;
+  *   - a final bounded TopK aggregation merges segment results — the same
+  *     partial/final shape as Spark's TakeOrderedAndProject.
+  *
+  * At 100 TB this scales horizontally: segments ~ parquet row groups,
+  * build cost is per-partition O(n_p * beamWidth * degree), search touches
+  * each segment's graph independently. The index can be persisted
+  * (`buildIndex`/`searchIndex`) so build cost amortizes across query sets.
+  */
+object Ann {
+
+  case class Params(
+      metric: String = "COSINE",
+      maxDegree: Int = 32,
+      beamWidth: Int = 100,
+      alpha: Double = 1.2,
+      neighborOverflow: Double = 1.2,
+      seed: Long = 0L)
+
+  case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator) {
+    def visitedRatioPerQuery(nQueries: Long): Double =
+      if (scanned.value == 0 || nQueries == 0) 0.0
+      else visited.value.toDouble / (scanned.value.toDouble * nQueries)
+  }
+
+  /** One-pass transient search: build per-partition segments and search the
+    * broadcast query set. Returns (qid, rank, nid, score) + metrics.
+    *
+    * `acceptCol`: optional boolean column on `base` — the accept-list filter
+    * is pushed INTO the beam loop (jvector P1), not applied post-hoc.
+    */
+  def searchWithMetrics(
+      base: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      ef: Int,
+      params: Params = Params(),
+      baseId: String = "id",
+      baseVec: String = "vec",
+      acceptCol: Option[String] = None): (DataFrame, SearchMetrics) = {
+
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+
+    val visitedAcc = spark.sparkContext.longAccumulator("ann.visited")
+    val scannedAcc = spark.sparkContext.longAccumulator("ann.segment.rows")
+    val metrics = SearchMetrics(visitedAcc, scannedAcc)
+
+    val p = params
+    val withAccept = acceptCol match {
+      case Some(a) => base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"), col(a).cast("boolean"))
+      case None => base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"), lit(true))
+    }
+
+    val perSegment = withAccept
+      .as[(Long, Array[Float], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2)
+          val accept = rows.map(_._3)
+          scannedAcc.add(rows.length)
+          val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+            p.alpha, p.neighborOverflow, p.seed).build()
+          val out = qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, topK, ef, i => accept(i))
+              .iterator.map { case (local, s) => (qid, ids(local), s) }
+          }.toArray
+          visitedAcc.add(g.visitedCount)
+          out.iterator
+        }
+      }
+      .toDF("qid", "nid", "score")
+
+    val agg = TopK.udf(topK)
+    val merged = perSegment.groupBy("qid")
+      .agg(agg(col("nid"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+    (merged, metrics)
+  }
+
+  def search(
+      base: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      ef: Int,
+      params: Params = Params(),
+      baseId: String = "id",
+      baseVec: String = "vec",
+      acceptCol: Option[String] = None): DataFrame =
+    searchWithMetrics(base, queries, topK, ef, params, baseId, baseVec, acceptCol)._1
+
+  /** Persist per-partition segment graphs as a parquet index:
+    * (seg, node local id, orig id, vec, neighbors array<int> local ids,
+    * entry flag). Mirrors the reference's on-disk graph + inline vectors
+    * (OnDiskGraphIndex) re-expressed as columnar tables. */
+  def buildIndex(
+      base: DataFrame,
+      path: String,
+      params: Params = Params(),
+      baseId: String = "id",
+      baseVec: String = "vec"): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val p = params
+    base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val seg = java.util.UUID.nameUUIDFromBytes(
+            rows.map(_._1).mkString(",").getBytes).toString
+          val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
+          rows.indices.iterator.map { i =>
+            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode)
+          }
+        }
+      }
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Search a persisted index: co-locate each segment's rows, rebuild the
+    * adjacency in memory (no re-build of the graph — just array assembly),
+    * and run the same per-segment beam + global merge. */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      topK: Int,
+      ef: Int,
+      params: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+    val p = params
+
+    val perSegment = spark.read.parquet(path)
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"), col("is_entry"))
+      .repartition(col("seg"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val vecs = sorted.map(_._4)
+          val ids = sorted.map(_._3)
+          val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+            p.alpha, p.neighborOverflow, p.seed)
+          sorted.foreach { r =>
+            g.neighbors(r._2) ++= r._5
+            if (r._6) g.entryNode = r._2
+          }
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, topK, ef).iterator.map { case (local, s) => (qid, ids(local), s) }
+          }
+        }
+      }
+      .toDF("qid", "nid", "score")
+
+    val agg = TopK.udf(topK)
+    perSegment.groupBy("qid")
+      .agg(agg(col("nid"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+}

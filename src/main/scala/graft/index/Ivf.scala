@@ -1,0 +1,115 @@
+package graft.index
+
+import graft.functions.VectorFunctions
+import graft.operators.{PQ, TopK}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN: k-means partitioning + probed-cluster scan.
+  *
+  * This is the "scale path" complement to the Vamana graph: at 100 TB the
+  * base table is written partitioned/bucketed by `cluster_id`, so a search
+  * with nprobe clusters prunes the scan to nprobe/nlist of the data at the
+  * parquet-partition level (Catalyst partition pruning does the skipping —
+  * no index structure needs to fit anywhere). Visited ratio ~= nprobe/nlist.
+  */
+object Ivf {
+
+  case class IvfModel(metric: String, centroids: Array[Array[Double]]) {
+    def nearestClusters(v: Array[Double], nprobe: Int): Array[Int] =
+      centroids.indices.toArray
+        .map(c => (c, simTo(v, c)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(nprobe).map(_._1)
+
+    def simTo(v: Array[Double], c: Int): Double = {
+      val ct = centroids(c)
+      metric.toUpperCase match {
+        case "EUCLIDEAN" =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+          1.0 / (1.0 + d)
+        case "DOT_PRODUCT" | "DOT" => (1.0 + VectorFunctions.dotSeq(v, ct)) / 2.0
+        case "COSINE" =>
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * ct(i); na += v(i) * v(i); nb += ct(i) * ct(i); i += 1 }
+          (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+      }
+    }
+  }
+
+  /** Train nlist centroids on a bounded sample (reuses PQ's deterministic
+    * k-means++; same sampling contract as PQ training). */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      metric: String = "COSINE",
+      iters: Int = 6,
+      sampleCap: Int = 128000,
+      seed: Long = 1L): IvfModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= sampleCap) df.select(vecCol)
+      else df.select(vecCol).sample(withReplacement = false,
+        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
+    val vectors = sampled.select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    IvfModel(metric, PQ.kmeans(vectors, math.min(nlist, vectors.length), iters, seed))
+  }
+
+  /** Assign each row to its nearest centroid — the write-path partitioner.
+    * At scale: `.write.partitionBy("cluster_id")` for pruned reads. */
+  def assign(df: DataFrame, vecCol: String, model: IvfModel, outCol: String = "cluster_id"): DataFrame = {
+    val m = model
+    val assignUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      var best = 0; var bestS = Double.MinValue
+      var c = 0
+      while (c < m.centroids.length) {
+        val s = m.simTo(arr, c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+    df.withColumn(outCol, assignUdf(col(vecCol).cast("array<double>")))
+  }
+
+  /** Probed search: per query, pick nprobe nearest centroids (driver-side —
+    * centroids are tiny), then score ONLY rows in those clusters via an
+    * equi-join on cluster_id (shuffle-hash/broadcast join on a small pair
+    * set — never a cross product). Returns (qid, rank, nid, score). */
+  def search(
+      assigned: DataFrame,
+      queries: DataFrame,
+      model: IvfModel,
+      nprobe: Int,
+      topK: Int,
+      baseId: String = "id",
+      baseVec: String = "vec",
+      clusterCol: String = "cluster_id"): DataFrame = {
+
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = qRows.flatMap { case (qid, qv) =>
+      model.nearestClusters(qv, nprobe).map(c => (qid, c))
+    }.toSeq.toDF("qid", clusterCol)
+    val qdf = queries.select(col("qid").cast("long"), col("qvec"))
+
+    val scored = assigned
+      .join(broadcast(probes), clusterCol) // partition-pruning join
+      .join(broadcast(qdf), "qid")
+      .withColumn("__score",
+        VectorFunctions.similarity(model.metric)(col(baseVec), col("qvec")))
+
+    val agg = TopK.udf(topK)
+    scored.groupBy("qid")
+      .agg(agg(col(baseId).cast("long"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.index
+
+import scala.collection.mutable
+
+/** Single-segment Vamana (DiskANN-family) graph: batch build over an
+  * in-memory vector slice, greedy best-first beam search with bounded
+  * result set, RobustPrune diversity selection.
+  *
+  * Semantics follow the reference engine (jvector):
+  *  - similarity-ordered search with bounded result heap and the
+  *    "best frontier < worst result" stop rule
+  *    (`graph/GraphSearcher.java:355-369,405-457`)
+  *  - diversity pruning with alpha relaxation
+  *    (`graph/diversity/VamanaDiversityProvider.java:45-96`)
+  *  - neighbor overflow during build, degree enforced on cleanup
+  *    (`graph/GraphIndexBuilder.java:308-310,498-505`)
+  *  - deterministic result order: score desc, id asc
+  *    (`graph/SearchResult.java:100-106`)
+  *
+  * This class is deliberately plain Scala with primitive arrays: it runs
+  * inside one Spark task per segment (SURVEY.md §3.2's batch formulation —
+  * partitions are the unit of parallelism, not threads).
+  */
+final class Vamana(
+    val vectors: Array[Array[Float]],
+    metric: String,
+    val maxDegree: Int = 32,
+    val beamWidth: Int = 100,
+    val alpha: Double = 1.2,
+    val neighborOverflow: Double = 1.2,
+    seed: Long = 0L) extends Serializable {
+
+  private val n = vectors.length
+  val neighbors: Array[mutable.ArrayBuffer[Int]] = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+  var entryNode: Int = 0
+  var visitedCount: Long = 0L // accumulated across searches (caller may reset)
+
+  // similarity in (0,1], higher better — must match VectorFunctions/reference
+  def sim(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase match {
+    case "EUCLIDEAN" =>
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+      1.0 / (1.0 + d)
+    case "DOT_PRODUCT" | "DOT" =>
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      (1.0 + d) / 2.0
+    case "COSINE" =>
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+  }
+
+  private def simNodes(i: Int, j: Int): Double = sim(vectors(i), vectors(j))
+
+  /** Greedy best-first beam search (one layer). Returns up to `ef` results
+    * sorted score desc, id asc. Counts visited nodes. */
+  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] = {
+    if (n == 0) return Array.empty
+    val visited = new java.util.BitSet(n)
+    // candidates: max-heap by score
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (x._1, -x._2)))
+    // results: min-heap (worst on top), bounded to ef
+    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (-x._1, x._2)))
+    val eScore = sim(q, vectors(entryNode))
+    cand.enqueue((eScore, entryNode))
+    visited.set(entryNode)
+    visitedCount += 1
+    while (cand.nonEmpty) {
+      val (cs, c) = cand.dequeue()
+      if (res.size >= ef && cs < res.head._1) {
+        cand.clear() // best frontier worse than worst kept result -> stop
+      } else {
+        if (accept(c)) {
+          res.enqueue((cs, c))
+          if (res.size > ef) res.dequeue()
+        }
+        val nbrs = neighbors(c)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            visitedCount += 1
+            val s = sim(q, vectors(nb))
+            if (res.size < ef || s > res.head._1) cand.enqueue((s, nb))
+          }
+          i += 1
+        }
+      }
+    }
+    res.toArray.map { case (s, id) => (id, s) }
+      .sortBy { case (id, s) => (-s, id) }
+  }
+
+  /** RobustPrune: keep up to `deg` diverse candidates (closest-first greedy;
+    * a candidate is dropped if an already-kept neighbor dominates it within
+    * the alpha slack). */
+  private def robustPrune(p: Int, candIn: Seq[(Int, Double)], deg: Int): mutable.ArrayBuffer[Int] = {
+    val cands = candIn.filter(_._1 != p).distinct.sortBy { case (id, s) => (-s, id) }
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val pool = mutable.ArrayBuffer(cands: _*)
+    var a = 1.0
+    while (kept.size < deg && a <= alpha + 1e-9) {
+      var i = 0
+      while (i < pool.length && kept.size < deg) {
+        val (c, sPC) = pool(i)
+        if (c >= 0) {
+          // dominated iff some kept k has sim(k, c) > sPC * a
+          var dominated = false
+          var j = 0
+          while (j < kept.length && !dominated) {
+            if (simNodes(kept(j), c) > sPC * a) dominated = true
+            j += 1
+          }
+          if (!dominated) {
+            kept += c
+            pool(i) = (-1, 0.0)
+          }
+        }
+        i += 1
+      }
+      a += 0.2
+    }
+    kept
+  }
+
+  /** Batch build: seeded insertion order, beam-search-then-prune per node,
+    * reverse edges with overflow, final degree enforcement + refine pass. */
+  def build(): this.type = {
+    if (n == 0) return this
+    // entry = node nearest to the centroid (medoid approximation)
+    val dim = vectors(0).length
+    val centroid = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < dim) { centroid(j) += vectors(i)(j) / n; j += 1 }
+      i += 1
+    }
+    var best = 0; var bestS = Double.MinValue
+    i = 0
+    while (i < n) {
+      val s = sim(centroid, vectors(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    entryNode = best
+
+    val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle((0 until n).toVector)
+    for (node <- order if node != entryNode) {
+      val found = searchInternal(vectors(node), beamWidth, _ => true)
+      val chosen = robustPrune(node, found.toSeq, maxDegree)
+      neighbors(node) = chosen
+      // reverse edges (backlink), prune on overflow
+      for (nb <- chosen) {
+        val lst = neighbors(nb)
+        if (!lst.contains(node)) {
+          lst += node
+          if (lst.length > overflowDeg) {
+            val scored = lst.map(x => (x, simNodes(nb, x))).toSeq
+            neighbors(nb) = robustPrune(nb, scored, maxDegree)
+          }
+        }
+      }
+    }
+    // refine pass (jvector refineFinalGraph / improveConnections)
+    for (node <- 0 until n) {
+      val found = searchInternal(vectors(node), beamWidth, _ => true)
+      val merged = (found.map { case (id, s) => (id, s) } ++
+        neighbors(node).map(x => (x, simNodes(node, x)))).toSeq
+      neighbors(node) = robustPrune(node, merged, maxDegree)
+    }
+    visitedCount = 0 // build traffic doesn't count as search effort
+    this
+  }
+
+  /** Public search with optional accept filter (pushed INTO the beam loop,
+    * jvector P1 semantics) and threshold. Returns (localId, score). */
+  def search(q: Array[Float], topK: Int, ef: Int, accept: Int => Boolean = _ => true): Array[(Int, Double)] =
+    searchInternal(q, math.max(ef, topK), accept).take(topK)
+
+  /** Threshold search: all nodes with sim >= t reachable by beam search with
+    * widening ef (jvector T5's contract, batch-friendly variant). */
+  def thresholdSearch(q: Array[Float], threshold: Double, ef: Int, accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
+    var curEf = ef
+    var out = searchInternal(q, curEf, accept)
+    // widen until the worst kept result drops below the threshold (or we
+    // have everything) — mirrors the "return ~all above t" contract
+    while (out.length == curEf && out.last._2 >= threshold && curEf < n) {
+      curEf = math.min(n, curEf * 2)
+      out = searchInternal(q, curEf, accept)
+    }
+    out.filter(_._2 >= threshold)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.index.{Ann, Ivf}
+import graft.operators.{KnnExact, Metrics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-search query surface (SURVEY.md §2.5): per-segment Vamana
+  * beam search, IVF probed search, and recall evaluation against the exact
+  * oracle. ANN results are partitioning/seed-dependent, so these entries
+  * use the driver's rows-only check — their QUALITY is gated by AnnSpec's
+  * recall contracts (>= 0.95 vs exact, per BASELINE.md) and reported by
+  * Bench. */
+object AnnQueries {
+
+  private val nQueries = 5
+  private val k = 10
+
+  private def queryVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def annParams = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
+
+  private def annKnn(s: SparkSession, dir: String): DataFrame =
+    Ann.search(Tables.embeddings(s, dir), queryVectors(s, dir), k, ef = 64,
+      annParams, baseId = "vec_id", baseVec = "embedding")
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+
+  private def annKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).withColumn("accept", col("label") === 3)
+    Ann.search(base, queryVectors(s, dir), k, ef = 64, annParams,
+      baseId = "vec_id", baseVec = "embedding", acceptCol = Some("accept"))
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
+  private def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.train(emb, "embedding", nlist = 32, metric = "COSINE")
+    val assigned = Ivf.assign(emb, "embedding", model)
+    Ivf.search(assigned, queryVectors(s, dir), model, nprobe = 8, topK = k,
+      baseId = "vec_id", baseVec = "embedding")
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
+  /** recall@10 of the ANN path vs the exact oracle — the A5 metric operator
+    * end-to-end. */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = queryVectors(s, dir)
+    val ann = Ann.search(emb, q, k, ef = 64, annParams, "vec_id", "embedding")
+    val exact = KnnExact.knn(emb, q, k, "COSINE", "vec_id", "embedding")
+    Metrics.recallAtK(ann, exact, k).select(round(col("recall"), 4).as("recall"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn" -> (annKnn _),
+    "ann_knn_filtered" -> (annKnnFiltered _),
+    "ivf_knn" -> (ivfKnn _),
+    "ann_recall" -> (annRecall _))
+
+  val oracles: Map[String, String] = Map.empty
+}

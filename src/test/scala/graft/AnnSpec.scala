@@ -1,0 +1,103 @@
+package graft
+
+import graft.index.{Ann, Ivf, Vamana}
+import graft.operators.KnnExact
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN quality gates mirroring the reference's hard-coded contracts
+  * (BASELINE.md): recall@10 > 0.95 for filtered search on 10k random
+  * vectors, visited ratio well below full scan, deterministic ordering. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVectors(n: Int, dim: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  private def recallOf(got: DataFrame, want: DataFrame): Double = {
+    val g = got.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val w = want.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val r = w.map { case (q, ws) => g.get(q).map(_.intersect(ws).size.toDouble / ws.size).getOrElse(0.0) }
+    r.sum / r.size
+  }
+
+  test("Vamana local graph: perfect recall on tiny data, sane degrees") {
+    val rnd = new scala.util.Random(1)
+    val vecs = Array.fill(200)(Array.fill(8)(rnd.nextFloat()))
+    val g = new Vamana(vecs, "COSINE", maxDegree = 16, beamWidth = 64).build()
+    assert(g.neighbors.forall(_.size <= (16 * 1.2).toInt))
+    assert(g.neighbors.count(_.nonEmpty) === 200)
+    // oracle: brute force
+    val q = vecs(7)
+    val want = vecs.indices.map(i => (i, g.sim(q, vecs(i))))
+      .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+    val got = g.search(q, 10, 64).map(_._1).toSet
+    assert(got.intersect(want).size >= 9, s"recall too low: ${got.intersect(want).size}/10")
+  }
+
+  test("segmented ANN search: recall@10 >= 0.95 on 10k x 16d (reference contract)") {
+    val base = randVectors(10000, 16, seed = 42).toDF("id", "vec").repartition(4)
+    val queries = randVectors(100, 16, seed = 99)
+      .toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
+    val (got, metrics) = Ann.searchWithMetrics(base.cache(), queries, topK = 10, ef = 64, params)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.95, s"recall@10 $r < 0.95")
+    val visitedRatio = metrics.visitedRatioPerQuery(100)
+    assert(visitedRatio < 0.5, s"visited ratio $visitedRatio not better than full scan")
+  }
+
+  test("filtered ANN search (accept-list in beam loop): recall@10 >= 0.95, 2 classes") {
+    // mirrors TestLowCardinalityFiltering: 2 random classes, filter to one
+    val rnd = new scala.util.Random(7)
+    val rows = randVectors(10000, 16, seed = 43).map { case (id, v) => (id, v, rnd.nextBoolean()) }
+    val base = rows.toDF("id", "vec", "cls").repartition(4).cache()
+    val queries = randVectors(50, 16, seed = 17).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
+    val (got, _) = Ann.searchWithMetrics(base, queries, topK = 10, ef = 64, params,
+      acceptCol = Some("cls"))
+    val want = KnnExact.knn(base.filter($"cls"), queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.95, s"filtered recall@10 $r < 0.95")
+  }
+
+  test("persisted index round-trip gives same recall") {
+    val tmp = java.nio.file.Files.createTempDirectory("annidx").toString
+    val base = randVectors(2000, 16, seed = 5).toDF("id", "vec").repartition(2)
+    val queries = randVectors(20, 16, seed = 6).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, topK = 10, ef = 64, params)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    assert(recallOf(got, want) >= 0.95)
+  }
+
+  test("IVF probed search: high recall with fractional scan") {
+    val base = randVectors(10000, 16, seed = 11).toDF("id", "vec").cache()
+    val queries = randVectors(50, 16, seed = 12).toDF("qid", "qvec")
+    val model = Ivf.train(base, "vec", nlist = 32, metric = "COSINE")
+    val assigned = Ivf.assign(base, "vec", model).cache()
+    // cluster sizes should be non-degenerate
+    val sizes = assigned.groupBy("cluster_id").count().select("count").as[Long].collect()
+    assert(sizes.length > 16)
+    val got = Ivf.search(assigned, queries, model, nprobe = 8, topK = 10)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.85, s"IVF recall@10 $r < 0.85 at nprobe=8/32")
+  }
+
+  test("Vamana threshold search returns all above threshold on its segment") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Array.fill(500)(Array.fill(4)(rnd.nextFloat()))
+    val g = new Vamana(vecs, "EUCLIDEAN", maxDegree = 16, beamWidth = 64).build()
+    val q = vecs(0)
+    val t = 0.25
+    val want = vecs.indices.filter(i => g.sim(q, vecs(i)) >= t).toSet
+    val got = g.thresholdSearch(q, t, 64).map(_._1).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"threshold recall $recall < 0.9 (reference contract)")
+  }
+}
