@@ -32,12 +32,11 @@ object Dedup {
 
   /** MinHash signature: numHashes permutations simulated by seeded md5;
     * element i = min over the distinct token set of md5(i || '|' || token).
-    * Deterministic and engine-portable (string min over hex digests). */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val toks = array_distinct(TextFunctions.tokens(text))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(toks, t => md5(concat(i.cast("string"), lit("|"), t)))))
-  }
+    * Deterministic and engine-portable (string min over hex digests).
+    * Evaluated by the native [[graft.functions.HashExpressions]] expression
+    * (one JVM loop per row; same semantics as the composed built-ins). */
+  def minhashSignature(text: Column, numHashes: Int): Column =
+    graft.functions.HashExpressions.minhashSignature(text, numHashes)
 
   /** LSH band hashes: bands of `rowsPerBand` signature slots, md5-combined. */
   def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
@@ -91,19 +90,8 @@ object Dedup {
     * over distinct tokens of hash-bit b, where a token's bit b is the high
     * bit of the first nibble of md5(b || '|' || token). Deterministic and
     * expressible identically in DuckDB for the oracle. */
-  def simhashBits(text: Column, nBits: Int = 64): Column = {
-    val toks = array_distinct(TextFunctions.tokens(text))
-    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    array_join(
-      transform(sequence(lit(0), lit(nBits - 1)), b =>
-        when(
-          size(filter(toks, t =>
-            array_contains(array(highNibble: _*),
-              substring(md5(concat(b.cast("string"), lit("|"), t)), 1, 1)))) * 2
-            > size(toks),
-          lit("1")).otherwise(lit("0"))),
-      "")
-  }
+  def simhashBits(text: Column, nBits: Int = 64): Column =
+    graft.functions.HashExpressions.simhashBits(text, nBits)
 
   /** N-gram (shingle) Jaccard similarity between candidate pairs drawn from
     * a blocking key (e.g. same source). Shingles are n-token windows joined
