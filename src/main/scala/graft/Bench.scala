@@ -1,6 +1,26 @@
 package graft
+
+import graft.index.Ann
+import graft.operators.{KnnExact, Metrics}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark entry point (driver contract: ONE JSON line on stdout).
+  *
+  * Mirrors the reference's benchmark protocol (BASELINE.md /
+  * `ThroughputBenchmark.java:59-64`): warmup runs + measured runs, AVG
+  * aggregation, reporting exact-kNN QPS, ANN QPS, ANN build time, and
+  * recall@10 of the ANN path vs the exact oracle — plus one timed run of
+  * every SparkEntry query at the given scale factor.
+  */
 object Bench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,18 +28,57 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- per-query single-run timings over the whole operator surface ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- reference-protocol search benchmark (3 warmup + 3 measured) ----
+    val nq = 50
+    val topK = 10
+    val warmups = 3
+    val runs = 3
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    emb.count()
+    val queries = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")).cache()
+    queries.count()
+
+    def qps(body: => Unit): Double = {
+      (1 to warmups).foreach(_ => body)
+      val ts = (1 to runs).map(_ => time(body)._2)
+      nq / (ts.sum / runs)
+    }
+
+    val exactQps = qps {
+      KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding").count()
+    }
+
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_bench_idx").toString + "/idx"
+    val (_, buildSec) = time(Ann.buildIndex(emb, idxPath, params, "vec_id", "embedding"))
+    val annQps = qps {
+      Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params).count()
+    }
+
+    val ann = Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params)
+    val exact = KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding")
+    val recall = Metrics.recallAtK(ann, exact, topK).head().getDouble(0)
+
+    val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val annJson =
+      s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
+        s""""recall_at_10":$recall,"n_queries":$nq,"top_k":$topK,""" +
+        s""""warmup_runs":$warmups,"test_runs":$runs}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"ann":$annJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector kernels (jvector
+  * `VectorUtil` family, re-expressed for Tungsten rows).
+  *
+  * Numeric contract: identical to the composed higher-order-function
+  * versions — each element is widened to double, products formed per
+  * element, sums accumulated sequentially left-to-right — so results are
+  * bit-identical to the DuckDB oracle SQL and to the previous HOF plans.
+  * The win is evaluation cost: one virtual call per ROW instead of several
+  * interpreted expression nodes per ELEMENT (~10-30x on 64-d vectors).
+  *
+  * CodegenFallback is intentional: the loop body is already tight JVM code;
+  * fusing it into generated Java would save one call per row.
+  */
+private[graft] object VecEval {
+  /** Read element i of a numeric ArrayData as double (works for float or
+    * double arrays — parquet embeddings are float). */
+  def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  def elemIsFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"expected float/double array, got $other")
+  }
+}
+
+abstract class VectorBinaryExpr extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  protected lazy val leftFloat: Boolean = VecEval.elemIsFloat(left.dataType)
+  protected lazy val rightFloat: Boolean = VecEval.elemIsFloat(right.dataType)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { acc += VecEval.get(x, i, leftFloat) * VecEval.get(y, i, rightFloat); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr = copy(l, r)
+}
+
+case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      val d = VecEval.get(x, i, leftFloat) - VecEval.get(y, i, rightFloat)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr = copy(l, r)
+}
+
+/** Raw cosine: dot/(sqrt(normA)*sqrt(normB)) with per-array sequential
+  * norm folds — same op order as the HOF/oracle formulation. */
+case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += VecEval.get(x, i, leftFloat) * VecEval.get(y, i, rightFloat); i += 1 }
+    var na = 0.0; i = 0
+    while (i < x.numElements()) { val v = VecEval.get(x, i, leftFloat); na += v * v; i += 1 }
+    var nb = 0.0; i = 0
+    while (i < y.numElements()) { val v = VecEval.get(y, i, rightFloat); nb += v * v; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr = copy(l, r)
+}
+
+/** Set Jaccard over two string arrays (distinct semantics, like
+  * array_intersect/array_union sizes): |A n B| / |A u B|. */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val sa = new java.util.HashSet[Any](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { sa.add(x.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[Any](y.numElements() * 2)
+    i = 0
+    while (i < y.numElements()) { sb.add(y.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr = copy(l, r)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
+  def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
+  def jaccard(a: Column, b: Column): Column = column(JaccardExpr(expression(a), expression(b)))
+}

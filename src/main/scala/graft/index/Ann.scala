@@ -31,7 +31,23 @@ object Ann {
       beamWidth: Int = 100,
       alpha: Double = 1.2,
       neighborOverflow: Double = 1.2,
-      seed: Long = 0L)
+      seed: Long = 0L,
+      /** Target rows per segment. Build cost is O(rows * beam * degree) per
+        * segment, parallel across segments. Segments should be LARGE
+        * relative to ef*maxDegree, or the beam visits most of each segment:
+        * per-query visited work is roughly constant per segment (~ef *
+        * degree), so visited RATIO improves linearly with segment size —
+        * at cluster scale use ~1M-row segments (set by
+        * spark.sql.files.maxPartitionBytes on the read path). */
+      segmentRows: Int = 8192)
+
+  /** Split into enough partitions that segments build in parallel. */
+  private def segmented(df: DataFrame, p: Params): DataFrame = {
+    val n = df.count()
+    val want = math.max(1, math.min((n / p.segmentRows + 1).toInt,
+      df.sparkSession.sparkContext.defaultParallelism * 4))
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
 
   case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator) {
     def visitedRatioPerQuery(nQueries: Long): Double =
@@ -69,10 +85,10 @@ object Ann {
     val metrics = SearchMetrics(visitedAcc, scannedAcc)
 
     val p = params
-    val withAccept = acceptCol match {
+    val withAccept = segmented(acceptCol match {
       case Some(a) => base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"), col(a).cast("boolean"))
       case None => base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"), lit(true))
-    }
+    }, p)
 
     val perSegment = withAccept
       .as[(Long, Array[Float], Boolean)]
@@ -129,7 +145,7 @@ object Ann {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
-    base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"))
+    segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val rows = it.toArray

@@ -80,8 +80,7 @@ object Dedup {
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
       .join(tokSets.select(col("id").as("id2"), col("toks").as("toks2")), "id2")
       .withColumn("jaccard",
-        size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
-          size(array_union(col("toks1"), col("toks2"))))
+        graft.functions.VectorExpressions.jaccard(col("toks1"), col("toks2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -119,8 +118,7 @@ object Dedup {
     l.join(r, "blk")
       .filter(col("id1") < col("id2"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        graft.functions.VectorExpressions.jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
