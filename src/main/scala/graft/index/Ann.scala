@@ -173,7 +173,8 @@ object Ann {
       queries: DataFrame,
       topK: Int,
       ef: Int,
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -182,16 +183,30 @@ object Ann {
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
 
-    val perSegment = spark.read.parquet(path)
+    // Tombstones are merge-on-read (jvector liveNodes filter fused into the
+    // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
+    // nodes just stop being acceptable results. compact() repairs for real.
+    val raw = spark.read.parquet(path)
+    val withLive = deletes match {
+      case Some(d) =>
+        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+          raw("node_id") === col("__del"), "left")
+          .withColumn("__live", col("__del").isNull).drop("__del")
+      case None => raw.withColumn("__live", lit(true))
+    }
+
+    val perSegment = withLive
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
-        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"), col("is_entry"))
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"), col("__live"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
           val vecs = sorted.map(_._4)
           val ids = sorted.map(_._3)
+          val live = sorted.map(_._7)
           val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
             p.alpha, p.neighborOverflow, p.seed)
           sorted.foreach { r =>
@@ -199,7 +214,8 @@ object Ann {
             if (r._6) g.entryNode = r._2
           }
           qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, topK, ef).iterator.map { case (local, s) => (qid, ids(local), s) }
+            g.search(qv, topK, ef, i => live(i))
+              .iterator.map { case (local, s) => (qid, ids(local), s) }
           }
         }
       }
@@ -211,5 +227,26 @@ object Ann {
       .select(col("qid"), posexplode(col("t")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
+  /** Segment compaction (jvector `OnDiskGraphIndexCompactor`, B10 +
+    * FreshDiskANN-style delete resolution, B6): union the live rows of all
+    * segments under `inPath` (glob ok), drop tombstones FOR REAL, and
+    * rebuild fresh right-sized segments at `outPath`. Run periodically
+    * after streaming ingest has accumulated small batch segments. */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None): Unit = {
+    val rows = spark.read.parquet(inPath).select(col("node_id"), col("vec"))
+    val live = deletes match {
+      case Some(d) => rows.join(
+        d.select(col("id").cast("long").as("node_id")).distinct(),
+        Seq("node_id"), "left_anti")
+      case None => rows
+    }
+    buildIndex(live, outPath, params, baseId = "node_id", baseVec = "vec")
   }
 }

@@ -178,6 +178,35 @@ object RelationalQueries {
       | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sessionization: 30-min-gap sessions per user (lag + cumulative-sum
+    * windows — batch twin of mapGroupsWithState sessionization). */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 min in microseconds
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+  }
+
+  val eventsSessionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+      |sid AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM s)
+      |SELECT user_id, session_id, COUNT(*) AS n, min(event_id) AS first_event,
+      | max(event_id) AS last_event,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM sid GROUP BY user_id, session_id""".stripMargin
+
   /** Market-segment order stats (fact->dim shuffle join + distinct agg). */
   def mktSegmentRev(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -201,6 +230,7 @@ object RelationalQueries {
     "brand_stats" -> brandStats _,
     "rollup_returns" -> rollupReturns _,
     "events_hourly" -> eventsHourly _,
+    "events_sessions" -> eventsSessions _,
     "mkt_segment_rev" -> mktSegmentRev _)
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +243,6 @@ object RelationalQueries {
     "brand_stats" -> brandStatsSql,
     "rollup_returns" -> rollupReturnsSql,
     "events_hourly" -> eventsHourlySql,
+    "events_sessions" -> eventsSessionsSql,
     "mkt_segment_rev" -> mktSegmentRevSql)
 }

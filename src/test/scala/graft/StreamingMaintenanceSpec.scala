@@ -1,0 +1,85 @@
+package graft
+
+import graft.index.Ann
+import graft.operators.KnnExact
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+
+class StreamingMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() = java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  test("micro-batch segment ingest: streamed batches are searchable with full recall") {
+    val dir = tmpDir()
+    val emb = Tables.embeddings(spark, sfDir)
+    // two source files -> two micro-batches
+    emb.filter($"vec_id" < 250).write.parquet(s"$dir/src/f1")
+    emb.filter($"vec_id" >= 250).write.parquet(s"$dir/src/f2")
+    val schema = emb.schema
+
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val q = StreamingIngest.startSegmentIngest(
+      spark, s"$dir/src/*", schema, s"$dir/idx", params, "vec_id", "embedding")
+    q.awaitTermination(120000)
+
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Ann.searchIndex(spark, s"$dir/idx/*", queries, 10, 64, params)
+    val want = KnnExact.knn(emb, queries, 10, "COSINE", "vec_id", "embedding")
+    val g = got.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val w = want.select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(g.intersect(w).size.toDouble / w.size >= 0.95)
+  }
+
+  test("watermarked hourly window aggregation matches batch twin") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir)
+    ev.write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/events")
+    val agg = StreamingIngest.hourlyEventCounts(stream)
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT event_type, CAST(n AS LONG) n FROM hourly")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val batch = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    // append mode only emits windows past the watermark; all but the last
+    // couple hours of events must be present
+    assert(streamed.values.sum >= batch.values.sum * 9 / 10)
+  }
+
+  test("tombstone deletes: merge-on-read filtering, then compaction removes rows") {
+    val dir = tmpDir()
+    val emb = Tables.embeddings(spark, sfDir)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(emb, s"$dir/idx", params, "vec_id", "embedding")
+
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // tombstone the query vectors themselves (they are their own top-1)
+    val deletes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+
+    val live = Ann.searchIndex(spark, s"$dir/idx", queries, 10, 64, params, Some(deletes))
+    val liveIds = live.select("nid").as[Long].collect().toSet
+    assert(liveIds.intersect(Set(0L, 1L, 2L, 3L, 4L)).isEmpty, "deleted ids must not surface")
+
+    Ann.compact(spark, s"$dir/idx", s"$dir/idx2", params, Some(deletes))
+    val after = spark.read.parquet(s"$dir/idx2")
+    assert(after.filter(col("node_id") < 5).count() === 0)
+    val got = Ann.searchIndex(spark, s"$dir/idx2", queries, 10, 64, params)
+    assert(got.select("nid").as[Long].collect().toSet.intersect(Set(0L, 1L, 2L, 3L, 4L)).isEmpty)
+    assert(got.groupBy("qid").count().select(min("count")).head().getLong(0) === 10)
+  }
+
+  test("compaction folds many small segments into fewer right-sized ones") {
+    val dir = tmpDir()
+    val emb = Tables.embeddings(spark, sfDir)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, segmentRows = 100)
+    Ann.buildIndex(emb.repartition(8), s"$dir/small", params, "vec_id", "embedding")
+    val nSmall = spark.read.parquet(s"$dir/small").select("seg").distinct().count()
+    val big = params.copy(segmentRows = 10000)
+    Ann.compact(spark, s"$dir/small", s"$dir/big", big)
+    val nBig = spark.read.parquet(s"$dir/big").select("seg").distinct().count()
+    assert(nBig < nSmall)
+    assert(spark.read.parquet(s"$dir/big").count() === emb.count())
+  }
+}
