@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, QuantizationQueries, RelationalQueries, TextDedupQueries, VectorSearchQueries}
+import graft.queries.{AnnQueries, MultimodalQueries, QuantizationQueries, RelationalQueries, TextDedupQueries, VectorSearchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorSearchQueries.queries ++
-      TextDedupQueries.queries ++ QuantizationQueries.queries ++ AnnQueries.queries
+      TextDedupQueries.queries ++ QuantizationQueries.queries ++
+      AnnQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorSearchQueries.oracles ++
-      TextDedupQueries.oracles ++ QuantizationQueries.oracles ++ AnnQueries.oracles
+      TextDedupQueries.oracles ++ QuantizationQueries.oracles ++
+      AnnQueries.oracles ++ MultimodalQueries.oracles
 }

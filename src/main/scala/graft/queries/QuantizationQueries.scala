@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{BQ, PQ, TopK}
+import graft.operators.{BQ, PQ, SQ8, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,14 +92,74 @@ object QuantizationQueries {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
   }
 
+  // ---- SQ8 (closed-form scalar quantization; fully oracle-able) ----
+
+  private def sq8Encode(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      round(SQ8.lo(col("embedding")), 6).as("lo"),
+      round(SQ8.hi(col("embedding")), 6).as("hi"),
+      concat_ws(",", SQ8.encode(col("embedding"))).as("code"))
+
+  private val sq8EncodeSql: String =
+    """SELECT vec_id, round(list_min(v), 6) AS lo, round(list_max(v), 6) AS hi,
+      | array_to_string(list_transform(v, x -> CASE WHEN list_max(v) = list_min(v) THEN 0
+      |   ELSE CAST(floor((x - list_min(v)) / (list_max(v) - list_min(v)) * 255.0 + 0.5) AS INT) END), ',') AS code
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
+  /** Top-k over SQ8-decoded vectors — quantized search path #3, exact SQL
+    * twin (decode is closed-form). */
+  private def sq8Knn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val enc = emb.select(col("vec_id"),
+      SQ8.lo(col("embedding")).as("lo"), SQ8.hi(col("embedding")).as("hi"),
+      SQ8.encode(col("embedding")).as("code"))
+      .withColumn("dec", SQ8.decode(col("code"), col("lo"), col("hi")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosineSim(col("dec"), col("qvec")))
+    val agg = TopK.udf(k)
+    scored.groupBy("qid")
+      .agg(agg(col("vec_id"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), round(col("col._2"), 6).as("score"))
+  }
+
+  private val sq8KnnSql: String = {
+    def d(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    def n1(a: String) =
+      s"list_reduce(list_transform($a, x -> x * x), (acc, x) -> acc + x)"
+    def n2(a: String) =
+      s"list_reduce(list_transform(CAST($a AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)"
+    val sim = s"(1.0 + ${d("e.dec", "q.qv")} / (sqrt(${n1("e.dec")}) * sqrt(${n2("q.qv")}))) / 2.0"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(v, x ->
+       |   CASE WHEN list_max(v) = list_min(v) THEN list_min(v)
+       |        ELSE list_min(v) + CAST(floor((x - list_min(v)) / (list_max(v) - list_min(v)) * 255.0 + 0.5) AS INT)
+       |             * (list_max(v) - list_min(v)) / 255.0 END) AS dec FROM v),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, e.vec_id AS nid, $sim AS score FROM e CROSS JOIN q)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS "rank",
+       |       nid, round(score, 6) AS score
+       |FROM sc QUALIFY "rank" <= $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bq_bits" -> (bqBits _),
     "bq_hamming_topk" -> (bqHammingTopk _),
     "pq_encode" -> (pqEncode _),
     "pq_recon_error" -> (pqReconError _),
-    "pq_adc_topk" -> (pqAdcTopk _))
+    "pq_adc_topk" -> (pqAdcTopk _),
+    "sq8_encode" -> (sq8Encode _),
+    "sq8_knn" -> (sq8Knn _))
 
   val oracles: Map[String, String] = Map(
     "bq_bits" -> bqBitsSql,
-    "bq_hamming_topk" -> bqHammingTopkSql)
+    "bq_hamming_topk" -> bqHammingTopkSql,
+    "sq8_encode" -> sq8EncodeSql,
+    "sq8_knn" -> sq8KnnSql)
 }
