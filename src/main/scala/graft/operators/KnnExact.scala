@@ -52,6 +52,22 @@ object KnnExact {
         col("col._2").as("score"))
   }
 
+  /** Search resumption / pagination (jvector `GraphSearcher.resume`,
+    * `GraphSearcher.java:509-547`): return ranks (skip, skip+pageSize].
+    * Batch formulation: re-run with k = skip+pageSize and drop the first
+    * page — "resume is cheap in batch" (SURVEY.md T6); ranks stay absolute
+    * so pages concatenate. */
+  def knnPage(
+      base: DataFrame,
+      queries: DataFrame,
+      skip: Int,
+      pageSize: Int,
+      metric: String,
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame =
+    knn(base, queries, skip + pageSize, metric, baseId, baseVec)
+      .filter(col("rank") > skip)
+
   /** Threshold search: all base rows with similarity >= threshold, per query.
     * Exact analogue of jvector's threshold search contract
     * (`GraphSearcher.java:298-303`): result ordered score desc, id asc.

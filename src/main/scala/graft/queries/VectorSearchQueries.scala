@@ -103,7 +103,22 @@ object VectorSearchQueries {
        |FROM (SELECT label, sqrt(${normSql("embedding")}) AS nrm FROM embeddings)
        |GROUP BY label""".stripMargin
 
+  /** Page 2 (ranks 11..20) — search-resume semantics (T6). */
+  private def knnPaged(s: SparkSession, dir: String): DataFrame =
+    KnnExact.knnPage(Tables.embeddings(s, dir), queryVectors(s, dir),
+      skip = k, pageSize = k, metric = "COSINE", baseId = "vec_id", baseVec = "embedding")
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+
+  private val knnPagedSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, b.vec_id AS nid, ${simSql("COSINE", "b.embedding", "q.qv")} AS score
+       |       FROM embeddings b CROSS JOIN q)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS "rank",
+       |       nid, round(score, 6) AS score
+       |FROM sc QUALIFY "rank" > $k AND "rank" <= ${2 * k}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_paged" -> (knnPaged _),
     "knn_cosine" -> knnQuery("COSINE") _,
     "knn_dot" -> knnQuery("DOT_PRODUCT") _,
     "knn_euclidean" -> knnQuery("EUCLIDEAN") _,
@@ -113,6 +128,7 @@ object VectorSearchQueries {
     "norm_stats" -> (normStats _))
 
   val oracles: Map[String, String] = Map(
+    "knn_paged" -> knnPagedSql,
     "knn_cosine" -> knnSql("COSINE"),
     "knn_dot" -> knnSql("DOT_PRODUCT"),
     "knn_euclidean" -> knnSql("EUCLIDEAN"),
