@@ -229,6 +229,29 @@ object Ann {
         col("col._1").as("nid"), col("col._2").as("score"))
   }
 
+  /** Plan-level search: returns a DataFrame whose plan IS a custom
+    * [[graft.plans.KnnIndexScan]] logical node, planned by
+    * [[graft.plans.KnnIndexStrategy]] into a physical operator — the
+    * full Catalyst integration route (visible in EXPLAIN, composable with
+    * downstream relational operators). Same results as searchIndex. */
+  def searchIndexPlan(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      topK: Int,
+      ef: Int,
+      params: Params = Params()): DataFrame = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.KnnIndexStrategy))
+      spark.experimental.extraStrategies = strategies :+ graft.plans.KnnIndexStrategy
+    val qArr = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      graft.plans.KnnIndexScan(path, qArr, topK, ef, params))
+  }
+
   /** Segment compaction (jvector `OnDiskGraphIndexCompactor`, B10 +
     * FreshDiskANN-style delete resolution, B6): union the live rows of all
     * segments under `inPath` (glob ok), drop tombstones FOR REAL, and

@@ -88,6 +88,23 @@ class AnnSpec extends SparkSpec {
     assert(recallOf(got, want) >= 0.95)
   }
 
+  test("KnnIndexScan plan node: same results as searchIndex, visible in explain") {
+    val tmp = java.nio.file.Files.createTempDirectory("annplan").toString
+    val base = randVectors(2000, 16, seed = 5).toDF("id", "vec").repartition(2)
+    val queries = randVectors(20, 16, seed = 6).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val planned = Ann.searchIndexPlan(spark, s"$tmp/idx", queries, 10, 64, params)
+    assert(planned.queryExecution.executedPlan.exists(
+      _.isInstanceOf[graft.plans.KnnIndexScanExec]))
+    val viaOperator = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+    val a = planned.select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val b = viaOperator.select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+    // composes with downstream relational ops
+    assert(planned.filter($"rank" === 1).count() === 20)
+  }
+
   test("IVF probed search: high recall with fractional scan") {
     val base = randVectors(10000, 16, seed = 11).toDF("id", "vec").cache()
     val queries = randVectors(50, 16, seed = 12).toDF("qid", "qvec")
