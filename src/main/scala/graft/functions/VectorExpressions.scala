@@ -79,19 +79,27 @@ case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr = copy(l, r)
 }
 
-/** Set Jaccard over two string arrays (distinct semantics, like
-  * array_intersect/array_union sizes): |A n B| / |A u B|. */
+/** Set Jaccard over two string or integral arrays (distinct semantics,
+  * like array_intersect/array_union sizes): |A n B| / |A u B|. */
 case class JaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+
+  private lazy val getter: (ArrayData, Int) => Any = left.dataType match {
+    case ArrayType(StringType, _) => (a, i) => a.getUTF8String(i)
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+    case other => throw new IllegalArgumentException(s"jaccard over $other unsupported")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val sa = new java.util.HashSet[Any](x.numElements() * 2)
     var i = 0
-    while (i < x.numElements()) { sa.add(x.getUTF8String(i)); i += 1 }
+    while (i < x.numElements()) { sa.add(getter(x, i)); i += 1 }
     val sb = new java.util.HashSet[Any](y.numElements() * 2)
     i = 0
-    while (i < y.numElements()) { sb.add(y.getUTF8String(i)); i += 1 }
+    while (i < y.numElements()) { sb.add(getter(y, i)); i += 1 }
     var inter = 0
     val it = sb.iterator()
     while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }

@@ -76,6 +76,45 @@ object Ivf {
     df.withColumn(outCol, assignUdf(col(vecCol).cast("array<double>")))
   }
 
+  /** Distributed k-NN JOIN: every LEFT row gets its top-k RIGHT neighbors.
+    * Both sides can be arbitrarily large — no driver collect: the right
+    * side is bucketed by nearest centroid, each left row probes its nprobe
+    * nearest clusters (a per-row map), and the join is a plain equi-join on
+    * cluster_id followed by the bounded top-k aggregation. The 100 TB
+    * embedding-dedup path: shuffle is O(|left| * nprobe + |right|), never
+    * the cross product. Returns (qid, rank, nid, score). */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      model: IvfModel,
+      nprobe: Int,
+      topK: Int,
+      leftId: String = "id",
+      leftVec: String = "vec",
+      rightId: String = "id",
+      rightVec: String = "vec",
+      excludeSelf: Boolean = false): DataFrame = {
+
+    val m = model
+    val probesUdf = udf { v: Seq[Double] => m.nearestClusters(v.toArray, nprobe) }
+    val l = left.select(col(leftId).cast("long").as("__qid"), col(leftVec).as("__qvec"))
+      .withColumn("cluster_id", explode(probesUdf(col("__qvec").cast("array<double>"))))
+    val r = assign(right, rightVec, m)
+      .select(col("cluster_id"), col(rightId).cast("long").as("__nid"), col(rightVec).as("__nvec"))
+
+    val scored = l.join(r, "cluster_id")
+      .filter(if (excludeSelf) col("__qid") =!= col("__nid") else lit(true))
+      .withColumn("__score",
+        VectorFunctions.similarity(m.metric)(col("__nvec"), col("__qvec")))
+
+    val agg = TopK.udf(topK)
+    scored.groupBy(col("__qid").as("qid"))
+      .agg(agg(col("__nid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
   /** Probed search: per query, pick nprobe nearest centroids (driver-side —
     * centroids are tiny), then score ONLY rows in those clusters via an
     * equi-join on cluster_id (shuffle-hash/broadcast join on a small pair

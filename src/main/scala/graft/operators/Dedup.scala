@@ -94,7 +94,10 @@ object Dedup {
 
   /** N-gram (shingle) Jaccard similarity between candidate pairs drawn from
     * a blocking key (e.g. same source). Shingles are n-token windows joined
-    * by a single space. Output: (id1, id2, jaccard). */
+    * by a single space, then hashed to 60-bit md5-derived longs before the
+    * pair join — 4x less data through the shuffle and cheaper set compares,
+    * still engine-portable (DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT).
+    * Output: (id1, id2, jaccard). */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
@@ -105,10 +108,11 @@ object Dedup {
 
     def shingles(text: Column): Column = {
       val toks = TextFunctions.tokens(text)
-      array_distinct(
-        when(size(toks) < n, array(array_join(toks, " ")))
-          .otherwise(transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      val raw = when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      array_distinct(transform(raw,
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
     }
 
     val base = docs.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),

@@ -54,7 +54,19 @@ object AnnQueries {
     Metrics.recallAtK(ann, exact, k).select(round(col("recall"), 4).as("recall"))
   }
 
+  /** IVF-blocked distributed k-NN self-join (both sides large, no driver
+    * collect) — approximate twin of knn_self_join. */
+  private def ivfKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = Ivf.train(emb, "embedding", nlist = 16, metric = "COSINE")
+    Ivf.knnJoin(emb, emb, model, nprobe = 8, topK = 5,
+      leftId = "vec_id", leftVec = "embedding",
+      rightId = "vec_id", rightVec = "embedding", excludeSelf = true)
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn" -> (annKnn _),
     "ann_knn_filtered" -> (annKnnFiltered _),
     "ivf_knn" -> (ivfKnn _),

@@ -162,10 +162,11 @@ object TextDedupQueries {
 
   private val ngramPairsSql: String =
     s"""WITH t AS (SELECT doc_id AS id, source AS blk, $toksSql AS toks FROM documents),
-       |sh AS (SELECT id, blk, list_distinct(
+       |sh AS (SELECT id, blk, list_distinct(list_transform(
        |   CASE WHEN len(toks) < $ngramN THEN [array_to_string(toks, ' ')]
        |        ELSE list_transform(range(0, len(toks) - ${ngramN - 1}),
-       |               i -> array_to_string(toks[i+1:i+$ngramN], ' ')) END) AS sh FROM t),
+       |               i -> array_to_string(toks[i+1:i+$ngramN], ' ')) END,
+       |   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS sh FROM t),
        |p AS (SELECT a.id AS id1, b.id AS id2,
        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
        |   FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id)

@@ -117,7 +117,32 @@ object VectorSearchQueries {
        |       nid, round(score, 6) AS score
        |FROM sc QUALIFY "rank" > $k AND "rank" <= ${2 * k}""".stripMargin
 
+  /** Exact k-NN self-JOIN: every vector gets its top-5 neighbors (excluding
+    * itself) — the oracle contract for the IVF-blocked distributed join. */
+  private def knnSelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val b = emb.select(col("vec_id").cast("long").as("__nid"), col("embedding").as("__vec"))
+    val q = emb.select(col("vec_id").cast("long").as("__qid"), col("embedding").as("__qvec"))
+    val scored = b.crossJoin(q).filter(col("__nid") =!= col("__qid"))
+      .withColumn("__score", graft.functions.VectorFunctions.cosineSim(col("__vec"), col("__qvec")))
+    val agg = graft.operators.TopK.udf(5)
+    scored.groupBy(col("__qid").as("qid"))
+      .agg(agg(col("__nid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), round(col("col._2"), 6).as("score"))
+  }
+
+  private val knnSelfJoinSql: String =
+    s"""WITH sc AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+       |   ${simSql("COSINE", "b.embedding", "q.embedding")} AS score
+       |   FROM embeddings b CROSS JOIN embeddings q WHERE b.vec_id <> q.vec_id)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS "rank",
+       |       nid, round(score, 6) AS score
+       |FROM sc QUALIFY "rank" <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_self_join" -> (knnSelfJoin _),
     "knn_paged" -> (knnPaged _),
     "knn_cosine" -> knnQuery("COSINE") _,
     "knn_dot" -> knnQuery("DOT_PRODUCT") _,
@@ -128,6 +153,7 @@ object VectorSearchQueries {
     "norm_stats" -> (normStats _))
 
   val oracles: Map[String, String] = Map(
+    "knn_self_join" -> knnSelfJoinSql,
     "knn_paged" -> knnPagedSql,
     "knn_cosine" -> knnSql("COSINE"),
     "knn_dot" -> knnSql("DOT_PRODUCT"),

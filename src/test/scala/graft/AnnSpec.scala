@@ -119,6 +119,24 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.85, s"IVF recall@10 $r < 0.85 at nprobe=8/32")
   }
 
+  test("IVF knn-join: distributed both-sides-large join hits high recall vs exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = Ivf.train(emb, "embedding", nlist = 16, metric = "COSINE")
+    val got = Ivf.knnJoin(emb, emb, model, nprobe = 8, topK = 5,
+      leftId = "vec_id", leftVec = "embedding",
+      rightId = "vec_id", rightVec = "embedding", excludeSelf = true)
+    val queries = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = KnnExact.knn(emb, queries, 6, "COSINE", "vec_id", "embedding")
+      .filter($"nid" =!= $"qid").filter($"rank" <= 6)
+    // compare top-5 sets (exact k=6 then drop self ~= top-5 of others)
+    val g = got.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val w = exact.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).take(5).toSet)
+    val recalls = w.map { case (q, ws) => g.get(q).map(_.intersect(ws).size.toDouble / ws.size).getOrElse(0.0) }
+    val r = recalls.sum / recalls.size
+    assert(r >= 0.85, s"ivf join recall $r < 0.85")
+  }
+
   test("Vamana threshold search returns all above threshold on its segment") {
     val rnd = new scala.util.Random(3)
     val vecs = Array.fill(500)(Array.fill(4)(rnd.nextFloat()))
