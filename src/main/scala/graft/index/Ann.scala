@@ -229,6 +229,51 @@ object Ann {
         col("col._1").as("nid"), col("col._2").as("score"))
   }
 
+  /** Dense-ordinal remap (jvector `RemappedRandomAccessVectorValues` /
+    * `OrdinalMapper`, S5): assign contiguous 0..n-1 ordinals in a
+    * deterministic order, keeping the original id alongside. */
+  def withDenseOrdinals(df: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    df.withColumn("ordinal",
+      (org.apache.spark.sql.functions.row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Threshold search over per-partition segments (jvector T5): all nodes
+    * with sim >= threshold, found by beam search with widening ef per
+    * segment. Returns (qid, nid, score). */
+  def thresholdSearch(
+      base: DataFrame,
+      queries: DataFrame,
+      threshold: Double,
+      ef: Int,
+      params: Params = Params(),
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+    val p = params
+    segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.thresholdSearch(qv, threshold, ef).iterator
+              .map { case (l, s) => (qid, rows(l)._1, s) }
+          }
+        }
+      }
+      .toDF("qid", "nid", "score")
+  }
+
   /** Plan-level search: returns a DataFrame whose plan IS a custom
     * [[graft.plans.KnnIndexScan]] logical node, planned by
     * [[graft.plans.KnnIndexStrategy]] into a physical operator — the

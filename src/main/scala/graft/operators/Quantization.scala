@@ -179,6 +179,92 @@ object PQ {
     PQModel(dim, m, k, sizes, offsets, codebooks)
   }
 
+  /** Persist codebooks as a parquet sidecar (jvector PQ sidecar,
+    * `CompressedVectors.java:99-112`): one row per (subspace, centroid). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PQModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      m <- 0 until model.m
+      c <- model.codebooks(m).indices
+    } yield (model.dim, model.m, model.k, m, c, model.codebooks(m)(c).toSeq)
+    rows.toDF("dim", "m", "k", "subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PQModel = {
+    val rows = spark.read.parquet(path)
+      .select("dim", "m", "k", "subspace", "centroid_id", "centroid")
+      .collect()
+    val head = rows.head
+    val (dim, m, k) = (head.getInt(0), head.getInt(1), head.getInt(2))
+    val (sizes, offsets) = subvectorSizes(dim, m)
+    val codebooks = Array.tabulate(m) { s =>
+      rows.filter(_.getInt(3) == s).sortBy(_.getInt(4))
+        .map(_.getSeq[Double](5).toArray)
+    }
+    PQModel(dim, m, k, sizes, offsets, codebooks)
+  }
+
+  /** Warm-start refinement (jvector `ProductQuantization.refine`,
+    * Q2): re-run Lloyd's from the existing codebooks on new data. */
+  def refine(
+      df: DataFrame,
+      vecCol: String,
+      model: PQModel,
+      lloydsRounds: Int = 1,
+      sampleCap: Int = 128000,
+      seed: Long = 1L): PQModel = {
+    val total = df.count()
+    val sampled =
+      if (total <= sampleCap) df.select(vecCol)
+      else df.select(vecCol).sample(withReplacement = false,
+        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
+    val vectors = sampled.select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks = Array.tabulate(model.m) { i =>
+      val sub = vectors.map(v => java.util.Arrays.copyOfRange(v,
+        model.subOffsets(i), model.subOffsets(i) + model.subSizes(i)))
+      lloydIterate(sub, model.codebooks(i).map(_.clone()), lloydsRounds)
+    }
+    model.copy(codebooks = codebooks)
+  }
+
+  /** Lloyd's iterations from given starting centers (refine path). */
+  private def lloydIterate(points: Array[Array[Double]], centers: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val k = centers.length
+    val dim = centers(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Distributed encode: adds `codeCol` array<int> (one centroid id per
     * subspace). The model rides inside the UDF closure (small). */
   def encode(df: DataFrame, vecCol: String, model: PQModel, codeCol: String = "pq_code"): DataFrame = {

@@ -65,12 +65,29 @@ object AnnQueries {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
   }
 
+  /** Dense-ordinal remap (S5 RemappedRAVV semantics) — oracle-able. */
+  private def denseIds(s: SparkSession, dir: String): DataFrame =
+    Ann.withDenseOrdinals(Tables.embeddings(s, dir), "vec_id")
+      .select(col("vec_id"), col("ordinal"))
+
+  val denseIdsSql: String =
+    "SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ordinal FROM embeddings"
+
+  /** ANN threshold search (T5) over segments — rows-only (graph-dependent);
+    * exact twin is threshold_search. */
+  private def annThreshold(s: SparkSession, dir: String): DataFrame =
+    Ann.thresholdSearch(Tables.embeddings(s, dir), queryVectors(s, dir),
+      threshold = 0.6, ef = 64, annParams, "vec_id", "embedding")
+      .select(col("qid"), col("nid"), round(col("score"), 6).as("score"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dense_ids" -> (denseIds _),
+    "ann_threshold" -> (annThreshold _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn" -> (annKnn _),
     "ann_knn_filtered" -> (annKnnFiltered _),
     "ivf_knn" -> (ivfKnn _),
     "ann_recall" -> (annRecall _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map("dense_ids" -> denseIdsSql)
 }

@@ -59,6 +59,24 @@ class QuantizationSpec extends SparkSpec {
     assert(meanRecall >= 0.95, s"mean recall $meanRecall below 0.95")
   }
 
+  test("PQ sidecar save/load round-trips the model; refine keeps or improves cost") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PQ.train(emb, "embedding", m = 8, k = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    PQ.save(spark, model, s"$tmp/pq")
+    val loaded = PQ.load(spark, s"$tmp/pq")
+    assert(loaded.dim === model.dim && loaded.m === model.m)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    def cost(m: graft.operators.PQModel): Double =
+      PQ.decode(PQ.encode(emb, "embedding", m), "pq_code", m)
+        .select(avg(VectorFunctions.l2Sq(col("embedding"), col("pq_decoded"))))
+        .head().getDouble(0)
+    val refined = PQ.refine(emb, "embedding", model, lloydsRounds = 2)
+    assert(cost(refined) <= cost(model) * 1.001)
+  }
+
   test("BQ packing matches sign bits and hamming sim is exact") {
     val df = Seq(
       (0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
