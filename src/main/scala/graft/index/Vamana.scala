@@ -35,6 +35,69 @@ final class Vamana(
   var entryNode: Int = 0
   var visitedCount: Long = 0L // accumulated across searches (caller may reset)
 
+  /** Optional HNSW-style hierarchy (jvector merges the HNSW hierarchy with
+    * a Vamana-pruned layer 0 — README "merges the DiskANN and HNSW family
+    * trees"; level assignment is the geometric -ln(U)*ml rule,
+    * `GraphIndexBuilder.getRandomGraphLevel:562-575`). Upper layers are a
+    * greedy-descent accelerator for picking the layer-0 entry point; they
+    * hold only node ids + small neighbor lists. */
+  val levels: Array[Int] = {
+    val ml = 1.0 / math.log(math.max(2, maxDegree))
+    val rnd = new java.util.Random(seed ^ 0x9E3779B97F4A7C15L)
+    Array.fill(n)(math.min((-math.log(rnd.nextDouble()) * ml).toInt, 8))
+  }
+  private val maxLevel: Int = if (n == 0) 0 else levels.max
+  // upperNeighbors(l)(node) defined only for nodes with levels(node) >= l
+  private val upperNeighbors: Array[mutable.Map[Int, Array[Int]]] =
+    Array.fill(math.max(0, maxLevel))(mutable.Map.empty)
+
+  /** Build tiny upper layers: per level l >= 1, nodes with levels >= l get
+    * their maxDegree nearest same-level peers (exact — layers are small). */
+  private def buildHierarchy(): Unit = {
+    var l = 1
+    while (l <= maxLevel) {
+      val members = (0 until n).filter(levels(_) >= l).toArray
+      val layer = upperNeighbors(l - 1)
+      if (members.length > 1) {
+        for (m <- members) {
+          val scored = members.filter(_ != m)
+            .map(o => (o, simNodes(m, o)))
+            .sortBy { case (id, s) => (-s, id) }
+            .take(math.min(maxDegree, 8))
+          layer(m) = scored.map(_._1)
+        }
+      } else if (members.length == 1) layer(members(0)) = Array.empty
+      l += 1
+    }
+    // entry = highest-level node (ties: lowest id), as in HNSW
+    if (maxLevel > 0) {
+      val top = (0 until n).filter(levels(_) == maxLevel)
+      if (top.nonEmpty) entryNode = top.min
+    }
+  }
+
+  /** Greedy 1-best descent through upper layers to seed layer-0 search
+    * (jvector `internalSearch` descent, GraphSearcher.java:263-282). */
+  private def descend(q: Array[Float]): Int = {
+    var cur = entryNode
+    var l = maxLevel
+    while (l >= 1) {
+      val layer = upperNeighbors(l - 1)
+      var improved = true
+      while (improved) {
+        improved = false
+        var best = sim(q, vectors(cur))
+        for (nb <- layer.getOrElse(cur, Array.empty[Int])) {
+          val s = sim(q, vectors(nb))
+          visitedCount += 1
+          if (s > best) { best = s; cur = nb; improved = true }
+        }
+      }
+      l -= 1
+    }
+    cur
+  }
+
   // similarity in (0,1], higher better — must match VectorFunctions/reference
   def sim(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase match {
     case "EUCLIDEAN" =>
@@ -67,9 +130,10 @@ final class Vamana(
     val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (x._1, -x._2)))
     // results: min-heap (worst on top), bounded to ef
     val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (-x._1, x._2)))
-    val eScore = sim(q, vectors(entryNode))
-    cand.enqueue((eScore, entryNode))
-    visited.set(entryNode)
+    val entry = descend(q) // greedy hierarchy descent (no-op when layers empty)
+    val eScore = sim(q, vectors(entry))
+    cand.enqueue((eScore, entry))
+    visited.set(entry)
     visitedCount += 1
     while (cand.nonEmpty) {
       val (cs, c) = cand.dequeue()
@@ -178,6 +242,7 @@ final class Vamana(
         neighbors(node).map(x => (x, simNodes(node, x)))).toSeq
       neighbors(node) = robustPrune(node, merged, maxDegree)
     }
+    buildHierarchy()
     visitedCount = 0 // build traffic doesn't count as search effort
     this
   }
