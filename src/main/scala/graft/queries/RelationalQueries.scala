@@ -207,6 +207,28 @@ object RelationalQueries {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM sid GROUP BY user_id, session_id""".stripMargin
 
+  /** As-of join: each event picks up the user's most recent STRICTLY
+    * earlier purchase (point-in-time correctness — no future leakage).
+    * Custom operator (Spark lacks as-of joins); DuckDB native ASOF JOIN is
+    * the oracle. */
+  def eventsAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.join(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("asof_event_id"), col("asof_value"))
+  }
+
+  val eventsAsofPurchaseSql: String =
+    """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+      |       p.event_id AS asof_event_id, p.value AS asof_value
+      |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts""".stripMargin
+
   /** Market-segment order stats (fact->dim shuffle join + distinct agg). */
   def mktSegmentRev(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -231,6 +253,7 @@ object RelationalQueries {
     "rollup_returns" -> rollupReturns _,
     "events_hourly" -> eventsHourly _,
     "events_sessions" -> eventsSessions _,
+    "events_asof_purchase" -> eventsAsofPurchase _,
     "mkt_segment_rev" -> mktSegmentRev _)
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +267,6 @@ object RelationalQueries {
     "rollup_returns" -> rollupReturnsSql,
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
+    "events_asof_purchase" -> eventsAsofPurchaseSql,
     "mkt_segment_rev" -> mktSegmentRevSql)
 }
