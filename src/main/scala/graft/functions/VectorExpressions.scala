@@ -3,29 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the hot vector kernels (jvector
   * `VectorUtil` family, re-expressed for Tungsten rows).
   *
-  * Numeric contract: identical to the composed higher-order-function
-  * versions — each element is widened to double, products formed per
-  * element, sums accumulated sequentially left-to-right — so results are
-  * bit-identical to the DuckDB oracle SQL and to the previous HOF plans.
-  * The win is evaluation cost: one virtual call per ROW instead of several
-  * interpreted expression nodes per ELEMENT (~10-30x on 64-d vectors).
+  * Numeric contract: identical to composed higher-order-function versions —
+  * each element widened to double, products per element, sums sequential
+  * left-to-right — so results are bit-identical to the DuckDB oracle SQL.
   *
-  * CodegenFallback is intentional: the loop body is already tight JVM code;
-  * fusing it into generated Java would save one call per row.
+  * Both interpreted eval and `doGenCode` dispatch into [[VecOps]], so the
+  * expressions participate in whole-stage codegen (one static call per row,
+  * no fallback row materialization).
   */
 private[graft] object VecEval {
-  /** Read element i of a numeric ArrayData as double (works for float or
-    * double arrays — parquet embeddings are float). */
-  def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-
   def elemIsFloat(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -33,79 +26,62 @@ private[graft] object VecEval {
   }
 }
 
-abstract class VectorBinaryExpr extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   protected lazy val leftFloat: Boolean = VecEval.elemIsFloat(left.dataType)
   protected lazy val rightFloat: Boolean = VecEval.elemIsFloat(right.dataType)
+  /** VecOps method name implementing this kernel. */
+  protected def kernel: String
+
+  override def nullSafeEval(a: Any, b: Any): Any = evalKernel(
+    a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalKernel(x: ArrayData, y: ArrayData): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.$kernel($a, $b, $leftFloat, $rightFloat);")
 }
 
 case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
-    while (i < n) { acc += VecEval.get(x, i, leftFloat) * VecEval.get(y, i, rightFloat); i += 1 }
-    acc
-  }
+  override protected def kernel: String = "dot"
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double =
+    VecOps.dot(x, y, leftFloat, rightFloat)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr = copy(l, r)
 }
 
 case class L2SqExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    var acc = 0.0; var i = 0; val n = math.min(x.numElements(), y.numElements())
-    while (i < n) {
-      val d = VecEval.get(x, i, leftFloat) - VecEval.get(y, i, rightFloat)
-      acc += d * d; i += 1
-    }
-    acc
-  }
+  override protected def kernel: String = "l2sq"
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double =
+    VecOps.l2sq(x, y, leftFloat, rightFloat)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr = copy(l, r)
 }
 
-/** Raw cosine: dot/(sqrt(normA)*sqrt(normB)) with per-array sequential
-  * norm folds — same op order as the HOF/oracle formulation. */
 case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var i = 0
-    while (i < n) { dot += VecEval.get(x, i, leftFloat) * VecEval.get(y, i, rightFloat); i += 1 }
-    var na = 0.0; i = 0
-    while (i < x.numElements()) { val v = VecEval.get(x, i, leftFloat); na += v * v; i += 1 }
-    var nb = 0.0; i = 0
-    while (i < y.numElements()) { val v = VecEval.get(y, i, rightFloat); nb += v * v; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override protected def kernel: String = "cosine"
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double =
+    VecOps.cosine(x, y, leftFloat, rightFloat)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr = copy(l, r)
 }
 
 /** Set Jaccard over two string or integral arrays (distinct semantics,
   * like array_intersect/array_union sizes): |A n B| / |A u B|. */
-case class JaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  private lazy val getter: (ArrayData, Int) => Any = left.dataType match {
-    case ArrayType(StringType, _) => (a, i) => a.getUTF8String(i)
-    case ArrayType(LongType, _) => (a, i) => a.getLong(i)
-    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+  private lazy val mode: Int = left.dataType match {
+    case ArrayType(StringType, _) => 0
+    case ArrayType(LongType, _) => 1
+    case ArrayType(IntegerType, _) => 2
     case other => throw new IllegalArgumentException(s"jaccard over $other unsupported")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val sa = new java.util.HashSet[Any](x.numElements() * 2)
-    var i = 0
-    while (i < x.numElements()) { sa.add(getter(x, i)); i += 1 }
-    val sb = new java.util.HashSet[Any](y.numElements() * 2)
-    i = 0
-    while (i < y.numElements()) { sb.add(getter(y, i)); i += 1 }
-    var inter = 0
-    val it = sb.iterator()
-    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
-    val union = sa.size + sb.size - inter
-    if (union == 0) 1.0 else inter.toDouble / union
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecOps.jaccard($a, $b, $mode);")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr = copy(l, r)
 }
 
