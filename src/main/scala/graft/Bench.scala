@@ -59,12 +59,12 @@ object Bench {
     emb.count()
     val queries = emb.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec")).cache()
-    queries.count()
+    val actualNq = queries.count() // vec_ids may be sparse; use the real count
 
     def qps(body: => Unit): Double = {
       (1 to warmups).foreach(_ => body)
       val ts = (1 to runs).map(_ => time(body)._2)
-      nq / (ts.sum / runs)
+      actualNq / (ts.sum / runs)
     }
 
     val exactQps = qps {
@@ -86,7 +86,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val annJson =
       s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
-        s""""recall_at_10":$recall,"n_queries":$nq,"top_k":$topK,""" +
+        s""""recall_at_10":$recall,"n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"ann":$annJson,"sf":"$sfDir"}""")

@@ -41,8 +41,13 @@ object Ann {
         * spark.sql.files.maxPartitionBytes on the read path). */
       segmentRows: Int = 8192)
 
-  /** Split into enough partitions that segments build in parallel. */
+  /** Split into enough partitions that segments build in parallel.
+    * Sizing needs a row count — a cheap metadata count for parquet sources,
+    * but a real scan for derived inputs; set `segmentRows <= 0` to skip the
+    * count and keep the input partitioning as-is (the right choice when the
+    * read path already sizes partitions via files.maxPartitionBytes). */
   private def segmented(df: DataFrame, p: Params): DataFrame = {
+    if (p.segmentRows <= 0) return df
     val n = df.count()
     val want = math.max(1, math.min((n / p.segmentRows + 1).toInt,
       df.sparkSession.sparkContext.defaultParallelism * 4))

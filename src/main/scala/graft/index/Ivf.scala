@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   case class IvfModel(metric: String, centroids: Array[Array[Double]]) {
+    // resolved once — simTo runs per (row, centroid) in the assign UDF
+    @transient private lazy val metricCode: Int = metric.toUpperCase match {
+      case "EUCLIDEAN" => 0
+      case "DOT_PRODUCT" | "DOT" => 1
+      case "COSINE" => 2
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
     def nearestClusters(v: Array[Double], nprobe: Int): Array[Int] =
       centroids.indices.toArray
         .map(c => (c, simTo(v, c)))
@@ -24,13 +32,13 @@ object Ivf {
 
     def simTo(v: Array[Double], c: Int): Double = {
       val ct = centroids(c)
-      metric.toUpperCase match {
-        case "EUCLIDEAN" =>
+      (metricCode: @annotation.switch) match {
+        case 0 =>
           var d = 0.0; var i = 0
           while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
           1.0 / (1.0 + d)
-        case "DOT_PRODUCT" | "DOT" => (1.0 + VectorFunctions.dotSeq(v, ct)) / 2.0
-        case "COSINE" =>
+        case 1 => (1.0 + VectorFunctions.dotSeq(v, ct)) / 2.0
+        case 2 =>
           var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < v.length) { d += v(i) * ct(i); na += v(i) * v(i); nb += ct(i) * ct(i); i += 1 }
           (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
@@ -48,13 +56,7 @@ object Ivf {
       iters: Int = 6,
       sampleCap: Int = 128000,
       seed: Long = 1L): IvfModel = {
-    val total = df.count()
-    val sampled =
-      if (total <= sampleCap) df.select(vecCol)
-      else df.select(vecCol).sample(withReplacement = false,
-        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
-    val vectors = sampled.select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val vectors = graft.operators.Sampling.sampleVectors(df, vecCol, sampleCap, seed)
     IvfModel(metric, PQ.kmeans(vectors, math.min(nlist, vectors.length), iters, seed))
   }
 

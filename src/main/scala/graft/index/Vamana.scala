@@ -98,17 +98,26 @@ final class Vamana(
     cur
   }
 
-  // similarity in (0,1], higher better — must match VectorFunctions/reference
-  def sim(a: Array[Float], b: Array[Float]): Double = metric.toUpperCase match {
-    case "EUCLIDEAN" =>
+  // similarity in (0,1], higher better — must match VectorFunctions/reference.
+  // Metric resolved ONCE (this is the hottest kernel in the engine:
+  // O(n*beam*degree) calls per build + one per visited node per query).
+  private val metricCode: Int = metric.toUpperCase match {
+    case "EUCLIDEAN" => 0
+    case "DOT_PRODUCT" | "DOT" => 1
+    case "COSINE" => 2
+    case m => throw new IllegalArgumentException(s"unknown metric: $m")
+  }
+
+  def sim(a: Array[Float], b: Array[Float]): Double = (metricCode: @annotation.switch) match {
+    case 0 =>
       var d = 0.0; var i = 0
       while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
       1.0 / (1.0 + d)
-    case "DOT_PRODUCT" | "DOT" =>
+    case 1 =>
       var d = 0.0; var i = 0
       while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
       (1.0 + d) / 2.0
-    case "COSINE" =>
+    case 2 =>
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         d += a(i).toDouble * b(i).toDouble

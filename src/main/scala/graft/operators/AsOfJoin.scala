@@ -1,15 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: for each left row, the most recent right row
   * with `right.time < left.time` (strict), per key. Spark has no native
   * as-of join; the classic sort-merge formulation is expressed as
-  * union + last_value(ignoreNulls) over a (key, time)-ordered window —
+  * union + last(ignoreNulls) over a (key, time)-ordered window —
   * ONE shuffle on the key, no range cross-join blowup, skew-safe as long
   * as keys are. (DuckDB's native ASOF JOIN is the oracle.)
+  *
+  * Semantics notes:
+  *  - all right value columns are carried as ONE struct, so the matched
+  *    values always come from the SAME right row (no cross-row stitching
+  *    when some value columns are NULL);
+  *  - NULL keys never match (join semantics): right rows with NULL keys
+  *    are dropped, left rows with NULL keys come through with NULL values.
   */
 object AsOfJoin {
 
@@ -23,31 +30,30 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame = {
 
     val lCols = left.columns
+    val packed = struct(valueCols.map(col): _*)
+    val packedType = right.select(packed).schema.head.dataType
+
     val l = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .select(Seq(col(key).as("__k"), col("__t"), col("__side")) ++
-        lCols.map(c => col(c)) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+      .select(Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(packedType).as("__v")) ++ lCols.map(col): _*)
     val r = right
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .select(Seq(col(key).as("__k"), col("__t"), col("__side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      .filter(col(key).isNotNull)
+      .select(Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        packed.as("__v")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // STRICT match (right.time < left.time): at equal time the LEFT row
     // (side 1) sorts FIRST (side desc), so its preceding-rows frame excludes
-    // same-time right rows. Among right rows tied on (key, time), the first
-    // value column breaks the tie deterministically.
+    // same-time right rows. The whole value struct breaks remaining ties
+    // deterministically and travels atomically.
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").desc,
-        col(s"__v_${valueCols.head}").asc_nulls_first)
+      .orderBy(col("__t").asc, col("__side").desc, col("__v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val joined = l.unionByName(r)
-      .select(col("*") +: valueCols.map(c =>
-        last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
-    joined.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -34,11 +34,17 @@ object Metrics {
     val marked = r.join(t.withColumn("rel", lit(1)), Seq("qid", "nid"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
     val w = Window.partitionBy("qid").orderBy("rank")
+    // reference semantics (AccuracyMetrics.averagePrecisionAtK): AP = sum of
+    // precision@rank over relevant ranks, divided by K (not by hit count);
+    // zero-hit queries contribute AP = 0 to the mean.
     val ap = marked
       .withColumn("cum_rel", sum(col("rel")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("prec", col("cum_rel").cast("double") / col("rank"))
-      .filter(col("rel") === 1)
-      .groupBy("qid").agg((sum(col("prec")) / count(lit(1))).as("ap"))
-    ap.agg(avg(col("ap")).as("map"))
+      .withColumn("prec", when(col("rel") === 1, col("cum_rel").cast("double") / col("rank"))
+        .otherwise(lit(0.0)))
+      .groupBy("qid").agg((sum(col("prec")) / lit(k)).as("ap"))
+    val allQ = t.select("qid").distinct()
+    allQ.join(ap, Seq("qid"), "left")
+      .select(coalesce(col("ap"), lit(0.0)).as("ap"))
+      .agg(avg(col("ap")).as("map"))
   }
 }

@@ -61,6 +61,21 @@ case class PQModel(
   }
 }
 
+/** Bounded deterministic driver-side training sample (the reference caps PQ
+  * training at 128k vectors — ProductQuantization.java:62-64; same contract
+  * reused by IVF). */
+private[graft] object Sampling {
+  def sampleVectors(df: DataFrame, vecCol: String, cap: Int, seed: Long): Array[Array[Double]] = {
+    val total = df.count()
+    val sampled =
+      if (total <= cap) df.select(vecCol)
+      else df.select(vecCol).sample(withReplacement = false,
+        math.min(1.0, cap * 1.1 / total), seed).limit(cap)
+    sampled.select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
+}
+
 object PQ {
 
   /** dim split into m subspaces; remainder distributed to the first ones. */
@@ -160,15 +175,7 @@ object PQ {
       sampleCap: Int = 128000,
       seed: Long = 1L): PQModel = {
 
-    val total = df.count()
-    val sampled =
-      if (total <= sampleCap) df.select(vecCol)
-      else df.select(vecCol).sample(withReplacement = false,
-        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
-    val vectors = sampled
-      .select(col(vecCol).cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val vectors = Sampling.sampleVectors(df, vecCol, sampleCap, seed)
     require(vectors.nonEmpty, "empty training set")
     val dim = vectors(0).length
     val (sizes, offsets) = subvectorSizes(dim, m)
@@ -214,13 +221,7 @@ object PQ {
       lloydsRounds: Int = 1,
       sampleCap: Int = 128000,
       seed: Long = 1L): PQModel = {
-    val total = df.count()
-    val sampled =
-      if (total <= sampleCap) df.select(vecCol)
-      else df.select(vecCol).sample(withReplacement = false,
-        math.min(1.0, sampleCap * 1.1 / total), seed).limit(sampleCap)
-    val vectors = sampled.select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val vectors = Sampling.sampleVectors(df, vecCol, sampleCap, seed)
     val codebooks = Array.tabulate(model.m) { i =>
       val sub = vectors.map(v => java.util.Arrays.copyOfRange(v,
         model.subOffsets(i), model.subOffsets(i) + model.subSizes(i)))

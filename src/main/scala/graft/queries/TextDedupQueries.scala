@@ -119,7 +119,7 @@ object TextDedupQueries {
   private val minhashSigSql: String =
     s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS ts FROM documents)
        |SELECT doc_id, CAST(i AS INT) AS hash_idx,
-       | list_min(list_transform(ts, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))) AS mh
+       | coalesce(list_min(list_transform(ts, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))), '') AS mh
        |FROM t, range(0, $numHashes) r(i)""".stripMargin
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -130,7 +130,7 @@ object TextDedupQueries {
     val bands = numHashes / rowsPerBand
     s"""WITH t AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks FROM documents),
        |sig AS (SELECT id, toks, list_transform(range(0, $numHashes),
-       |   i -> list_min(list_transform(toks, tok -> md5(CAST(i AS VARCHAR) || '|' || tok)))) AS sg FROM t),
+       |   i -> coalesce(list_min(list_transform(toks, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))), '')) AS sg FROM t),
        |bands AS (SELECT id, j, md5(array_to_string(sg[j*$rowsPerBand+1:j*$rowsPerBand+$rowsPerBand], '|')) AS bh
        |   FROM sig, range(0, $bands) r(j)),
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
