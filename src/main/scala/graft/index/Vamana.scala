@@ -131,27 +131,29 @@ final class Vamana(
   private def simNodes(i: Int, j: Int): Double = sim(vectors(i), vectors(j))
 
   /** Greedy best-first beam search (one layer). Returns up to `ef` results
-    * sorted score desc, id asc. Counts visited nodes. */
+    * sorted score desc, id asc (final scores recomputed in double for the
+    * deterministic output contract). Counts visited nodes. Heaps hold
+    * packed longs (float score bits + id) — no boxing in the hot loop. */
   def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
     val visited = new java.util.BitSet(n)
-    // candidates: max-heap by score
-    val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (x._1, -x._2)))
-    // results: min-heap (worst on top), bounded to ef
-    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => (-x._1, x._2)))
+    val cand = new LongHeap(64, min = false) // best frontier on top
+    val res = new LongHeap(ef + 1, min = true) // worst kept result on top
     val entry = descend(q) // greedy hierarchy descent (no-op when layers empty)
-    val eScore = sim(q, vectors(entry))
-    cand.enqueue((eScore, entry))
+    cand.push(LongHeap.pack(sim(q, vectors(entry)), entry))
     visited.set(entry)
     visitedCount += 1
-    while (cand.nonEmpty) {
-      val (cs, c) = cand.dequeue()
-      if (res.size >= ef && cs < res.head._1) {
-        cand.clear() // best frontier worse than worst kept result -> stop
+    var stop = false
+    while (!stop && cand.nonEmpty) {
+      val packed = cand.pop()
+      val cs = LongHeap.score(packed)
+      val c = LongHeap.id(packed)
+      if (res.size >= ef && cs < LongHeap.score(res.top)) {
+        stop = true // best frontier worse than worst kept result
       } else {
         if (accept(c)) {
-          res.enqueue((cs, c))
-          if (res.size > ef) res.dequeue()
+          res.push(packed)
+          if (res.size > ef) res.pop()
         }
         val nbrs = neighbors(c)
         var i = 0
@@ -161,13 +163,13 @@ final class Vamana(
             visited.set(nb)
             visitedCount += 1
             val s = sim(q, vectors(nb))
-            if (res.size < ef || s > res.head._1) cand.enqueue((s, nb))
+            if (res.size < ef || s > LongHeap.score(res.top)) cand.push(LongHeap.pack(s, nb))
           }
           i += 1
         }
       }
     }
-    res.toArray.map { case (s, id) => (id, s) }
+    res.toArray.map { p => val id = LongHeap.id(p); (id, sim(q, vectors(id))) }
       .sortBy { case (id, s) => (-s, id) }
   }
 
