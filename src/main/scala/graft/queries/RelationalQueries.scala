@@ -153,6 +153,47 @@ object RelationalQueries {
       | CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_size
       |FROM part GROUP BY p_brand""".stripMargin
 
+  /** Full cube over priority/status (all grouping sets). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).cube("o_orderpriority", "o_orderstatus").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Set operations: brands selling both small and large parts (INTERSECT)
+    * and small-only brands (EXCEPT). */
+  def brandSetOps(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val small = p.filter(col("p_size") <= 10).select("p_brand").distinct()
+    val large = p.filter(col("p_size") > 40).select("p_brand").distinct()
+    small.intersect(large).withColumn("cls", lit("both"))
+      .unionByName(small.except(large).withColumn("cls", lit("small_only")))
+  }
+
+  val brandSetOpsSql: String =
+    """WITH small AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),
+      |large AS (SELECT DISTINCT p_brand FROM part WHERE p_size > 40)
+      |SELECT p_brand, 'both' AS cls FROM (SELECT p_brand FROM small INTERSECT SELECT p_brand FROM large)
+      |UNION ALL
+      |SELECT p_brand, 'small_only' AS cls FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM large)""".stripMargin
+
+  /** Correlated EXISTS: customers with at least one high-value order. */
+  def custHighValue(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 100000.0
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > threshold),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  val custHighValueSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)""".stripMargin
+
   /** Rollup over returnflag/linestatus (grouping-set aggregation). */
   def rollupReturns(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus").agg(
@@ -250,6 +291,9 @@ object RelationalQueries {
     "top3_per_cust" -> top3PerCust _,
     "cust_no_orders" -> custNoOrders _,
     "brand_stats" -> brandStats _,
+    "cube_orders" -> cubeOrders _,
+    "brand_setops" -> brandSetOps _,
+    "cust_high_value" -> custHighValue _,
     "rollup_returns" -> rollupReturns _,
     "events_hourly" -> eventsHourly _,
     "events_sessions" -> eventsSessions _,
@@ -264,6 +308,9 @@ object RelationalQueries {
     "top3_per_cust" -> top3PerCustSql,
     "cust_no_orders" -> custNoOrdersSql,
     "brand_stats" -> brandStatsSql,
+    "cube_orders" -> cubeOrdersSql,
+    "brand_setops" -> brandSetOpsSql,
+    "cust_high_value" -> custHighValueSql,
     "rollup_returns" -> rollupReturnsSql,
     "events_hourly" -> eventsHourlySql,
     "events_sessions" -> eventsSessionsSql,
