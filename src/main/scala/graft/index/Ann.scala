@@ -160,12 +160,20 @@ object Ann {
             rows.map(_._1).mkString(",").getBytes).toString
           val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
             p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
+          // per-segment centroid, persisted on every row (tiny, enables
+          // segment routing at search time — IVF over segments)
+          val dim = rows(0)._2.length
+          val centroid = new Array[Float](dim)
+          rows.foreach { r =>
+            var j = 0
+            while (j < dim) { centroid(j) += r._2(j) / rows.length; j += 1 }
+          }
           rows.indices.iterator.map { i =>
-            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode)
+            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode, centroid)
           }
         }
       }
-      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry")
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid")
       .write.mode("overwrite").parquet(path)
   }
 
@@ -179,7 +187,8 @@ object Ann {
       topK: Int,
       ef: Int,
       params: Params = Params(),
-      deletes: Option[DataFrame] = None): DataFrame = {
+      deletes: Option[DataFrame] = None,
+      probeSegments: Int = 0): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -192,6 +201,28 @@ object Ann {
     // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
     // nodes just stop being acceptable results. compact() repairs for real.
     val raw = spark.read.parquet(path)
+
+    // Segment routing (IVF over segments): with probeSegments > 0, each
+    // query searches only its probeSegments nearest segment centroids —
+    // at 100 TB this is what keeps per-query work sublinear in segment
+    // count. Centroids are one tiny row per segment.
+    val segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] =
+      if (probeSegments > 0 && raw.columns.contains("seg_centroid")) {
+        val cents = raw.groupBy("seg")
+          .agg(first(col("seg_centroid")).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+        val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        qArr.indices.foreach { qi =>
+          cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
+            .sortBy { case (s, sc) => (-sc, s) }
+            .take(math.min(probeSegments, cents.length))
+            .foreach { case (s, _) =>
+              m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
+            }
+        }
+        Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
+      } else None
     val withLive = deletes match {
       case Some(d) =>
         raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
@@ -207,20 +238,28 @@ object Ann {
       .repartition(col("seg"))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val vecs = sorted.map(_._4)
-          val ids = sorted.map(_._3)
-          val live = sorted.map(_._7)
-          val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-            p.alpha, p.neighborOverflow, p.seed)
-          sorted.foreach { r =>
-            g.neighbors(r._2) ++= r._5
-            if (r._6) g.entryNode = r._2
+        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
+          val qIdx: Array[Int] = segQueriesB match {
+            case Some(b) => b.value.getOrElse(segId, Array.empty)
+            case None => qB.value.indices.toArray
           }
-          qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, topK, ef, i => live(i))
-              .iterator.map { case (local, s) => (qid, ids(local), s) }
+          if (qIdx.isEmpty) Iterator.empty
+          else {
+            val sorted = rows.sortBy(_._2)
+            val vecs = sorted.map(_._4)
+            val ids = sorted.map(_._3)
+            val live = sorted.map(_._7)
+            val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+              p.alpha, p.neighborOverflow, p.seed)
+            sorted.foreach { r =>
+              g.neighbors(r._2) ++= r._5
+              if (r._6) g.entryNode = r._2
+            }
+            qIdx.iterator.flatMap { qi =>
+              val (qid, qv) = qB.value(qi)
+              g.search(qv, topK, ef, i => live(i))
+                .iterator.map { case (local, s) => (qid, ids(local), s) }
+            }
           }
         }
       }

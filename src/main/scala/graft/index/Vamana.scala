@@ -21,6 +21,33 @@ import scala.collection.mutable
   * inside one Spark task per segment (SURVEY.md §3.2's batch formulation —
   * partitions are the unit of parallelism, not threads).
   */
+object Vamana {
+  /** Scalar similarity with the engine's normalization formulas (used for
+    * cold paths like segment routing; the hot path is the instance `sim`). */
+  def similarity(metric: String, a: Array[Float], b: Array[Float]): Double = {
+    metric.toUpperCase match {
+      case "EUCLIDEAN" =>
+        var d = 0.0; var i = 0
+        while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+        1.0 / (1.0 + d)
+      case "DOT_PRODUCT" | "DOT" =>
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+        (1.0 + d) / 2.0
+      case "COSINE" =>
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+  }
+}
+
 final class Vamana(
     val vectors: Array[Array[Float]],
     metric: String,

@@ -105,6 +105,30 @@ class AnnSpec extends SparkSpec {
     assert(planned.filter($"rank" === 1).count() === 20)
   }
 
+  test("segment routing: probeSegments searches only nearest segments with high recall") {
+    // 4 well-separated clusters -> 4 range partitions -> 4 segments whose
+    // centroids are informative
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 4000).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(8)(j => if (j == c * 2) 5.0f else 0.0f)
+      (i.toLong, c, base.map(_ + rnd.nextFloat() * 0.5f).toSeq)
+    }
+    val df = rows.toDF("id", "cluster", "vec").repartitionByRange(4, $"cluster")
+    val tmp = java.nio.file.Files.createTempDirectory("annroute").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 0) // keep the 4 range partitions as segments
+    Ann.buildIndex(df, s"$tmp/idx", params)
+    // range partitioner samples boundaries — expect >= 2 cluster-aligned segments
+    assert(spark.read.parquet(s"$tmp/idx").select("seg").distinct().count() >= 2)
+
+    val queries = rows.filter(_._1 < 20).map(r => (r._1, r._3)).toDF("qid", "qvec")
+    val routed = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+      probeSegments = 1)
+    val want = KnnExact.knn(df, queries, 10, "COSINE")
+    assert(recallOf(routed, want) >= 0.95, "1-of-4 segments must hold the cluster's neighbors")
+  }
+
   test("IVF probed search: high recall with fractional scan") {
     val base = randVectors(10000, 16, seed = 11).toDF("id", "vec").cache()
     val queries = randVectors(50, 16, seed = 12).toDF("qid", "qvec")
