@@ -1,0 +1,106 @@
+package graft.plans
+
+import graft.functions.{CosineExpr, DotExpr, L2SqExpr}
+import graft.index.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Opt-in ANN rewrite (SURVEY.md §4's "(b) one logical rewrite rule"):
+  * a declarative top-k-by-similarity —
+  *
+  *   SELECT * FROM t ORDER BY graft_cosine_sim(vec, :qvec) DESC LIMIT k
+  *
+  * — over a table whose ANN index was registered via
+  * [[AnnCatalog.register]] is rewritten into [[KnnIndexScan]] (graph beam
+  * search) joined back to the base rows, sorted by score. The rewrite is
+  * APPROXIMATE by design (recall-gated, like any ANN index hint), which is
+  * why it only fires for explicitly registered tables.
+  */
+object AnnCatalog {
+  case class IndexInfo(
+      indexPath: String,
+      idCol: String,
+      vecCol: String,
+      ef: Int,
+      params: Ann.Params)
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, IndexInfo]()
+
+  /** Register an index for a parquet table location and install the rule +
+    * strategy on the session. */
+  def register(spark: SparkSession, tablePath: String, info: IndexInfo): Unit = {
+    registry.put(normalize(tablePath), info)
+    if (!spark.experimental.extraOptimizations.contains(AnnRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnRewriteRule
+    if (!spark.experimental.extraStrategies.contains(KnnIndexStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ KnnIndexStrategy
+  }
+
+  def clear(): Unit = registry.clear()
+
+  private def normalize(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  private[plans] def lookup(rel: LogicalRelation): Option[IndexInfo] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.iterator
+          .map(rp => registry.get(normalize(rp.toString)))
+          .collectFirst { case info if info != null => info }
+      case _ => None
+    }
+}
+
+object AnnRewriteRule extends Rule[LogicalPlan] {
+
+  /** Extract (vec attribute, query literal as Array[Float], metric). */
+  private def matchSim(e: Expression): Option[(AttributeReference, Array[Float], String)] = {
+    def arr(l: Literal): Option[Array[Float]] = l.dataType match {
+      case ArrayType(FloatType, _) =>
+        Some(l.value.asInstanceOf[ArrayData].toFloatArray())
+      case ArrayType(DoubleType, _) =>
+        Some(l.value.asInstanceOf[ArrayData].toDoubleArray().map(_.toFloat))
+      case _ => None
+    }
+    e match {
+      case Divide(Add(Literal(one, DoubleType), CosineExpr(a: AttributeReference, l: Literal), _),
+          Literal(two, DoubleType), _) if one == 1.0 && two == 2.0 =>
+        arr(l).map((a, _, "COSINE"))
+      case Divide(Add(Literal(one, DoubleType), DotExpr(a: AttributeReference, l: Literal), _),
+          Literal(two, DoubleType), _) if one == 1.0 && two == 2.0 =>
+        arr(l).map((a, _, "DOT_PRODUCT"))
+      case Divide(Literal(one, DoubleType),
+          Add(Literal(one2, DoubleType), L2SqExpr(a: AttributeReference, l: Literal), _), _)
+          if one == 1.0 && one2 == 1.0 =>
+        arr(l).map((a, _, "EUCLIDEAN"))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case limit @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true, rel: LogicalRelation, _))) =>
+      (AnnCatalog.lookup(rel), matchSim(simExpr)) match {
+        case (Some(info), Some((vecAttr, qv, metric)))
+            if vecAttr.name == info.vecCol && metric.startsWith(info.params.metric.toUpperCase.take(3)) =>
+          val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
+            math.max(info.ef, k), info.params)
+          val idAttr = rel.output.find(_.name == info.idCol).get
+          val nidAttr = scan.output.find(_.name == "nid").get
+          val scoreAttr = scan.output.find(_.name == "score").get
+          val joined = Join(rel, scan,
+            Inner, Some(EqualTo(idAttr, nidAttr)), JoinHint.NONE)
+          Project(rel.output,
+            Sort(Seq(SortOrder(scoreAttr, Descending)), global = true, joined))
+        case _ => limit
+      }
+  }
+}

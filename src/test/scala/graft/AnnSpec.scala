@@ -143,6 +143,32 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.85, s"IVF recall@10 $r < 0.85 at nprobe=8/32")
   }
 
+  test("AnnRewriteRule: ORDER BY sim LIMIT k over a registered table uses the index") {
+    import graft.plans.{AnnCatalog, KnnIndexScanExec}
+    val tmp = java.nio.file.Files.createTempDirectory("annrule").toString
+    val vecs = randVectors(3000, 16, seed = 21)
+    vecs.toDF("id", "vec").repartition(2).write.parquet(s"$tmp/base")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/idx", params)
+    AnnCatalog.register(spark, s"$tmp/base",
+      AnnCatalog.IndexInfo(s"$tmp/idx", "id", "vec", ef = 64, params))
+
+    val qv = vecs(5)._2
+    val df = spark.read.parquet(s"$tmp/base")
+      .orderBy(graft.functions.VectorFunctions.cosineSim($"vec", typedLit(qv)).desc)
+      .limit(10)
+    // AQE root hides children from exists(); string check covers both
+    assert(df.queryExecution.executedPlan.toString.contains("KnnIndexScan"),
+      s"expected index scan in:\n${df.queryExecution.executedPlan}")
+    assert(df.columns.toSeq === Seq("id", "vec")) // schema preserved
+    val got = df.select("id").as[Long].collect().toSet
+    val want = KnnExact.knn(spark.read.parquet(s"$tmp/base"),
+      Seq((0L, qv)).toDF("qid", "qvec"), 10, "COSINE")
+      .select("nid").as[Long].collect().toSet
+    assert(got.intersect(want).size >= 9, s"rewrite recall too low: ${got.intersect(want).size}/10")
+    AnnCatalog.clear()
+  }
+
   test("IVF knn-join: distributed both-sides-large join hits high recall vs exact") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = Ivf.train(emb, "embedding", nlist = 16, metric = "COSINE")
