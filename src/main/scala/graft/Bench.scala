@@ -82,11 +82,18 @@ object Bench {
     val exact = KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding")
     val recall = Metrics.recallAtK(ann, exact, topK).head().getDouble(0)
 
+    // visited-ratio (search effort) per the reference's efficiency contracts
+    val (annOnce, m) = Ann.searchWithMetrics(emb, queries, topK, 64, params,
+      "vec_id", "embedding")
+    annOnce.count()
+    val visitedRatio = m.visitedRatioPerQuery(actualNq)
+
     val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val annJson =
       s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
-        s""""recall_at_10":$recall,"n_queries":$actualNq,"top_k":$topK,""" +
+        s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,""" +
+        s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"ann":$annJson,"sf":"$sfDir"}""")
