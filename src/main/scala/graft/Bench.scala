@@ -82,10 +82,12 @@ object Bench {
     val exact = KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding")
     val recall = Metrics.recallAtK(ann, exact, topK).head().getDouble(0)
 
-    // visited-ratio (search effort) per the reference's efficiency contracts
-    val (annOnce, m) = Ann.searchWithMetrics(emb, queries, topK, 64, params,
-      "vec_id", "embedding")
-    annOnce.count()
+    // visited-ratio (search effort) per the reference's efficiency
+    // contracts — measured on the SAME persisted index that produced
+    // ann_qps/recall (no extra build)
+    val m = Ann.newMetrics(spark)
+    Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params,
+      metrics = Some(m)).count()
     val visitedRatio = m.visitedRatioPerQuery(actualNq)
 
     val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -160,8 +160,9 @@ object Ann {
             rows.map(_._1).mkString(",").getBytes).toString
           val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
             p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
-          // per-segment centroid, persisted on every row (tiny, enables
-          // segment routing at search time — IVF over segments)
+          // per-segment centroid for search-time routing (IVF over
+          // segments) — stored ONLY on the local_id=0 row, so it costs one
+          // vector per segment, not one per row
           val dim = rows(0)._2.length
           val centroid = new Array[Float](dim)
           rows.foreach { r =>
@@ -169,7 +170,8 @@ object Ann {
             while (j < dim) { centroid(j) += r._2(j) / rows.length; j += 1 }
           }
           rows.indices.iterator.map { i =>
-            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode, centroid)
+            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode,
+              if (i == 0) centroid else null)
           }
         }
       }
@@ -188,7 +190,8 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
-      probeSegments: Int = 0): DataFrame = {
+      probeSegments: Int = 0,
+      metrics: Option[SearchMetrics] = None): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -208,8 +211,10 @@ object Ann {
     // count. Centroids are one tiny row per segment.
     val segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] =
       if (probeSegments > 0 && raw.columns.contains("seg_centroid")) {
-        val cents = raw.groupBy("seg")
-          .agg(first(col("seg_centroid")).as("c"))
+        // centroids live only on local_id=0 rows — pushed-down filter reads
+        // one row per segment, not the whole index
+        val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
+          .select(col("seg"), col("seg_centroid"))
           .collect()
           .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
         val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
@@ -231,7 +236,16 @@ object Ann {
       case None => raw.withColumn("__live", lit(true))
     }
 
-    val perSegment = withLive
+    // with routing active, prune unprobed segments BEFORE the read/shuffle —
+    // I/O and shuffle stay proportional to probed segments, not index size
+    val pruned = segQueriesB match {
+      case Some(b) if b.value.nonEmpty =>
+        withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
+      case Some(_) => withLive.filter(lit(false))
+      case None => withLive
+    }
+
+    val perSegment = pruned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("__live"))
@@ -255,11 +269,16 @@ object Ann {
               g.neighbors(r._2) ++= r._5
               if (r._6) g.entryNode = r._2
             }
-            qIdx.iterator.flatMap { qi =>
+            val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               g.search(qv, topK, ef, i => live(i))
-                .iterator.map { case (local, s) => (qid, ids(local), s) }
+                .map { case (local, s) => (qid, ids(local), s) }
             }
+            metrics.foreach { m =>
+              m.visited.add(g.visitedCount)
+              m.scanned.add(rows.length)
+            }
+            out.iterator.flatten
           }
         }
       }
@@ -272,6 +291,12 @@ object Ann {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))
   }
+
+  /** Fresh accumulator pair for searchIndex's optional metrics. */
+  def newMetrics(spark: SparkSession): SearchMetrics =
+    SearchMetrics(
+      spark.sparkContext.longAccumulator("ann.visited"),
+      spark.sparkContext.longAccumulator("ann.segment.rows"))
 
   /** Dense-ordinal remap (jvector `RemappedRandomAccessVectorValues` /
     * `OrdinalMapper`, S5): assign contiguous 0..n-1 ordinals in a

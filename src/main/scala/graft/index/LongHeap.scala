@@ -52,9 +52,28 @@ final class LongHeap(initCap: Int, min: Boolean) {
 }
 
 object LongHeap {
+  /** IEEE-754 bits mapped to an unsigned-sortable 32-bit key (standard
+    * trick: flip sign bit for positives, all bits for negatives) so packed
+    * longs order correctly for NEGATIVE scores too (dotSim goes below 0
+    * when dot < -1). The id is stored COMPLEMENTED in the low 31 bits:
+    * on score ties, a max-heap pops the smaller id first (candidate
+    * frontier) and a min-heap evicts the larger id first (bounded results)
+    * — matching the engine's score-desc, id-asc contract. Ids must fit in
+    * 31 bits (segment-local ordinals). */
+  @inline private def sortableBits(score: Double): Long = {
+    val b = java.lang.Float.floatToIntBits(score.toFloat)
+    val s = if (b >= 0) b ^ 0x80000000 else ~b
+    s.toLong & 0xffffffffL
+  }
+
   @inline def pack(score: Double, id: Int): Long =
-    (java.lang.Float.floatToIntBits(score.toFloat).toLong << 32) | (id.toLong & 0xffffffffL)
-  @inline def score(packed: Long): Float =
-    java.lang.Float.intBitsToFloat((packed >>> 32).toInt)
-  @inline def id(packed: Long): Int = packed.toInt
+    (sortableBits(score) << 31) | ((~id).toLong & 0x7fffffffL)
+
+  @inline def score(packed: Long): Float = {
+    val s = (packed >>> 31).toInt
+    val b = if (s < 0) s ^ 0x80000000 else ~s
+    java.lang.Float.intBitsToFloat(b)
+  }
+
+  @inline def id(packed: Long): Int = (~packed.toInt) & 0x7fffffff
 }

@@ -46,8 +46,16 @@ object AnnCatalog {
 
   def clear(): Unit = registry.clear()
 
-  private def normalize(p: String): String =
-    p.stripSuffix("/").replaceFirst("^file:", "")
+  /** Scheme-insensitive location key: authority + path (so file:/x,
+    * file:///x and /x all collide; hdfs://host/x keeps its authority). */
+  private def normalize(p: String): String = {
+    val key = try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null) p
+      else Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse("")
+    } catch { case _: Exception => p }
+    key.stripSuffix("/")
+  }
 
   private[plans] def lookup(rel: LogicalRelation): Option[IndexInfo] =
     rel.relation match {
@@ -88,19 +96,24 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true, rel: LogicalRelation, _))) =>
-      (AnnCatalog.lookup(rel), matchSim(simExpr)) match {
-        case (Some(info), Some((vecAttr, qv, metric)))
-            if vecAttr.name == info.vecCol && metric.startsWith(info.params.metric.toUpperCase.take(3)) =>
-          val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
-            math.max(info.ef, k), info.params)
-          val idAttr = rel.output.find(_.name == info.idCol).get
-          val nidAttr = scan.output.find(_.name == "nid").get
-          val scoreAttr = scan.output.find(_.name == "score").get
-          val joined = Join(rel, scan,
-            Inner, Some(EqualTo(idAttr, nidAttr)), JoinHint.NONE)
+      val rewritten = for {
+        info <- AnnCatalog.lookup(rel)
+        (vecAttr, qv, metric) <- matchSim(simExpr)
+        if vecAttr.name.equalsIgnoreCase(info.vecCol) &&
+          metric.startsWith(info.params.metric.toUpperCase.take(3))
+        idAttr <- rel.output.find(_.name.equalsIgnoreCase(info.idCol))
+      } yield {
+        val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
+          math.max(info.ef, k), info.params)
+        val nidAttr = scan.output.find(_.name == "nid").get
+        val scoreAttr = scan.output.find(_.name == "score").get
+        val joined = Join(rel, scan,
+          Inner, Some(EqualTo(idAttr, nidAttr)), JoinHint.NONE)
+        // re-apply the hard LIMIT: the join can exceed k if base ids repeat
+        Limit(Literal(k),
           Project(rel.output,
-            Sort(Seq(SortOrder(scoreAttr, Descending)), global = true, joined))
-        case _ => limit
+            Sort(Seq(SortOrder(scoreAttr, Descending)), global = true, joined)))
       }
+      rewritten.getOrElse(limit)
   }
 }
