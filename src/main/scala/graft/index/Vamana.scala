@@ -202,34 +202,50 @@ final class Vamana(
 
   /** RobustPrune: keep up to `deg` diverse candidates (closest-first greedy;
     * a candidate is dropped if an already-kept neighbor dominates it within
-    * the alpha slack). */
-  private def robustPrune(p: Int, candIn: Seq[(Int, Double)], deg: Int): mutable.ArrayBuffer[Int] = {
-    val cands = candIn.filter(_._1 != p).distinct.sortBy { case (id, s) => (-s, id) }
-    val kept = mutable.ArrayBuffer.empty[Int]
-    val pool = mutable.ArrayBuffer(cands: _*)
+    * the alpha slack, alpha relaxed 1.0 -> alpha in 0.2 steps). Operates on
+    * packed (score, id) longs sorted ascending — iterated from the top —
+    * with a reusable scratch BitSet for dedupe; no per-call boxing. */
+  private val pruneSeen = new java.util.BitSet(math.max(1, n))
+
+  private def robustPrune(p: Int, packed: Array[Long], deg: Int): mutable.ArrayBuffer[Int] = {
+    java.util.Arrays.sort(packed)
+    val kept = new mutable.ArrayBuffer[Int](deg)
+    val alive = Array.fill(packed.length)(true)
+    pruneSeen.clear()
     var a = 1.0
     while (kept.size < deg && a <= alpha + 1e-9) {
-      var i = 0
-      while (i < pool.length && kept.size < deg) {
-        val (c, sPC) = pool(i)
-        if (c >= 0) {
-          // dominated iff some kept k has sim(k, c) > sPC * a
-          var dominated = false
-          var j = 0
-          while (j < kept.length && !dominated) {
-            if (simNodes(kept(j), c) > sPC * a) dominated = true
-            j += 1
-          }
-          if (!dominated) {
-            kept += c
-            pool(i) = (-1, 0.0)
+      var i = packed.length - 1 // best score first; ties -> smaller id first
+      while (i >= 0 && kept.size < deg) {
+        if (alive(i)) {
+          val c = LongHeap.id(packed(i))
+          if (c == p || pruneSeen.get(c)) alive(i) = false
+          else {
+            val sPC = LongHeap.score(packed(i)).toDouble
+            var dominated = false
+            var j = 0
+            while (j < kept.length && !dominated) {
+              if (simNodes(kept(j), c) > sPC * a) dominated = true
+              j += 1
+            }
+            if (!dominated) {
+              kept += c
+              pruneSeen.set(c)
+              alive(i) = false
+            }
           }
         }
-        i += 1
+        i -= 1
       }
       a += 0.2
     }
     kept
+  }
+
+  private def packPairs(pairs: Iterator[(Int, Double)], len: Int): Array[Long] = {
+    val out = new Array[Long](len)
+    var i = 0
+    while (pairs.hasNext) { val (id, s) = pairs.next(); out(i) = LongHeap.pack(s, id); i += 1 }
+    out
   }
 
   /** Batch build: seeded insertion order, beam-search-then-prune per node,
@@ -259,7 +275,7 @@ final class Vamana(
     val order = rnd.shuffle((0 until n).toVector)
     for (node <- order if node != entryNode) {
       val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val chosen = robustPrune(node, found.toSeq, maxDegree)
+      val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree)
       neighbors(node) = chosen
       // reverse edges (backlink), prune on overflow
       for (nb <- chosen) {
@@ -267,8 +283,8 @@ final class Vamana(
         if (!lst.contains(node)) {
           lst += node
           if (lst.length > overflowDeg) {
-            val scored = lst.map(x => (x, simNodes(nb, x))).toSeq
-            neighbors(nb) = robustPrune(nb, scored, maxDegree)
+            neighbors(nb) = robustPrune(nb,
+              packPairs(lst.iterator.map(x => (x, simNodes(nb, x))), lst.length), maxDegree)
           }
         }
       }
@@ -276,9 +292,10 @@ final class Vamana(
     // refine pass (jvector refineFinalGraph / improveConnections)
     for (node <- 0 until n) {
       val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val merged = (found.map { case (id, s) => (id, s) } ++
-        neighbors(node).map(x => (x, simNodes(node, x)))).toSeq
-      neighbors(node) = robustPrune(node, merged, maxDegree)
+      val packed = packPairs(
+        found.iterator ++ neighbors(node).iterator.map(x => (x, simNodes(node, x))),
+        found.length + neighbors(node).length)
+      neighbors(node) = robustPrune(node, packed, maxDegree)
     }
     buildHierarchy()
     visitedCount = 0 // build traffic doesn't count as search effort
