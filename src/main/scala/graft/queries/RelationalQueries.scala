@@ -194,6 +194,54 @@ object RelationalQueries {
     """SELECT c_custkey, c_name FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)""".stripMargin
 
+  /** Statistical aggregates: sample stddev/variance + Pearson correlation
+    * (rounded — engines differ in summation order at ~1e-15). */
+  def lineitemStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+      round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+
+  val lineitemStatsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | round(stddev_samp(l_quantity), 6) AS sd_qty,
+      | round(var_samp(l_extendedprice), 2) AS var_price,
+      | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the interpolation formula; the
+    * percentile_approx sketch variant is NOT oracle-able and lives in the
+    * engine API only). */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+      round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+
+  val pricePercentilesSql: String =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** String-function breadth: case/substring/replace + edit distance. */
+  def docStringOps(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head_upper"),
+      length(regexp_replace(col("text"), "the", "THE")).as("len_replaced"),
+      levenshtein(substring(col("text"), 1, 20), substring(col("text"), 11, 20)).as("edit_dist"))
+
+  val docStringOpsSql: String =
+    """SELECT doc_id,
+      | upper(substr(text, 1, 12)) AS head_upper,
+      | CAST(length(regexp_replace(text, 'the', 'THE', 'g')) AS INT) AS len_replaced,
+      | CAST(levenshtein(substr(text, 1, 20), substr(text, 11, 20)) AS INT) AS edit_dist
+      |FROM documents""".stripMargin
+
   /** Rollup over returnflag/linestatus (grouping-set aggregation). */
   def rollupReturns(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus").agg(
@@ -292,6 +340,9 @@ object RelationalQueries {
     "cust_no_orders" -> custNoOrders _,
     "brand_stats" -> brandStats _,
     "cube_orders" -> cubeOrders _,
+    "lineitem_stats" -> lineitemStats _,
+    "price_percentiles" -> pricePercentiles _,
+    "doc_string_ops" -> docStringOps _,
     "brand_setops" -> brandSetOps _,
     "cust_high_value" -> custHighValue _,
     "rollup_returns" -> rollupReturns _,
@@ -309,6 +360,9 @@ object RelationalQueries {
     "cust_no_orders" -> custNoOrdersSql,
     "brand_stats" -> brandStatsSql,
     "cube_orders" -> cubeOrdersSql,
+    "lineitem_stats" -> lineitemStatsSql,
+    "price_percentiles" -> pricePercentilesSql,
+    "doc_string_ops" -> docStringOpsSql,
     "brand_setops" -> brandSetOpsSql,
     "cust_high_value" -> custHighValueSql,
     "rollup_returns" -> rollupReturnsSql,
