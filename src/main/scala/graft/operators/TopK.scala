@@ -25,8 +25,20 @@ case class TopKAgg(k: Int)
 
   private val cap = math.max(k * 4, 64)
 
-  private def compact(buf: Array[(Long, Double)]): Array[(Long, Double)] =
-    buf.sortBy { case (id, s) => (-s, id) }.take(k)
+  private def compact(buf: Array[(Long, Double)]): Array[(Long, Double)] = {
+    // dedupe ids keeping the best score — makes multi-segment merges
+    // idempotent when the same id appears in more than one segment (e.g.
+    // re-ingested batches); first occurrence after the sort is the best.
+    val sorted = buf.sortBy { case (id, s) => (-s, id) }
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](math.min(k, sorted.length))
+    var i = 0
+    while (i < sorted.length && out.length < k) {
+      if (seen.add(sorted(i)._1)) out += sorted(i)
+      i += 1
+    }
+    out.toArray
+  }
 
   override def zero: Array[(Long, Double)] = Array.empty
 
