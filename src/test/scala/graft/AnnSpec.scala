@@ -69,12 +69,18 @@ class AnnSpec extends SparkSpec {
     val rows = randVectors(10000, 16, seed = 43).map { case (id, v) => (id, v, rnd.nextBoolean()) }
     val base = rows.toDF("id", "vec", "cls").repartition(4).cache()
     val queries = randVectors(50, 16, seed = 17).toDF("qid", "qvec")
-    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
-    val (got, _) = Ann.searchWithMetrics(base, queries, topK = 10, ef = 64, params,
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100,
+      segmentRows = 20000)
+    val (got, metrics) = Ann.searchWithMetrics(base.coalesce(1), queries, topK = 10, ef = 64, params,
       acceptCol = Some("cls"))
     val want = KnnExact.knn(base.filter($"cls"), queries, 10, "COSINE")
     val r = recallOf(got, want)
     assert(r >= 0.95, s"filtered recall@10 $r < 0.95")
+    // search effort must stay index-like, not scan-like. The beam expands
+    // until ef ACCEPTED results are found, so at ~50% selectivity visited
+    // is ~2x the unfiltered bound (reference's 5.5% uses different graphs).
+    val visitedRatio = metrics.visitedRatioPerQuery(50)
+    assert(visitedRatio < 0.25, s"filtered visited ratio $visitedRatio too high")
   }
 
   test("persisted index round-trip gives same recall") {
@@ -114,12 +120,13 @@ class AnnSpec extends SparkSpec {
       val base = Array.tabulate(8)(j => if (j == c * 2) 5.0f else 0.0f)
       (i.toLong, c, base.map(_ + rnd.nextFloat() * 0.5f).toSeq)
     }
-    val df = rows.toDF("id", "cluster", "vec").repartitionByRange(4, $"cluster")
+    // hash-partition by cluster: a cluster is never SPLIT across segments
+    // (merging two clusters into one segment is fine for routing)
+    val df = rows.toDF("id", "cluster", "vec").repartition(4, $"cluster")
     val tmp = java.nio.file.Files.createTempDirectory("annroute").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
       segmentRows = 0) // keep the 4 range partitions as segments
     Ann.buildIndex(df, s"$tmp/idx", params)
-    // range partitioner samples boundaries — expect >= 2 cluster-aligned segments
     assert(spark.read.parquet(s"$tmp/idx").select("seg").distinct().count() >= 2)
 
     val queries = rows.filter(_._1 < 20).map(r => (r._1, r._3)).toDF("qid", "qvec")
@@ -185,6 +192,29 @@ class AnnSpec extends SparkSpec {
     val recalls = w.map { case (q, ws) => g.get(q).map(_.intersect(ws).size.toDouble / ws.size).getOrElse(0.0) }
     val r = recalls.sum / recalls.size
     assert(r >= 0.85, s"ivf join recall $r < 0.85")
+  }
+
+  test("threshold search on 10k x 2d EUCLIDEAN (Test2DThreshold contract): recall > 0.9, visited < 85%") {
+    // mirrors the reference's Test2DThreshold: M=16, beam=32, alpha=1.4
+    val rnd = new scala.util.Random(13)
+    val vecs = Array.fill(10000)(Array(rnd.nextFloat(), rnd.nextFloat()))
+    val g = new Vamana(vecs, "EUCLIDEAN", maxDegree = 16, beamWidth = 32, alpha = 1.4).build()
+    val nQ = 20
+    var recallSum = 0.0
+    g.visitedCount = 0
+    for (qi <- 0 until nQ) {
+      val q = Array(rnd.nextFloat(), rnd.nextFloat())
+      // threshold chosen to match ~1% of points (sim = 1/(1+d^2))
+      val t = 0.99
+      val want = vecs.indices.filter(i => g.sim(q, vecs(i)) >= t).toSet
+      if (want.nonEmpty) {
+        val got = g.thresholdSearch(q, t, 32).map(_._1).toSet
+        recallSum += got.intersect(want).size.toDouble / want.size
+      } else recallSum += 1.0
+    }
+    assert(recallSum / nQ > 0.9, s"threshold recall ${recallSum / nQ} <= 0.9")
+    val visitedRatio = g.visitedCount.toDouble / (10000.0 * nQ)
+    assert(visitedRatio < 0.85, s"visited ratio $visitedRatio >= 0.85")
   }
 
   test("Vamana threshold search returns all above threshold on its segment") {
