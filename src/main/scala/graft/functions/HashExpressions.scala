@@ -110,10 +110,51 @@ case class SimHashBitsExpr(child: Expression, nBits: Int = 64)
   override protected def withNewChildInternal(c: Expression): SimHashBitsExpr = copy(child = c)
 }
 
+/** array<long> of distinct 60-bit hashed n-gram shingles: for each n-token
+  * window of the tokenized text, the first 15 hex chars of md5(shingle)
+  * parsed as a long (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT).
+  * Whole-document shingle when fewer than n tokens. */
+case class NgramShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    def hash(s: String): java.lang.Long =
+      java.lang.Long.parseLong(HashSupport.md5Hex(s).substring(0, 15), 16)
+    if (toks.length < n) out.add(hash(toks.mkString(" ")))
+    else {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(hash(sb.toString))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): NgramShinglesExpr = copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
   def minhashSignature(text: Column, numHashes: Int): Column =
     column(MinHashSignatureExpr(expression(text), numHashes))
   def simhashBits(text: Column, nBits: Int = 64): Column =
     column(SimHashBitsExpr(expression(text), nBits))
+  def ngramShingles(text: Column, n: Int): Column =
+    column(NgramShinglesExpr(expression(text), n))
 }

@@ -74,8 +74,10 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
 
+    // verify join carries 60-bit token hashes, not strings (4x less shuffle;
+    // portable to the DuckDB oracle via ('0x'||substr(md5(t),1,15))::BIGINT)
     val tokSets = base.select(col("id"),
-      array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+      graft.functions.HashExpressions.ngramShingles(col("text"), 1).as("toks"))
     cand
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
       .join(tokSets.select(col("id").as("id2"), col("toks").as("toks2")), "id2")
@@ -106,14 +108,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.0): DataFrame = {
 
-    def shingles(text: Column): Column = {
-      val toks = TextFunctions.tokens(text)
-      val raw = when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      array_distinct(transform(raw,
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
-    }
+    def shingles(text: Column): Column =
+      graft.functions.HashExpressions.ngramShingles(text, n)
 
     val base = docs.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
       shingles(col(textCol)).as("sh"))

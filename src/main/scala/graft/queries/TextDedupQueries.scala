@@ -135,9 +135,11 @@ object TextDedupQueries {
        |   FROM sig, range(0, $bands) r(j)),
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
        |   FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id),
+       |th AS (SELECT id, list_distinct(list_transform(toks,
+       |   tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT))) AS toks FROM t),
        |ver AS (SELECT id1, id2,
        |   CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) / len(list_distinct(list_concat(x.toks, y.toks))) AS jac
-       |   FROM cand JOIN t x ON x.id = cand.id1 JOIN t y ON y.id = cand.id2)
+       |   FROM cand JOIN th x ON x.id = cand.id1 JOIN th y ON y.id = cand.id2)
        |SELECT id1, id2, round(jac, 6) AS jaccard FROM ver WHERE jac >= $mhThreshold""".stripMargin
   }
 
