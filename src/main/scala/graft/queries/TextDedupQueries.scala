@@ -194,7 +194,45 @@ object TextDedupQueries {
        |SELECT id1, id2, round(sim, 6) AS sim FROM p WHERE sim >= $nearDupThreshold""".stripMargin
   }
 
+  /** Deterministic stratified sample: n docs per language, selected by md5
+    * rank (a seedless, engine-portable "random" order) — the balanced-
+    * sampling step of a training-data pipeline. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val n = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(concat(lit("42|"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
+  }
+
+  private val stratifiedSampleSql: String =
+    """SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+      | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |   ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      | FROM documents) WHERE rk <= 20""".stripMargin
+
+  /** Vocabulary build: distinct tokens ranked by (corpus frequency desc,
+    * token asc) with stable ids — tokenizer-prep over the corpus. */
+  private def tokenVocab(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
+  }
+
+  private val tokenVocabSql: String =
+    s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+       |f AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
+       |SELECT token, freq, CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1 AS INT) AS token_id
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample" -> (stratifiedSample _),
+    "token_vocab" -> (tokenVocab _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -207,6 +245,8 @@ object TextDedupQueries {
     "embed_neardup" -> (embedNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "stratified_sample" -> stratifiedSampleSql,
+    "token_vocab" -> tokenVocabSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
