@@ -197,21 +197,24 @@ object TextDedupQueries {
   /** Deterministic stratified sample: n docs per language, selected by md5
     * rank (a seedless, engine-portable "random" order) — the balanced-
     * sampling step of a training-data pipeline. */
+  private val samplePerLang = 20
+  private val sampleSeed = "42|"
+
   private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val n = 20
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(md5(concat(lit("42|"), col("doc_id").cast("string"))), col("doc_id"))
+      .partitionBy("lang")
+      .orderBy(md5(concat(lit(sampleSeed), col("doc_id").cast("string"))), col("doc_id"))
     Tables.documents(s, dir)
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= n)
+      .filter(col("rk") <= samplePerLang)
       .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
   }
 
   private val stratifiedSampleSql: String =
-    """SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
-      | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-      |   ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-      | FROM documents) WHERE rk <= 20""".stripMargin
+    s"""SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+       | SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+       |   ORDER BY md5('$sampleSeed' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       | FROM documents) WHERE rk <= $samplePerLang""".stripMargin
 
   /** Vocabulary build: distinct tokens ranked by (corpus frequency desc,
     * token asc) with stable ids — tokenizer-prep over the corpus. */
