@@ -57,4 +57,37 @@ object StreamingIngest {
     * streaming exact-dedup over an id column. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionId: Int, lastUs: Long, n: Int, total: Double)
+  case class SessionOut(user_id: Long, session_id: Int, n: Int, total: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState (KeyValueGrouped
+    * custom state, SURVEY §2.10): emits a session row whenever a gap >
+    * `gapMinutes` closes the previous session. Batch twin:
+    * RelationalQueries.eventsSessions (DuckDB-oracled). */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0.0))
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val us = e.ts.getTime * 1000L
+            if (st.n > 0 && us - st.lastUs > gapUs) {
+              out += SessionOut(user, st.sessionId, st.n, st.total)
+              st = SessionState(st.sessionId + 1, us, 1, e.value)
+            } else {
+              st = SessionState(st.sessionId, us, st.n + 1, st.total + e.value)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -48,6 +48,41 @@ class StreamingMaintenanceSpec extends SparkSpec {
     assert(streamed.values.sum >= batch.values.sum * 9 / 10)
   }
 
+  test("watermark dedup drops duplicate event ids in-stream") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir).limit(200).cache()
+    ev.union(ev).write.parquet(s"$dir/dup") // every event twice
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/dup")
+    val q = StreamingIngest.dedupedEvents(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_ev").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_ev").head()
+    assert(n.getLong(0) === n.getLong(1), "no duplicate event_ids may survive")
+    assert(n.getLong(1) === 200)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch twin on closed sessions") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir)
+    ev.write.parquet(s"$dir/events")
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events")
+      .selectExpr("user_id", "event_id", "ts", "value")
+      .as[StreamingIngest.SessionEvent]
+    val q = StreamingIngest.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT user_id, session_id, n FROM sessions")
+      .as[(Long, Int, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // batch twin (oracled): compare CLOSED sessions (streaming can't emit
+    // the still-open last session per user without a timeout/final batch)
+    val batch = graft.queries.RelationalQueries.eventsSessions(spark, sfDir)
+      .select($"user_id", ($"session_id" - 1).as("session_id"), $"n") // batch ids are 1-based
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2.toInt) -> r._3.toInt).toMap
+    assert(streamed.nonEmpty)
+    for ((k, n) <- streamed) assert(batch.get(k).contains(n), s"session $k count mismatch")
+  }
+
   test("tombstone deletes: merge-on-read filtering, then compaction removes rows") {
     val dir = tmpDir()
     val emb = Tables.embeddings(spark, sfDir)
