@@ -25,6 +25,28 @@ import org.apache.spark.util.LongAccumulator
   */
 object Ann {
 
+  /** Per-executor cache of assembled segment graphs (index segments are
+    * immutable once written, so (path, seg, params) fully identifies one).
+    * This is the warm-index serving mode — the reference's benchmarks also
+    * search a resident index; cold parquet decode + adjacency assembly
+    * otherwise dominates repeated query batches. Bounded; cleared wholesale
+    * when over capacity (segments reload lazily). */
+  private[index] object SegmentCache {
+    case class Entry(ids: Array[Long], graph: Vamana)
+    private val maxEntries = 256
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    def getOrCompute(key: String, f: => Entry): Entry = {
+      if (m.size > maxEntries) m.clear()
+      var e = m.get(key)
+      if (e == null) { e = f; m.put(key, e) }
+      e
+    }
+    def clear(): Unit = m.clear()
+  }
+
+  /** Drop all cached segment graphs (call after overwriting an index path). */
+  def clearSegmentCache(): Unit = SegmentCache.clear()
+
   case class Params(
       metric: String = "COSINE",
       maxDegree: Int = 32,
@@ -260,22 +282,28 @@ object Ann {
           if (qIdx.isEmpty) Iterator.empty
           else {
             val sorted = rows.sortBy(_._2)
-            val vecs = sorted.map(_._4)
-            val ids = sorted.map(_._3)
             val live = sorted.map(_._7)
-            val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-              p.alpha, p.neighborOverflow, p.seed)
-            sorted.foreach { r =>
-              g.neighbors(r._2) ++= r._5
-              if (r._6) g.entryNode = r._2
-            }
+            // warm-serving path: immutable segments cache per executor
+            val cacheKey = s"$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            val entry = SegmentCache.getOrCompute(cacheKey, {
+              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+              sorted.foreach { r =>
+                g0.neighbors(r._2) ++= r._5
+                if (r._6) g0.entryNode = r._2
+              }
+              SegmentCache.Entry(sorted.map(_._3), g0)
+            })
+            val g = entry.graph
+            val ids = entry.ids
+            val v0 = g.visitedCount
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               g.search(qv, topK, ef, i => live(i))
                 .map { case (local, s) => (qid, ids(local), s) }
             }
             metrics.foreach { m =>
-              m.visited.add(g.visitedCount)
+              m.visited.add(g.visitedCount - v0)
               m.scanned.add(rows.length)
             }
             out.iterator.flatten

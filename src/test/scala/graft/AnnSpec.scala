@@ -83,6 +83,20 @@ class AnnSpec extends SparkSpec {
     assert(visitedRatio < 0.25, s"filtered visited ratio $visitedRatio too high")
   }
 
+  test("warm segment cache returns identical results to cold load") {
+    val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
+    val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
+    val queries = randVectors(10, 8, seed = 32).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    Ann.clearSegmentCache()
+    val cold = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val warm = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(cold === warm)
+  }
+
   test("persisted index round-trip gives same recall") {
     val tmp = java.nio.file.Files.createTempDirectory("annidx").toString
     val base = randVectors(2000, 16, seed = 5).toDF("id", "vec").repartition(2)
