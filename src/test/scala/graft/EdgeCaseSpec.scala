@@ -1,0 +1,63 @@
+package graft
+
+import graft.index.{Ann, Vamana}
+import graft.operators.{Dedup, KnnExact, PQ}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty tables, single rows, empty query sets,
+  * blank documents — the operators must degrade to empty/identity results,
+  * never throw. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+  private val oneVec = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+  private val q1 = Seq((0L, Seq(1.0f, 1.0f))).toDF("qid", "qvec")
+
+  test("Vamana handles n=0 and n=1") {
+    val g0 = new Vamana(Array.empty, "COSINE").build()
+    assert(g0.search(Array(1.0f), 5, 8).isEmpty)
+    val g1 = new Vamana(Array(Array(1.0f, 0.0f)), "COSINE").build()
+    assert(g1.search(Array(1.0f, 0.0f), 5, 8).map(_._1).toSeq === Seq(0))
+  }
+
+  test("exact kNN: empty base, empty queries, single row") {
+    assert(KnnExact.knn(emptyVecs, q1, 5, "COSINE").count() === 0)
+    val emptyQ = Seq.empty[(Long, Seq[Float])].toDF("qid", "qvec")
+    assert(KnnExact.knn(oneVec, emptyQ, 5, "COSINE").count() === 0)
+    val r = KnnExact.knn(oneVec, q1, 5, "COSINE").collect()
+    assert(r.length === 1 && r(0).getAs[Long]("nid") === 1L)
+  }
+
+  test("segmented ANN search: empty base and single row") {
+    val (res, _) = Ann.searchWithMetrics(emptyVecs, q1, 5, 8)
+    assert(res.count() === 0)
+    val (one, _) = Ann.searchWithMetrics(oneVec, q1, 5, 8)
+    assert(one.select("nid").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("dedup operators tolerate blank documents") {
+    val docs = Seq((0L, ""), (1L, "   "), (2L, "a b c")).toDF("doc_id", "text")
+    val ex = Dedup.exact(docs, "doc_id", "text")
+      .select("id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(ex(1L) === true) // "" and whitespace-only share the empty fingerprint
+    assert(ex(2L) === false)
+    // signatures defined (empty-token docs hash to the empty-min sentinel)
+    val sig = docs.select(Dedup.minhashSignature($"text", 4)).collect()
+    assert(sig.length === 3)
+    val sh = docs.select(Dedup.simhashBits($"text")).as[String].collect()
+    assert(sh.forall(_.length === 64))
+  }
+
+  test("PQ: k capped by sample size; encode of single vector") {
+    val model = PQ.train(oneVec, "vec", m = 2, k = 256) // 1 point -> k=1
+    assert(model.codebooks.forall(_.length === 1))
+    val enc = PQ.encode(oneVec, "vec", model).select("pq_code").as[Seq[Int]].head()
+    assert(enc === Seq(0, 0))
+  }
+
+  test("threshold search with no matches returns empty, not error") {
+    val r = KnnExact.thresholdSearch(oneVec, q1, threshold = 2.0, metric = "COSINE")
+    assert(r.count() === 0)
+  }
+}

@@ -59,6 +59,25 @@ class QuantizationSpec extends SparkSpec {
     assert(meanRecall >= 0.95, s"mean recall $meanRecall below 0.95")
   }
 
+  test("PQ ADC recall holds for EUCLIDEAN and DOT metrics too") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PQ.train(emb, "embedding", m = 16, k = 64)
+    val encoded = PQ.encode(emb, "embedding", model)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    for (metric <- Seq("EUCLIDEAN", "DOT_PRODUCT")) {
+      val approx = PQ.knn(encoded, queries, model, topK = 10, rerankK = 100,
+        metric = metric, baseId = "vec_id", baseVec = "embedding")
+        .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val exact = KnnExact.knn(emb, queries, 10, metric, "vec_id", "embedding")
+        .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val recalls = exact.map { case (q, w) =>
+        approx.get(q).map(_.intersect(w).size.toDouble / w.size).getOrElse(0.0) }
+      val r = recalls.sum / recalls.size
+      assert(r >= 0.9, s"$metric ADC recall $r < 0.9")
+    }
+  }
+
   test("PQ sidecar save/load round-trips the model; refine keeps or improves cost") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = PQ.train(emb, "embedding", m = 8, k = 16)
