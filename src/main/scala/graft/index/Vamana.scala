@@ -161,13 +161,20 @@ final class Vamana(
     * sorted score desc, id asc (final scores recomputed in double for the
     * deterministic output contract). Counts visited nodes. Heaps hold
     * packed longs (float score bits + id) — no boxing in the hot loop. */
-  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] = {
+  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] =
+    searchInternalScored(i => sim(q, vectors(i)), descend(q), ef, accept)
+
+  /** Beam search with a pluggable node scorer (jvector's
+    * ApproximateScoreFunction seam, `similarity/ScoreFunction.java`):
+    * two-phase search drives the beam with cheap approximate scores (PQ
+    * ADC, BQ hamming) and reranks survivors exactly. */
+  def searchInternalScored(scorer: Int => Double, entry: Int, ef: Int,
+      accept: Int => Boolean): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
     val visited = new java.util.BitSet(n)
     val cand = new LongHeap(64, min = false) // best frontier on top
     val res = new LongHeap(ef + 1, min = true) // worst kept result on top
-    val entry = descend(q) // greedy hierarchy descent (no-op when layers empty)
-    cand.push(LongHeap.pack(sim(q, vectors(entry)), entry))
+    cand.push(LongHeap.pack(scorer(entry), entry))
     visited.set(entry)
     visitedCount += 1
     var stop = false
@@ -189,15 +196,29 @@ final class Vamana(
           if (!visited.get(nb)) {
             visited.set(nb)
             visitedCount += 1
-            val s = sim(q, vectors(nb))
+            val s = scorer(nb)
             if (res.size < ef || s > LongHeap.score(res.top)) cand.push(LongHeap.pack(s, nb))
           }
           i += 1
         }
       }
     }
-    res.toArray.map { p => val id = LongHeap.id(p); (id, sim(q, vectors(id))) }
+    res.toArray.map { p => val id = LongHeap.id(p); (id, scorer(id)) }
       .sortBy { case (id, s) => (-s, id) }
+  }
+
+  /** Two-phase search (jvector `GraphSearcher` approx + rerank,
+    * `GraphSearcher.java:471-507`): the beam runs entirely on `approx`
+    * scores keeping rerankK candidates; survivors are re-scored with the
+    * exact similarity (late materialization — at scale the full-res
+    * vectors are the expensive fetch). Returns topK sorted score desc,
+    * id asc. */
+  def searchTwoPhase(q: Array[Float], approx: Int => Double, topK: Int, rerankK: Int,
+      accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
+    val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept)
+    candidates.map { case (id, _) => (id, sim(q, vectors(id))) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(topK)
   }
 
   /** RobustPrune: keep up to `deg` diverse candidates (closest-first greedy;

@@ -83,6 +83,36 @@ class AnnSpec extends SparkSpec {
     assert(visitedRatio < 0.25, s"filtered visited ratio $visitedRatio too high")
   }
 
+  test("two-phase in-graph search: PQ-ADC beam + exact rerank, recall >= 0.9") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Array.fill(5000)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("id", "vec")
+    val model = graft.operators.PQ.train(df, "vec", m = 4, k = 32)
+    val codes = vecs.map(v => model.encodeOne(v.map(_.toDouble)))
+    val g = new Vamana(vecs, "COSINE", maxDegree = 16, beamWidth = 64).build()
+
+    var recallSum = 0.0
+    val nQ = 20
+    for (_ <- 0 until nQ) {
+      val q = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val (dots, mags) = graft.operators.PQ.adcTables(q.map(_.toDouble), model)
+      val qnorm = q.map(x => x.toDouble * x).sum
+      val kk = model.codebooks(0).length
+      val approx: Int => Double = { i =>
+        var dot = 0.0; var mag = 0.0; var m = 0
+        while (m < model.m) {
+          dot += dots(m * kk + codes(i)(m)); mag += mags(m * kk + codes(i)(m)); m += 1
+        }
+        (1.0 + dot / (math.sqrt(mag) * math.sqrt(qnorm))) / 2.0
+      }
+      val got = g.searchTwoPhase(q, approx, topK = 10, rerankK = 60).map(_._1).toSet
+      val want = vecs.indices.map(i => (i, g.sim(q, vecs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      recallSum += got.intersect(want).size.toDouble / want.size
+    }
+    assert(recallSum / nQ >= 0.9, s"two-phase recall ${recallSum / nQ} < 0.9")
+  }
+
   test("warm segment cache returns identical results to cold load") {
     val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
     val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
