@@ -32,7 +32,7 @@ object Ann {
     * otherwise dominates repeated query batches. Bounded; cleared wholesale
     * when over capacity (segments reload lazily). */
   private[index] object SegmentCache {
-    case class Entry(ids: Array[Long], graph: Vamana)
+    case class Entry(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]])
     private val maxEntries = 256
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
@@ -61,7 +61,13 @@ object Ann {
         * degree), so visited RATIO improves linearly with segment size —
         * at cluster scale use ~1M-row segments (set by
         * spark.sql.files.maxPartitionBytes on the read path). */
-      segmentRows: Int = 8192)
+      segmentRows: Int = 8192,
+      /** >0 enables PQ compression in the index: per-row codes with pqM
+        * subspaces + a codebook sidecar; search can then run the beam on
+        * ADC scores and rerank exactly (the reference's default two-pass
+        * design). */
+      pqM: Int = 0,
+      pqK: Int = 256)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -172,6 +178,16 @@ object Ann {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
+    // optional PQ compression: global codebooks (trained on the standard
+    // bounded sample), codes per row, sidecar under the index dir (the
+    // underscore prefix keeps it out of parquet directory listings)
+    val pqModel: Option[graft.operators.PQModel] =
+      if (p.pqM > 0) Some(graft.operators.PQ.train(base, baseVec, p.pqM, p.pqK))
+      else None
+    val encodeCode: Array[Float] => Array[Int] = pqModel match {
+      case Some(m) => v => m.encodeOne(v.map(_.toDouble))
+      case None => _ => null
+    }
     segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -193,12 +209,14 @@ object Ann {
           }
           rows.indices.iterator.map { i =>
             (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode,
-              if (i == 0) centroid else null)
+              if (i == 0) centroid else null, encodeCode(rows(i)._2))
           }
         }
       }
-      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid")
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid", "pq_code")
       .write.mode("overwrite").parquet(path)
+    // sidecar AFTER the main write (overwrite would wipe it)
+    pqModel.foreach(m => graft.operators.PQ.save(spark, m, s"$path/_pq_model"))
   }
 
   /** Search a persisted index: co-locate each segment's rows, rebuild the
@@ -213,7 +231,10 @@ object Ann {
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
       probeSegments: Int = 0,
-      metrics: Option[SearchMetrics] = None): DataFrame = {
+      metrics: Option[SearchMetrics] = None,
+      /** >0 runs the two-phase search: beam on PQ-ADC approx scores (needs
+        * an index built with pqM > 0), exact rerank of rerankK survivors. */
+      rerankK: Int = 0): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -258,6 +279,24 @@ object Ann {
       case None => raw.withColumn("__live", lit(true))
     }
 
+    // two-phase mode: load the PQ sidecar + precompute per-query ADC tables
+    val adcB: Option[(Int, Int, org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Array[Double], Double)]])] =
+      if (rerankK > 0) {
+        try {
+          val model = graft.operators.PQ.load(spark, s"$path/_pq_model")
+          val tables = qArr.map { case (_, qv) =>
+            val qd = qv.map(_.toDouble)
+            val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
+            var qn = 0.0; var i = 0
+            while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
+            (dots, mags, qn)
+          }
+          Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(tables)))
+        } catch {
+          case _: Exception => None // no sidecar -> fall back to exact beam
+        }
+      } else None
+
     // with routing active, prune unprobed segments BEFORE the read/shuffle —
     // I/O and shuffle stay proportional to probed segments, not index size
     val pruned = segQueriesB match {
@@ -267,12 +306,15 @@ object Ann {
       case None => withLive
     }
 
-    val perSegment = pruned
+    val withCode =
+      if (pruned.columns.contains("pq_code")) pruned
+      else pruned.withColumn("pq_code", lit(null).cast("array<int>"))
+    val perSegment = withCode
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("__live"))
+        col("is_entry"), col("__live"), col("pq_code").cast("array<int>"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
           val qIdx: Array[Int] = segQueriesB match {
@@ -292,15 +334,37 @@ object Ann {
                 g0.neighbors(r._2) ++= r._5
                 if (r._6) g0.entryNode = r._2
               }
-              SegmentCache.Entry(sorted.map(_._3), g0)
+              SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
             })
             val g = entry.graph
             val ids = entry.ids
+            val codes = entry.codes
+            val hasCodes = codes != null && codes.length > 0 && codes(0) != null
             val v0 = g.visitedCount
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
-              g.search(qv, topK, ef, i => live(i))
-                .map { case (local, s) => (qid, ids(local), s) }
+              val found = adcB match {
+                case Some((m, kk, tb)) if hasCodes =>
+                  val (dots, mags, qn) = tb.value(qi)
+                  val mc = p.metric.toUpperCase match {
+                    case "EUCLIDEAN" => 0
+                    case "DOT_PRODUCT" | "DOT" => 1
+                    case _ => 2
+                  }
+                  val approx: Int => Double = { i =>
+                    val code = codes(i)
+                    var dot = 0.0; var mag = 0.0; var s = 0
+                    while (s < m) {
+                      dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1
+                    }
+                    if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
+                    else if (mc == 1) (1.0 + dot) / 2.0
+                    else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
+                  }
+                  g.searchTwoPhase(qv, approx, topK, math.max(rerankK, ef), i => live(i))
+                case _ => g.search(qv, topK, ef, i => live(i))
+              }
+              found.map { case (local, s) => (qid, ids(local), s) }
             }
             metrics.foreach { m =>
               m.visited.add(g.visitedCount - v0)

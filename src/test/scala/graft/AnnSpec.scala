@@ -113,6 +113,25 @@ class AnnSpec extends SparkSpec {
     assert(recallSum / nQ >= 0.9, s"two-phase recall ${recallSum / nQ} < 0.9")
   }
 
+  test("PQ-compressed index end-to-end: ADC beam + rerank via searchIndex, recall >= 0.9") {
+    val tmp = java.nio.file.Files.createTempDirectory("annpq").toString
+    val base = randVectors(5000, 16, seed = 41).toDF("id", "vec").repartition(2)
+    val queries = randVectors(20, 16, seed = 42).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 32)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    // prove the sidecar round-trips (searchIndex silently falls back to the
+    // exact beam if the load fails, which would mask a broken ADC path)
+    val sidecar = graft.operators.PQ.load(spark, s"$tmp/idx/_pq_model")
+    assert(sidecar.m == 4 && sidecar.codebooks(0).length == 32, "codebook sidecar broken")
+    val codeRows = spark.read.parquet(s"$tmp/idx").where(org.apache.spark.sql.functions.col("pq_code").isNotNull).count()
+    assert(codeRows == 5000L, s"expected 5000 pq codes, got $codeRows")
+    Ann.clearSegmentCache()
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params, rerankK = 80)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.9, s"PQ two-phase recall $r < 0.9")
+  }
+
   test("warm segment cache returns identical results to cold load") {
     val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
     val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
