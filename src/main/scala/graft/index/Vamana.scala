@@ -105,7 +105,9 @@ final class Vamana(
 
   /** Greedy 1-best descent through upper layers to seed layer-0 search
     * (jvector `internalSearch` descent, GraphSearcher.java:263-282). */
-  private def descend(q: Array[Float]): Int = {
+  private def descend(q: Array[Float]): Int = descendScored(queryScorer(q))
+
+  private def descendScored(scorer: Int => Double): Int = {
     var cur = entryNode
     var l = maxLevel
     while (l >= 1) {
@@ -113,9 +115,9 @@ final class Vamana(
       var improved = true
       while (improved) {
         improved = false
-        var best = sim(q, vectors(cur))
+        var best = scorer(cur)
         for (nb <- layer.getOrElse(cur, Array.empty[Int])) {
-          val s = sim(q, vectors(nb))
+          val s = scorer(nb)
           visitedCount += 1
           if (s > best) { best = s; cur = nb; improved = true }
         }
@@ -155,14 +157,46 @@ final class Vamana(
       (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
   }
 
-  private def simNodes(i: Int, j: Int): Double = sim(vectors(i), vectors(j))
+  // COSINE: node norms are fixed — precompute sqrt(sum sq) once so the hot
+  // kernel does one multiply-add per element instead of three. Accumulation
+  // order matches the fused loop in `sim` exactly (independent accumulators,
+  // same index order), so scores stay bit-identical to the unfused formula.
+  private val normSqrts: Array[Double] =
+    if (metricCode == 2) Array.tabulate(n)(i => math.sqrt(normSq(vectors(i)))) else null
+
+  private def normSq(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    s
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  private def simNodes(i: Int, j: Int): Double =
+    if (metricCode == 2)
+      (1.0 + dot(vectors(i), vectors(j)) / (normSqrts(i) * normSqrts(j))) / 2.0
+    else sim(vectors(i), vectors(j))
+
+  /** Query-to-node scorer with the query norm hoisted out of the loop
+    * (COSINE); other metrics fall through to `sim`. Bit-identical results. */
+  private def queryScorer(q: Array[Float]): Int => Double =
+    if (metricCode == 2) {
+      val qn = math.sqrt(normSq(q))
+      i => (1.0 + dot(q, vectors(i)) / (qn * normSqrts(i))) / 2.0
+    } else { i => sim(q, vectors(i)) }
 
   /** Greedy best-first beam search (one layer). Returns up to `ef` results
     * sorted score desc, id asc (final scores recomputed in double for the
     * deterministic output contract). Counts visited nodes. Heaps hold
     * packed longs (float score bits + id) — no boxing in the hot loop. */
-  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] =
-    searchInternalScored(i => sim(q, vectors(i)), descend(q), ef, accept)
+  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] = {
+    val scorer = queryScorer(q)
+    searchInternalScored(scorer, descendScored(scorer), ef, accept)
+  }
 
   /** Beam search with a pluggable node scorer (jvector's
     * ApproximateScoreFunction seam, `similarity/ScoreFunction.java`):
@@ -216,7 +250,8 @@ final class Vamana(
   def searchTwoPhase(q: Array[Float], approx: Int => Double, topK: Int, rerankK: Int,
       accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
     val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept)
-    candidates.map { case (id, _) => (id, sim(q, vectors(id))) }
+    val exact = queryScorer(q)
+    candidates.map { case (id, _) => (id, exact(id)) }
       .sortBy { case (id, s) => (-s, id) }
       .take(topK)
   }
@@ -228,7 +263,8 @@ final class Vamana(
     * with a reusable scratch BitSet for dedupe; no per-call boxing. */
   private val pruneSeen = new java.util.BitSet(math.max(1, n))
 
-  private def robustPrune(p: Int, packed: Array[Long], deg: Int): mutable.ArrayBuffer[Int] = {
+  private def robustPrune(p: Int, packed: Array[Long], deg: Int,
+      scoresOut: mutable.ArrayBuffer[Double] = null): mutable.ArrayBuffer[Int] = {
     java.util.Arrays.sort(packed)
     val kept = new mutable.ArrayBuffer[Int](deg)
     val alive = Array.fill(packed.length)(true)
@@ -250,6 +286,7 @@ final class Vamana(
             }
             if (!dominated) {
               kept += c
+              if (scoresOut != null) scoresOut += sPC
               pruneSeen.set(c)
               alive(i) = false
             }
@@ -294,28 +331,50 @@ final class Vamana(
     val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
     val rnd = new scala.util.Random(seed)
     val order = rnd.shuffle((0 until n).toVector)
+    // owner->neighbor sims cached parallel to each adjacency list: sim is
+    // symmetric, so a backlink's score is the forward score we just computed —
+    // overflow re-prunes then need zero fresh similarity evaluations to pack.
+    val nbrSims: Array[mutable.ArrayBuffer[Double]] =
+      Array.fill(n)(mutable.ArrayBuffer.empty[Double])
     for (node <- order if node != entryNode) {
       val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree)
+      val chosenScores = mutable.ArrayBuffer.empty[Double]
+      val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree, chosenScores)
       neighbors(node) = chosen
+      nbrSims(node) = chosenScores
       // reverse edges (backlink), prune on overflow
-      for (nb <- chosen) {
+      var ci = 0
+      while (ci < chosen.length) {
+        val nb = chosen(ci)
         val lst = neighbors(nb)
         if (!lst.contains(node)) {
           lst += node
+          nbrSims(nb) += chosenScores(ci)
           if (lst.length > overflowDeg) {
-            neighbors(nb) = robustPrune(nb,
-              packPairs(lst.iterator.map(x => (x, simNodes(nb, x))), lst.length), maxDegree)
+            val sims = nbrSims(nb)
+            val packed = new Array[Long](lst.length)
+            var i2 = 0
+            while (i2 < lst.length) { packed(i2) = LongHeap.pack(sims(i2), lst(i2)); i2 += 1 }
+            val outScores = mutable.ArrayBuffer.empty[Double]
+            neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
+            nbrSims(nb) = outScores
           }
         }
+        ci += 1
       }
     }
-    // refine pass (jvector refineFinalGraph / improveConnections)
+    // refine pass (jvector refineFinalGraph / improveConnections); existing
+    // edges are re-packed from the cached sims, only the fresh beam results
+    // need scoring (which searchInternal already produced)
     for (node <- 0 until n) {
       val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val packed = packPairs(
-        found.iterator ++ neighbors(node).iterator.map(x => (x, simNodes(node, x))),
-        found.length + neighbors(node).length)
+      val lst = neighbors(node)
+      val sims = nbrSims(node)
+      val packed = new Array[Long](found.length + lst.length)
+      var i2 = 0
+      while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
+      var j2 = 0
+      while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
       neighbors(node) = robustPrune(node, packed, maxDegree)
     }
     buildHierarchy()
