@@ -28,10 +28,15 @@ private[graft] object HashSupport {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  def md5Hex(s: String): String = {
+  def md5Hex(s: String): String = hex(md5Bytes(s))
+
+  def md5Bytes(s: String): Array[Byte] = {
     val d = digest.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    d.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def hex(bytes: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < bytes.length) {
@@ -40,6 +45,21 @@ private[graft] object HashSupport {
       i += 1
     }
     new String(out)
+  }
+
+  /** token -> raw md5("i|token") digests for i in [0, count). Natural-language
+    * vocabulary is Zipf-bounded, so a per-executor memo turns
+    * O(rows * tokens * count) digests into O(vocab * count); bounded and
+    * cleared wholesale when over capacity (values recompute deterministically).
+    * Unsigned byte-array order == hex-string order, so callers can compare
+    * digests raw and hex only the survivors. */
+  private val memoCap = 1 << 20
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
+  def tokenDigests(tok: String, count: Int): Array[Array[Byte]] = {
+    if (memo.size > memoCap) memo.clear()
+    memo.computeIfAbsent(count.toString + "|" + tok,
+      _ => Array.tabulate(count)(i => md5Bytes(i.toString + "|" + tok)))
   }
 
   /** Tokens: whitespace-split of lowercased trimmed text (matches
@@ -63,18 +83,22 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val toks = HashSupport.distinctTokens(input.asInstanceOf[UTF8String].toString)
+    val mins = new Array[Array[Byte]](numHashes)
+    var j = 0
+    while (j < toks.length) {
+      val digs = HashSupport.tokenDigests(toks(j), numHashes)
+      var i = 0
+      while (i < numHashes) {
+        if (mins(i) == null || java.util.Arrays.compareUnsigned(digs(i), mins(i)) < 0)
+          mins(i) = digs(i)
+        i += 1
+      }
+      j += 1
+    }
     val out = new Array[Any](numHashes)
     var i = 0
     while (i < numHashes) {
-      var min: String = null
-      val prefix = i.toString + "|"
-      var j = 0
-      while (j < toks.length) {
-        val h = HashSupport.md5Hex(prefix + toks(j))
-        if (min == null || h.compareTo(min) < 0) min = h
-        j += 1
-      }
-      out(i) = UTF8String.fromString(if (min == null) "" else min)
+      out(i) = UTF8String.fromString(if (mins(i) == null) "" else HashSupport.hex(mins(i)))
       i += 1
     }
     new GenericArrayData(out)
@@ -90,19 +114,22 @@ case class SimHashBitsExpr(child: Expression, nBits: Int = 64)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any = {
     val toks = HashSupport.distinctTokens(input.asInstanceOf[UTF8String].toString)
+    val ones = new Array[Int](nBits)
+    var j = 0
+    while (j < toks.length) {
+      val digs = HashSupport.tokenDigests(toks(j), nBits)
+      var b = 0
+      while (b < nBits) {
+        // high bit of first nibble ('8'-'f') == bit 7 of digest byte 0
+        if ((digs(b)(0) & 0x80) != 0) ones(b) += 1
+        b += 1
+      }
+      j += 1
+    }
     val sb = new java.lang.StringBuilder(nBits)
     var b = 0
     while (b < nBits) {
-      val prefix = b.toString + "|"
-      var ones = 0
-      var j = 0
-      while (j < toks.length) {
-        val c0 = HashSupport.md5Hex(prefix + toks(j)).charAt(0)
-        // high bit of first nibble: '8'-'9' or 'a'-'f'
-        if (c0 >= '8') ones += 1
-        j += 1
-      }
-      sb.append(if (2 * ones > toks.length) '1' else '0')
+      sb.append(if (2 * ones(b) > toks.length) '1' else '0')
       b += 1
     }
     UTF8String.fromString(sb.toString)

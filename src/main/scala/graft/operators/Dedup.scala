@@ -38,11 +38,17 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int): Column =
     graft.functions.HashExpressions.minhashSignature(text, numHashes)
 
-  /** LSH band hashes: bands of `rowsPerBand` signature slots, md5-combined. */
+  /** LSH band hashes: bands of `rowsPerBand` signature slots, md5-combined.
+    * The band index is folded into the hash input and the digest truncated
+    * to a 60-bit long, so the candidate join shuffles one 8-byte key per
+    * band instead of (band_idx, 32-char digest). DuckDB twin:
+    * `CAST('0x' || substr(md5(j || '|' || ...), 1, 15) AS BIGINT)`. */
   def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
     val bands = numHashes / rowsPerBand
     transform(sequence(lit(0), lit(bands - 1)),
-      j => md5(concat_ws("|", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))))
+      j => conv(substring(md5(concat_ws("|",
+        j.cast("string"), slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)))), 1, 15), 16, 10)
+        .cast("long"))
   }
 
   /** MinHash-LSH near-dup pairs verified by exact Jaccard over distinct
@@ -65,12 +71,11 @@ object Dedup {
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val withBands = base
       .withColumn("sig", minhashSignature(col("text"), numHashes))
-      .select(col("id"), posexplode(lshBands(col("sig"), numHashes, rowsPerBand)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .select(col("id"), explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("band_hash"))
 
-    val l = withBands.select(col("band_idx"), col("band_hash"), col("id").as("id1"))
-    val r = withBands.select(col("band_idx"), col("band_hash"), col("id").as("id2"))
-    val cand = l.join(r, Seq("band_idx", "band_hash"))
+    val l = withBands.select(col("band_hash"), col("id").as("id1"))
+    val r = withBands.select(col("band_hash"), col("id").as("id2"))
+    val cand = l.join(r, Seq("band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
 

@@ -131,10 +131,11 @@ object TextDedupQueries {
     s"""WITH t AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks FROM documents),
        |sig AS (SELECT id, toks, list_transform(range(0, $numHashes),
        |   i -> coalesce(list_min(list_transform(toks, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))), '')) AS sg FROM t),
-       |bands AS (SELECT id, j, md5(array_to_string(sg[j*$rowsPerBand+1:j*$rowsPerBand+$rowsPerBand], '|')) AS bh
+       |bands AS (SELECT id, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
+       |   array_to_string(sg[j*$rowsPerBand+1:j*$rowsPerBand+$rowsPerBand], '|')), 1, 15) AS BIGINT) AS bh
        |   FROM sig, range(0, $bands) r(j)),
        |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-       |   FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id),
+       |   FROM bands a JOIN bands b ON a.bh = b.bh AND a.id < b.id),
        |th AS (SELECT id, list_distinct(list_transform(toks,
        |   tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT))) AS toks FROM t),
        |ver AS (SELECT id1, id2,
