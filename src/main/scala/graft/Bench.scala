@@ -45,7 +45,12 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // ---- per-query single-run timings over the whole operator surface ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // (args, if given, restrict to those query names — iteration aid only;
+    // the driver always runs with no args)
+    val only = args.toSet
+    val qset = if (only.isEmpty) SparkEntry.queries
+               else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = qset.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
       name -> t
     }

@@ -95,16 +95,29 @@ object Ivf {
       leftVec: String = "vec",
       rightId: String = "id",
       rightVec: String = "vec",
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      /** >1 spreads each cluster over this many shuffle buckets: the join
+        * key cardinality is only nlist, which caps parallelism and skews
+        * under uneven clusters; salting replicates the (small) probe rows
+        * saltBuckets ways while the heavy right side stays single-copy.
+        * Same scored pairs, nlist*saltBuckets-way parallelism. */
+      saltBuckets: Int = 1): DataFrame = {
 
     val m = model
     val probesUdf = udf { v: Seq[Double] => m.nearestClusters(v.toArray, nprobe) }
-    val l = left.select(col(leftId).cast("long").as("__qid"), col(leftVec).as("__qvec"))
+    val l0 = left.select(col(leftId).cast("long").as("__qid"), col(leftVec).as("__qvec"))
       .withColumn("cluster_id", explode(probesUdf(col("__qvec").cast("array<double>"))))
-    val r = assign(right, rightVec, m)
+    val r0 = assign(right, rightVec, m)
       .select(col("cluster_id"), col(rightId).cast("long").as("__nid"), col(rightVec).as("__nvec"))
 
-    val scored = l.join(r, "cluster_id")
+    val (l, r, joinKeys) =
+      if (saltBuckets > 1) (
+        l0.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        r0.withColumn("__salt", pmod(hash(col("__nid")), lit(saltBuckets))),
+        Seq("cluster_id", "__salt"))
+      else (l0, r0, Seq("cluster_id"))
+
+    val scored = l.join(r, joinKeys)
       .filter(if (excludeSelf) col("__qid") =!= col("__nid") else lit(true))
       .withColumn("__score",
         VectorFunctions.similarity(m.metric)(col("__nvec"), col("__qvec")))

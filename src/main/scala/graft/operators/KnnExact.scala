@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object KnnExact {
 
+  /** The crossJoin-with-broadcast-queries plan parallelizes over BASE
+    * partitions only. A small base (one parquet split) would pin the whole
+    * O(base * queries) scoring loop to one core — spread it across the
+    * cluster first. No-op at scale: a large base already has >= cores
+    * splits, and the guard avoids shuffling it. */
+  private[graft] def spreadSmall(b: DataFrame): DataFrame = {
+    val target = b.sparkSession.sparkContext.defaultParallelism
+    if (b.rdd.getNumPartitions < target) b.repartition(target) else b
+  }
+
   /** Returns (qid, rank, nid, score); rank 1-based, ordered score desc / id asc. */
   def knn(
       base: DataFrame,
@@ -33,7 +43,8 @@ object KnnExact {
       baseFilter: Option[Column] = None): DataFrame = {
 
     val filtered = baseFilter.map(base.filter).getOrElse(base)
-    val b = filtered.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
+    val b = spreadSmall(
+      filtered.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")))
     val q = queries.select(col(queryId).cast("long").as("__qid"), col(queryVec).as("__qvec"))
 
     val scored = b
@@ -82,7 +93,8 @@ object KnnExact {
       queryId: String = "qid",
       queryVec: String = "qvec"): DataFrame = {
 
-    val b = base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
+    val b = spreadSmall(
+      base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")))
     val q = queries.select(col(queryId).cast("long").as("__qid"), col(queryVec).as("__qvec"))
     b.crossJoin(broadcast(q))
       .withColumn("__score", VectorFunctions.similarity(metric)(col("__vec"), col("__qvec")))

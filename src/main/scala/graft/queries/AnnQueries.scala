@@ -61,7 +61,8 @@ object AnnQueries {
     val model = Ivf.train(emb, "embedding", nlist = 16, metric = "COSINE")
     Ivf.knnJoin(emb, emb, model, nprobe = 8, topK = 5,
       leftId = "vec_id", leftVec = "embedding",
-      rightId = "vec_id", rightVec = "embedding", excludeSelf = true)
+      rightId = "vec_id", rightVec = "embedding", excludeSelf = true,
+      saltBuckets = 8)
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
   }
 

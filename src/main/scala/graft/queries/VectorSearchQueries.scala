@@ -121,9 +121,10 @@ object VectorSearchQueries {
     * itself) — the oracle contract for the IVF-blocked distributed join. */
   private def knnSelfJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val b = emb.select(col("vec_id").cast("long").as("__nid"), col("embedding").as("__vec"))
+    val b = graft.operators.KnnExact.spreadSmall(
+      emb.select(col("vec_id").cast("long").as("__nid"), col("embedding").as("__vec")))
     val q = emb.select(col("vec_id").cast("long").as("__qid"), col("embedding").as("__qvec"))
-    val scored = b.crossJoin(q).filter(col("__nid") =!= col("__qid"))
+    val scored = b.crossJoin(broadcast(q)).filter(col("__nid") =!= col("__qid"))
       .withColumn("__score", graft.functions.VectorFunctions.cosineSim(col("__vec"), col("__qvec")))
     val agg = graft.operators.TopK.udf(5)
     scored.groupBy(col("__qid").as("qid"))

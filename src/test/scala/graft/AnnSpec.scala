@@ -244,7 +244,8 @@ class AnnSpec extends SparkSpec {
     val model = Ivf.train(emb, "embedding", nlist = 16, metric = "COSINE")
     val got = Ivf.knnJoin(emb, emb, model, nprobe = 8, topK = 5,
       leftId = "vec_id", leftVec = "embedding",
-      rightId = "vec_id", rightVec = "embedding", excludeSelf = true)
+      rightId = "vec_id", rightVec = "embedding", excludeSelf = true,
+      saltBuckets = 4)
     val queries = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val exact = KnnExact.knn(emb, queries, 6, "COSINE", "vec_id", "embedding")
       .filter($"nid" =!= $"qid").filter($"rank" <= 6)
