@@ -45,7 +45,31 @@ object Ann {
   }
 
   /** Drop all cached segment graphs (call after overwriting an index path). */
-  def clearSegmentCache(): Unit = SegmentCache.clear()
+  def clearSegmentCache(): Unit = { SegmentCache.clear(); TransientGraphCache.clear() }
+
+  /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
+    * graphs, content-keyed: the seeded build over a deterministic partition
+    * makes (params, ids, vector bytes) fully identify the graph. Repeated
+    * `Ann.search` calls over the same table then skip the O(n) graph build. */
+  private[index] object TransientGraphCache {
+    private val maxEntries = 64
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Vamana]()
+    def key(ids: Array[Long], vecs: Array[Array[Float]], p: Params): String = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < ids.length) { h = h * 31 + ids(i); i += 1 }
+      i = 0
+      while (i < vecs.length) { h = h * 31 + java.util.Arrays.hashCode(vecs(i)); i += 1 }
+      s"$h|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}"
+    }
+    def getOrCompute(k: String, f: => Vamana): Vamana = {
+      if (m.size > maxEntries) m.clear()
+      var g = m.get(k)
+      if (g == null) { g = f; m.put(k, g) }
+      g
+    }
+    def clear(): Unit = m.clear()
+  }
 
   case class Params(
       metric: String = "COSINE",
@@ -133,13 +157,21 @@ object Ann {
           val vecs = rows.map(_._2)
           val accept = rows.map(_._3)
           scannedAcc.add(rows.length)
-          val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-            p.alpha, p.neighborOverflow, p.seed).build()
+          // segments are deterministic (seeded build over a stable scan
+          // order), so the built graph is content-addressable: repeated
+          // transient searches over the same table reuse it instead of
+          // rebuilding (~1k vec/s). The accept filter is NOT part of the
+          // key — it applies per-query inside the beam.
+          val g = TransientGraphCache.getOrCompute(
+            TransientGraphCache.key(ids, vecs, p),
+            new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+              p.alpha, p.neighborOverflow, p.seed).build())
+          val v0 = g.visitedCount
           val out = qB.value.iterator.flatMap { case (qid, qv) =>
             g.search(qv, topK, ef, i => accept(i))
               .iterator.map { case (local, s) => (qid, ids(local), s) }
           }.toArray
-          visitedAcc.add(g.visitedCount)
+          visitedAcc.add(g.visitedCount - v0)
           out.iterator
         }
       }
@@ -424,11 +456,15 @@ object Ann {
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else {
-          val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2)
+          val g = TransientGraphCache.getOrCompute(
+            TransientGraphCache.key(ids, vecs, p),
+            new Vamana(vecs, p.metric, p.maxDegree,
+              p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build())
           qB.value.iterator.flatMap { case (qid, qv) =>
             g.thresholdSearch(qv, threshold, ef).iterator
-              .map { case (l, s) => (qid, rows(l)._1, s) }
+              .map { case (l, s) => (qid, ids(l), s) }
           }
         }
       }

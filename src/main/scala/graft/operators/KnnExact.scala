@@ -24,7 +24,9 @@ object KnnExact {
     * partitions only. A small base (one parquet split) would pin the whole
     * O(base * queries) scoring loop to one core — spread it across the
     * cluster first. No-op at scale: a large base already has >= cores
-    * splits, and the guard avoids shuffling it. */
+    * splits, and the guard avoids shuffling it. Use only when base*queries
+    * is large (e.g. self-joins) — for small query batches the extra
+    * shuffle costs more than the single-core scoring it saves. */
   private[graft] def spreadSmall(b: DataFrame): DataFrame = {
     val target = b.sparkSession.sparkContext.defaultParallelism
     if (b.rdd.getNumPartitions < target) b.repartition(target) else b
@@ -43,8 +45,7 @@ object KnnExact {
       baseFilter: Option[Column] = None): DataFrame = {
 
     val filtered = baseFilter.map(base.filter).getOrElse(base)
-    val b = spreadSmall(
-      filtered.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")))
+    val b = filtered.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
     val q = queries.select(col(queryId).cast("long").as("__qid"), col(queryVec).as("__qvec"))
 
     val scored = b
@@ -93,8 +94,7 @@ object KnnExact {
       queryId: String = "qid",
       queryVec: String = "qvec"): DataFrame = {
 
-    val b = spreadSmall(
-      base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")))
+    val b = base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
     val q = queries.select(col(queryId).cast("long").as("__qid"), col(queryVec).as("__qvec"))
     b.crossJoin(broadcast(q))
       .withColumn("__score", VectorFunctions.similarity(metric)(col("__vec"), col("__qvec")))
