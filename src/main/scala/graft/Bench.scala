@@ -95,11 +95,33 @@ object Bench {
       metrics = Some(m)).count()
     val visitedRatio = m.visitedRatioPerQuery(actualNq)
 
+    // ---- engine-kernel throughput: the reference's measurement basis is an
+    // in-process searcher over a resident index (jvector Bench /
+    // ThroughputBenchmark run zero scheduling layers). ann_qps above charges
+    // every batch a full Spark job; the kernel numbers isolate the engine
+    // itself for the apples-to-apples comparison with BASELINE.md. ----
+    val localRows = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qLocal = queries.select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val kt0 = System.nanoTime()
+    val kernelGraph = new graft.index.Vamana(localRows.map(_._2), "COSINE",
+      params.maxDegree, params.beamWidth, params.alpha, params.neighborOverflow).build()
+    val kernelBuildVps = localRows.length / ((System.nanoTime() - kt0) / 1e9)
+    def kernelRun(): Unit = {
+      var i = 0
+      while (i < qLocal.length) { kernelGraph.search(qLocal(i), topK, 64); i += 1 }
+    }
+    (1 to warmups).foreach(_ => kernelRun())
+    val kernelTs = (1 to runs).map(_ => time(kernelRun())._2)
+    val kernelQps = qLocal.length / (kernelTs.sum / runs)
+
     val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val annJson =
       s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
         s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,""" +
+        s""""kernel_qps":$kernelQps,"kernel_build_vps":$kernelBuildVps,""" +
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
     println(
