@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** NVQ: non-uniform (logistic) scalar quantization, the reference's default
+  * rerank encoding (jvector `quantization/NVQuantization.java`; paper cited
+  * in its README, arXiv 2509.18471).
+  *
+  * Semantics carried over (`NVQuantization.java:487-560`):
+  *   - the global mean vector is subtracted before quantization
+  *     (`NVQuantization.java:150-158`);
+  *   - each vector splits into nSubVectors subvectors (2, or 1 when dim <= 2,
+  *     `Grid.java:509`) with PQ's size/offset rule;
+  *   - per ROW and subvector: min/max plus a learned logistic growth rate;
+  *     midpoint fixed at 0; codes are 8-bit logistic-CDF buckets
+  *     (`DefaultVectorUtilSupport.nvqQuantize8bit:487-502`);
+  *   - the growth rate maximizes uniformLoss/nvqLoss over the reference's
+  *     grid: coarse 1e-6 then +1.0 steps below 20, fine +-1 in 0.1 steps
+  *     (`NVQuantization.java:530-558`).
+  *
+  * Documented deviation: the reference evaluates the logistic via an
+  * `NQT` power-of-two bit trick (`DefaultVectorUtilSupport.java:456-484`)
+  * — a SIMD-era fast-math approximation. We use the exact logistic/logit;
+  * the quality contract (reconstruction error <= the uniform grid's, which
+  * holds by construction since the grid includes a ~uniform growth rate)
+  * is gated in QuantizationSpec.
+  */
+object NVQ {
+
+  case class Model(mean: Array[Double], nSubs: Int, sizes: Array[Int], offsets: Array[Int])
+      extends Serializable
+
+  /** Global mean + subvector layout. One aggregation job; the model is tiny
+    * (dim doubles) and rides to executors inside closures. */
+  def train(df: DataFrame, vecCol: String, nSubs: Int = 2): Model = {
+    val mean = df.select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("pos").agg(avg("col").as("m")).orderBy("pos")
+      .collect().map(_.getDouble(1))
+    val ns = if (mean.length <= 2) 1 else nSubs
+    val (sizes, offsets) = PQ.subvectorSizes(mean.length, ns)
+    Model(mean, ns, sizes, offsets)
+  }
+
+  // x0 (midpoint) is fixed at 0 as in the reference
+  private def sigma(x: Double, a: Double): Double = 1.0 / (1.0 + math.exp(-a * x))
+  private def logit(y: Double, a: Double): Double = math.log(y / (1.0 - y)) / a
+
+  /** Quantize one mean-centered subvector: logistic CDF rescaled to 0..255. */
+  private[operators] def quantizeSub(v: Array[Double], gr: Double): Array[Int] = {
+    val mn = v.min; val mx = v.max; val delta = mx - mn
+    if (delta <= 0) return Array.fill(v.length)(0)
+    val a = gr / delta
+    val bias = sigma(mn, a)
+    val scale = (sigma(mx, a) - bias) / 255.0
+    v.map { x =>
+      val q = math.round((sigma(x, a) - bias) / scale).toInt
+      math.min(255, math.max(0, q))
+    }
+  }
+
+  private[operators] def dequantizeSub(
+      codes: Array[Int], gr: Double, mn: Double, mx: Double): Array[Double] = {
+    val delta = mx - mn
+    if (delta <= 0) return Array.fill(codes.length)(mn)
+    val a = gr / delta
+    val bias = sigma(mn, a)
+    val scale = (sigma(mx, a) - bias) / 255.0
+    codes.map(q => logit(q * scale + bias, a))
+  }
+
+  private def roundtripLoss(v: Array[Double], gr: Double): Double = {
+    val dec = dequantizeSub(quantizeSub(v, gr), gr, v.min, v.max)
+    var s = 0.0; var i = 0
+    while (i < v.length) { val t = v(i) - dec(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Squared error of the plain uniform 8-bit grid — the learned rate must
+    * beat this ratio-wise (jvector `nvqUniformLoss`). */
+  private[graft] def uniformLoss(v: Array[Double]): Double = {
+    val mn = v.min; val mx = v.max; val delta = mx - mn
+    if (delta <= 0) return 0.0
+    var s = 0.0; var i = 0
+    while (i < v.length) {
+      val q = math.round((v(i) - mn) / delta * 255.0)
+      val dec = mn + q * delta / 255.0
+      val t = v(i) - dec; s += t * t
+      i += 1
+    }
+    s
+  }
+
+  /** The reference's coarse+fine grid over the uniform/nvq loss ratio. */
+  private[operators] def learnGrowthRate(v: Array[Double]): Double = {
+    val base = uniformLoss(v)
+    if (base <= 0) return 1e-2
+    var bestGr = 1e-6
+    var bestRatio = -1.0
+    def tryGr(gr: Double): Unit = if (gr > 0) {
+      val l = roundtripLoss(v, gr)
+      val ratio = if (l <= 0) Double.MaxValue else base / l
+      if (ratio > bestRatio) { bestRatio = ratio; bestGr = gr }
+    }
+    var gr = 1e-6
+    while (gr < 20.0) { tryGr(gr); gr += 1.0 }
+    val coarse = bestGr
+    var g2 = coarse - 1.0
+    while (g2 < coarse + 1.0) { tryGr(g2); g2 += 0.1 }
+    bestGr
+  }
+
+  /** Adds `nvq_code` (array<int>, full dim, 0..255) and `nvq_params`
+    * (array<array<double>> of [growthRate, min, max] per subvector). */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val m = model
+    val enc = udf { v: Seq[Double] =>
+      val codes = new Array[Int](v.length)
+      val params = new Array[Seq[Double]](m.nSubs)
+      var s = 0
+      while (s < m.nSubs) {
+        val sub = new Array[Double](m.sizes(s))
+        var i = 0
+        while (i < sub.length) {
+          sub(i) = v(m.offsets(s) + i) - m.mean(m.offsets(s) + i); i += 1
+        }
+        val gr = learnGrowthRate(sub)
+        val q = quantizeSub(sub, gr)
+        i = 0
+        while (i < q.length) { codes(m.offsets(s) + i) = q(i); i += 1 }
+        params(s) = Seq(gr, sub.min, sub.max)
+        s += 1
+      }
+      (codes.toSeq, params.toSeq)
+    }
+    df.withColumn("__nvq", enc(col(vecCol).cast("array<double>")))
+      .withColumn("nvq_code", col("__nvq._1"))
+      .withColumn("nvq_params", col("__nvq._2"))
+      .drop("__nvq")
+  }
+
+  /** Reconstruct (mean added back) — jvector's scorers dequantize on the
+    * fly (`DefaultVectorUtilSupport.nvqDotProduct8bit:391-403`); batch
+    * reconstruction is the DataFrame-shaped equivalent. */
+  def decode(df: DataFrame, model: Model, outCol: String = "nvq_decoded"): DataFrame = {
+    val m = model
+    val dec = udf { (codes: Seq[Int], params: Seq[Seq[Double]]) =>
+      val out = new Array[Double](codes.length)
+      var s = 0
+      while (s < m.nSubs) {
+        val q = new Array[Int](m.sizes(s))
+        var i = 0
+        while (i < q.length) { q(i) = codes(m.offsets(s) + i); i += 1 }
+        val p = params(s)
+        val d = dequantizeSub(q, p(0), p(1), p(2))
+        i = 0
+        while (i < d.length) { out(m.offsets(s) + i) = d(i) + m.mean(m.offsets(s) + i); i += 1 }
+        s += 1
+      }
+      out.toSeq
+    }
+    df.withColumn(outCol, dec(col("nvq_code"), col("nvq_params")))
+  }
+
+  /** Two-phase k-NN with NVQ as the approximate scorer (the reference's
+    * default rerank configuration): phase 1 scores reconstructions, phase 2
+    * reranks survivors on full-res vectors. Same partial/final shape as
+    * PQ.knn. Returns (qid, rank, nid, score). */
+  def knn(
+      baseEncoded: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      topK: Int,
+      rerankK: Int,
+      metric: String,
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame = {
+
+    val approx = decode(baseEncoded, model, "__dec")
+      .select(col(baseId).cast("long").as("__nid"), col("__dec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .withColumn("__approx", VectorFunctions.similarity(metric)(col("__dec"), col("qvec")))
+    val topkAgg = TopK.udf(rerankK)
+    val candidates = approx.groupBy("qid")
+      .agg(topkAgg(col("__nid"), col("__approx")).as("t"))
+      .select(col("qid"), explode(col("t._1")).as("__nid"))
+
+    val exact = candidates
+      .join(baseEncoded.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec")), "__nid")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("__score", VectorFunctions.similarity(metric)(col("__vec"), col("qvec")))
+    val finalAgg = TopK.udf(topK)
+    exact.groupBy("qid")
+      .agg(finalAgg(col("__nid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+}

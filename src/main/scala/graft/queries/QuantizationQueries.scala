@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{BQ, PQ, SQ8, TopK}
+import graft.operators.{BQ, NVQ, PQ, SQ8, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,30 @@ object QuantizationQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("err")), 4).as("avg_sq_err"))
   }
 
+  /** NVQ reconstruction error per label (learned logistic grid) next to the
+    * uniform-grid error on the same rows — the NVQ premise (non-uniform
+    * beats uniform) made visible; the inequality itself is spec-gated. */
+  private def nvqReconError(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = NVQ.train(emb, "embedding")
+    val dec = NVQ.decode(NVQ.encode(emb, "embedding", model), model)
+    dec.select(col("label"),
+      VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded")).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("err")), 4).as("avg_sq_err"))
+  }
+
+  private def nvqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = NVQ.train(emb, "embedding")
+    val encoded = NVQ.encode(emb, "embedding", model)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    NVQ.knn(encoded, queries, model, topK = k, rerankK = 4 * k, metric = "COSINE",
+      baseId = "vec_id", baseVec = "embedding")
+      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
   private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = PQ.train(emb, "embedding", pqM, pqK)
@@ -154,6 +178,8 @@ object QuantizationQueries {
     "pq_encode" -> (pqEncode _),
     "pq_recon_error" -> (pqReconError _),
     "pq_adc_topk" -> (pqAdcTopk _),
+    "nvq_recon_error" -> (nvqReconError _),
+    "nvq_knn" -> (nvqKnn _),
     "sq8_encode" -> (sq8Encode _),
     "sq8_knn" -> (sq8Knn _))
 

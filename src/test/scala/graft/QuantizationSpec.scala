@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFunctions
-import graft.operators.{BQ, KnnExact, PQ}
+import graft.operators.{BQ, KnnExact, NVQ, PQ}
 import org.apache.spark.sql.functions._
 
 class QuantizationSpec extends SparkSpec {
@@ -94,6 +94,54 @@ class QuantizationSpec extends SparkSpec {
         .head().getDouble(0)
     val refined = PQ.refine(emb, "embedding", model, lloydsRounds = 2)
     assert(cost(refined) <= cost(model) * 1.001)
+  }
+
+  test("NVQ: learned logistic grid beats (or ties) the uniform grid; encode is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = NVQ.train(emb, "embedding")
+    assert(model.nSubs == 2 && model.sizes.sum == model.mean.length)
+    val dec = NVQ.decode(NVQ.encode(emb, "embedding", model), model)
+    val nvqErr = dec
+      .select(avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))))
+      .head().getDouble(0)
+    // uniform per-subvector baseline on the same mean-centered rows: the
+    // learned growth-rate grid includes ~1e-6 (~linear logistic), so NVQ
+    // can never do worse than uniform per subvector — the NVQ premise.
+    val rows = emb.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val uniErr = rows.map { v =>
+      (0 until model.nSubs).map { s =>
+        val sub = Array.tabulate(model.sizes(s))(i =>
+          v(model.offsets(s) + i) - model.mean(model.offsets(s) + i))
+        NVQ.uniformLoss(sub)
+      }.sum
+    }.sum / rows.length
+    assert(nvqErr <= uniErr * 1.0001, s"nvq $nvqErr should not exceed uniform $uniErr")
+    assert(nvqErr > 0.0, "quantization of random 64-d vectors cannot be lossless")
+    // determinism (grid search + closed-form quantize: no randomness)
+    val c1 = NVQ.encode(emb.limit(20), "embedding", model).select("nvq_code").collect().map(_.getSeq[Int](0))
+    val c2 = NVQ.encode(emb.limit(20), "embedding", model).select("nvq_code").collect().map(_.getSeq[Int](0))
+    assert(c1.toSeq == c2.toSeq)
+  }
+
+  test("NVQ approx + exact rerank achieves high recall vs exact kNN") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = NVQ.train(emb, "embedding")
+    val encoded = NVQ.encode(emb, "embedding", model)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val approx = NVQ.knn(encoded, queries, model, topK = 10, rerankK = 40,
+      metric = "COSINE", baseId = "vec_id", baseVec = "embedding")
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = KnnExact.knn(emb, queries, 10, "COSINE", "vec_id", "embedding")
+      .select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.map { case (q, want) =>
+      approx.get(q).map(got => got.intersect(want).size.toDouble / want.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // NVQ is an 8-bit/dim encoding (vs PQ's sub-byte codes): with 4x
+    // overquery its recall should clear the reference's 0.95 contract.
+    assert(meanRecall >= 0.95, s"mean recall $meanRecall below 0.95")
   }
 
   test("BQ packing matches sign bits and hamming sim is exact") {
