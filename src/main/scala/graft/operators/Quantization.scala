@@ -163,6 +163,152 @@ object PQ {
     centers
   }
 
+  /** Anisotropic k-means refinement (ScaNN "Accelerating Large-Scale
+    * Inference with Anisotropic Vector Quantization" Theorem 3.4; jvector
+    * `quantization/KMeansPlusPlusClusterer.java:111-131,278-324,379-431`).
+    * Quantization error PARALLEL to the datapoint hurts dot-product scores
+    * more than the perpendicular part, so:
+    *   - pcm = max(1, T^2 / ((1-T^2)/(dim-1))) for dot threshold T
+    *     (points assumed ~unit-normalized, as in the reference);
+    *   - assignment minimizes pcm*parallelErr + perpendicularErr with
+    *     parallelErr = (c.x - |x|^2)^2, perpErr = |c-x|^2 - parallelErr;
+    *   - centroid update solves (ocm*I + (1-ocm)/|L| * sum xx^T/|x|^2) c =
+    *     mean(L) with ocm = 1/pcm (small dense system, subvector-sized).
+    * Seeds from the deterministic k-means++; all `iters` rounds are
+    * anisotropic, mirroring `ProductQuantization.java:214-216`. Stops early
+    * when < 1% of assignments change (`KMeansPlusPlusClusterer.java:131-146`). */
+  private[graft] def kmeansAnisotropic(
+      points: Array[Array[Double]], k: Int, iters: Int, seed: Long,
+      threshold: Double): Array[Array[Double]] = {
+    val centers = kmeans(points, k, 0, seed) // deterministic ++ seeding only
+    val dim = points(0).length
+    if (dim < 2) return kmeans(points, k, iters, seed)
+    val parallelCost = threshold * threshold
+    val perpCost = (1.0 - parallelCost) / (dim - 1)
+    val pcm = math.max(1.0, parallelCost / perpCost)
+    val ocm = 1.0 / pcm
+    val xNorm2 = points.map(p => { var s = 0.0; var j = 0; while (j < dim) { s += p(j) * p(j); j += 1 }; s })
+
+    // initial nearest-by-L2 assignment
+    val assign = new Array[Int](points.length)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    var i = 0
+    while (i < points.length) {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      assign(i) = best
+      i += 1
+    }
+
+    // Gaussian elimination with partial pivoting (subvector-sized systems)
+    def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val n = b.length
+      var col = 0
+      while (col < n) {
+        var p = col; var r = col + 1
+        while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r; r += 1 }
+        val tmp = a(col); a(col) = a(p); a(p) = tmp
+        val tb = b(col); b(col) = b(p); b(p) = tb
+        val piv = a(col)(col)
+        if (math.abs(piv) > 1e-12) {
+          r = col + 1
+          while (r < n) {
+            val f = a(r)(col) / piv
+            if (f != 0.0) {
+              var j = col
+              while (j < n) { a(r)(j) -= f * a(col)(j); j += 1 }
+              b(r) -= f * b(col)
+            }
+            r += 1
+          }
+        }
+        col += 1
+      }
+      val x = new Array[Double](n)
+      var r2 = n - 1
+      while (r2 >= 0) {
+        var s = b(r2); var j = r2 + 1
+        while (j < n) { s -= a(r2)(j) * x(j); j += 1 }
+        x(r2) = if (math.abs(a(r2)(r2)) > 1e-12) s / a(r2)(r2) else 0.0
+        r2 -= 1
+      }
+      x
+    }
+
+    var it = 0
+    var changed = points.length
+    while (it < iters && changed > points.length / 100) {
+      // centroid update: per-cluster regularized outer-product system
+      val byCluster = Array.fill(k)(List.newBuilder[Int])
+      i = 0
+      while (i < points.length) { byCluster(assign(i)) += i; i += 1 }
+      var c = 0
+      while (c < k) {
+        val members = byCluster(c).result()
+        if (members.nonEmpty) {
+          val mean = new Array[Double](dim)
+          val mat = Array.fill(dim, dim)(0.0)
+          for (pi <- members) {
+            val p = points(pi)
+            var j = 0
+            while (j < dim) { mean(j) += p(j); j += 1 }
+            val denom = xNorm2(pi)
+            if (denom > 0) {
+              var r = 0
+              while (r < dim) {
+                val pr = p(r) / denom
+                var j2 = 0
+                while (j2 < dim) { mat(r)(j2) += pr * p(j2); j2 += 1 }
+                r += 1
+              }
+            }
+          }
+          val n = members.size
+          var r = 0
+          while (r < dim) {
+            var j2 = 0
+            while (j2 < dim) { mat(r)(j2) *= (1.0 - ocm) / n; j2 += 1 }
+            mat(r)(r) += ocm
+            mean(r) /= n
+            r += 1
+          }
+          centers(c) = solve(mat, mean)
+        }
+        c += 1
+      }
+      // anisotropic re-assignment
+      val cNorm2 = centers.map(cv => dot(cv, cv))
+      changed = 0
+      i = 0
+      while (i < points.length) {
+        val x = points(i)
+        val xn = xNorm2(i)
+        var best = assign(i); var bestD = Double.MaxValue; var c2 = 0
+        while (c2 < k) {
+          val cx = dot(centers(c2), x)
+          val parallelErr = { val t = cx - xn; t * t }
+          val residual2 = cNorm2(c2) - 2.0 * cx + xn
+          val d = pcm * parallelErr + (residual2 - parallelErr)
+          if (d < bestD) { bestD = d; best = c2 }
+          c2 += 1
+        }
+        if (best != assign(i)) { changed += 1; assign(i) = best }
+        i += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Train a PQ model on a bounded sample of `df`'s vector column.
     * Reference defaults: k=256 clusters, 6 iterations, sample cap 128k
     * (ProductQuantization.java:62-64). */
@@ -173,15 +319,23 @@ object PQ {
       k: Int = 256,
       iters: Int = 6,
       sampleCap: Int = 128000,
-      seed: Long = 1L): PQModel = {
+      seed: Long = 1L,
+      /** -1 = isotropic L2 (the reference's default: anisotropicThreshold
+        * -1.0 in default.yml); a dot-product threshold in (-1, 1) switches
+        * every Lloyd's round to the ScaNN anisotropic objective
+        * (`ProductQuantization.java:214-216`). Meant for unit-normalized
+        * vectors scored by dot product. */
+      anisotropicThreshold: Double = -1.0): PQModel = {
 
     val vectors = Sampling.sampleVectors(df, vecCol, sampleCap, seed)
     require(vectors.nonEmpty, "empty training set")
     val dim = vectors(0).length
     val (sizes, offsets) = subvectorSizes(dim, m)
+    val aniso = anisotropicThreshold > -1.0 && anisotropicThreshold < 1.0
     val codebooks = Array.tabulate(m) { i =>
       val sub = vectors.map(v => java.util.Arrays.copyOfRange(v, offsets(i), offsets(i) + sizes(i)))
-      kmeans(sub, math.min(k, sub.length), iters, seed + i)
+      if (aniso) kmeansAnisotropic(sub, math.min(k, sub.length), iters, seed + i, anisotropicThreshold)
+      else kmeans(sub, math.min(k, sub.length), iters, seed + i)
     }
     PQModel(dim, m, k, sizes, offsets, codebooks)
   }

@@ -96,6 +96,59 @@ class QuantizationSpec extends SparkSpec {
     assert(cost(refined) <= cost(model) * 1.001)
   }
 
+  test("anisotropic PQ: lowers the score-aware (parallel-weighted) loss vs isotropic on unit vectors") {
+    // The reference documents the anisotropic objective as valid only for
+    // unit-normalized points (KMeansPlusPlusClusterer.java:81-84) — and in
+    // PQ it is the SUBVECTORS being clustered, so build vectors whose every
+    // subvector is unit length. t must satisfy t^2 > 1/subDim for pcm > 1
+    // (else the objective degenerates to isotropic).
+    val rnd = new scala.util.Random(11)
+    val m = 4; val subDim = 8
+    val data = (0 until 600).map { i =>
+      val v = Array.fill(m * subDim)(rnd.nextGaussian())
+      for (s <- 0 until m) {
+        var n = 0.0
+        for (j <- 0 until subDim) n += v(s * subDim + j) * v(s * subDim + j)
+        val inv = 1.0 / math.sqrt(n)
+        for (j <- 0 until subDim) v(s * subDim + j) = v(s * subDim + j) * inv
+      }
+      (i.toLong, v.toSeq)
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val t = 0.6
+    val iso = PQ.train(emb, "embedding", m = m, k = 32, iters = 6)
+    val ani = PQ.train(emb, "embedding", m = m, k = 32, iters = 6, anisotropicThreshold = t)
+    // determinism of the anisotropic path
+    val ani2 = PQ.train(emb, "embedding", m = m, k = 32, iters = 6, anisotropicThreshold = t)
+    assert(ani.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      ani2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // ScaNN weighted loss of each model over the sample, summed per subspace
+    val rows = emb.select(col("embedding").cast("array<double>")).limit(500).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def weightedLoss(model: graft.operators.PQModel): Double = {
+      val subDim = model.subSizes(0)
+      val parallelCost = t * t
+      val pcm = math.max(1.0, parallelCost / ((1.0 - parallelCost) / (subDim - 1)))
+      rows.map { v =>
+        (0 until model.m).map { s =>
+          val x = java.util.Arrays.copyOfRange(v, model.subOffsets(s), model.subOffsets(s) + model.subSizes(s))
+          val xn = x.map(a => a * a).sum
+          model.codebooks(s).map { c =>
+            val cx = c.zip(x).map { case (a, b) => a * b }.sum
+            val cn = c.map(a => a * a).sum
+            val par = { val d = cx - xn; d * d }
+            val resid = cn - 2 * cx + xn
+            pcm * par + (resid - par)
+          }.min
+        }.sum
+      }.sum
+    }
+    val li = weightedLoss(iso)
+    val la = weightedLoss(ani)
+    assert(la < li, s"anisotropic loss $la should beat isotropic $li on its own objective")
+  }
+
   test("NVQ: learned logistic grid beats (or ties) the uniform grid; encode is deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = NVQ.train(emb, "embedding")
