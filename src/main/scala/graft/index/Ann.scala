@@ -47,6 +47,15 @@ object Ann {
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit = { SegmentCache.clear(); TransientGraphCache.clear() }
 
+  /** Read an index directory or a glob of batch sub-indexes. Index trees are
+    * hive-partitioned (seg=..., optionally nested under batch=...), so a
+    * glob expands to several partitioned roots — basePath anchors partition
+    * discovery at the tree root, as Spark requires for multi-root reads. */
+  private def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val base = path.stripSuffix("/*").stripSuffix("/")
+    spark.read.option("basePath", base).parquet(path)
+  }
+
   /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
     * graphs, content-keyed: the seeded build over a deterministic partition
     * makes (params, ids, vector bytes) fully identify the graph. Repeated
@@ -246,7 +255,10 @@ object Ann {
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid", "pq_code")
-      .write.mode("overwrite").parquet(path)
+      // hive-partitioned by segment: searchIndex's probeSegments filter then
+      // prunes whole DIRECTORIES at plan time — probed-segments I/O instead
+      // of full-index I/O, which is what makes routing pay off at 100 TB
+      .write.mode("overwrite").partitionBy("seg").parquet(path)
     // sidecar AFTER the main write (overwrite would wipe it)
     pqModel.foreach(m => graft.operators.PQ.save(spark, m, s"$path/_pq_model"))
   }
@@ -278,7 +290,7 @@ object Ann {
     // Tombstones are merge-on-read (jvector liveNodes filter fused into the
     // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
     // nodes just stop being acceptable results. compact() repairs for real.
-    val raw = spark.read.parquet(path)
+    val raw = readIndex(spark, path)
 
     // Segment routing (IVF over segments): with probeSegments > 0, each
     // query searches only its probeSegments nearest segment centroids —
@@ -505,7 +517,7 @@ object Ann {
       outPath: String,
       params: Params = Params(),
       deletes: Option[DataFrame] = None): Unit = {
-    val rows = spark.read.parquet(inPath).select(col("node_id"), col("vec"))
+    val rows = readIndex(spark, inPath).select(col("node_id"), col("vec"))
     val live = deletes match {
       case Some(d) => rows.join(
         d.select(col("id").cast("long").as("node_id")).distinct(),

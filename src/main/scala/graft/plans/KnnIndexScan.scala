@@ -59,7 +59,10 @@ case class KnnIndexScanExec(
     val qB = spark.sparkContext.broadcast(queries)
 
     // segment rows co-located, decoded straight from InternalRows
-    val segDf = spark.read.parquet(indexPath)
+    // (basePath anchors hive partition discovery for glob/multi-batch trees)
+    val segDf = spark.read
+      .option("basePath", indexPath.stripSuffix("/*").stripSuffix("/"))
+      .parquet(indexPath)
       .select("seg", "local_id", "node_id", "vec", "neighbors", "is_entry")
       .repartition(org.apache.spark.sql.functions.col("seg"))
     val segRdd = segDf.queryExecution.toRdd

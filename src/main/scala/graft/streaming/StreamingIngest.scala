@@ -38,7 +38,10 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          Ann.buildIndex(batch, s"$indexPath/batch_$batchId", params, idCol, vecCol)
+          // hive-style batch dir: nested under it, buildIndex writes seg=...
+          // partitions, so the whole multi-batch tree stays one uniform
+          // partitioned layout readable as indexPath or indexPath/*
+          Ann.buildIndex(batch, s"$indexPath/batch=$batchId", params, idCol, vecCol)
       }
       .trigger(Trigger.AvailableNow())
       .start()

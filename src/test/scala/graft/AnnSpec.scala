@@ -197,6 +197,14 @@ class AnnSpec extends SparkSpec {
       probeSegments = 1)
     val want = KnnExact.knn(df, queries, 10, "COSINE")
     assert(recallOf(routed, want) >= 0.95, "1-of-4 segments must hold the cluster's neighbors")
+
+    // the index is hive-partitioned by seg, so an explicit seg filter must
+    // prune at the DIRECTORY level (PartitionFilters), not post-scan
+    val oneSeg = spark.read.parquet(s"$tmp/idx").select("seg").distinct().head.getString(0)
+    val plan = spark.read.parquet(s"$tmp/idx").filter($"seg" === oneSeg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("seg"),
+      s"expected partition pruning on seg in plan:\n$plan")
   }
 
   test("IVF probed search: high recall with fractional scan") {
