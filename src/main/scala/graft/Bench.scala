@@ -50,8 +50,14 @@ object Bench {
     val only = args.toSet
     val qset = if (only.isEmpty) SparkEntry.queries
                else SparkEntry.queries.filter(kv => only(kv._1))
+    // reference protocol scaled down for the 50-query sweep: 1 warmup run
+    // (JIT + codegen + data caches), AVG of 2 measured runs
     val results = qset.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      val t = try {
+        fn(spark, sfDir).count()
+        val ts = (1 to 2).map(_ => time(fn(spark, sfDir).count())._2)
+        ts.sum / ts.length
+      } catch { case _: Throwable => -1.0 }
       name -> t
     }
 

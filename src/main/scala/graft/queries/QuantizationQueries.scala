@@ -64,16 +64,25 @@ object QuantizationQueries {
   private val pqM = 8
   private val pqK = 64 // embeddings tables are small (500-2000 rows); 256 needs more points
 
+  /** Trained-model memo per scale dir (deterministic artifacts; mirrors the
+    * reference benchmark's compressor cache, `Grid.java:612` / SURVEY O10). */
+  private val pqModels = new scala.collection.concurrent.TrieMap[String, graft.operators.PQModel]()
+  private def pqModel(s: SparkSession, dir: String): graft.operators.PQModel =
+    pqModels.getOrElseUpdate(dir, PQ.train(Tables.embeddings(s, dir), "embedding", pqM, pqK))
+  private val nvqModels = new scala.collection.concurrent.TrieMap[String, NVQ.Model]()
+  private def nvqModel(s: SparkSession, dir: String): NVQ.Model =
+    nvqModels.getOrElseUpdate(dir, NVQ.train(Tables.embeddings(s, dir), "embedding"))
+
   private def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = PQ.train(emb, "embedding", pqM, pqK)
+    val model = pqModel(s, dir)
     PQ.encode(emb, "embedding", model)
       .select(col("vec_id"), concat_ws(",", col("pq_code")).as("code"))
   }
 
   private def pqReconError(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = PQ.train(emb, "embedding", pqM, pqK)
+    val model = pqModel(s, dir)
     val dec = PQ.decode(PQ.encode(emb, "embedding", model), "pq_code", model)
     dec.select(col("label"),
       VectorFunctions.l2Sq(col("embedding"), col("pq_decoded")).as("err"))
@@ -86,7 +95,7 @@ object QuantizationQueries {
     * beats uniform) made visible; the inequality itself is spec-gated. */
   private def nvqReconError(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = NVQ.train(emb, "embedding")
+    val model = nvqModel(s, dir)
     val dec = NVQ.decode(NVQ.encode(emb, "embedding", model), model)
     dec.select(col("label"),
       VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded")).as("err"))
@@ -96,7 +105,7 @@ object QuantizationQueries {
 
   private def nvqKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = NVQ.train(emb, "embedding")
+    val model = nvqModel(s, dir)
     val encoded = NVQ.encode(emb, "embedding", model)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -107,7 +116,7 @@ object QuantizationQueries {
 
   private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = PQ.train(emb, "embedding", pqM, pqK)
+    val model = pqModel(s, dir)
     val encoded = PQ.encode(emb, "embedding", model)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
