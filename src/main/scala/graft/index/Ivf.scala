@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.functions.VectorFunctions
-import graft.operators.{PQ, TopK}
+import graft.operators.{KnnExact, PQ, TopK}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -107,8 +107,10 @@ object Ivf {
     val probesUdf = udf { v: Seq[Double] => m.nearestClusters(v.toArray, nprobe) }
     val l0 = left.select(col(leftId).cast("long").as("__qid"), col(leftVec).as("__qvec"))
       .withColumn("cluster_id", explode(probesUdf(col("__qvec").cast("array<double>"))))
-    val r0 = assign(right, rightVec, m)
-      .select(col("cluster_id"), col(rightId).cast("long").as("__nid"), col(rightVec).as("__nvec"))
+    // the probes side is small and gets broadcast, so the join streams the
+    // right side — spread it when it's a single split (no-op at scale)
+    val r0 = KnnExact.spreadSmall(assign(right, rightVec, m)
+      .select(col("cluster_id"), col(rightId).cast("long").as("__nid"), col(rightVec).as("__nvec")))
 
     val (l, r, joinKeys) =
       if (saltBuckets > 1) (
