@@ -68,7 +68,10 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
 
-    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // signatures are the expensive per-row step — make sure they compute
+    // across cores even when the corpus is one parquet split (no-op at scale)
+    val base = KnnExact.spreadSmall(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
     val withBands = base
       .withColumn("sig", minhashSignature(col("text"), numHashes))
       .select(col("id"), explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("band_hash"))
@@ -116,8 +119,9 @@ object Dedup {
     def shingles(text: Column): Column =
       graft.functions.HashExpressions.ngramShingles(text, n)
 
-    val base = docs.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
-      shingles(col(textCol)).as("sh"))
+    val base = KnnExact.spreadSmall(docs.select(col(idCol).cast("long").as("id"),
+      col(blockCol).as("blk"), col(textCol).as("__text")))
+      .select(col("id"), col("blk"), shingles(col("__text")).as("sh"))
     val l = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
     val r = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, "blk")
