@@ -389,15 +389,74 @@ final class Vamana(
 
   /** Threshold search: all nodes with sim >= t reachable by beam search with
     * widening ef (jvector T5's contract, batch-friendly variant). */
+  /** Threshold search with the reference's adaptive stop (jvector T5:
+    * `GraphSearcher.java:298-303` + `ScoreTracker.TwoPhaseTracker`,
+    * `ScoreTracker.java:75-146`, citing VBase §3.1 "relaxed monotonicity"):
+    * greedy best-first expansion collecting every accepted node with
+    * score >= threshold, stopping once the 99th percentile of the last 500
+    * scored nodes falls below BOTH the worst of the 100 best scores seen
+    * and the threshold — the search has left the local-maximum region
+    * (phase 1) and is only finding worse options (phase 2). One pass, no
+    * re-search; results unbounded. `ef` is kept for signature compatibility
+    * (the adaptive stop replaces the result-set bound). */
   def thresholdSearch(q: Array[Float], threshold: Double, ef: Int, accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
-    var curEf = ef
-    var out = searchInternal(q, curEf, accept)
-    // widen until the worst kept result drops below the threshold (or we
-    // have everything) — mirrors the "return ~all above t" contract
-    while (out.length == curEf && out.last._2 >= threshold && curEf < n) {
-      curEf = math.min(n, curEf * 2)
-      out = searchInternal(q, curEf, accept)
+    if (n == 0) return Array.empty
+    val scorer = queryScorer(q)
+    val visited = new java.util.BitSet(n)
+    val cand = new LongHeap(64, min = false)
+    val out = new mutable.ArrayBuffer[(Int, Double)]
+    // TwoPhaseTracker state (reference constants: 500 recent, 100 best,
+    // evaluate ~1% of the time)
+    val RECENT = 500
+    val BEST = 100
+    val recent = new Array[Double](RECENT)
+    val scratch = new Array[Double](RECENT)
+    var recentIdx = 0
+    var obs = 0
+    var lastCheck = 0
+    val best = new LongHeap(BEST + 1, min = true)
+    def track(s: Double): Unit = {
+      best.push(LongHeap.pack(s, 0))
+      if (best.size > BEST) best.pop()
+      recent(recentIdx) = s
+      recentIdx = (recentIdx + 1) % RECENT
+      obs += 1
     }
-    out.filter(_._2 >= threshold)
+    def shouldStop(): Boolean = {
+      if (obs < RECENT || obs - lastCheck < 100) return false
+      lastCheck = obs
+      System.arraycopy(recent, 0, scratch, 0, RECENT)
+      java.util.Arrays.sort(scratch)
+      val p99 = scratch(RECENT * 99 / 100)
+      val worstBest = LongHeap.score(best.top).toDouble
+      p99 < worstBest && p99 < threshold
+    }
+    val entry = descendScored(scorer)
+    val es = scorer(entry)
+    visited.set(entry)
+    visitedCount += 1
+    track(es)
+    if (es >= threshold && accept(entry)) out += ((entry, es))
+    cand.push(LongHeap.pack(es, entry))
+    var stop = false
+    while (!stop && cand.nonEmpty) {
+      val c = LongHeap.id(cand.pop())
+      val nbrs = neighbors(c)
+      var i = 0
+      while (i < nbrs.length) {
+        val nb = nbrs(i)
+        if (!visited.get(nb)) {
+          visited.set(nb)
+          visitedCount += 1
+          val s = scorer(nb)
+          track(s)
+          if (s >= threshold && accept(nb)) out += ((nb, s))
+          cand.push(LongHeap.pack(s, nb))
+        }
+        i += 1
+      }
+      if (shouldStop()) stop = true
+    }
+    out.sortBy { case (id, s) => (-s, id) }.toArray
   }
 }

@@ -144,9 +144,12 @@ object QuantizationQueries {
     * twin (decode is closed-form). */
   private def sq8Knn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val enc = emb.select(col("vec_id"),
-      SQ8.lo(col("embedding")).as("lo"), SQ8.hi(col("embedding")).as("hi"),
-      SQ8.encode(col("embedding")).as("code"))
+    // the HOF encode/decode lambdas are eval-only (no codegen) — spread the
+    // single-split scan so they run across cores (no-op at scale)
+    val enc = graft.operators.KnnExact.spreadSmall(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        SQ8.lo(col("embedding")).as("lo"), SQ8.hi(col("embedding")).as("hi"),
+        SQ8.encode(col("embedding")).as("code"))
       .withColumn("dec", SQ8.decode(col("code"), col("lo"), col("hi")))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
