@@ -44,8 +44,17 @@ object Ann {
     def clear(): Unit = m.clear()
   }
 
+  /** Driver-side segment-count memo per index path (one pushed-down scan of
+    * the centroid rows otherwise runs per search call). */
+  private object SegCountCache {
+    private val m = new scala.collection.concurrent.TrieMap[String, Int]()
+    def getOrCompute(k: String, f: => Int): Int = m.getOrElseUpdate(k, f)
+    def clear(): Unit = m.clear()
+  }
+
   /** Drop all cached segment graphs (call after overwriting an index path). */
-  def clearSegmentCache(): Unit = { SegmentCache.clear(); TransientGraphCache.clear() }
+  def clearSegmentCache(): Unit =
+    { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear() }
 
   /** Read an index directory or a glob of batch sub-indexes. Index trees are
     * hive-partitioned (seg=..., optionally nested under batch=...), so a
@@ -175,12 +184,12 @@ object Ann {
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
               p.alpha, p.neighborOverflow, p.seed).build())
-          val v0 = g.visitedCount
+          val vc = new Vamana.VisitCounter
           val out = qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, topK, ef, i => accept(i))
+            g.search(qv, topK, ef, i => accept(i), vc)
               .iterator.map { case (local, s) => (qid, ids(local), s) }
           }.toArray
-          visitedAcc.add(g.visitedCount - v0)
+          visitedAcc.add(vc.n)
           out.iterator
         }
       }
@@ -353,18 +362,47 @@ object Ann {
     val withCode =
       if (pruned.columns.contains("pq_code")) pruned
       else pruned.withColumn("pq_code", lit(null).cast("array<int>"))
-    val perSegment = withCode
+
+    // Query fan-out: tasks parallelize across SEGMENTS, so an index with
+    // fewer segments than cores would search its query batch serially in
+    // one task per segment. Replicate each segment's rows across
+    // cores/numSegments chunk-tasks, each searching a modulo-slice of the
+    // query set — the warm SegmentCache assembles the graph once per
+    // executor regardless, and at scale (segments >= cores) chunks = 1 and
+    // nothing is replicated. (jvector parallelizes queries across threads
+    // over one shared index — "one searcher per thread", DiskIntro.java —
+    // this is the same shape with tasks as threads.)
+    val chunks: Int = {
+      // replication + extra tasks only pay off when each chunk still gets a
+      // substantial query slice — small batches stay single-task per segment
+      val byQueries = qArr.length / 64
+      if (byQueries <= 1) 1
+      else {
+        val cores = spark.sparkContext.defaultParallelism
+        val nSegs = SegCountCache.getOrCompute(path,
+          math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
+        math.min(16, math.max(1, math.min(cores / nSegs, byQueries)))
+      }
+    }
+    val fanned =
+      if (chunks <= 1) withCode.withColumn("__chunk", lit(0))
+      else withCode.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
+
+    val perSegment = fanned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("__live"), col("pq_code").cast("array<int>"))
-      .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int])]
+        col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
+        col("__chunk").cast("int"))
+      .repartition(col("seg"), col("__chunk"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Int)]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
-          val qIdx: Array[Int] = segQueriesB match {
+        it.toArray.groupBy(r => (r._1, r._9)).iterator.flatMap { case ((segId, chunk), rows) =>
+          val routed: Array[Int] = segQueriesB match {
             case Some(b) => b.value.getOrElse(segId, Array.empty)
             case None => qB.value.indices.toArray
           }
+          val qIdx: Array[Int] =
+            if (chunks <= 1) routed else routed.filter(_ % chunks == chunk)
           if (qIdx.isEmpty) Iterator.empty
           else {
             val sorted = rows.sortBy(_._2)
@@ -384,7 +422,7 @@ object Ann {
             val ids = entry.ids
             val codes = entry.codes
             val hasCodes = codes != null && codes.length > 0 && codes(0) != null
-            val v0 = g.visitedCount
+            val vc = new Vamana.VisitCounter // task-local: exact under shared cached graphs
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               val found = adcB match {
@@ -405,14 +443,14 @@ object Ann {
                     else if (mc == 1) (1.0 + dot) / 2.0
                     else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
                   }
-                  g.searchTwoPhase(qv, approx, topK, math.max(rerankK, ef), i => live(i))
-                case _ => g.search(qv, topK, ef, i => live(i))
+                  g.searchTwoPhase(qv, approx, topK, math.max(rerankK, ef), i => live(i), vc)
+                case _ => g.search(qv, topK, ef, i => live(i), vc)
               }
               found.map { case (local, s) => (qid, ids(local), s) }
             }
             metrics.foreach { m =>
-              m.visited.add(g.visitedCount - v0)
-              m.scanned.add(rows.length)
+              m.visited.add(vc.n)
+              if (chunk == 0) m.scanned.add(rows.length) // count each segment once
             }
             out.iterator.flatten
           }

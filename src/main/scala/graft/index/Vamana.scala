@@ -46,6 +46,11 @@ object Vamana {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
   }
+
+  /** Per-call visit counter: task/thread-local, so concurrent searches over
+    * one shared (cached) graph report exact per-call effort without racing
+    * on the graph's cumulative `visitedCount`. */
+  final class VisitCounter { var n: Long = 0L }
 }
 
 final class Vamana(
@@ -105,11 +110,10 @@ final class Vamana(
 
   /** Greedy 1-best descent through upper layers to seed layer-0 search
     * (jvector `internalSearch` descent, GraphSearcher.java:263-282). */
-  private def descend(q: Array[Float]): Int = descendScored(queryScorer(q))
-
-  private def descendScored(scorer: Int => Double): Int = {
+  private def descendScored(scorer: Int => Double, vc: Vamana.VisitCounter): Int = {
     var cur = entryNode
     var l = maxLevel
+    var visits = 0L
     while (l >= 1) {
       val layer = upperNeighbors(l - 1)
       var improved = true
@@ -118,12 +122,14 @@ final class Vamana(
         var best = scorer(cur)
         for (nb <- layer.getOrElse(cur, Array.empty[Int])) {
           val s = scorer(nb)
-          visitedCount += 1
+          visits += 1
           if (s > best) { best = s; cur = nb; improved = true }
         }
       }
       l -= 1
     }
+    visitedCount += visits
+    if (vc != null) vc.n += visits
     cur
   }
 
@@ -193,9 +199,10 @@ final class Vamana(
     * sorted score desc, id asc (final scores recomputed in double for the
     * deterministic output contract). Counts visited nodes. Heaps hold
     * packed longs (float score bits + id) — no boxing in the hot loop. */
-  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean): Array[(Int, Double)] = {
+  def searchInternal(q: Array[Float], ef: Int, accept: Int => Boolean,
+      vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
     val scorer = queryScorer(q)
-    searchInternalScored(scorer, descendScored(scorer), ef, accept)
+    searchInternalScored(scorer, descendScored(scorer, vc), ef, accept, vc)
   }
 
   /** Beam search with a pluggable node scorer (jvector's
@@ -203,14 +210,14 @@ final class Vamana(
     * two-phase search drives the beam with cheap approximate scores (PQ
     * ADC, BQ hamming) and reranks survivors exactly. */
   def searchInternalScored(scorer: Int => Double, entry: Int, ef: Int,
-      accept: Int => Boolean): Array[(Int, Double)] = {
+      accept: Int => Boolean, vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
     val visited = new java.util.BitSet(n)
     val cand = new LongHeap(64, min = false) // best frontier on top
     val res = new LongHeap(ef + 1, min = true) // worst kept result on top
     cand.push(LongHeap.pack(scorer(entry), entry))
     visited.set(entry)
-    visitedCount += 1
+    var visits = 1L
     var stop = false
     while (!stop && cand.nonEmpty) {
       val packed = cand.pop()
@@ -229,7 +236,7 @@ final class Vamana(
           val nb = nbrs(i)
           if (!visited.get(nb)) {
             visited.set(nb)
-            visitedCount += 1
+            visits += 1
             val s = scorer(nb)
             if (res.size < ef || s > LongHeap.score(res.top)) cand.push(LongHeap.pack(s, nb))
           }
@@ -237,6 +244,10 @@ final class Vamana(
         }
       }
     }
+    // one cumulative add per call (not per node): cheap, and concurrent
+    // searches over a shared cached graph report exact effort via `vc`
+    visitedCount += visits
+    if (vc != null) vc.n += visits
     res.toArray.map { p => val id = LongHeap.id(p); (id, scorer(id)) }
       .sortBy { case (id, s) => (-s, id) }
   }
@@ -248,8 +259,8 @@ final class Vamana(
     * vectors are the expensive fetch). Returns topK sorted score desc,
     * id asc. */
   def searchTwoPhase(q: Array[Float], approx: Int => Double, topK: Int, rerankK: Int,
-      accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
-    val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept)
+      accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
+    val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept, vc)
     val exact = queryScorer(q)
     candidates.map { case (id, _) => (id, exact(id)) }
       .sortBy { case (id, s) => (-s, id) }
@@ -384,8 +395,9 @@ final class Vamana(
 
   /** Public search with optional accept filter (pushed INTO the beam loop,
     * jvector P1 semantics) and threshold. Returns (localId, score). */
-  def search(q: Array[Float], topK: Int, ef: Int, accept: Int => Boolean = _ => true): Array[(Int, Double)] =
-    searchInternal(q, math.max(ef, topK), accept).take(topK)
+  def search(q: Array[Float], topK: Int, ef: Int, accept: Int => Boolean = _ => true,
+      vc: Vamana.VisitCounter = null): Array[(Int, Double)] =
+    searchInternal(q, math.max(ef, topK), accept, vc).take(topK)
 
   /** Threshold search: all nodes with sim >= t reachable by beam search with
     * widening ef (jvector T5's contract, batch-friendly variant). */
@@ -399,7 +411,8 @@ final class Vamana(
     * (phase 1) and is only finding worse options (phase 2). One pass, no
     * re-search; results unbounded. `ef` is kept for signature compatibility
     * (the adaptive stop replaces the result-set bound). */
-  def thresholdSearch(q: Array[Float], threshold: Double, ef: Int, accept: Int => Boolean = _ => true): Array[(Int, Double)] = {
+  def thresholdSearch(q: Array[Float], threshold: Double, ef: Int, accept: Int => Boolean = _ => true,
+      vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
     val scorer = queryScorer(q)
     val visited = new java.util.BitSet(n)
@@ -431,10 +444,10 @@ final class Vamana(
       val worstBest = LongHeap.score(best.top).toDouble
       p99 < worstBest && p99 < threshold
     }
-    val entry = descendScored(scorer)
+    val entry = descendScored(scorer, vc)
     val es = scorer(entry)
     visited.set(entry)
-    visitedCount += 1
+    var visits = 1L
     track(es)
     if (es >= threshold && accept(entry)) out += ((entry, es))
     cand.push(LongHeap.pack(es, entry))
@@ -447,7 +460,7 @@ final class Vamana(
         val nb = nbrs(i)
         if (!visited.get(nb)) {
           visited.set(nb)
-          visitedCount += 1
+          visits += 1
           val s = scorer(nb)
           track(s)
           if (s >= threshold && accept(nb)) out += ((nb, s))
@@ -457,6 +470,8 @@ final class Vamana(
       }
       if (shouldStop()) stop = true
     }
+    visitedCount += visits
+    if (vc != null) vc.n += visits
     out.sortBy { case (id, s) => (-s, id) }.toArray
   }
 }

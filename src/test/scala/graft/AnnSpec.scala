@@ -132,6 +132,23 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.9, s"PQ two-phase recall $r < 0.9")
   }
 
+  test("large query batches fan out across chunk tasks with unchanged results") {
+    val tmp = java.nio.file.Files.createTempDirectory("annfan").toString
+    val base = randVectors(2000, 16, seed = 51).toDF("id", "vec")
+    val queries = randVectors(256, 16, seed = 52).toDF("qid", "qvec") // 256/64 -> multi-chunk
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    Ann.clearSegmentCache()
+    val m = Ann.newMetrics(spark)
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params, metrics = Some(m))
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.95, s"fanned-out recall $r < 0.95")
+    // visited accounting must stay per-query exact (each query searched once)
+    val ratio = m.visitedRatioPerQuery(256)
+    assert(ratio > 0.0 && ratio <= 1.0, s"visited ratio $ratio out of range under fan-out")
+  }
+
   test("warm segment cache returns identical results to cold load") {
     val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
     val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
