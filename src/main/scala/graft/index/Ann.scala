@@ -272,6 +272,33 @@ object Ann {
     pqModel.foreach(m => graft.operators.PQ.save(spark, m, s"$path/_pq_model"))
   }
 
+  /** Locality-aware index build (SPANN-style coarse partitioning; jvector's
+    * production deployments likewise shard by locality before per-segment
+    * graphs): coarse k-means assigns rows to clusters, rows co-locate by
+    * cluster, one segment per cluster — segment centroids become
+    * informative, so `searchIndex(probeSegments = m)` keeps high recall
+    * while scanning m/nlist of the index. THIS is the 100 TB configuration:
+    * random segmentation makes routing useless (every segment holds a
+    * uniform sample of the space). */
+  def buildIndexClustered(
+      base: DataFrame,
+      path: String,
+      params: Params = Params(),
+      nlist: Int = 64,
+      baseId: String = "id",
+      baseVec: String = "vec"): Unit = {
+    val model = Ivf.train(base, baseVec, nlist, params.metric)
+    val assigned = Ivf.assign(base, baseVec, model)
+    // range-partition on cluster id: whole clusters per partition with a
+    // near-1:1 cluster->segment mapping (hash partitioning would merge
+    // geometrically UNRELATED clusters on collisions, producing mid-air
+    // centroids that break routing)
+    val parted = assigned
+      .repartitionByRange(nlist, col("cluster_id"), col(baseId))
+      .drop("cluster_id")
+    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
+  }
+
   /** Search a persisted index: co-locate each segment's rows, rebuild the
     * adjacency in memory (no re-build of the graph — just array assembly),
     * and run the same per-segment beam + global merge. */
