@@ -51,6 +51,19 @@ object Vamana {
     * one shared (cached) graph report exact per-call effort without racing
     * on the graph's cumulative `visitedCount`. */
   final class VisitCounter { var n: Long = 0L }
+
+  /** Saved cursor for resumable search (jvector `GraphSearcher.resume`,
+    * `GraphSearcher.java:509-547`): the live beam frontier, the visited set,
+    * everything scored-but-not-yet-returned (the "evicted" pool), and the
+    * ids already handed to the caller. Single-threaded, like a jvector
+    * searcher instance. */
+  final class SearchState private[index] (
+      private[index] val scorer: Int => Double,
+      private[index] val accept: Int => Boolean,
+      private[index] val visited: java.util.BitSet,
+      private[index] val frontier: LongHeap,
+      private[index] val evicted: mutable.ArrayBuffer[Long],
+      private[index] val returned: java.util.BitSet)
 }
 
 final class Vamana(
@@ -265,6 +278,89 @@ final class Vamana(
     candidates.map { case (id, _) => (id, exact(id)) }
       .sortBy { case (id, s) => (-s, id) }
       .take(topK)
+  }
+
+  /** Resumable search (jvector T6): like `search`, but also returns a
+    * cursor from which [[resume]] continues the SAME beam for the next k —
+    * frontier, visited set and evicted results carry over, so pagination
+    * costs only the incremental expansion, not a re-search. */
+  def searchResumable(q: Array[Float], topK: Int, ef: Int,
+      accept: Int => Boolean = _ => true): (Array[(Int, Double)], Vamana.SearchState) = {
+    val scorer = queryScorer(q)
+    val state = new Vamana.SearchState(scorer, accept, new java.util.BitSet(n),
+      new LongHeap(64, min = false), mutable.ArrayBuffer.empty[Long], new java.util.BitSet(n))
+    if (n == 0) return (Array.empty, state)
+    val entry = descendScored(scorer, null)
+    state.visited.set(entry)
+    visitedCount += 1
+    state.frontier.push(LongHeap.pack(scorer(entry), entry))
+    (advance(state, topK, math.max(ef, topK)), state)
+  }
+
+  /** Continue a [[searchResumable]] cursor: returns the NEXT `additionalK`
+    * results (best first, never repeating already-returned ids), mirroring
+    * `GraphSearcher.resume(additionalK, rerankK)` — `ef` plays rerankK's
+    * role (exploration width of the resumed phase; defaults to 4x). */
+  def resume(state: Vamana.SearchState, additionalK: Int, ef: Int = 0): Array[(Int, Double)] =
+    advance(state, additionalK, math.max(if (ef <= 0) additionalK * 4 else ef, additionalK))
+
+  /** Run the shared beam loop until `ef` results are held and the frontier
+    * can no longer improve them; return the best `k`, stash the rest in the
+    * evicted pool, mark returned. */
+  private def advance(state: Vamana.SearchState, k: Int, ef: Int): Array[(Int, Double)] = {
+    if (n == 0) return Array.empty
+    val res = new LongHeap(ef + 1, min = true)
+    // re-admit evicted candidates (scored in an earlier phase, not
+    // returned); overflow stays in the pool for LATER pages — dropping it
+    // would lose already-paid scoring work
+    val overflow = mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < state.evicted.length) {
+      val p = state.evicted(i)
+      if (!state.returned.get(LongHeap.id(p))) {
+        res.push(p)
+        if (res.size > ef) overflow += res.pop()
+      }
+      i += 1
+    }
+    state.evicted.clear()
+    state.evicted ++= overflow
+    var visits = 0L
+    var stop = false
+    while (!stop && state.frontier.nonEmpty) {
+      val packed = state.frontier.pop()
+      val cs = LongHeap.score(packed)
+      val c = LongHeap.id(packed)
+      if (res.size >= ef && cs < LongHeap.score(res.top)) {
+        state.frontier.push(packed) // keep for the next resume
+        stop = true
+      } else {
+        if (state.accept(c) && !state.returned.get(c)) {
+          res.push(packed)
+          if (res.size > ef) res.pop()
+        }
+        val nbrs = neighbors(c)
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (!state.visited.get(nb)) {
+            state.visited.set(nb)
+            visits += 1
+            val s = state.scorer(nb)
+            state.frontier.push(LongHeap.pack(s, nb))
+          }
+          j += 1
+        }
+      }
+    }
+    visitedCount += visits
+    val all = res.toArray
+      .map { p => val id = LongHeap.id(p); (id, state.scorer(id)) }
+      .sortBy { case (id, s) => (-s, id) }
+    val (out, rest) = all.splitAt(k)
+    out.foreach { case (id, _) => state.returned.set(id) }
+    rest.foreach { case (id, s) => state.evicted += LongHeap.pack(s, id) }
+    out
   }
 
   /** RobustPrune: keep up to `deg` diverse candidates (closest-first greedy;

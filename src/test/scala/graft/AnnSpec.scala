@@ -132,6 +132,29 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.9, s"PQ two-phase recall $r < 0.9")
   }
 
+  test("buildIndexClustered: locality-aligned segments keep routing recall with few probes") {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat * 2))
+    val rows = (0 until 8000).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.tabulate(8)(j => centers(i % 8)(j) + r.nextGaussian().toFloat).toSeq)
+    }
+    val base = rows.toDF("id", "vec").repartition(4)
+    val tmp = java.nio.file.Files.createTempDirectory("annclu").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndexClustered(base, s"$tmp/idx", params, nlist = 8)
+    Ann.clearSegmentCache()
+    val queries = rows.take(30).toDF("qid", "qvec")
+    val m = Ann.newMetrics(spark)
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+      probeSegments = 3, metrics = Some(m))
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.9, s"clustered-routing recall $r < 0.9")
+    val ratio = m.visitedRatioPerQuery(30)
+    assert(ratio < 0.5, s"routing should prune most of the index, visited ratio $ratio")
+  }
+
   test("large query batches fan out across chunk tasks with unchanged results") {
     val tmp = java.nio.file.Files.createTempDirectory("annfan").toString
     val base = randVectors(2000, 16, seed = 51).toDF("id", "vec")
@@ -147,6 +170,30 @@ class AnnSpec extends SparkSpec {
     // visited accounting must stay per-query exact (each query searched once)
     val ratio = m.visitedRatioPerQuery(256)
     assert(ratio > 0.0 && ratio <= 1.0, s"visited ratio $ratio out of range under fan-out")
+  }
+
+  test("in-graph resume: next pages never repeat ids and union matches exact top-3k") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Array.fill(3000)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val g = new graft.index.Vamana(vecs, "COSINE", maxDegree = 16, beamWidth = 64).build()
+    var recallSum = 0.0
+    val nQ = 15
+    for (qi <- 0 until nQ) {
+      val q = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val (page1, st) = g.searchResumable(q, 10, 64)
+      val page2 = g.resume(st, 10)
+      val page3 = g.resume(st, 10)
+      val ids = page1.map(_._1) ++ page2.map(_._1) ++ page3.map(_._1)
+      assert(ids.distinct.length == ids.length, "pages must not repeat ids")
+      // resume is approximate: later pages may discover better nodes than a
+      // previous page's tail (same property as the reference's resume), so
+      // only within-page ordering is guaranteed
+      assert(page2.sliding(2).forall(p => p.length < 2 || p(0)._2 >= p(1)._2))
+      val want = vecs.indices.map(i => (i, g.sim(q, vecs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(30).map(_._1).toSet
+      recallSum += ids.toSet.intersect(want).size.toDouble / want.size
+    }
+    assert(recallSum / nQ >= 0.9, s"resume recall ${recallSum / nQ} < 0.9 over 3 pages")
   }
 
   test("warm segment cache returns identical results to cold load") {
