@@ -74,6 +74,26 @@ object AnnQueries {
       .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
   }
 
+  /** In-graph pagination (T6): page 1 from searchResumable, page 2 from
+    * resume on the same cursor — rows-only (graph-dependent); the exact
+    * twin is knn_paged. Single-segment (driver embeddings fit one). */
+  private def annPaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val g = new graft.index.Vamana(rows.map(_._2), "COSINE").build()
+    val qv = rows.take(nQueries)
+    val out = qv.flatMap { case (qid, q) =>
+      val (p1, st) = g.searchResumable(q, k, ef = 64)
+      val p2 = g.resume(st, k)
+      (p1.zipWithIndex.map { case ((l, sc), r) => (qid, 1, r + 1, rows(l)._1, sc) } ++
+        p2.zipWithIndex.map { case ((l, sc), r) => (qid, 2, r + 1, rows(l)._1, sc) }).toSeq
+    }
+    out.toSeq.toDF("qid", "page", "rank", "nid", "score")
+      .select(col("qid"), col("page"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+  }
+
   /** Dense-ordinal remap (S5 RemappedRAVV semantics) — oracle-able. */
   private def denseIds(s: SparkSession, dir: String): DataFrame =
     Ann.withDenseOrdinals(Tables.embeddings(s, dir), "vec_id")
@@ -94,6 +114,7 @@ object AnnQueries {
     "ann_threshold" -> (annThreshold _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn" -> (annKnn _),
+    "ann_paged" -> (annPaged _),
     "ann_knn_filtered" -> (annKnnFiltered _),
     "ivf_knn" -> (ivfKnn _),
     "ann_recall" -> (annRecall _))
