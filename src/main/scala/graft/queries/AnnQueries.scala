@@ -77,12 +77,17 @@ object AnnQueries {
   /** In-graph pagination (T6): page 1 from searchResumable, page 2 from
     * resume on the same cursor — rows-only (graph-dependent); the exact
     * twin is knn_paged. Single-segment (driver embeddings fit one). */
+  private val pagedGraphs =
+    new scala.collection.concurrent.TrieMap[String, (Array[(Long, Array[Float])], graft.index.Vamana)]()
+
   private def annPaged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.embeddings(s, dir)
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val g = new graft.index.Vamana(rows.map(_._2), "COSINE").build()
+    val (rows, g) = pagedGraphs.getOrElseUpdate(dir, {
+      val r = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      (r, new graft.index.Vamana(r.map(_._2), "COSINE").build())
+    })
     val qv = rows.take(nQueries)
     val out = qv.flatMap { case (qid, q) =>
       val (p1, st) = g.searchResumable(q, k, ef = 64)
