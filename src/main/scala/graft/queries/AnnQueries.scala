@@ -77,6 +77,8 @@ object AnnQueries {
   /** In-graph pagination (T6): page 1 from searchResumable, page 2 from
     * resume on the same cursor — rows-only (graph-dependent); the exact
     * twin is knn_paged. Single-segment (driver embeddings fit one). */
+  // Same static-data assumption as ivfModels above: scale dirs are
+  // driver-provided immutable inputs, never rewritten within a JVM.
   private val pagedGraphs =
     new scala.collection.concurrent.TrieMap[String, (Array[(Long, Array[Float])], graft.index.Vamana)]()
 
