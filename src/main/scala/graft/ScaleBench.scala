@@ -43,7 +43,12 @@ object ScaleBench {
     val base = rows.toDF("id", "vec").repartition(16).cache()
     base.count()
 
-    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
+    // args(3) = pqM > 0 switches to the compressed two-phase configuration:
+    // PQ codes persisted in the index + codebook sidecar, beam on ADC
+    // scores, exact rerank — the memory-bound production setup
+    val pqM = if (args.length > 3) args(3).toInt else 0
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100, pqM = pqM)
+    val rerankK = if (pqM > 0) 40 else 0
     val idx = java.nio.file.Files.createTempDirectory("graft_scale").toString + "/idx"
     // locality-aware segmentation: coarse k-means -> one segment per
     // cluster, so probeSegments routing is accurate (random segmentation
@@ -56,24 +61,24 @@ object ScaleBench {
     val queries = rows.take(256).map { case (id, v) => (id, v) }.toDF("qid", "qvec").cache()
     queries.count()
     // warmup (loads + caches segments)
-    Ann.searchIndex(spark, idx, queries, 10, 150, params, probeSegments = probes).count()
+    Ann.searchIndex(spark, idx, queries, 10, 150, params, probeSegments = probes, rerankK = rerankK).count()
     val m = Ann.newMetrics(spark)
     val t1 = System.nanoTime()
     val runs = 3
     (1 to runs).foreach { _ =>
       Ann.searchIndex(spark, idx, queries, 10, 150, params, probeSegments = probes,
-        metrics = Some(m)).count()
+        metrics = Some(m), rerankK = rerankK).count()
     }
     val qps = 256.0 * runs / ((System.nanoTime() - t1) / 1e9)
     val visitedRatio = m.visitedRatioPerQuery(256L * runs)
 
-    val ann = Ann.searchIndex(spark, idx, queries, 10, 150, params, probeSegments = probes)
+    val ann = Ann.searchIndex(spark, idx, queries, 10, 150, params, probeSegments = probes, rerankK = rerankK)
     val exact = KnnExact.knn(base, queries, 10, "COSINE")
     val recall = Metrics.recallAtK(ann, exact, 10).head().getDouble(0)
 
     println(s"""{"metric":"scale_demo","n":$n,"dim":$dim,"segments":$segments,""" +
       s""""build_sec":$buildSec,"build_vps":${n / buildSec},"qps_256batch":$qps,""" +
-      s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,"probe_segments":$probes}""")
+      s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,"probe_segments":$probes,"pq_m":$pqM,"rerank_k":$rerankK}""")
     spark.stop()
   }
 }
