@@ -53,7 +53,11 @@ private[graft] object HashSupport {
     * cleared wholesale when over capacity (values recompute deterministically).
     * Unsigned byte-array order == hex-string order, so callers can compare
     * digests raw and hex only the survivors. */
-  private val memoCap = 1 << 20
+  // cap is an entry count chosen for BYTES: an entry holds `count` 16-byte
+  // digests (+ headers), ~2-6 KB at count=32-128, so 2^16 entries bounds the
+  // memo at a few hundred MB per executor even on a memo-hostile corpus
+  // (UUID-like tokens that defeat the Zipf assumption)
+  private val memoCap = 1 << 16
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Byte]]]()
   def tokenDigests(tok: String, count: Int): Array[Array[Byte]] = {

@@ -60,7 +60,7 @@ object Ann {
     * hive-partitioned (seg=..., optionally nested under batch=...), so a
     * glob expands to several partitioned roots — basePath anchors partition
     * discovery at the tree root, as Spark requires for multi-root reads. */
-  private def readIndex(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def readIndex(spark: SparkSession, path: String): DataFrame = {
     val base = path.stripSuffix("/*").stripSuffix("/")
     spark.read.option("basePath", base).parquet(path)
   }
@@ -73,12 +73,26 @@ object Ann {
     private val maxEntries = 64
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Vamana]()
     def key(ids: Array[Long], vecs: Array[Array[Float]], p: Params): String = {
-      var h = 1125899906842597L
+      // two independent 64-bit chains over full vector CONTENT (~128-bit
+      // key): accidental collision probability is negligible, unlike a
+      // single 31-chain over 32-bit Arrays.hashCode values
+      var h1 = 1125899906842597L
+      var h2 = -3750763034362895579L // FNV-1a offset basis
       var i = 0
-      while (i < ids.length) { h = h * 31 + ids(i); i += 1 }
-      i = 0
-      while (i < vecs.length) { h = h * 31 + java.util.Arrays.hashCode(vecs(i)); i += 1 }
-      s"$h|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}"
+      while (i < ids.length) {
+        h1 = h1 * 31 + ids(i)
+        h2 = (h2 ^ ids(i)) * 1099511628211L
+        var j = 0
+        val v = vecs(i)
+        while (j < v.length) {
+          val bits = java.lang.Float.floatToIntBits(v(j)).toLong
+          h1 = h1 * 31 + bits
+          h2 = (h2 ^ bits) * 1099511628211L
+          j += 1
+        }
+        i += 1
+      }
+      s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}"
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
       if (m.size > maxEntries) m.clear()
@@ -430,6 +444,13 @@ object Ann {
           }
           val qIdx: Array[Int] =
             if (chunks <= 1) routed else routed.filter(_ % chunks == chunk)
+          // scanned = rows of segments searched by ANY query this batch;
+          // counted by chunk 0 (always present) BEFORE the slice-empty
+          // exit, else a chunk-0 slice that happens to be empty while
+          // another chunk searches would undercount and inflate
+          // visitedRatio
+          if (chunk == 0 && routed.nonEmpty)
+            metrics.foreach(_.scanned.add(rows.length))
           if (qIdx.isEmpty) Iterator.empty
           else {
             val sorted = rows.sortBy(_._2)
@@ -475,10 +496,7 @@ object Ann {
               }
               found.map { case (local, s) => (qid, ids(local), s) }
             }
-            metrics.foreach { m =>
-              m.visited.add(vc.n)
-              if (chunk == 0) m.scanned.add(rows.length) // count each segment once
-            }
+            metrics.foreach(_.visited.add(vc.n))
             out.iterator.flatten
           }
         }

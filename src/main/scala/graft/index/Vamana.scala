@@ -337,7 +337,9 @@ final class Vamana(
       } else {
         if (state.accept(c) && !state.returned.get(c)) {
           res.push(packed)
-          if (res.size > ef) res.pop()
+          // evictions stay in the pool: the node is already visited, so a
+          // later page could never re-score it through expansion
+          if (res.size > ef) state.evicted += res.pop()
         }
         val nbrs = neighbors(c)
         var j = 0

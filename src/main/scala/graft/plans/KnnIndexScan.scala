@@ -59,10 +59,8 @@ case class KnnIndexScanExec(
     val qB = spark.sparkContext.broadcast(queries)
 
     // segment rows co-located, decoded straight from InternalRows
-    // (basePath anchors hive partition discovery for glob/multi-batch trees)
-    val segDf = spark.read
-      .option("basePath", indexPath.stripSuffix("/*").stripSuffix("/"))
-      .parquet(indexPath)
+    // (readIndex anchors hive partition discovery for glob/multi-batch trees)
+    val segDf = graft.index.Ann.readIndex(spark, indexPath)
       .select("seg", "local_id", "node_id", "vec", "neighbors", "is_entry")
       .repartition(org.apache.spark.sql.functions.col("seg"))
     val segRdd = segDf.queryExecution.toRdd
