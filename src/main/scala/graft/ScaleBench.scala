@@ -26,7 +26,8 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // heap comes from the forked JVM's -Xmx (build.sbt: SPARK_DRIVER_MEM,
+      // default 8g) — spark.driver.memory is a no-op once the JVM is up
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -37,20 +37,30 @@ object Ann {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
       if (m.size > maxEntries) m.clear()
-      var e = m.get(key)
-      if (e == null) { e = f; m.put(key, e) }
-      e
+      // computeIfAbsent: per-key locking — concurrent chunk tasks of the
+      // same segment must NOT each assemble a full graph copy (a ~chunks-x
+      // transient memory spike at 1M-row segments)
+      m.computeIfAbsent(key, _ => f)
     }
     def clear(): Unit = m.clear()
   }
 
   /** Driver-side segment-count memo per index path (one pushed-down scan of
-    * the centroid rows otherwise runs per search call). */
+    * the centroid rows otherwise runs per search call). Streaming appends
+    * must invalidate via [[invalidateSegmentCounts]] or the chunk fan-out
+    * keeps sizing itself from a stale count. */
   private object SegCountCache {
     private val m = new scala.collection.concurrent.TrieMap[String, Int]()
     def getOrCompute(k: String, f: => Int): Int = m.getOrElseUpdate(k, f)
+    def invalidatePrefix(p: String): Unit =
+      m.keys.filter(_.stripSuffix("/*").stripSuffix("/").startsWith(p)).foreach(m.remove)
     def clear(): Unit = m.clear()
   }
+
+  /** Drop cached segment counts under `pathPrefix` (call after appending
+    * batch segments to an index tree). */
+  def invalidateSegmentCounts(pathPrefix: String): Unit =
+    SegCountCache.invalidatePrefix(pathPrefix.stripSuffix("/*").stripSuffix("/"))
 
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit =
@@ -96,9 +106,7 @@ object Ann {
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
       if (m.size > maxEntries) m.clear()
-      var g = m.get(k)
-      if (g == null) { g = f; m.put(k, g) }
-      g
+      m.computeIfAbsent(k, _ => f) // per-key locking: build once per executor
     }
     def clear(): Unit = m.clear()
   }
@@ -420,8 +428,13 @@ object Ann {
       if (byQueries <= 1) 1
       else {
         val cores = spark.sparkContext.defaultParallelism
-        val nSegs = SegCountCache.getOrCompute(path,
-          math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
+        // with routing active, only the PROBED segments produce tasks — size
+        // the fan-out from those, not the whole index
+        val nSegs = segQueriesB match {
+          case Some(b) => math.max(1, b.value.size)
+          case None => SegCountCache.getOrCompute(path,
+            math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
+        }
         math.min(16, math.max(1, math.min(cores / nSegs, byQueries)))
       }
     }
@@ -527,8 +540,9 @@ object Ann {
   }
 
   /** Threshold search over per-partition segments (jvector T5): all nodes
-    * with sim >= threshold, found by beam search with widening ef per
-    * segment. Returns (qid, nid, score). */
+    * with sim >= threshold per segment, each segment using the adaptive
+    * relaxed-monotonicity stop (see Vamana.thresholdSearch; `ef` is kept
+    * for signature compatibility). Returns (qid, nid, score). */
   def thresholdSearch(
       base: DataFrame,
       queries: DataFrame,

@@ -497,8 +497,6 @@ final class Vamana(
       vc: Vamana.VisitCounter = null): Array[(Int, Double)] =
     searchInternal(q, math.max(ef, topK), accept, vc).take(topK)
 
-  /** Threshold search: all nodes with sim >= t reachable by beam search with
-    * widening ef (jvector T5's contract, batch-friendly variant). */
   /** Threshold search with the reference's adaptive stop (jvector T5:
     * `GraphSearcher.java:298-303` + `ScoreTracker.TwoPhaseTracker`,
     * `ScoreTracker.java:75-146`, citing VBase §3.1 "relaxed monotonicity"):

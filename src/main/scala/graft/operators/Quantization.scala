@@ -358,6 +358,12 @@ object PQ {
       .collect()
     val head = rows.head
     val (dim, m, k) = (head.getInt(0), head.getInt(1), head.getInt(2))
+    // a glob over multiple sidecars (e.g. per-batch streaming indexes, each
+    // trained separately) concatenates incompatible models — fail loudly so
+    // callers fall back to the exact beam instead of scoring with a merged
+    // garbage codebook
+    require(rows.length == rows.map(r => (r.getInt(3), r.getInt(4))).distinct.length,
+      s"duplicate (subspace, centroid) rows at $path: multiple PQ sidecars merged?")
     val (sizes, offsets) = subvectorSizes(dim, m)
     val codebooks = Array.tabulate(m) { s =>
       rows.filter(_.getInt(3) == s).sortBy(_.getInt(4))

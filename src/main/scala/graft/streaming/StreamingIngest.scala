@@ -42,6 +42,7 @@ object StreamingIngest {
           // partitions, so the whole multi-batch tree stays one uniform
           // partitioned layout readable as indexPath or indexPath/*
           Ann.buildIndex(batch, s"$indexPath/batch=$batchId", params, idCol, vecCol)
+          Ann.invalidateSegmentCounts(indexPath) // fan-out must see new segments
       }
       .trigger(Trigger.AvailableNow())
       .start()
