@@ -196,6 +196,26 @@ class AnnSpec extends SparkSpec {
     assert(recallSum / nQ >= 0.9, s"resume recall ${recallSum / nQ} < 0.9 over 3 pages")
   }
 
+  test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
+    val tmp = java.nio.file.Files.createTempDirectory("annmb").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
+    // two separately-built batch indexes, each with its OWN trained sidecar
+    Ann.buildIndex(randVectors(1500, 16, seed = 61).toDF("id", "vec"), s"$tmp/idx/batch=0", params)
+    Ann.buildIndex(randVectors(1500, 16, seed = 62).toDF("id", "vec")
+      .withColumn("id", col("id") + 1500L), s"$tmp/idx/batch=1", params)
+    Ann.clearSegmentCache()
+    val queries = randVectors(10, 16, seed = 63).toDF("qid", "qvec")
+    // rerankK > 0 must NOT score against a concatenation of the two models —
+    // PQ.load rejects the merged glob and searchIndex silently uses the
+    // exact beam, so recall stays high
+    val got = Ann.searchIndex(spark, s"$tmp/idx/*", queries, 10, 64, params, rerankK = 60)
+    val base = randVectors(1500, 16, seed = 61).toDF("id", "vec").union(
+      randVectors(1500, 16, seed = 62).toDF("id", "vec").withColumn("id", col("id") + 1500L))
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.9, s"multi-batch two-phase fallback recall $r < 0.9")
+  }
+
   test("warm segment cache returns identical results to cold load") {
     val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
     val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
