@@ -38,17 +38,44 @@ object VecOps {
 
   /** mode: 0 = string, 1 = long, 2 = int. */
   def jaccard(x: ArrayData, y: ArrayData, mode: Int): Double = {
-    def read(a: ArrayData, i: Int): Any = mode match {
-      case 0 => a.getUTF8String(i)
-      case 1 => java.lang.Long.valueOf(a.getLong(i))
-      case 2 => java.lang.Long.valueOf(a.getInt(i).toLong)
+    if (mode == 0) return jaccardStrings(x, y)
+    // integral arrays: primitive sort + in-place dedupe + merge-count —
+    // no boxing, no hash probes (this runs once per candidate PAIR in the
+    // dedup verify joins)
+    val a = toSortedDistinct(x, mode)
+    val b = toSortedDistinct(y, mode)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
     }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private def toSortedDistinct(x: ArrayData, mode: Int): Array[Long] = {
+    val n = x.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = if (mode == 1) x.getLong(i) else x.getInt(i).toLong; i += 1 }
+    java.util.Arrays.sort(a)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  private def jaccardStrings(x: ArrayData, y: ArrayData): Double = {
     val sa = new java.util.HashSet[Any](x.numElements() * 2)
     var i = 0
-    while (i < x.numElements()) { sa.add(read(x, i)); i += 1 }
+    while (i < x.numElements()) { sa.add(x.getUTF8String(i)); i += 1 }
     val sb = new java.util.HashSet[Any](y.numElements() * 2)
     i = 0
-    while (i < y.numElements()) { sb.add(read(y, i)); i += 1 }
+    while (i < y.numElements()) { sb.add(y.getUTF8String(i)); i += 1 }
     var inter = 0
     val it = sb.iterator()
     while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
