@@ -48,7 +48,7 @@ object NVQ {
   private def logit(y: Double, a: Double): Double = math.log(y / (1.0 - y)) / a
 
   /** Quantize one mean-centered subvector: logistic CDF rescaled to 0..255. */
-  private[operators] def quantizeSub(v: Array[Double], gr: Double): Array[Int] = {
+  private[graft] def quantizeSub(v: Array[Double], gr: Double): Array[Int] = {
     val mn = v.min; val mx = v.max; val delta = mx - mn
     if (delta <= 0) return Array.fill(v.length)(0)
     val a = gr / delta
@@ -60,7 +60,7 @@ object NVQ {
     }
   }
 
-  private[operators] def dequantizeSub(
+  private[graft] def dequantizeSub(
       codes: Array[Int], gr: Double, mn: Double, mx: Double): Array[Double] = {
     val delta = mx - mn
     if (delta <= 0) return Array.fill(codes.length)(mn)
@@ -93,7 +93,7 @@ object NVQ {
   }
 
   /** The reference's coarse+fine grid over the uniform/nvq loss ratio. */
-  private[operators] def learnGrowthRate(v: Array[Double]): Double = {
+  private[graft] def learnGrowthRate(v: Array[Double]): Double = {
     val base = uniformLoss(v)
     if (base <= 0) return 1e-2
     var bestGr = 1e-6
