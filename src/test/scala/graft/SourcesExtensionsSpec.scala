@@ -56,6 +56,11 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(feats(1L)(6) === 1.0) // 'a' = 0x61 -> high nibble 6
     assert(feats(2L)(0) === 0.75) // three 0x00 bytes
     assert(feats(2L)(15) === 0.25) // one 0xff byte
+    // batch shape must not leak into results (real decoders amortize init
+    // per batch; outputs are per-row)
+    val feats64 = Multimodal.extractFeatures(media, batchSize = 64).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(feats.map { case (k, v) => k -> v.toSeq } === feats64)
   }
 
   test("frame sampling emits strided block fingerprints") {
