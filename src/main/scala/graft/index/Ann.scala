@@ -354,25 +354,7 @@ object Ann {
     // query searches only its probeSegments nearest segment centroids —
     // at 100 TB this is what keeps per-query work sublinear in segment
     // count. Centroids are one tiny row per segment.
-    val segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] =
-      if (probeSegments > 0 && raw.columns.contains("seg_centroid")) {
-        // centroids live only on local_id=0 rows — pushed-down filter reads
-        // one row per segment, not the whole index
-        val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
-          .select(col("seg"), col("seg_centroid"))
-          .collect()
-          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
-        val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-        qArr.indices.foreach { qi =>
-          cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
-            .sortBy { case (s, sc) => (-sc, s) }
-            .take(math.min(probeSegments, cents.length))
-            .foreach { case (s, _) =>
-              m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
-            }
-        }
-        Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
-      } else None
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
     val withLive = deletes match {
       case Some(d) =>
         raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
@@ -523,6 +505,185 @@ object Ann {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))
   }
+
+  /** Shared page-labeling merge for the paged searches: candidates are each
+    * segment's incrementally-extended top-(sum pages); the global TopK merge
+    * assigns page p = the next pages(p-1) best results after the earlier
+    * pages, rank restarting per page. Disjointness is by construction
+    * (one global ranking, partitioned into consecutive slices). */
+  private def mergePaged(perSegment: DataFrame, pages: Seq[Int]): DataFrame = {
+    val totalK = pages.sum
+    val pageOf: Array[Int] = pages.zipWithIndex
+      .flatMap { case (sz, i) => Seq.fill(sz)(i + 1) }.toArray
+    val cumBefore: Array[Int] = pages.scanLeft(0)(_ + _).dropRight(1)
+      .zip(pages).flatMap { case (c, sz) => Seq.fill(sz)(c) }.toArray
+    val agg = TopK.udf(totalK)
+    perSegment.groupBy("qid")
+      .agg(agg(col("nid"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"),
+        element_at(typedLit(pageOf), col("pos").cast("int") + 1).as("page"),
+        (col("pos") + 1 - element_at(typedLit(cumBefore), col("pos").cast("int") + 1)).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
+  /** Distributed pagination (jvector T6, `GraphSearcher.resume`,
+    * `GraphSearcher.java:509-547`) over transient per-partition segments:
+    * page 1 runs [[Vamana.searchResumable]], later pages [[Vamana.resume]]
+    * on the SAME per-(query, segment) cursor — each page costs only the
+    * incremental beam expansion, never a re-search. No driver-side graph,
+    * no full-table collect: cursors live inside the segment tasks (the
+    * batch formulation of pagination — all pages of a query set in one
+    * job). Returns (qid, page, rank, nid, score) with GLOBAL page labels
+    * from the bounded merge. */
+  def searchPaged(
+      base: DataFrame,
+      queries: DataFrame,
+      pages: Seq[Int],
+      ef: Int,
+      params: Params = Params(),
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame = {
+    require(pages.nonEmpty && pages.forall(_ > 0), "pages must be positive")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+    val p = params
+    val pagesB = pages.toArray
+    val perSegment = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2)
+          val g = TransientGraphCache.getOrCompute(
+            TransientGraphCache.key(ids, vecs, p),
+            new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+              p.alpha, p.neighborOverflow, p.seed).build())
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            val (first, st) = g.searchResumable(qv, pagesB(0), ef)
+            val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
+            (first.iterator ++ rest).map { case (l, s) => (qid, ids(l), s) }
+          }
+        }
+      }
+      .toDF("qid", "nid", "score")
+    mergePaged(perSegment, pages)
+  }
+
+  /** Paged search over a persisted index — the same per-(query, segment)
+    * resumable cursors, honoring tombstones (merge-on-read accept filter)
+    * and segment routing. Pages beyond the first reuse the in-task cursor,
+    * so the incremental cost per page is beam expansion only. */
+  def searchIndexPaged(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      pages: Seq[Int],
+      ef: Int,
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None,
+      probeSegments: Int = 0): DataFrame = {
+    require(pages.nonEmpty && pages.forall(_ > 0), "pages must be positive")
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+    val p = params
+    val raw = readIndex(spark, path)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
+    val withLive = deletes match {
+      case Some(d) =>
+        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+          raw("node_id") === col("__del"), "left")
+          .withColumn("__live", col("__del").isNull).drop("__del")
+      case None => raw.withColumn("__live", lit(true))
+    }
+    val pruned = segQueriesB match {
+      case Some(b) if b.value.nonEmpty =>
+        withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
+      case Some(_) => withLive.filter(lit(false))
+      case None => withLive
+    }
+    val pagesB = pages.toArray
+    val perSegment = pruned
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"), col("__live"))
+      .repartition(col("seg"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
+          val routed: Array[Int] = segQueriesB match {
+            case Some(b) => b.value.getOrElse(segId, Array.empty)
+            case None => qB.value.indices.toArray
+          }
+          if (routed.isEmpty) Iterator.empty
+          else {
+            val sorted = rows.sortBy(_._2)
+            val live = sorted.map(_._7)
+            // "paged|" prefix: this assembly omits pq codes — must not be
+            // shared with searchIndex's entries (which carry them)
+            val cacheKey = s"paged|$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            val entry = SegmentCache.getOrCompute(cacheKey, {
+              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+              sorted.foreach { r =>
+                g0.neighbors(r._2) ++= r._5
+                if (r._6) g0.entryNode = r._2
+              }
+              SegmentCache.Entry(sorted.map(_._3), g0, null)
+            })
+            val g = entry.graph
+            val ids = entry.ids
+            routed.iterator.flatMap { qi =>
+              val (qid, qv) = qB.value(qi)
+              val (first, st) = g.searchResumable(qv, pagesB(0), ef, i => live(i))
+              val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
+              (first.iterator ++ rest).map { case (l, s) => (qid, ids(l), s) }
+            }
+          }
+        }
+      }
+      .toDF("qid", "nid", "score")
+    mergePaged(perSegment, pages)
+  }
+
+  /** Segment routing (IVF over segments) shared by the search entry points:
+    * with probeSegments > 0, each query is assigned its probeSegments
+    * nearest segment centroids; unrouted segments are pruned before the
+    * read/shuffle. Centroids live only on local_id=0 rows (one per
+    * segment). */
+  private def routeQueries(
+      spark: SparkSession,
+      raw: DataFrame,
+      qArr: Array[(Long, Array[Float])],
+      p: Params,
+      probeSegments: Int): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] =
+    if (probeSegments > 0 && raw.columns.contains("seg_centroid")) {
+      val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
+        .select(col("seg"), col("seg_centroid"))
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+      val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      qArr.indices.foreach { qi =>
+        cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
+          .sortBy { case (s, sc) => (-sc, s) }
+          .take(math.min(probeSegments, cents.length))
+          .foreach { case (s, _) =>
+            m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
+          }
+      }
+      Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
+    } else None
 
   /** Fresh accumulator pair for searchIndex's optional metrics. */
   def newMetrics(spark: SparkSession): SearchMetrics =

@@ -59,21 +59,25 @@ object Multimodal {
   }
 
   /** Frame sampling stub for video payloads: every `stride`-th 1 KiB block
-    * is a "frame"; emits (media_id, frame_idx, frame sha256). */
+    * is a "frame"; emits (media_id, frame_idx, frame_hash). The fingerprint
+    * is a deterministic polynomial rolling hash over the block's bytes
+    * (h = (h*31 + byte) mod 1e9+7) — chosen over a cryptographic digest so
+    * the driver's DuckDB oracle can recompute it from the payload and
+    * cross-verify the block/stride plumbing end-to-end. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val frames = udf { bytes: Array[Byte] =>
       val block = 1024
-      val md = java.security.MessageDigest.getInstance("SHA-256")
       (0 until (bytes.length + block - 1) / block by stride).map { b =>
-        md.reset()
         val from = b * block
         val until = math.min(bytes.length, from + block)
-        md.digest(java.util.Arrays.copyOfRange(bytes, from, until))
-          .map("%02x".format(_)).mkString
+        var h = 0L
+        var i = from
+        while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        h
       }
     }
     media.select(col("media_id"), posexplode(frames(col("bytes"))))
-      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame_sha")
+      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame_hash")
   }
 
   /** Exact-dup fingerprint + size stats over the payload column — pure

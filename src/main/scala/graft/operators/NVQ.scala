@@ -111,6 +111,29 @@ object NVQ {
     bestGr
   }
 
+  /** Per-row squared error of the plain per-subvector uniform 8-bit grid
+    * (same mean-centering and subvector split as the NVQ encode) — the
+    * baseline the learned logistic rate must beat on average, used by the
+    * nvq_recon_error quality gate. */
+  def uniformErrCol(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val m = model
+    val f = udf { v: Seq[Double] =>
+      var total = 0.0
+      var s = 0
+      while (s < m.nSubs) {
+        val sub = new Array[Double](m.sizes(s))
+        var i = 0
+        while (i < sub.length) {
+          sub(i) = v(m.offsets(s) + i) - m.mean(m.offsets(s) + i); i += 1
+        }
+        total += uniformLoss(sub)
+        s += 1
+      }
+      total
+    }
+    df.withColumn("uniform_err", f(col(vecCol).cast("array<double>")))
+  }
+
   /** Adds `nvq_code` (array<int>, full dim, 0..255) and `nvq_params`
     * (array<array<double>> of [growthRate, min, max] per subvector). */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {

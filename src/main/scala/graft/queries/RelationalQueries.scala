@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Numeric determinism convention (oracle hash parity): money/measure
   * aggregates are computed in DECIMAL (exact, order-independent) and cast to
-  * DOUBLE at the end; raw column values pass through untouched; ratios are
-  * DOUBLE divisions of exactly-equal numerators/denominators. Every LIMIT
-  * has a deterministic ORDER BY tiebreak.
+  * DOUBLE at the end, then round(4) (resp. round(6)): DuckDB's
+  * decimal->double cast divides the int128 unscaled value by the scale
+  * factor in floating point (a double-rounding), while Spark converts the
+  * exact decimal — at >= 5e9 sums the two can differ by 1 ulp, and the
+  * final decimal-digit round lands both on the identical double; raw
+  * column values pass through untouched; ratios are DOUBLE divisions of
+  * exactly-equal numerators/denominators. Every LIMIT has a deterministic
+  * ORDER BY tiebreak.
   */
 object RelationalQueries {
 
@@ -31,17 +36,17 @@ object RelationalQueries {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double"), 4).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
+        round(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double"), 4).as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(%REV%) AS DOUBLE) AS sum_disc_price,
+      | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+      | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+      | round(CAST(SUM(%REV%) AS DOUBLE), 4) AS sum_disc_price,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -56,13 +61,13 @@ object RelationalQueries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey")
-      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .agg(round(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double"), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   val q3Top10Sql: String =
-    """SELECT l_orderkey, CAST(SUM(%REV%) AS DOUBLE) AS revenue
+    """SELECT l_orderkey, round(CAST(SUM(%REV%) AS DOUBLE), 4) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -84,11 +89,11 @@ object RelationalQueries {
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .agg(round(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double"), 4).as("revenue"))
   }
 
   val q5NationSql: String =
-    """SELECT n_name, CAST(SUM(%REV%) AS DOUBLE) AS revenue
+    """SELECT n_name, round(CAST(SUM(%REV%) AS DOUBLE), 4) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -97,10 +102,14 @@ object RelationalQueries {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name""".stripMargin.replace("%REV%", revenueSql)
 
-  /** Per-supplier running quantity + row_number (window over unique sort key). */
+  /** Per-supplier running quantity + row_number. The synthetic lineitem is
+    * NOT TPC-H-unique on (orderkey, linenumber) — duplicate full sort keys
+    * exist at sf0.1 — so l_quantity joins the sort key: rows tied on every
+    * sort column are then identical in all output columns, making the
+    * running sum order-insensitive. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast("int").as("rn"),
@@ -111,8 +120,8 @@ object RelationalQueries {
 
   val windowRunningSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      | CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS rn,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+      | CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS INT) AS rn,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
       |FROM lineitem""".stripMargin
 
   /** Top-3 orders per customer by total price (rank window). */
@@ -157,11 +166,11 @@ object RelationalQueries {
   def cubeOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).cube("o_orderpriority", "o_orderstatus").agg(
       count(lit(1)).as("n"),
-      sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("total"))
 
   val cubeOrdersSql: String =
     """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
 
   /** Set operations: brands selling both small and large parts (INTERSECT)
@@ -246,11 +255,11 @@ object RelationalQueries {
   def rollupReturns(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).rollup("l_returnflag", "l_linestatus").agg(
       count(lit(1)).as("n"),
-      sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      round(sum(dec(col("l_quantity"))).cast("double"), 4).as("qty"))
 
   val rollupReturnsSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   /** Hourly event rollup (batch twin of the streaming tumbling window). */
@@ -260,11 +269,11 @@ object RelationalQueries {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total"))
 
   val eventsHourlySql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, event_type,
-      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      | COUNT(*) AS n, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sessionization: 30-min-gap sessions per user (lag + cumulative-sum
@@ -283,7 +292,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total"))
   }
 
   val eventsSessionsSql: String =
@@ -293,7 +302,7 @@ object RelationalQueries {
       |sid AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_id FROM s)
       |SELECT user_id, session_id, COUNT(*) AS n, min(event_id) AS first_event,
       | max(event_id) AS last_event,
-      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      | round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
       |FROM sid GROUP BY user_id, session_id""".stripMargin
 
   /** As-of join: each event picks up the user's most recent STRICTLY
@@ -324,11 +333,11 @@ object RelationalQueries {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
       .groupBy("c_mktsegment")
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        round(sum(dec(col("o_totalprice"))).cast("double"), 4).as("total"))
 
   val mktSegmentRevSql: String =
     """SELECT c_mktsegment, COUNT(DISTINCT o_orderkey) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
       |FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

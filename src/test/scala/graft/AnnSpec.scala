@@ -196,6 +196,38 @@ class AnnSpec extends SparkSpec {
     assert(recallSum / nQ >= 0.9, s"resume recall ${recallSum / nQ} < 0.9 over 3 pages")
   }
 
+  test("distributed pagination: global pages disjoint, union recall >= 0.9, no driver graph") {
+    val base = randVectors(8000, 16, seed = 7).toDF("id", "vec").repartition(4).cache()
+    val queries = randVectors(20, 16, seed = 77).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100,
+      segmentRows = 2048)
+    val got = Ann.searchPaged(base, queries, pages = Seq(10, 10, 10), ef = 64, params).cache()
+    // complete and page-labeled: 30 rows per query, pages 1..3 x ranks 1..10
+    assert(got.count() === 20L * 30)
+    assert(got.groupBy("qid", "page").count().filter(col("count") =!= 10).count() === 0)
+    assert(got.select("qid", "nid").distinct().count() === 20L * 30, "pages must be disjoint")
+    // page boundaries respect the global ordering: worst of page p >= best of page p+1
+    val byQ = got.select("qid", "page", "rank", "score")
+      .as[(Long, Int, Int, Double)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val pageMin = rows.groupBy(_._2).view.mapValues(_.map(_._4).min)
+      val pageMax = rows.groupBy(_._2).view.mapValues(_.map(_._4).max)
+      for (p <- 1 to 2) assert(pageMin(p) >= pageMax(p + 1) - 1e-12,
+        s"page $p worst < page ${p + 1} best")
+    }
+    val want = KnnExact.knn(base, queries, 30, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.9, s"paged union recall $r < 0.9")
+    // paged search over a persisted index honors deletes the same way
+    val tmp = java.nio.file.Files.createTempDirectory("annpaged").toString + "/idx"
+    Ann.buildIndex(base, tmp, params)
+    val deletes = (0 until 100).map(_.toLong).toDF("id")
+    val paged = Ann.searchIndexPaged(spark, tmp, queries, pages = Seq(10, 10), ef = 64,
+      params, deletes = Some(deletes))
+    assert(paged.filter(col("nid") < 100).count() === 0, "deleted ids must not appear")
+    assert(paged.select("qid", "nid").distinct().count() === paged.count())
+  }
+
   test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
     val tmp = java.nio.file.Files.createTempDirectory("annmb").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
