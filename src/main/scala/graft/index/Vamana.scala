@@ -96,22 +96,90 @@ final class Vamana(
   private val upperNeighbors: Array[mutable.Map[Int, Array[Int]]] =
     Array.fill(math.max(0, maxLevel))(mutable.Map.empty)
 
-  /** Build tiny upper layers: per level l >= 1, nodes with levels >= l get
-    * their maxDegree nearest same-level peers (exact — layers are small). */
+  /** Build upper layers by incremental beam insert (the reference's
+    * `addGraphNode` shape per layer, `GraphIndexBuilder.java:605-659`):
+    * members arrive in deterministic order, each finds its neighbors by a
+    * beam search over the partially-built layer, backlinks prune on
+    * overflow. O(members * ef * degree) per layer — the previous exact
+    * all-pairs construction was O(members^2), which at a 1M-row segment
+    * (~31k level-1 members under ml = 1/ln(32)) would dominate the whole
+    * segment build. Tiny layers (<= 64) stay exact. */
   private def buildHierarchy(): Unit = {
+    val degUpper = math.min(maxDegree, 8)
+    val efC = math.max(4 * degUpper, 32)
     var l = 1
     while (l <= maxLevel) {
       val members = (0 until n).filter(levels(_) >= l).toArray
       val layer = upperNeighbors(l - 1)
-      if (members.length > 1) {
+      if (members.length == 1) layer(members(0)) = Array.empty
+      else if (members.length > 1 && members.length <= 64) {
         for (m <- members) {
-          val scored = members.filter(_ != m)
+          layer(m) = members.filter(_ != m)
             .map(o => (o, simNodes(m, o)))
             .sortBy { case (id, s) => (-s, id) }
-            .take(math.min(maxDegree, 8))
-          layer(m) = scored.map(_._1)
+            .take(degUpper).map(_._1)
         }
-      } else if (members.length == 1) layer(members(0)) = Array.empty
+      } else if (members.length > 64) {
+        // adjacency under construction, sims cached alongside (symmetric, so
+        // backlinks reuse the forward score)
+        val adj = mutable.Map.empty[Int, mutable.ArrayBuffer[(Int, Double)]]
+        val entry0 = members(0)
+        adj(entry0) = mutable.ArrayBuffer.empty
+        def searchLayer(q: Int, ef: Int): Array[(Int, Double)] = {
+          val visited = new java.util.HashSet[Integer]()
+          val cand = new LongHeap(64, min = false)
+          val res = new LongHeap(ef + 1, min = true)
+          val s0 = simNodes(q, entry0)
+          visited.add(entry0)
+          cand.push(LongHeap.pack(s0, entry0))
+          var stop = false
+          while (!stop && cand.nonEmpty) {
+            val packed = cand.pop()
+            if (res.size >= ef && LongHeap.score(packed) < LongHeap.score(res.top)) stop = true
+            else {
+              res.push(packed)
+              if (res.size > ef) res.pop()
+              val nbrs = adj.getOrElse(LongHeap.id(packed), mutable.ArrayBuffer.empty)
+              var i = 0
+              while (i < nbrs.length) {
+                val nb = nbrs(i)._1
+                if (!visited.contains(nb)) {
+                  visited.add(nb)
+                  val s = simNodes(q, nb)
+                  if (res.size < ef || s > LongHeap.score(res.top)) cand.push(LongHeap.pack(s, nb))
+                }
+                i += 1
+              }
+            }
+          }
+          res.toArray.map { p => (LongHeap.id(p), LongHeap.score(p).toDouble) }
+            .sortBy { case (id, s) => (-s, id) }
+        }
+        var mi = 1
+        while (mi < members.length) {
+          val m = members(mi)
+          val found = searchLayer(m, efC)
+          val chosen = found.take(degUpper)
+          adj(m) = mutable.ArrayBuffer(chosen: _*)
+          // backlinks with overflow trim (keep the degUpper most similar)
+          var ci = 0
+          while (ci < chosen.length) {
+            val (nb, s) = chosen(ci)
+            val lst = adj(nb)
+            if (!lst.exists(_._1 == m)) {
+              lst += ((m, s))
+              if (lst.length > degUpper) {
+                val trimmed = lst.sortBy { case (id, sc) => (-sc, id) }.take(degUpper)
+                adj(nb) = trimmed
+              }
+            }
+            ci += 1
+          }
+          mi += 1
+        }
+        for ((m, lst) <- adj)
+          layer(m) = lst.sortBy { case (id, s) => (-s, id) }.map(_._1).toArray
+      }
       l += 1
     }
     // entry = highest-level node (ties: lowest id), as in HNSW
