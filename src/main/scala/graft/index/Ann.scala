@@ -764,6 +764,92 @@ object Ann {
       graft.plans.KnnIndexScan(path, qArr, topK, ef, params))
   }
 
+  /** Incremental delete repair (FreshDiskANN §4.2; jvector
+    * `removeDeletedNodes`, `GraphIndexBuilder.java:689-799`): rewrite ONLY
+    * the segments that contain tombstoned nodes — every other segment's
+    * files are left untouched on disk. Per affected segment the graph is
+    * assembled, edges through deleted nodes are spliced + re-pruned
+    * ([[Vamana.repairDeleted]]), survivors are compacted to fresh local
+    * ids, and the segment is atomically replaced (append new seg dir, drop
+    * old). At 100 TB this is the difference between touching the few
+    * segments a delete batch lands in and rebuilding the whole index —
+    * [[compact]] remains the full-rebuild path for segment right-sizing.
+    *
+    * `path` must be a plain (non-glob) index root; for streaming batch
+    * trees, repair each batch root. */
+  def repairDeleted(
+      spark: SparkSession,
+      path: String,
+      deletes: DataFrame,
+      params: Params = Params()): Unit = {
+    import spark.implicits._
+    require(!path.contains("*"), "repairDeleted takes a plain index root, not a glob")
+    val p = params
+    val raw = readIndex(spark, path)
+    val delDf = deletes.select(col(deletes.columns.head).cast("long").as("__del")).distinct()
+    val affected: Array[String] = raw
+      .join(broadcast(delDf), raw("node_id") === col("__del"))
+      .select("seg").distinct().as[String].collect()
+    if (affected.isEmpty) return
+    val delB = spark.sparkContext.broadcast(
+      delDf.as[Long].collect().toSet)
+
+    val withCode =
+      if (raw.columns.contains("pq_code")) raw
+      else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+    val patched = withCode
+      .filter(col("seg").isin(affected.toSeq: _*))
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"), col("pq_code").cast("array<int>"))
+      .repartition(col("seg"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val g = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+          sorted.foreach { r =>
+            g.neighbors(r._2) ++= r._5
+            if (r._6) g.entryNode = r._2
+          }
+          val deleted = new java.util.BitSet(sorted.length)
+          sorted.foreach { r => if (delB.value.contains(r._3)) deleted.set(r._2) }
+          g.repairDeleted(deleted)
+          val keep = sorted.indices.filter(i => !deleted.get(sorted(i)._2)).toArray
+          if (keep.isEmpty) Iterator.empty
+          else {
+            val remap = new Array[Int](sorted.length)
+            keep.zipWithIndex.foreach { case (old, nw) => remap(sorted(old)._2) = nw }
+            val newSeg = java.util.UUID.nameUUIDFromBytes(
+              keep.map(i => sorted(i)._3).mkString(",").getBytes).toString
+            val dim = sorted(0)._4.length
+            val centroid = new Array[Float](dim)
+            keep.foreach { i =>
+              var j = 0
+              while (j < dim) { centroid(j) += sorted(i)._4(j) / keep.length; j += 1 }
+            }
+            val newEntry = remap(g.entryNode)
+            keep.zipWithIndex.iterator.map { case (old, nw) =>
+              val r = sorted(old)
+              (newSeg, nw, r._3, r._4,
+                g.neighbors(r._2).iterator.map(remap(_)).toArray,
+                nw == newEntry, if (nw == 0) centroid else null, r._7)
+            }
+          }
+        }
+      }
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid", "pq_code")
+    patched.write.mode("append").partitionBy("seg").parquet(path)
+    // drop the replaced segment directories AFTER the new ones land
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    affected.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$s"), true)
+    }
+    clearSegmentCache()
+  }
+
   /** Segment compaction (jvector `OnDiskGraphIndexCompactor`, B10 +
     * FreshDiskANN-style delete resolution, B6): union the live rows of all
     * segments under `inPath` (glob ok), drop tombstones FOR REAL, and

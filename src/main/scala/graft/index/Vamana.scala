@@ -559,6 +559,79 @@ final class Vamana(
     this
   }
 
+  /** FreshDiskANN §4.2 delete repair (jvector `removeDeletedNodes`,
+    * `GraphIndexBuilder.java:689-799`): for every live node with an edge
+    * into the deleted set, splice the deleted neighbors' own live neighbors
+    * into the candidate list and re-run RobustPrune — the graph keeps its
+    * navigability without touching nodes that never pointed at a tombstone.
+    * Deleted nodes' adjacency is cleared; upper layers drop deleted members;
+    * a deleted entry point is replaced by the live node nearest the live
+    * centroid (same medoid approximation as build). */
+  def repairDeleted(deleted: java.util.BitSet): Unit = {
+    if (n == 0 || deleted.isEmpty) return
+    var a = 0
+    while (a < n) {
+      if (!deleted.get(a)) {
+        val lst = neighbors(a)
+        var touches = false
+        var i = 0
+        while (i < lst.length && !touches) { if (deleted.get(lst(i))) touches = true; i += 1 }
+        if (touches) {
+          val cand = mutable.LinkedHashSet.empty[Int]
+          i = 0
+          while (i < lst.length) {
+            val nb = lst(i)
+            if (deleted.get(nb)) {
+              val nn = neighbors(nb)
+              var j = 0
+              while (j < nn.length) {
+                if (!deleted.get(nn(j)) && nn(j) != a) cand += nn(j)
+                j += 1
+              }
+            } else cand += nb
+            i += 1
+          }
+          val packed = cand.toArray.map(c => LongHeap.pack(simNodes(a, c), c))
+          neighbors(a) = robustPrune(a, packed, maxDegree)
+        }
+      }
+      a += 1
+    }
+    var d = deleted.nextSetBit(0)
+    while (d >= 0) { neighbors(d) = mutable.ArrayBuffer.empty; d = deleted.nextSetBit(d + 1) }
+    for (layer <- upperNeighbors) {
+      val gone = layer.keys.filter(deleted.get).toArray
+      gone.foreach(layer.remove)
+      for (m <- layer.keys.toArray) layer(m) = layer(m).filterNot(deleted.get)
+    }
+    if (deleted.get(entryNode)) {
+      val dim = vectors(0).length
+      val centroid = new Array[Float](dim)
+      var live = 0
+      var i = 0
+      while (i < n) { if (!deleted.get(i)) live += 1; i += 1 }
+      if (live == 0) { entryNode = 0; return }
+      i = 0
+      while (i < n) {
+        if (!deleted.get(i)) {
+          var j = 0
+          while (j < dim) { centroid(j) += vectors(i)(j) / live; j += 1 }
+        }
+        i += 1
+      }
+      var best = -1; var bestS = Double.MinValue
+      i = 0
+      while (i < n) {
+        if (!deleted.get(i)) {
+          val s = sim(centroid, vectors(i))
+          if (s > bestS) { bestS = s; best = i }
+        }
+        i += 1
+      }
+      entryNode = best
+    }
+  }
+
   /** Public search with optional accept filter (pushed INTO the beam loop,
     * jvector P1 semantics) and threshold. Returns (localId, score). */
   def search(q: Array[Float], topK: Int, ef: Int, accept: Int => Boolean = _ => true,

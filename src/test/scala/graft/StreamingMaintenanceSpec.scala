@@ -105,6 +105,56 @@ class StreamingMaintenanceSpec extends SparkSpec {
     assert(got.groupBy("qid").count().select(min("count")).head().getLong(0) === 10)
   }
 
+  test("incremental delete repair rewrites ONLY tombstoned segments; untouched files identical") {
+    val dir = tmpDir()
+    val emb = Tables.embeddings(spark, sfDir)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, segmentRows = 100)
+    Ann.buildIndex(emb.repartition(5), s"$dir/idx", params, "vec_id", "embedding")
+
+    def segFiles(): Map[String, Map[String, (Long, Long)]] = {
+      val root = new java.io.File(s"$dir/idx")
+      root.listFiles().filter(_.getName.startsWith("seg=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+      }.toMap
+    }
+    val before = segFiles()
+    assert(before.size >= 3, s"want several segments, got ${before.size}")
+
+    // tombstone all nodes of ONE segment's first rows + a few of another
+    val idx = spark.read.parquet(s"$dir/idx")
+    val segOfNode = idx.select("seg", "node_id").as[(String, Long)].collect()
+    val someSeg = segOfNode.head._1
+    val delIds = segOfNode.filter(_._1 == someSeg).map(_._2).take(30)
+    val deletes = delIds.toSeq.toDF("id")
+
+    Ann.repairDeleted(spark, s"$dir/idx", deletes, params)
+
+    val after = segFiles()
+    val affectedSegs = segOfNode.filter(r => delIds.contains(r._2)).map(_._1).toSet.map((s: String) => s"seg=$s")
+    // untouched segment directories: byte-for-byte identical file listings
+    for ((seg, files) <- before if !affectedSegs.contains(seg))
+      assert(after(seg) === files, s"untouched segment $seg was modified")
+    // affected segment dirs replaced by fresh seg ids
+    affectedSegs.foreach(s => assert(!after.contains(s), s"$s should be dropped"))
+
+    val post = spark.read.parquet(s"$dir/idx")
+    assert(post.filter(col("node_id").isin(delIds.map(java.lang.Long.valueOf): _*)).count() === 0,
+      "deleted node rows must be gone")
+    // graph still navigable: recall vs exact over the live rows
+    val queries = emb.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Ann.searchIndex(spark, s"$dir/idx", queries, 10, 64, params)
+    assert(got.select("nid").as[Long].collect().toSet.intersect(delIds.toSet).isEmpty)
+    val liveBase = emb.filter(!$"vec_id".isin(delIds.map(java.lang.Long.valueOf): _*))
+    val exact = graft.operators.KnnExact.knn(liveBase, queries, 10, "COSINE", "vec_id", "embedding")
+    val g = got.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val w = exact.select("qid", "nid").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val rec = w.map { case (q, ws) => g.get(q).map(_.intersect(ws).size.toDouble / ws.size).getOrElse(0.0) }.sum / w.size
+    assert(rec >= 0.9, s"post-repair recall $rec < 0.9")
+    // degree bound still enforced on repaired segments
+    assert(post.select(max(size(col("neighbors")))).head().getInt(0) <= (16 * params.neighborOverflow).toInt)
+  }
+
   test("compaction folds many small segments into fewer right-sized ones") {
     val dir = tmpDir()
     val emb = Tables.embeddings(spark, sfDir)
