@@ -336,7 +336,12 @@ object Ann {
       metrics: Option[SearchMetrics] = None,
       /** >0 runs the two-phase search: beam on PQ-ADC approx scores (needs
         * an index built with pqM > 0), exact rerank of rerankK survivors. */
-      rerankK: Int = 0): DataFrame = {
+      rerankK: Int = 0,
+      /** Accept-list (jvector `Bits`, P1): only these node ids may be
+        * returned; the filter is fused into the beam accept (merge-on-read,
+        * like deletes). Distributed — the id relation is broadcast-joined
+        * against the index rows, never collected. */
+      accepts: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -355,12 +360,20 @@ object Ann {
     // at 100 TB this is what keeps per-query work sublinear in segment
     // count. Centroids are one tiny row per segment.
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
-    val withLive = deletes match {
+    val withDel = deletes match {
       case Some(d) =>
         raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
           raw("node_id") === col("__del"), "left")
           .withColumn("__live", col("__del").isNull).drop("__del")
       case None => raw.withColumn("__live", lit(true))
+    }
+    val withLive = accepts match {
+      case Some(a) =>
+        withDel.join(
+          broadcast(a.select(col(a.columns.head).cast("long").as("__acc")).distinct()),
+          withDel("node_id") === col("__acc"), "left")
+          .withColumn("__live", col("__live") && col("__acc").isNotNull).drop("__acc")
+      case None => withDel
     }
 
     // two-phase mode: load the PQ sidecar + precompute per-query ADC tables
@@ -752,7 +765,10 @@ object Ann {
       queries: DataFrame,
       topK: Int,
       ef: Int,
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(),
+      deletes: Array[Long] = Array.empty,
+      probeSegments: Int = 0,
+      rerankK: Int = 0): DataFrame = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(graft.plans.KnnIndexStrategy))
       spark.experimental.extraStrategies = strategies :+ graft.plans.KnnIndexStrategy
@@ -761,7 +777,8 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
-      graft.plans.KnnIndexScan(path, qArr, topK, ef, params))
+      graft.plans.KnnIndexScan(path, qArr, topK, ef, params,
+        deletes = deletes, probeSegments = probeSegments, rerankK = rerankK))
   }
 
   /** Incremental delete repair (FreshDiskANN §4.2; jvector

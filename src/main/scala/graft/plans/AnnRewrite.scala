@@ -93,27 +93,55 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Build the rewritten plan: index scan (optionally with the predicate
+    * pushed as an in-beam accept list) joined back to the base rows,
+    * ordered by the engine contract — score desc, id asc
+    * (`SearchResult.java:100-106`). */
+  private def rewriteTopK(
+      k: Int,
+      simExpr: Expression,
+      rel: LogicalRelation,
+      filterCond: Option[Expression]): Option[LogicalPlan] =
+    for {
+      info <- AnnCatalog.lookup(rel)
+      (vecAttr, qv, metric) <- matchSim(simExpr)
+      if vecAttr.name.equalsIgnoreCase(info.vecCol) &&
+        metric.startsWith(info.params.metric.toUpperCase.take(3))
+      idAttr <- rel.output.find(_.name.equalsIgnoreCase(info.idCol))
+      // only deterministic predicates over base columns are pushable
+      if filterCond.forall(c => c.deterministic && c.references.subsetOf(rel.outputSet))
+    } yield {
+      // the accept-list child: ids satisfying p (O1 — pushed INTO the beam
+      // as the accept filter rather than post-filtering the top-k, so a
+      // selective predicate still yields k results)
+      val acceptChild = filterCond.map { c =>
+        Project(Seq(Alias(Cast(idAttr, org.apache.spark.sql.types.LongType), "id")()),
+          Filter(c, rel))
+      }
+      val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
+        math.max(info.ef, k), info.params, acceptChild = acceptChild)
+      val nidAttr = scan.output.find(_.name == "nid").get
+      val scoreAttr = scan.output.find(_.name == "score").get
+      val base = filterCond.map(c => Filter(c, rel)).getOrElse(rel)
+      // the scan side is tiny (<= queries * k rows) — hint it broadcast so
+      // the base table never shuffles for the join-back
+      val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      // re-apply the hard LIMIT: the join can exceed k if base ids repeat;
+      // nid-asc tiebreak preserves the deterministic result order contract
+      Limit(Literal(k),
+        Project(rel.output,
+          Sort(Seq(SortOrder(scoreAttr, Descending), SortOrder(nidAttr, Ascending)),
+            global = true, joined)))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true, rel: LogicalRelation, _))) =>
-      val rewritten = for {
-        info <- AnnCatalog.lookup(rel)
-        (vecAttr, qv, metric) <- matchSim(simExpr)
-        if vecAttr.name.equalsIgnoreCase(info.vecCol) &&
-          metric.startsWith(info.params.metric.toUpperCase.take(3))
-        idAttr <- rel.output.find(_.name.equalsIgnoreCase(info.idCol))
-      } yield {
-        val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
-          math.max(info.ef, k), info.params)
-        val nidAttr = scan.output.find(_.name == "nid").get
-        val scoreAttr = scan.output.find(_.name == "score").get
-        val joined = Join(rel, scan,
-          Inner, Some(EqualTo(idAttr, nidAttr)), JoinHint.NONE)
-        // re-apply the hard LIMIT: the join can exceed k if base ids repeat
-        Limit(Literal(k),
-          Project(rel.output,
-            Sort(Seq(SortOrder(scoreAttr, Descending)), global = true, joined)))
-      }
-      rewritten.getOrElse(limit)
+      rewriteTopK(k, simExpr, rel, None).getOrElse(limit)
+    case limit @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true,
+          Filter(cond, rel: LogicalRelation), _))) =>
+      rewriteTopK(k, simExpr, rel, Some(cond)).getOrElse(limit)
   }
 }

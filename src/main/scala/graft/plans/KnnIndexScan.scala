@@ -1,11 +1,9 @@
 package graft.plans
 
-import graft.index.{Ann, Vamana}
-import graft.operators.TopKAgg
+import graft.index.Ann
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.types._
@@ -18,6 +16,13 @@ import org.apache.spark.sql.types._
   * reuse / EXPLAIN visibility) and leaves room for an optimizer rule to
   * rewrite `ORDER BY sim LIMIT k` into it.
   *
+  * The node carries the FULL search surface of the functional route —
+  * tombstone deletes (merge-on-read), probeSegments centroid routing, and
+  * PQ two-phase rerank — and [[KnnIndexScanExec]] executes through the same
+  * kernel as [[Ann.searchIndex]] (warm SegmentCache, chunk fan-out,
+  * pushed-down segment pruning), so the plan route can never silently fall
+  * behind the functional route.
+  *
   * Output schema: (qid LONG, rank INT, nid LONG, score DOUBLE).
   */
 case class KnnIndexScan(
@@ -26,13 +31,28 @@ case class KnnIndexScan(
     topK: Int,
     ef: Int,
     params: Ann.Params,
+    /** tombstoned node ids (empty = none) — fused into the beam accept
+      * filter, jvector liveNodes semantics (`GraphSearcher.java:337`). */
+    deletes: Array[Long] = Array.empty,
+    /** > 0: per-query centroid routing over this many nearest segments. */
+    probeSegments: Int = 0,
+    /** > 0: PQ-ADC approximate beam + exact rerank of this many. */
+    rerankK: Int = 0,
+    /** Optional accept-list child plan: a single-long-column relation of
+      * node ids allowed in results (jvector `Bits`, P1). Planned and
+      * executed as a normal child — its ids are broadcast-joined into the
+      * index scan's live filter, never collected to the driver. */
+    acceptChild: Option[LogicalPlan] = None,
     // constructor field (not a body val) so plan copies made by the
     // analyzer/optimizer keep the same expression ids
-    override val output: Seq[Attribute] = KnnIndexScan.schemaAttrs) extends LeafNode {
+    override val output: Seq[Attribute] = KnnIndexScan.schemaAttrs) extends LogicalPlan {
 
-  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
-    org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = BigInt(queries.length.toLong * topK * 28L))
+  override def children: Seq[LogicalPlan] = acceptChild.toSeq
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan =
+    copy(acceptChild = newChildren.headOption)
+
+  override def maxRows: Option[Long] = Some(queries.length.toLong * topK)
 }
 
 object KnnIndexScan {
@@ -43,70 +63,46 @@ object KnnIndexScan {
     AttributeReference("score", DoubleType, nullable = false)())
 }
 
+/** Physical operator: a thin adapter over the [[Ann.searchIndex]] execution
+  * kernel. The previous incarnation re-implemented segment assembly inline
+  * and had silently lost the warm-cache / routing / deletes / two-phase
+  * features of the functional route; delegating to the one kernel makes
+  * parity structural instead of aspirational (single source of truth), at
+  * the cost of one nested query execution per invocation — negligible next
+  * to the search itself. */
 case class KnnIndexScanExec(
     indexPath: String,
     queries: Array[(Long, Array[Float])],
     topK: Int,
     ef: Int,
     params: Ann.Params,
-    override val output: Seq[Attribute]) extends LeafExecNode {
+    deletes: Array[Long],
+    probeSegments: Int,
+    rerankK: Int,
+    acceptChild: Option[SparkPlan],
+    override val output: Seq[Attribute]) extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = acceptChild.toSeq
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(acceptChild = newChildren.headOption)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = session
-    val p = params
-    val k = topK
-    val searchEf = ef
-    val qB = spark.sparkContext.broadcast(queries)
-
-    // segment rows co-located, decoded straight from InternalRows
-    // (readIndex anchors hive partition discovery for glob/multi-batch trees)
-    val segDf = graft.index.Ann.readIndex(spark, indexPath)
-      .select("seg", "local_id", "node_id", "vec", "neighbors", "is_entry")
-      .repartition(org.apache.spark.sql.functions.col("seg"))
-    val segRdd = segDf.queryExecution.toRdd
-
-    val perSegment: RDD[(Long, (Long, Double))] = segRdd.mapPartitions { it =>
-      case class SegRow(seg: String, local: Int, node: Long, vec: Array[Float], nbrs: Array[Int], entry: Boolean)
-      val rows = it.map { r =>
-        SegRow(r.getUTF8String(0).toString, r.getInt(1), r.getLong(2),
-          r.getArray(3).toFloatArray(), r.getArray(4).toIntArray(), r.getBoolean(5))
-      }.toArray
-      rows.groupBy(_.seg).iterator.flatMap { case (_, seg) =>
-        val sorted = seg.sortBy(_.local)
-        val g = new Vamana(sorted.map(_.vec), p.metric, p.maxDegree, p.beamWidth,
-          p.alpha, p.neighborOverflow, p.seed)
-        sorted.foreach { r =>
-          g.neighbors(r.local) ++= r.nbrs
-          if (r.entry) g.entryNode = r.local
-        }
-        val ids = sorted.map(_.node)
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, searchEf).iterator.map { case (l, s) => (qid, (ids(l), s)) }
-        }
-      }
+    import spark.implicits._
+    val qDf = queries.toSeq.toDF("qid", "qvec")
+    val delDf = if (deletes.isEmpty) None else Some(deletes.toSeq.toDF("id"))
+    val acceptDf = acceptChild.map { c =>
+      org.apache.spark.sql.GraftColumnBridge.ofInternalRows(spark, c.output, c.execute())
     }
-
-    // global bounded top-k merge per query (partial results are already <= k
-    // per segment, so this reduce moves O(segments * k) rows per query)
-    val agg = TopKAgg(k)
-    val merged = perSegment
-      .aggregateByKey(agg.zero)(
-        (buf, x) => agg.reduce(buf, x),
-        (a, b) => agg.merge(a, b))
-      .flatMap { case (qid, topk) =>
-        agg.finish(topk).iterator.zipWithIndex.map { case ((nid, s), i) =>
-          (qid, i + 1, nid, s)
-        }
-      }
-
-    merged.mapPartitions { it =>
-      val proj = UnsafeProjection.create(Array[DataType](LongType, IntegerType, LongType, DoubleType))
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
-      it.map { case (qid, rank, nid, s) =>
-        row.update(0, qid); row.update(1, rank); row.update(2, nid); row.update(3, s)
-        proj(row)
-      }
-    }
+    val result = Ann.searchIndex(spark, indexPath, qDf, topK, ef, params,
+      deletes = delDf, probeSegments = probeSegments, rerankK = rerankK,
+      accepts = acceptDf)
+      .select(org.apache.spark.sql.functions.col("qid").cast("long"),
+        org.apache.spark.sql.functions.col("rank").cast("int"),
+        org.apache.spark.sql.functions.col("nid").cast("long"),
+        org.apache.spark.sql.functions.col("score").cast("double"))
+    result.queryExecution.toRdd
   }
 }
 
@@ -115,7 +111,9 @@ case class KnnIndexScanExec(
 object KnnIndexStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: KnnIndexScan =>
-      KnnIndexScanExec(s.indexPath, s.queries, s.topK, s.ef, s.params, s.output) :: Nil
+      KnnIndexScanExec(s.indexPath, s.queries, s.topK, s.ef, s.params,
+        s.deletes, s.probeSegments, s.rerankK, s.acceptChild.map(planLater),
+        s.output) :: Nil
     case _ => Nil
   }
 }

@@ -14,4 +14,13 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame over an already-planned RDD[InternalRow] (LogicalRDD is
+    * private[sql]) — lets a physical operator hand a child's executed
+    * output back to the DataFrame API without a driver collect. */
+  def ofInternalRows(spark: SparkSession,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(output, rdd)(
+      spark.asInstanceOf[classic.SparkSession]))
 }

@@ -360,7 +360,42 @@ class AnnSpec extends SparkSpec {
       Seq((0L, qv)).toDF("qid", "qvec"), 10, "COSINE")
       .select("nid").as[Long].collect().toSet
     assert(got.intersect(want).size >= 9, s"rewrite recall too low: ${got.intersect(want).size}/10")
+
+    // filtered top-k: WHERE p ORDER BY sim LIMIT k pushes p as the in-beam
+    // accept list (O1) — k results, all satisfying p, recall vs exact-on-p
+    val fdf = spark.read.parquet(s"$tmp/base").filter($"id" % 2 === 0)
+      .orderBy(graft.functions.VectorFunctions.cosineSim($"vec", typedLit(qv)).desc)
+      .limit(10)
+    assert(fdf.queryExecution.executedPlan.toString.contains("KnnIndexScan"),
+      s"filtered rewrite did not fire:\n${fdf.queryExecution.optimizedPlan}")
+    val fGot = fdf.select("id").as[Long].collect()
+    assert(fGot.length === 10)
+    assert(fGot.forall(_ % 2 == 0), "accept filter violated")
+    val fWant = KnnExact.knn(
+      spark.read.parquet(s"$tmp/base").filter($"id" % 2 === 0),
+      Seq((0L, qv)).toDF("qid", "qvec"), 10, "COSINE")
+      .select("nid").as[Long].collect().toSet
+    assert(fGot.toSet.intersect(fWant).size >= 9,
+      s"filtered rewrite recall too low: ${fGot.toSet.intersect(fWant).size}/10")
     AnnCatalog.clear()
+  }
+
+  test("plan route parity: deletes + routing + PQ rerank flow through KnnIndexScan") {
+    val tmp = java.nio.file.Files.createTempDirectory("annplanpar").toString
+    val base = randVectors(4000, 16, seed = 31).toDF("id", "vec").repartition(4).cache()
+    val queries = randVectors(16, 16, seed = 32).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 1024, pqM = 4, pqK = 32)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val dels = (0L until 200L).toArray
+    val fn = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+      deletes = Some(dels.toSeq.toDF("id")), probeSegments = 3, rerankK = 40)
+    val pl = Ann.searchIndexPlan(spark, s"$tmp/idx", queries, 10, 64, params,
+      deletes = dels, probeSegments = 3, rerankK = 40)
+    assert(pl.filter($"nid" < 200).count() === 0, "plan route ignored deletes")
+    val a = fn.select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val b = pl.select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(a === b, "plan route and functional route must produce identical results")
   }
 
   test("IVF knn-join: distributed both-sides-large join hits high recall vs exact") {
