@@ -51,13 +51,20 @@ object Bench {
     val qset = if (only.isEmpty) SparkEntry.queries
                else SparkEntry.queries.filter(kv => only(kv._1))
     // reference protocol scaled down for the 50-query sweep: 1 warmup run
-    // (JIT + codegen + data caches), AVG of 2 measured runs
+    // (JIT + codegen + data caches), AVG of 2 measured runs. Failures are
+    // NAMED in the output (a silent -1.0 would let a regression vanish
+    // into the timing noise) — the time stays -1.0 so the schema is stable.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qset.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count()
         val ts = (1 to 2).map(_ => time(fn(spark, sfDir).count())._2)
         ts.sum / ts.length
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+          -1.0
+      }
       name -> t
     }
 
@@ -123,6 +130,14 @@ object Bench {
     val kernelQps = qLocal.length / (kernelTs.sum / runs)
 
     val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val annJson =
       s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
@@ -131,7 +146,7 @@ object Bench {
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"ann":$annJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"ann":$annJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,22 +11,33 @@ object VecOps {
   @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** The reference refuses mismatched dimensions (`VectorUtil.java:46-48`);
+    * silently truncating to the shorter vector would return a plausible but
+    * wrong score. */
+  @inline private def checkDims(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"vector dimensions differ: $n vs ${y.numElements()}")
+    n
+  }
+
   def dot(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var acc = 0.0; var i = 0
     while (i < n) { acc += get(x, i, xf) * get(y, i, yf); i += 1 }
     acc
   }
 
   def l2sq(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var acc = 0.0; var i = 0
     while (i < n) { val d = get(x, i, xf) - get(y, i, yf); acc += d * d; i += 1 }
     acc
   }
 
   def cosine(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x, y)
     var dot = 0.0; var i = 0
     while (i < n) { dot += get(x, i, xf) * get(y, i, yf); i += 1 }
     var na = 0.0; i = 0

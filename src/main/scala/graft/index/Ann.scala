@@ -36,7 +36,13 @@ object Ann {
     private val maxEntries = 256
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
-      if (m.size > maxEntries) m.clear()
+      // evict single entries over capacity (iteration order is effectively
+      // arbitrary ~ random eviction) — wholesale clear() would cold-start
+      // EVERY warm segment because one new one arrived
+      while (m.size > maxEntries) {
+        val it = m.keys()
+        if (it.hasMoreElements) m.remove(it.nextElement()) else m.clear()
+      }
       // computeIfAbsent: per-key locking — concurrent chunk tasks of the
       // same segment must NOT each assemble a full graph copy (a ~chunks-x
       // transient memory spike at 1M-row segments)
@@ -105,7 +111,10 @@ object Ann {
       s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}"
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
-      if (m.size > maxEntries) m.clear()
+      while (m.size > maxEntries) { // single-entry eviction, not wholesale
+        val it = m.keys()
+        if (it.hasMoreElements) m.remove(it.nextElement()) else m.clear()
+      }
       m.computeIfAbsent(k, _ => f) // per-key locking: build once per executor
     }
     def clear(): Unit = m.clear()

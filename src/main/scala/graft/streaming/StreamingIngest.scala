@@ -37,12 +37,13 @@ object StreamingIngest {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           // hive-style batch dir: nested under it, buildIndex writes seg=...
           // partitions, so the whole multi-batch tree stays one uniform
           // partitioned layout readable as indexPath or indexPath/*
           Ann.buildIndex(batch, s"$indexPath/batch=$batchId", params, idCol, vecCol)
           Ann.invalidateSegmentCounts(indexPath) // fan-out must see new segments
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
