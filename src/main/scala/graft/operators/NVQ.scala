@@ -47,45 +47,56 @@ object NVQ {
   private def sigma(x: Double, a: Double): Double = 1.0 / (1.0 + math.exp(-a * x))
   private def logit(y: Double, a: Double): Double = math.log(y / (1.0 - y)) / a
 
-  /** Quantize one mean-centered subvector: logistic CDF rescaled to 0..255. */
-  private[graft] def quantizeSub(v: Array[Double], gr: Double): Array[Int] = {
+  /** 8-bit (255 levels) or 4-bit (15 levels) — the reference's two widths
+    * (`NVQuantization.BitsPerDimension`, `NVQuantization.java:44-79`). */
+  private def maxLevel(bits: Int): Int = {
+    require(bits == 8 || bits == 4, s"NVQ supports 8 or 4 bits, got $bits")
+    (1 << bits) - 1
+  }
+
+  /** Quantize one mean-centered subvector: logistic CDF rescaled to
+    * 0..(2^bits - 1). */
+  private[graft] def quantizeSub(v: Array[Double], gr: Double, bits: Int = 8): Array[Int] = {
+    val lv = maxLevel(bits)
     val mn = v.min; val mx = v.max; val delta = mx - mn
     if (delta <= 0) return Array.fill(v.length)(0)
     val a = gr / delta
     val bias = sigma(mn, a)
-    val scale = (sigma(mx, a) - bias) / 255.0
+    val scale = (sigma(mx, a) - bias) / lv
     v.map { x =>
       val q = math.round((sigma(x, a) - bias) / scale).toInt
-      math.min(255, math.max(0, q))
+      math.min(lv, math.max(0, q))
     }
   }
 
   private[graft] def dequantizeSub(
-      codes: Array[Int], gr: Double, mn: Double, mx: Double): Array[Double] = {
+      codes: Array[Int], gr: Double, mn: Double, mx: Double, bits: Int = 8): Array[Double] = {
+    val lv = maxLevel(bits)
     val delta = mx - mn
     if (delta <= 0) return Array.fill(codes.length)(mn)
     val a = gr / delta
     val bias = sigma(mn, a)
-    val scale = (sigma(mx, a) - bias) / 255.0
+    val scale = (sigma(mx, a) - bias) / lv
     codes.map(q => logit(q * scale + bias, a))
   }
 
-  private def roundtripLoss(v: Array[Double], gr: Double): Double = {
-    val dec = dequantizeSub(quantizeSub(v, gr), gr, v.min, v.max)
+  private def roundtripLoss(v: Array[Double], gr: Double, bits: Int): Double = {
+    val dec = dequantizeSub(quantizeSub(v, gr, bits), gr, v.min, v.max, bits)
     var s = 0.0; var i = 0
     while (i < v.length) { val t = v(i) - dec(i); s += t * t; i += 1 }
     s
   }
 
-  /** Squared error of the plain uniform 8-bit grid — the learned rate must
-    * beat this ratio-wise (jvector `nvqUniformLoss`). */
-  private[graft] def uniformLoss(v: Array[Double]): Double = {
+  /** Squared error of the plain uniform grid at the same width — the
+    * learned rate must beat this ratio-wise (jvector `nvqUniformLoss`). */
+  private[graft] def uniformLoss(v: Array[Double], bits: Int = 8): Double = {
+    val lv = maxLevel(bits)
     val mn = v.min; val mx = v.max; val delta = mx - mn
     if (delta <= 0) return 0.0
     var s = 0.0; var i = 0
     while (i < v.length) {
-      val q = math.round((v(i) - mn) / delta * 255.0)
-      val dec = mn + q * delta / 255.0
+      val q = math.round((v(i) - mn) / delta * lv)
+      val dec = mn + q * delta / lv
       val t = v(i) - dec; s += t * t
       i += 1
     }
@@ -93,13 +104,13 @@ object NVQ {
   }
 
   /** The reference's coarse+fine grid over the uniform/nvq loss ratio. */
-  private[graft] def learnGrowthRate(v: Array[Double]): Double = {
-    val base = uniformLoss(v)
+  private[graft] def learnGrowthRate(v: Array[Double], bits: Int = 8): Double = {
+    val base = uniformLoss(v, bits)
     if (base <= 0) return 1e-2
     var bestGr = 1e-6
     var bestRatio = -1.0
     def tryGr(gr: Double): Unit = if (gr > 0) {
-      val l = roundtripLoss(v, gr)
+      val l = roundtripLoss(v, gr, bits)
       val ratio = if (l <= 0) Double.MaxValue else base / l
       if (ratio > bestRatio) { bestRatio = ratio; bestGr = gr }
     }
@@ -115,8 +126,9 @@ object NVQ {
     * (same mean-centering and subvector split as the NVQ encode) — the
     * baseline the learned logistic rate must beat on average, used by the
     * nvq_recon_error quality gate. */
-  def uniformErrCol(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+  def uniformErrCol(df: DataFrame, vecCol: String, model: Model, bits: Int = 8): DataFrame = {
     val m = model
+    val b = bits
     val f = udf { v: Seq[Double] =>
       var total = 0.0
       var s = 0
@@ -126,7 +138,7 @@ object NVQ {
         while (i < sub.length) {
           sub(i) = v(m.offsets(s) + i) - m.mean(m.offsets(s) + i); i += 1
         }
-        total += uniformLoss(sub)
+        total += uniformLoss(sub, b)
         s += 1
       }
       total
@@ -134,10 +146,12 @@ object NVQ {
     df.withColumn("uniform_err", f(col(vecCol).cast("array<double>")))
   }
 
-  /** Adds `nvq_code` (array<int>, full dim, 0..255) and `nvq_params`
-    * (array<array<double>> of [growthRate, min, max] per subvector). */
-  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+  /** Adds `nvq_code` (array<int>, full dim, 0..(2^bits - 1)) and
+    * `nvq_params` (array<array<double>> of [growthRate, min, max] per
+    * subvector). `bits` = 8 (default) or 4. */
+  def encode(df: DataFrame, vecCol: String, model: Model, bits: Int = 8): DataFrame = {
     val m = model
+    val b = bits
     val enc = udf { v: Seq[Double] =>
       val codes = new Array[Int](v.length)
       val params = new Array[Seq[Double]](m.nSubs)
@@ -148,8 +162,8 @@ object NVQ {
         while (i < sub.length) {
           sub(i) = v(m.offsets(s) + i) - m.mean(m.offsets(s) + i); i += 1
         }
-        val gr = learnGrowthRate(sub)
-        val q = quantizeSub(sub, gr)
+        val gr = learnGrowthRate(sub, b)
+        val q = quantizeSub(sub, gr, b)
         i = 0
         while (i < q.length) { codes(m.offsets(s) + i) = q(i); i += 1 }
         params(s) = Seq(gr, sub.min, sub.max)
@@ -166,8 +180,10 @@ object NVQ {
   /** Reconstruct (mean added back) — jvector's scorers dequantize on the
     * fly (`DefaultVectorUtilSupport.nvqDotProduct8bit:391-403`); batch
     * reconstruction is the DataFrame-shaped equivalent. */
-  def decode(df: DataFrame, model: Model, outCol: String = "nvq_decoded"): DataFrame = {
+  def decode(df: DataFrame, model: Model, outCol: String = "nvq_decoded",
+      bits: Int = 8): DataFrame = {
     val m = model
+    val b = bits
     val dec = udf { (codes: Seq[Int], params: Seq[Seq[Double]]) =>
       val out = new Array[Double](codes.length)
       var s = 0
@@ -176,7 +192,7 @@ object NVQ {
         var i = 0
         while (i < q.length) { q(i) = codes(m.offsets(s) + i); i += 1 }
         val p = params(s)
-        val d = dequantizeSub(q, p(0), p(1), p(2))
+        val d = dequantizeSub(q, p(0), p(1), p(2), b)
         i = 0
         while (i < d.length) { out(m.offsets(s) + i) = d(i) + m.mean(m.offsets(s) + i); i += 1 }
         s += 1

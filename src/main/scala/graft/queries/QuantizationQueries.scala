@@ -166,21 +166,33 @@ object QuantizationQueries {
   private def nvqReconError(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val model = nvqModel(s, dir)
-    val enc = NVQ.encode(emb, "embedding", model)
-    val dec = NVQ.uniformErrCol(NVQ.decode(enc, model), "embedding", model)
-    val r = dec.agg(
-      avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))).as("nvq"),
-      avg(col("uniform_err")).as("uni"),
-      max(array_max(col("nvq_code"))).as("cmax"),
-      min(array_min(col("nvq_code"))).as("cmin")).head()
+    def stats(bits: Int): (Double, Double, Int, Int) = {
+      val enc = NVQ.encode(emb, "embedding", model, bits)
+      val dec = NVQ.uniformErrCol(NVQ.decode(enc, model, bits = bits), "embedding", model, bits)
+      val r = dec.agg(
+        avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))).as("nvq"),
+        avg(col("uniform_err")).as("uni"),
+        max(array_max(col("nvq_code"))).as("cmax"),
+        min(array_min(col("nvq_code"))).as("cmin")).head()
+      (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+    }
+    val (n8, u8, cmax8, cmin8) = stats(8)
+    val (n4, u4, cmax4, cmin4) = stats(4)
     Gates.df(s, Seq(
-      ("nvq8_avg_err_le_uniform", 1.0, r.getDouble(0) <= r.getDouble(1) * 1.0000001),
-      ("nvq8_codes_in_range", 255.0, r.getInt(2) <= 255 && r.getInt(3) >= 0)))
+      ("nvq8_avg_err_le_uniform", 1.0, n8 <= u8 * 1.0000001),
+      ("nvq8_codes_in_range", 255.0, cmax8 <= 255 && cmin8 >= 0),
+      ("nvq4_avg_err_le_uniform", 1.0, n4 <= u4 * 1.0000001),
+      ("nvq4_codes_in_range", 15.0, cmax4 <= 15 && cmin4 >= 0),
+      // more bits must not lose accuracy: the 8-bit grid refines the 4-bit
+      ("nvq8_err_le_nvq4_err", 1.0, n8 <= n4 * 1.0000001)))
   }
 
   private val nvqReconErrorSql: String = Gates.sql(Seq(
     ("nvq8_avg_err_le_uniform", 1.0),
-    ("nvq8_codes_in_range", 255.0)))
+    ("nvq8_codes_in_range", 255.0),
+    ("nvq4_avg_err_le_uniform", 1.0),
+    ("nvq4_codes_in_range", 15.0),
+    ("nvq8_err_le_nvq4_err", 1.0)))
 
   /** NVQ two-phase kNN recall gate: rerank is exact, so recall vs the
     * brute-force oracle must clear the reference's >= 0.95 contract. */

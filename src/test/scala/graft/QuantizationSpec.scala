@@ -177,6 +177,25 @@ class QuantizationSpec extends SparkSpec {
     assert(c1.toSeq == c2.toSeq)
   }
 
+  test("NVQ 4-bit: beats its uniform grid, codes in 0..15, strictly coarser than 8-bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = NVQ.train(emb, "embedding")
+    val enc4 = NVQ.encode(emb, "embedding", model, bits = 4)
+    val dec4 = NVQ.uniformErrCol(NVQ.decode(enc4, model, bits = 4), "embedding", model, bits = 4)
+    val r4 = dec4.agg(
+      avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))),
+      avg(col("uniform_err")),
+      max(array_max(col("nvq_code"))), min(array_min(col("nvq_code")))).head()
+    val (nvq4, uni4) = (r4.getDouble(0), r4.getDouble(1))
+    assert(nvq4 <= uni4 * 1.0001, s"4-bit nvq $nvq4 should not exceed uniform $uni4")
+    assert(r4.getInt(2) <= 15 && r4.getInt(3) >= 0, "4-bit codes out of range")
+    val dec8 = NVQ.decode(NVQ.encode(emb, "embedding", model), model)
+    val nvq8 = dec8.agg(avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))))
+      .head().getDouble(0)
+    assert(nvq8 <= nvq4 * 1.0001, s"8-bit err $nvq8 should be <= 4-bit err $nvq4")
+    assert(nvq4 > nvq8, "4 bits cannot match 8-bit fidelity on random data")
+  }
+
   test("NVQ approx + exact rerank achieves high recall vs exact kNN") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = NVQ.train(emb, "embedding")
