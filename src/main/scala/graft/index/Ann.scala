@@ -155,7 +155,8 @@ object Ann {
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
-  case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator) {
+  case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator,
+      reranked: LongAccumulator = null) {
     def visitedRatioPerQuery(nQueries: Long): Double =
       if (scanned.value == 0 || nQueries == 0) 0.0
       else visited.value.toDouble / (scanned.value.toDouble * nQueries)
@@ -350,7 +351,12 @@ object Ann {
         * returned; the filter is fused into the beam accept (merge-on-read,
         * like deletes). Distributed — the id relation is broadcast-joined
         * against the index rows, never collected. */
-      accepts: Option[DataFrame] = None): DataFrame = {
+      accepts: Option[DataFrame] = None,
+      /** Two-phase only: share the worst-of-best-k exact score across the
+        * segments a task searches sequentially, skipping reranks that
+        * cannot improve the merged top-k (jvector rerankFloor,
+        * `GraphSearcher.java:386-404`). Off switch exists for measurement. */
+      shareRerankFloor: Boolean = true): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -454,6 +460,9 @@ object Ann {
       .repartition(col("seg"), col("__chunk"))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Int)]
       .mapPartitions { it =>
+        // per-task rerank floors, keyed by query index: segments searched
+        // sequentially within this task tighten each other's floors
+        val floors = scala.collection.mutable.Map.empty[Int, Double]
         it.toArray.groupBy(r => (r._1, r._9)).iterator.flatMap { case ((segId, chunk), rows) =>
           val routed: Array[Int] = segQueriesB match {
             case Some(b) => b.value.getOrElse(segId, Array.empty)
@@ -488,6 +497,7 @@ object Ann {
             val codes = entry.codes
             val hasCodes = codes != null && codes.length > 0 && codes(0) != null
             val vc = new Vamana.VisitCounter // task-local: exact under shared cached graphs
+            val rc = new Vamana.VisitCounter // exact reranks performed
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               val found = adcB match {
@@ -508,12 +518,21 @@ object Ann {
                     else if (mc == 1) (1.0 + dot) / 2.0
                     else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
                   }
-                  g.searchTwoPhase(qv, approx, topK, math.max(rerankK, ef), i => live(i), vc)
+                  val floor = if (shareRerankFloor)
+                    floors.getOrElse(qi, Double.NegativeInfinity)
+                  else Double.NegativeInfinity
+                  val (r, worstApprox) = g.searchTwoPhaseWithFloor(qv, approx, topK,
+                    math.max(rerankK, ef), i => live(i), vc, rerankFloor = floor, rc = rc)
+                  if (shareRerankFloor &&
+                      worstApprox > floors.getOrElse(qi, Double.NegativeInfinity))
+                    floors(qi) = worstApprox
+                  r
                 case _ => g.search(qv, topK, ef, i => live(i), vc)
               }
               found.map { case (local, s) => (qid, ids(local), s) }
             }
             metrics.foreach(_.visited.add(vc.n))
+            metrics.foreach(m => if (m.reranked != null) m.reranked.add(rc.n))
             out.iterator.flatten
           }
         }
@@ -707,11 +726,12 @@ object Ann {
       Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
     } else None
 
-  /** Fresh accumulator pair for searchIndex's optional metrics. */
+  /** Fresh accumulators for searchIndex's optional metrics. */
   def newMetrics(spark: SparkSession): SearchMetrics =
     SearchMetrics(
       spark.sparkContext.longAccumulator("ann.visited"),
-      spark.sparkContext.longAccumulator("ann.segment.rows"))
+      spark.sparkContext.longAccumulator("ann.segment.rows"),
+      spark.sparkContext.longAccumulator("ann.reranked"))
 
   /** Dense-ordinal remap (jvector `RemappedRandomAccessVectorValues` /
     * `OrdinalMapper`, S5): assign contiguous 0..n-1 ordinals in a

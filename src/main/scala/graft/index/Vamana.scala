@@ -340,12 +340,41 @@ final class Vamana(
     * vectors are the expensive fetch). Returns topK sorted score desc,
     * id asc. */
   def searchTwoPhase(q: Array[Float], approx: Int => Double, topK: Int, rerankK: Int,
-      accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
+      accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null,
+      /** Cross-segment rerank floor (jvector `GraphSearcher.java:386-404`,
+        * `SearchResult.java:82-84`): candidates whose APPROXIMATE score is
+        * below the worst already-kept top-k exact score from earlier
+        * segments skip the exact rerank — they could not enter the merged
+        * top-k unless the approximation underestimates, the same accepted
+        * trade the reference makes. */
+      rerankFloor: Double = Double.NegativeInfinity,
+      /** Counts performed exact reranks (effort metric, A8). */
+      rc: Vamana.VisitCounter = null): Array[(Int, Double)] =
+    searchTwoPhaseWithFloor(q, approx, topK, rerankK, accept, vc, rerankFloor, rc)._1
+
+  /** [[searchTwoPhase]] that additionally returns the worst APPROXIMATE
+    * score among the kept top-k — the value the reference propagates as the
+    * next segment's rerankFloor (`SearchResult.getWorstApproximateScoreInTopK`,
+    * `SearchResult.java:82-84`); floors compare approx-to-approx, never
+    * across score scales. */
+  def searchTwoPhaseWithFloor(q: Array[Float], approx: Int => Double, topK: Int, rerankK: Int,
+      accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null,
+      rerankFloor: Double = Double.NegativeInfinity,
+      rc: Vamana.VisitCounter = null): (Array[(Int, Double)], Double) = {
     val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept, vc)
+    val surviving =
+      if (rerankFloor == Double.NegativeInfinity) candidates
+      else candidates.filter(_._2 >= rerankFloor)
+    if (rc != null) rc.n += surviving.length
     val exact = queryScorer(q)
-    candidates.map { case (id, _) => (id, exact(id)) }
+    val approxOf = surviving.toMap
+    val kept = surviving.map { case (id, _) => (id, exact(id)) }
       .sortBy { case (id, s) => (-s, id) }
       .take(topK)
+    val worstApprox =
+      if (kept.length < topK) Double.NegativeInfinity
+      else kept.iterator.map { case (id, _) => approxOf(id) }.min
+    (kept, worstApprox)
   }
 
   /** Resumable search (jvector T6): like `search`, but also returns a

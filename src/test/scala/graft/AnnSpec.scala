@@ -380,6 +380,32 @@ class AnnSpec extends SparkSpec {
     AnnCatalog.clear()
   }
 
+  test("cross-segment rerankFloor sharing: fewer exact reranks at equal recall") {
+    val tmp = java.nio.file.Files.createTempDirectory("annfloor").toString
+    val base = randVectors(8000, 16, seed = 41).toDF("id", "vec").repartition(2).cache()
+    val queries = randVectors(32, 16, seed = 42).toDF("qid", "qvec")
+    // many segments, few cores -> tasks search several segments sequentially
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 1000, pqM = 4, pqK = 32)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val mShared = Ann.newMetrics(spark)
+    val shared = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+      metrics = Some(mShared), rerankK = 40, shareRerankFloor = true)
+    val sharedRows = shared.cache().count()
+    val mSolo = Ann.newMetrics(spark)
+    val solo = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+      metrics = Some(mSolo), rerankK = 40, shareRerankFloor = false)
+    solo.count()
+    assert(sharedRows === 32L * 10)
+    assert(mShared.reranked.value < mSolo.reranked.value,
+      s"floor sharing should skip reranks: ${mShared.reranked.value} vs ${mSolo.reranked.value}")
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val rShared = recallOf(shared, want)
+    val rSolo = recallOf(solo, want)
+    assert(rShared >= rSolo - 0.05, s"floor sharing cost recall: $rShared vs $rSolo")
+    assert(rShared >= 0.9, s"two-phase recall $rShared < 0.9")
+  }
+
   test("plan route parity: deletes + routing + PQ rerank flow through KnnIndexScan") {
     val tmp = java.nio.file.Files.createTempDirectory("annplanpar").toString
     val base = randVectors(4000, 16, seed = 31).toDF("id", "vec").repartition(4).cache()
