@@ -256,7 +256,10 @@ object Ann {
       path: String,
       params: Params = Params(),
       baseId: String = "id",
-      baseVec: String = "vec"): Unit = {
+      baseVec: String = "vec",
+      /** Pre-trained codebook to reuse instead of training fresh (the
+        * compaction retrain path hands in a balanced-sample model). */
+      pqModelIn: Option[graft.operators.PQModel] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
@@ -264,7 +267,8 @@ object Ann {
     // bounded sample), codes per row, sidecar under the index dir (the
     // underscore prefix keeps it out of parquet directory listings)
     val pqModel: Option[graft.operators.PQModel] =
-      if (p.pqM > 0) Some(graft.operators.PQ.train(base, baseVec, p.pqM, p.pqK))
+      if (pqModelIn.isDefined) pqModelIn
+      else if (p.pqM > 0) Some(graft.operators.PQ.train(base, baseVec, p.pqM, p.pqK))
       else None
     val encodeCode: Array[Float] => Array[Int] = pqModel match {
       case Some(m) => v => m.encodeOne(v.map(_.toDouble))
@@ -907,13 +911,42 @@ object Ann {
       outPath: String,
       params: Params = Params(),
       deletes: Option[DataFrame] = None): Unit = {
-    val rows = readIndex(spark, inPath).select(col("node_id"), col("vec"))
+    val rows = readIndex(spark, inPath).select(col("seg"), col("node_id"), col("vec"))
     val live = deletes match {
       case Some(d) => rows.join(
         d.select(col("id").cast("long").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
       case None => rows
     }
-    buildIndex(live, outPath, params, baseId = "node_id", baseVec = "vec")
+    // PQ retrain on compact (jvector PQRetrainer): if the source tree has a
+    // codebook sidecar, retrain a FRESH codebook at its (m, k) on a
+    // balanced proportional sample across the merged source segments — the
+    // quantizer tracks the merged distribution instead of inheriting one
+    // segment's view.
+    val retrained: Option[graft.operators.PQModel] =
+      if (params.pqM > 0) loadAnySidecar(spark, inPath).map { base =>
+        graft.operators.PQ.retrain(live, "vec", "seg", base)
+      } else None
+    buildIndex(live.drop("seg"), outPath, params, baseId = "node_id", baseVec = "vec",
+      pqModelIn = retrained)
+  }
+
+  /** First loadable PQ sidecar under an index root or batch tree (the
+    * reference takes base PQ parameters from the first source,
+    * `PQRetrainer.java:79-83`). */
+  private def loadAnySidecar(spark: SparkSession, inPath: String): Option[graft.operators.PQModel] = {
+    val base = inPath.stripSuffix("/*").stripSuffix("/")
+    val candidates = Seq(s"$base/_pq_model") ++ {
+      try {
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_pq_model"))
+          .map(_.getPath.toString).toSeq
+      } catch { case _: Exception => Seq.empty }
+    }
+    candidates.iterator.flatMap { c =>
+      try Some(graft.operators.PQ.load(spark, c))
+      catch { case _: Exception => None }
+    }.nextOption()
   }
 }

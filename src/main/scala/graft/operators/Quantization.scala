@@ -74,6 +74,53 @@ private[graft] object Sampling {
     sampled.select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
   }
+
+  /** Balanced proportional sampling across strata (the reference's
+    * PQRetrainer.sampleBalanced, `graph/disk/PQRetrainer.java:121-170`):
+    * each stratum (source segment) gets a quota proportional to its live
+    * size with a floor of min(1000, cap/nStrata), quotas normalized to the
+    * cap — a tiny segment still contributes training signal instead of
+    * vanishing under uniform sampling of the merged data. */
+  def sampleVectorsBalanced(
+      df: DataFrame, vecCol: String, strataCol: String,
+      cap: Int, seed: Long): Array[Array[Double]] = {
+    val counts = df.groupBy(strataCol).count()
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total <= cap)
+      return df.select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val n = counts.length
+    val minPer = math.min(1000L, cap.toLong / n)
+    val quota = scala.collection.mutable.LinkedHashMap(counts.map { case (s, c) =>
+      s -> math.max(minPer, cap.toLong * c / total)
+    }: _*)
+    var assigned = quota.values.sum
+    while (assigned > cap) {
+      for (s <- quota.keys if assigned > cap) {
+        if (quota(s) > minPer) { quota(s) -= 1; assigned -= 1 }
+      }
+    }
+    while (assigned < cap) {
+      for (s <- quota.keys if assigned < cap) { quota(s) += 1; assigned += 1 }
+    }
+    val byCount = counts.toMap
+    // oversample per stratum, then trim to the exact quota deterministically
+    val fractions = quota.map { case (s, q) =>
+      s -> math.min(1.0, q * 1.2 / math.max(1L, byCount(s)))
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__r"))
+    df.select(col(strataCol).cast("string").as(strataCol), col(vecCol))
+      .stat.sampleBy(strataCol, fractions, seed)
+      .withColumn("__r", org.apache.spark.sql.functions.hash(col(vecCol).cast("array<float>")))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(quota.map { case (k, v) => k -> v.toInt }.toMap),
+        col(strataCol)))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+  }
 }
 
 object PQ {
@@ -370,6 +417,31 @@ object PQ {
         .map(_.getSeq[Double](5).toArray)
     }
     PQModel(dim, m, k, sizes, offsets, codebooks)
+  }
+
+  /** Compaction-time retrain (jvector `PQRetrainer.retrain`,
+    * `graph/disk/PQRetrainer.java:83-117`): a FRESH codebook at the base
+    * model's (m, k) parameters, trained on a balanced proportional sample
+    * across the merged segments — each source segment is guaranteed
+    * representation, so a small fresh batch doesn't get drowned out by a
+    * large old segment (or vice versa). */
+  def retrain(
+      df: DataFrame,
+      vecCol: String,
+      strataCol: String,
+      base: PQModel,
+      iters: Int = 6,
+      sampleCap: Int = 128000,
+      seed: Long = 1L): PQModel = {
+    val vectors = Sampling.sampleVectorsBalanced(df, vecCol, strataCol, sampleCap, seed)
+    require(vectors.nonEmpty, "empty retraining set")
+    val dim = vectors(0).length
+    val (sizes, offsets) = subvectorSizes(dim, base.m)
+    val codebooks = Array.tabulate(base.m) { i =>
+      val sub = vectors.map(v => java.util.Arrays.copyOfRange(v, offsets(i), offsets(i) + sizes(i)))
+      kmeans(sub, math.min(base.k, sub.length), iters, seed + i)
+    }
+    PQModel(dim, base.m, base.k, sizes, offsets, codebooks)
   }
 
   /** Warm-start refinement (jvector `ProductQuantization.refine`,

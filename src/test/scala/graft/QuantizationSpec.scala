@@ -177,6 +177,22 @@ class QuantizationSpec extends SparkSpec {
     assert(c1.toSeq == c2.toSeq)
   }
 
+  test("balanced sampling: small strata keep proportional-with-floor representation") {
+    import spark.implicits._
+    val big = (0 until 8000).map(i => ("A", Seq(1.0f, i.toFloat)))
+    val small = (0 until 300).map(i => ("B", Seq(2.0f, i.toFloat)))
+    val df = (big ++ small).toDF("src", "vec").repartition(4)
+    val sample = graft.operators.Sampling.sampleVectorsBalanced(df, "vec", "src",
+      cap = 2000, seed = 1L)
+    val bCount = sample.count(_.head == 2.0)
+    val aCount = sample.count(_.head == 1.0)
+    // quota B = max(min(1000, cap/2), proportional) = 1000 > |B| -> all of B
+    assert(bCount === 300, s"small stratum must be fully represented, got $bCount")
+    // A trimmed to its normalized quota, not the whole population
+    assert(aCount <= 1700 && aCount >= 900, s"big stratum quota off: $aCount")
+    // uniform sampling for contrast would give B ~ 2000 * 300/8300 ~ 72
+  }
+
   test("NVQ 4-bit: beats its uniform grid, codes in 0..15, strictly coarser than 8-bit") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = NVQ.train(emb, "embedding")

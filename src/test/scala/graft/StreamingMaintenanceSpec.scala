@@ -155,6 +155,42 @@ class StreamingMaintenanceSpec extends SparkSpec {
     assert(post.select(max(size(col("neighbors")))).head().getInt(0) <= (16 * params.neighborOverflow).toInt)
   }
 
+  test("compaction retrains the PQ codebook on a balanced cross-segment sample") {
+    val dir = tmpDir()
+    val rnd = new scala.util.Random(5)
+    // two batch sub-indexes with DIFFERENT distributions: a big old batch
+    // and a small fresh one shifted far away
+    val big = (0 until 4000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+    val small = (4000 until 4400).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() + 4.0f)))
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
+    Ann.buildIndex(big.toDF("id", "vec").repartition(2), s"$dir/idx/batch=0", params)
+    Ann.buildIndex(small.toDF("id", "vec").repartition(1), s"$dir/idx/batch=1", params)
+
+    Ann.compact(spark, s"$dir/idx/*", s"$dir/out", params)
+    val m = graft.operators.PQ.load(spark, s"$dir/out/_pq_model")
+    assert(m.m === 4 && m.codebooks(0).length <= 16, "retrained codebook keeps base (m, k)")
+    // the retrained codebook must cover the small batch's far-away region:
+    // encode+decode error there stays comparable to the big region's
+    def avgErr(rows: Seq[(Long, Seq[Float])]): Double = {
+      val errs = rows.take(200).map { case (_, v) =>
+        val d = v.map(_.toDouble).toArray
+        val dec = m.decode(m.encodeOne(d))
+        d.zip(dec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.size
+    }
+    val (eBig, eSmall) = (avgErr(big), avgErr(small))
+    assert(eSmall < eBig * 8,
+      s"small fresh batch must not be drowned out: err(small)=$eSmall vs err(big)=$eBig")
+    // search over the compacted index still answers small-batch queries
+    val queries = small.take(8).map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    val got = Ann.searchIndex(spark, s"$dir/out", queries, 5, 64, params, rerankK = 40)
+    assert(got.groupBy("qid").count().select(min("count")).head().getLong(0) === 5)
+    val gotIds = got.select("nid").as[Long].collect()
+    assert(gotIds.count(_ >= 4000) >= gotIds.length * 3 / 4,
+      "small-batch queries should find small-batch neighbors")
+  }
+
   test("compaction folds many small segments into fewer right-sized ones") {
     val dir = tmpDir()
     val emb = Tables.embeddings(spark, sfDir)
