@@ -32,7 +32,11 @@ object Ann {
     * otherwise dominates repeated query batches. Bounded; cleared wholesale
     * when over capacity (segments reload lazily). */
   private[index] object SegmentCache {
-    case class Entry(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]])
+    /** `fused`: optional transposed neighbor-code blocks (Q7, see
+      * [[Vamana.searchTwoPhaseFused]]) — built once at assembly, null when
+      * the segment has no codes or exceeds the fused memory budget. */
+    case class Entry(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]],
+        fused: Array[Array[Int]] = null)
     private val maxEntries = 256
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
@@ -360,7 +364,11 @@ object Ann {
         * segments a task searches sequentially, skipping reranks that
         * cannot improve the merged top-k (jvector rerankFloor,
         * `GraphSearcher.java:386-404`). Off switch exists for measurement. */
-      shareRerankFloor: Boolean = true): DataFrame = {
+      shareRerankFloor: Boolean = true,
+      /** Two-phase only: traverse on the fused transposed neighbor-code
+        * layout (Q7, jvector FusedPQ) when the segment assembly built one.
+        * Same results as the gathered path; off switch for measurement. */
+      fusedAdc: Boolean = true): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -494,7 +502,8 @@ object Ann {
                 g0.neighbors(r._2) ++= r._5
                 if (r._6) g0.entryNode = r._2
               }
-              SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
+              val codes0 = sorted.map(_._8)
+              SegmentCache.Entry(sorted.map(_._3), g0, codes0, buildFused(g0, codes0))
             })
             val g = entry.graph
             val ids = entry.ids
@@ -512,21 +521,30 @@ object Ann {
                     case "DOT_PRODUCT" | "DOT" => 1
                     case _ => 2
                   }
-                  val approx: Int => Double = { i =>
-                    val code = codes(i)
-                    var dot = 0.0; var mag = 0.0; var s = 0
-                    while (s < m) {
-                      dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1
-                    }
-                    if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
-                    else if (mc == 1) (1.0 + dot) / 2.0
-                    else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
-                  }
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
                   else Double.NegativeInfinity
-                  val (r, worstApprox) = g.searchTwoPhaseWithFloor(qv, approx, topK,
-                    math.max(rerankK, ef), i => live(i), vc, rerankFloor = floor, rc = rc)
+                  val (r, worstApprox) =
+                    if (fusedAdc && entry.fused != null)
+                      // fused traversal (Q7): batch-score all neighbors of
+                      // the expanded node from its transposed code block
+                      g.searchTwoPhaseFused(qv, codes, entry.fused, dots, mags, qn,
+                        m, kk, mc, topK, math.max(rerankK, ef), i => live(i), vc,
+                        rerankFloor = floor, rc = rc)
+                    else {
+                      val approx: Int => Double = { i =>
+                        val code = codes(i)
+                        var dot = 0.0; var mag = 0.0; var s = 0
+                        while (s < m) {
+                          dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1
+                        }
+                        if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
+                        else if (mc == 1) (1.0 + dot) / 2.0
+                        else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
+                      }
+                      g.searchTwoPhaseWithFloor(qv, approx, topK,
+                        math.max(rerankK, ef), i => live(i), vc, rerankFloor = floor, rc = rc)
+                    }
                   if (shareRerankFloor &&
                       worstApprox > floors.getOrElse(qi, Double.NegativeInfinity))
                     floors(qi) = worstApprox
@@ -700,6 +718,34 @@ object Ann {
       }
       .toDF("qid", "nid", "score")
     mergePaged(perSegment, pages)
+  }
+
+  /** Transposed neighbor-code blocks for fused-ADC traversal (Q7, jvector
+    * `FusedPQ.java:48-60`): block(u)[s * deg(u) + j] = code of u's j-th
+    * neighbor in subspace s. Built once per cached segment assembly.
+    * Returns null (gathered fallback) when the segment has no codes or the
+    * blocks would exceed ~128 MB — the fused layout multiplies code storage
+    * by the degree, a trade the reference also pays (on disk); in memory we
+    * cap it per segment so the executor cache stays bounded. */
+  private def buildFused(g: Vamana, codes: Array[Array[Int]]): Array[Array[Int]] = {
+    if (codes == null || codes.length == 0 || codes(0) == null) return null
+    val m = codes(0).length
+    var total = 0L
+    var i = 0
+    while (i < codes.length) { total += g.neighbors(i).length.toLong * m; i += 1 }
+    if (total > 32L * 1024 * 1024) return null
+    Array.tabulate(codes.length) { u =>
+      val nbrs = g.neighbors(u)
+      val deg = nbrs.length
+      val block = new Array[Int](m * deg)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < deg) { block(s * deg + j) = codes(nbrs(j))(s); j += 1 }
+        s += 1
+      }
+      block
+    }
   }
 
   /** Segment routing (IVF over segments) shared by the search entry points:
@@ -929,6 +975,74 @@ object Ann {
       } else None
     buildIndex(live.drop("seg"), outPath, params, baseId = "node_id", baseVec = "vec",
       pqModelIn = retrained)
+  }
+
+  /** Rescore rebuild (jvector `GraphIndexBuilder.rescore`,
+    * `GraphIndexBuilder.java:391-434`, B8): copy the index keeping every
+    * segment's graph TOPOLOGY intact, re-scoring all edges under a new
+    * similarity metric — each adjacency list is re-ordered by the new edge
+    * score (score desc, id asc), the per-segment entry point is re-elected
+    * as the medoid under the new metric, and the routing centroid is kept.
+    * This is the cheap path when the score function changes (metric swap,
+    * re-trained quantizer) but the graph's navigable structure is still
+    * good: one per-segment pass, no beam searches, no graph rebuild —
+    * against a full [[compact]] rebuild's O(n · beam · degree) per segment.
+    *
+    * The PQ sidecar is NOT copied: codes trained for the old score space
+    * don't transfer (the reference likewise rescores from a new
+    * BuildScoreProvider); rebuild with `pqM > 0` if two-phase search is
+    * needed under the new metric. */
+  def rescore(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      newMetric: String,
+      params: Params = Params()): Unit = {
+    import spark.implicits._
+    val p = params.copy(metric = newMetric)
+    readIndex(spark, inPath)
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"))
+      .repartition(col("seg"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val vecs = sorted.map(_._4)
+          // scoring shell only — no build(): topology is carried over
+          val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
+            p.alpha, p.neighborOverflow, p.seed)
+          // re-elect the entry as the medoid under the new metric (the
+          // reference re-scores from the new provider's centroid,
+          // GraphIndexBuilder.java:400-408)
+          val dim = vecs(0).length
+          val centroid = new Array[Float](dim)
+          vecs.foreach { v =>
+            var j = 0
+            while (j < dim) { centroid(j) += v(j) / vecs.length; j += 1 }
+          }
+          var bestE = 0; var bestS = Double.MinValue
+          var i = 0
+          while (i < vecs.length) {
+            val s = g.sim(centroid, vecs(i))
+            if (s > bestS) { bestS = s; bestE = i }
+            i += 1
+          }
+          sorted.iterator.map { r =>
+            // re-score this node's edges under the new metric; keep the SET
+            // of neighbors, re-order by (new score desc, id asc)
+            val rescored = r._5
+              .map(nb => (nb, g.sim(vecs(r._2), vecs(nb))))
+              .sortBy { case (id, s) => (-s, id) }
+              .map(_._1)
+            (segId, r._2, r._3, r._4, rescored, r._2 == bestE,
+              if (r._2 == 0) centroid else null)
+          }
+        }
+      }
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid")
+      .write.mode("overwrite").partitionBy("seg").parquet(outPath)
   }
 
   /** First loadable PQ sidecar under an index root or batch tree (the

@@ -362,6 +362,15 @@ final class Vamana(
       rerankFloor: Double = Double.NegativeInfinity,
       rc: Vamana.VisitCounter = null): (Array[(Int, Double)], Double) = {
     val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept, vc)
+    rerankPhase(q, candidates, topK, rerankFloor, rc)
+  }
+
+  /** Exact-rerank phase shared by the gathered and fused two-phase paths:
+    * drop candidates under the cross-segment rerank floor, re-score the
+    * survivors exactly, return (topK sorted score desc / id asc, worst
+    * APPROXIMATE score among the kept k). */
+  private def rerankPhase(q: Array[Float], candidates: Array[(Int, Double)], topK: Int,
+      rerankFloor: Double, rc: Vamana.VisitCounter): (Array[(Int, Double)], Double) = {
     val surviving =
       if (rerankFloor == Double.NegativeInfinity) candidates
       else candidates.filter(_._2 >= rerankFloor)
@@ -375,6 +384,111 @@ final class Vamana(
       if (kept.length < topK) Double.NegativeInfinity
       else kept.iterator.map { case (id, _) => approxOf(id) }.min
     (kept, worstApprox)
+  }
+
+  /** Fused-ADC two-phase search (jvector FusedPQ / Quicker-ADC, Q7:
+    * `graph/disk/feature/FusedPQ.java:48-60`, `quantization/FusedPQDecoder
+    * .java:34`): the beam runs on PQ-ADC scores computed from each node's
+    * TRANSPOSED block of its neighbors' codes — expanding a node scores all
+    * its neighbors in one subspace-major pass (sequential reads of the
+    * block and of each subspace's table row), instead of gathering one
+    * per-node code object per neighbor. Same scores as the gathered path
+    * (identical summation order per neighbor), so results are identical —
+    * this is purely a memory-layout/locality optimization, which is exactly
+    * what the reference's fused feature is.
+    *
+    * `fused(u)` holds codes(neighbors(u)(j))(s) at index s*deg(u)+j;
+    * `dots`/`mags` are the per-query ADC tables (m x k flattened);
+    * `adcMetric`: 0 = EUCLIDEAN, 1 = DOT, 2 = COSINE. */
+  def searchTwoPhaseFused(q: Array[Float], codes: Array[Array[Int]], fused: Array[Array[Int]],
+      dots: Array[Double], mags: Array[Double], qNormSq: Double,
+      m: Int, kk: Int, adcMetric: Int, topK: Int, rerankK: Int,
+      accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null,
+      rerankFloor: Double = Double.NegativeInfinity,
+      rc: Vamana.VisitCounter = null): (Array[(Int, Double)], Double) = {
+    val candidates = searchInternalFused(codes, fused, dots, mags, qNormSq, m, kk,
+      adcMetric, math.max(rerankK, topK), accept, vc)
+    rerankPhase(q, candidates, topK, rerankFloor, rc)
+  }
+
+  @inline private def adcCombine(adcMetric: Int, dot: Double, mag: Double, qNormSq: Double): Double =
+    if (adcMetric == 0) 1.0 / (1.0 + (qNormSq - 2.0 * dot + mag))
+    else if (adcMetric == 1) (1.0 + dot) / 2.0
+    else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qNormSq))) / 2.0
+
+  /** Beam search over the fused layout (see [[searchTwoPhaseFused]]). */
+  private def searchInternalFused(codes: Array[Array[Int]], fused: Array[Array[Int]],
+      dots: Array[Double], mags: Array[Double], qNormSq: Double,
+      m: Int, kk: Int, adcMetric: Int, ef: Int,
+      accept: Int => Boolean, vc: Vamana.VisitCounter): Array[(Int, Double)] = {
+    if (n == 0) return Array.empty
+    def scoreOne(code: Array[Int]): Double = {
+      var dot = 0.0; var mag = 0.0; var s = 0
+      while (s < m) { dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1 }
+      adcCombine(adcMetric, dot, mag, qNormSq)
+    }
+    val visited = new java.util.BitSet(n)
+    val cand = new LongHeap(64, min = false)
+    val res = new LongHeap(ef + 1, min = true)
+    // scratch accumulators sized to the max degree seen (reused per expansion)
+    var dAcc = new Array[Double](maxDegree * 2)
+    var mAcc = new Array[Double](maxDegree * 2)
+    val entry = entryNode
+    cand.push(LongHeap.pack(scoreOne(codes(entry)), entry))
+    visited.set(entry)
+    var visits = 1L
+    var stop = false
+    while (!stop && cand.nonEmpty) {
+      val packed = cand.pop()
+      val cs = LongHeap.score(packed)
+      val c = LongHeap.id(packed)
+      if (res.size >= ef && cs < LongHeap.score(res.top)) {
+        stop = true
+      } else {
+        if (accept(c)) {
+          res.push(packed)
+          if (res.size > ef) res.pop()
+        }
+        val nbrs = neighbors(c)
+        val deg = nbrs.length
+        if (deg > 0) {
+          if (dAcc.length < deg) { dAcc = new Array[Double](deg); mAcc = new Array[Double](deg) }
+          val block = fused(c)
+          // subspace-major accumulation: the transposed block and the
+          // 256-entry table row are both read sequentially
+          var j = 0
+          while (j < deg) { dAcc(j) = 0.0; mAcc(j) = 0.0; j += 1 }
+          var s = 0
+          while (s < m) {
+            val off = s * deg
+            val tOff = s * kk
+            j = 0
+            while (j < deg) {
+              val code = block(off + j)
+              dAcc(j) += dots(tOff + code)
+              mAcc(j) += mags(tOff + code)
+              j += 1
+            }
+            s += 1
+          }
+          j = 0
+          while (j < deg) {
+            val nb = nbrs(j)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              visits += 1
+              val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
+              if (res.size < ef || sc > LongHeap.score(res.top)) cand.push(LongHeap.pack(sc, nb))
+            }
+            j += 1
+          }
+        }
+      }
+    }
+    visitedCount += visits
+    if (vc != null) vc.n += visits
+    res.toArray.map { p => val id = LongHeap.id(p); (id, scoreOne(codes(id))) }
+      .sortBy { case (id, s) => (-s, id) }
   }
 
   /** Resumable search (jvector T6): like `search`, but also returns a

@@ -132,6 +132,27 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.9, s"PQ two-phase recall $r < 0.9")
   }
 
+  test("fused-ADC traversal (Q7) returns results identical to the gathered path") {
+    val tmp = java.nio.file.Files.createTempDirectory("annfused").toString
+    val base = randVectors(4000, 16, seed = 43).toDF("id", "vec").repartition(3)
+    val queries = randVectors(16, 16, seed = 44).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 32)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    def run(fused: Boolean): Set[(Long, Int, Long, Double)] = {
+      Ann.clearSegmentCache() // force reassembly so both runs build fresh entries
+      Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params, rerankK = 60,
+        shareRerankFloor = false, fusedAdc = fused)
+        .select("qid", "rank", "nid", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    }
+    val fused = run(true)
+    val gathered = run(false)
+    // the fused block accumulates each neighbor's subspaces in the same
+    // order as the gathered loop, so scores — and results — are bit-equal
+    assert(fused === gathered, "fused and gathered two-phase paths must be identical")
+    assert(fused.nonEmpty)
+  }
+
   test("buildIndexClustered: locality-aligned segments keep routing recall with few probes") {
     val rnd = new scala.util.Random(17)
     val centers = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat * 2))

@@ -191,6 +191,53 @@ class StreamingMaintenanceSpec extends SparkSpec {
       "small-batch queries should find small-batch neighbors")
   }
 
+  test("rescore keeps graph topology, re-orders edges and serves the new metric") {
+    val dir = tmpDir()
+    val emb = Tables.embeddings(spark, sfDir)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, segmentRows = 150)
+    Ann.buildIndex(emb, s"$dir/cos", params, "vec_id", "embedding")
+
+    Ann.rescore(spark, s"$dir/cos", s"$dir/euc", "EUCLIDEAN", params)
+
+    // topology preserved: per (seg, local_id) the neighbor SET is unchanged
+    val before = spark.read.parquet(s"$dir/cos")
+      .select(col("seg"), col("local_id"), col("neighbors"))
+      .as[(String, Int, Array[Int])].collect()
+      .map { case (s, l, nb) => ((s, l), nb.toSet) }.toMap
+    val after = spark.read.parquet(s"$dir/euc")
+      .select(col("seg"), col("local_id"), col("neighbors"), col("node_id"), col("vec"))
+      .as[(String, Int, Array[Int], Long, Array[Float])].collect()
+    assert(after.length === before.size)
+    after.foreach { case (s, l, nb, _, _) =>
+      assert(before((s, l)) === nb.toSet, s"topology changed at ($s, $l)")
+    }
+
+    // adjacency re-ordered by the NEW metric: neighbor scores non-increasing
+    val bySeg = after.groupBy(_._1)
+    bySeg.values.foreach { rows =>
+      val vecs = rows.sortBy(_._2).map(_._5)
+      def simE(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+        1.0 / (1.0 + d)
+      }
+      rows.take(20).foreach { case (_, l, nb, _, _) =>
+        val scores = nb.map(j => simE(vecs(l), vecs(j)))
+        assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+          s"neighbors of local $l not ordered by EUCLIDEAN score")
+      }
+    }
+
+    // the rescored index serves the new metric: recall vs the exact
+    // EUCLIDEAN oracle clears the same gate as a fresh build
+    val queries = emb.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val eucParams = params.copy(metric = "EUCLIDEAN")
+    val got = Ann.searchIndex(spark, s"$dir/euc", queries, 10, 64, eucParams)
+    val exact = graft.operators.KnnExact.knn(emb, queries, 10, "EUCLIDEAN", "vec_id", "embedding")
+    val rec = graft.operators.Metrics.recallAtK(got, exact, 10).head().getDouble(0)
+    assert(rec >= 0.9, s"rescored-index EUCLIDEAN recall $rec < 0.9")
+  }
+
   test("compaction folds many small segments into fewer right-sized ones") {
     val dir = tmpDir()
     val emb = Tables.embeddings(spark, sfDir)
