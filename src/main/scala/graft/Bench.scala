@@ -108,6 +108,24 @@ object Bench {
       metrics = Some(m)).count()
     val visitedRatio = m.visitedRatioPerQuery(actualNq)
 
+    // ---- two-phase (PQ-ADC beam + exact rerank) on a compressed index:
+    // the reference's default configuration. Measured twice — fused
+    // transposed-layout traversal (Q7) vs the gathered per-node path —
+    // so the layout's effect is a number, not a claim. ----
+    val pqParams = params.copy(pqM = 8)
+    val pqIdxPath = java.nio.file.Files.createTempDirectory("graft_bench_pq").toString + "/idx"
+    val (_, pqBuildSec) = time(Ann.buildIndex(emb, pqIdxPath, pqParams, "vec_id", "embedding"))
+    val pqFusedQps = qps {
+      Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
+        rerankK = 40, fusedAdc = true).count()
+    }
+    val pqGatheredQps = qps {
+      Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
+        rerankK = 40, fusedAdc = false).count()
+    }
+    val pqAnn = Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams, rerankK = 40)
+    val pqRecall = Metrics.recallAtK(pqAnn, exact, topK).head().getDouble(0)
+
     // ---- engine-kernel throughput: the reference's measurement basis is an
     // in-process searcher over a resident index (jvector Bench /
     // ThroughputBenchmark run zero scheduling layers). ann_qps above charges
@@ -142,6 +160,8 @@ object Bench {
     val annJson =
       s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_build_sec":$buildSec,""" +
         s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,""" +
+        s""""pq_fused_qps":$pqFusedQps,"pq_gathered_qps":$pqGatheredQps,""" +
+        s""""pq_recall_at_10":$pqRecall,"pq_build_sec":$pqBuildSec,""" +
         s""""kernel_qps":$kernelQps,"kernel_build_vps":$kernelBuildVps,""" +
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""

@@ -32,11 +32,34 @@ object Ann {
     * otherwise dominates repeated query batches. Bounded; cleared wholesale
     * when over capacity (segments reload lazily). */
   private[index] object SegmentCache {
-    /** `fused`: optional transposed neighbor-code blocks (Q7, see
-      * [[Vamana.searchTwoPhaseFused]]) — built once at assembly, null when
-      * the segment has no codes or exceeds the fused memory budget. */
-    case class Entry(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]],
-        fused: Array[Array[Int]] = null)
+    /** Cached segment assembly. `codesFlat` is the per-node PQ codes as ONE
+      * primitive array (node i's code at [i*m, (i+1)*m)) — the approx-scorer
+      * hot loop reads it without a per-neighbor object hop. `fused` is the
+      * transposed neighbor-code layout (Q7, [[Vamana.searchTwoPhaseFused]]);
+      * lazy because the default traversal is the gathered one (measured
+      * faster on scalar JVM — see Bench pq_fused_qps vs pq_gathered_qps),
+      * so memory is only paid when a caller opts in. */
+    final class Entry(val ids: Array[Long], val graph: Vamana,
+        val codes: Array[Array[Int]]) {
+      lazy val codesFlat: Array[Int] = {
+        if (codes == null || codes.length == 0 || codes(0) == null) null
+        else {
+          val m = codes(0).length
+          val flat = new Array[Int](codes.length * m)
+          var i = 0
+          while (i < codes.length) {
+            System.arraycopy(codes(i), 0, flat, i * m, m)
+            i += 1
+          }
+          flat
+        }
+      }
+      lazy val fused: Array[Array[Int]] = buildFused(graph, codes)
+    }
+    object Entry {
+      def apply(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]]): Entry =
+        new Entry(ids, graph, codes)
+    }
     private val maxEntries = 256
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
@@ -366,9 +389,16 @@ object Ann {
         * `GraphSearcher.java:386-404`). Off switch exists for measurement. */
       shareRerankFloor: Boolean = true,
       /** Two-phase only: traverse on the fused transposed neighbor-code
-        * layout (Q7, jvector FusedPQ) when the segment assembly built one.
-        * Same results as the gathered path; off switch for measurement. */
-      fusedAdc: Boolean = true): DataFrame = {
+        * layout (Q7, jvector FusedPQ) instead of the gathered flat-code
+        * path. Results are identical (spec-asserted). Default OFF: the
+        * reference's fused layout pays for itself through SIMD in-register
+        * table shuffles (Quicker-ADC) and disk locality; on a scalar JVM
+        * with in-memory segments it measures a tie to ~5% slower than the
+        * gathered path over flat codes (kernel micro `tools.FusedMicro`,
+        * 50k x 64d, m in {8,16}), while costing degree-times the code
+        * memory. Bench reports `pq_fused_qps` vs `pq_gathered_qps` so the
+        * trade is re-measured every round. */
+      fusedAdc: Boolean = false): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -502,8 +532,7 @@ object Ann {
                 g0.neighbors(r._2) ++= r._5
                 if (r._6) g0.entryNode = r._2
               }
-              val codes0 = sorted.map(_._8)
-              SegmentCache.Entry(sorted.map(_._3), g0, codes0, buildFused(g0, codes0))
+              SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
             })
             val g = entry.graph
             val ids = entry.ids
@@ -526,17 +555,22 @@ object Ann {
                   else Double.NegativeInfinity
                   val (r, worstApprox) =
                     if (fusedAdc && entry.fused != null)
-                      // fused traversal (Q7): batch-score all neighbors of
-                      // the expanded node from its transposed code block
-                      g.searchTwoPhaseFused(qv, codes, entry.fused, dots, mags, qn,
+                      // fused traversal (Q7): batch-score the unvisited
+                      // neighbors of the expanded node from its transposed
+                      // code block
+                      g.searchTwoPhaseFused(qv, entry.codesFlat, entry.fused, dots, mags, qn,
                         m, kk, mc, topK, math.max(rerankK, ef), i => live(i), vc,
                         rerankFloor = floor, rc = rc)
                     else {
+                      // gathered path over the FLAT code array: node i's
+                      // code at [i*m, (i+1)*m) — no per-node object hop
+                      val flat = entry.codesFlat
                       val approx: Int => Double = { i =>
-                        val code = codes(i)
+                        val base = i * m
                         var dot = 0.0; var mag = 0.0; var s = 0
                         while (s < m) {
-                          dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1
+                          val code = flat(base + s)
+                          dot += dots(s * kk + code); mag += mags(s * kk + code); s += 1
                         }
                         if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
                         else if (mc == 1) (1.0 + dot) / 2.0

@@ -397,16 +397,18 @@ final class Vamana(
     * this is purely a memory-layout/locality optimization, which is exactly
     * what the reference's fused feature is.
     *
-    * `fused(u)` holds codes(neighbors(u)(j))(s) at index s*deg(u)+j;
-    * `dots`/`mags` are the per-query ADC tables (m x k flattened);
-    * `adcMetric`: 0 = EUCLIDEAN, 1 = DOT, 2 = COSINE. */
-  def searchTwoPhaseFused(q: Array[Float], codes: Array[Array[Int]], fused: Array[Array[Int]],
+    * `fused(u)` holds the code of u's j-th neighbor in subspace s at index
+    * s*deg(u)+j; `codesFlat` holds node i's own code at [i*m, (i+1)*m)
+    * (entry seeding + final rescoring); `dots`/`mags` are the per-query ADC
+    * tables (m x k flattened); `adcMetric`: 0 = EUCLIDEAN, 1 = DOT,
+    * 2 = COSINE. */
+  def searchTwoPhaseFused(q: Array[Float], codesFlat: Array[Int], fused: Array[Array[Int]],
       dots: Array[Double], mags: Array[Double], qNormSq: Double,
       m: Int, kk: Int, adcMetric: Int, topK: Int, rerankK: Int,
       accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null,
       rerankFloor: Double = Double.NegativeInfinity,
       rc: Vamana.VisitCounter = null): (Array[(Int, Double)], Double) = {
-    val candidates = searchInternalFused(codes, fused, dots, mags, qNormSq, m, kk,
+    val candidates = searchInternalFused(codesFlat, fused, dots, mags, qNormSq, m, kk,
       adcMetric, math.max(rerankK, topK), accept, vc)
     rerankPhase(q, candidates, topK, rerankFloor, rc)
   }
@@ -417,14 +419,18 @@ final class Vamana(
     else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qNormSq))) / 2.0
 
   /** Beam search over the fused layout (see [[searchTwoPhaseFused]]). */
-  private def searchInternalFused(codes: Array[Array[Int]], fused: Array[Array[Int]],
+  private def searchInternalFused(codesFlat: Array[Int], fused: Array[Array[Int]],
       dots: Array[Double], mags: Array[Double], qNormSq: Double,
       m: Int, kk: Int, adcMetric: Int, ef: Int,
       accept: Int => Boolean, vc: Vamana.VisitCounter): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
-    def scoreOne(code: Array[Int]): Double = {
+    def scoreOne(node: Int): Double = {
+      val base = node * m
       var dot = 0.0; var mag = 0.0; var s = 0
-      while (s < m) { dot += dots(s * kk + code(s)); mag += mags(s * kk + code(s)); s += 1 }
+      while (s < m) {
+        val code = codesFlat(base + s)
+        dot += dots(s * kk + code); mag += mags(s * kk + code); s += 1
+      }
       adcCombine(adcMetric, dot, mag, qNormSq)
     }
     val visited = new java.util.BitSet(n)
@@ -433,8 +439,9 @@ final class Vamana(
     // scratch accumulators sized to the max degree seen (reused per expansion)
     var dAcc = new Array[Double](maxDegree * 2)
     var mAcc = new Array[Double](maxDegree * 2)
+    var cols = new Array[Int](maxDegree * 2)
     val entry = entryNode
-    cand.push(LongHeap.pack(scoreOne(codes(entry)), entry))
+    cand.push(LongHeap.pack(scoreOne(entry), entry))
     visited.set(entry)
     var visits = 1L
     var stop = false
@@ -452,42 +459,61 @@ final class Vamana(
         val nbrs = neighbors(c)
         val deg = nbrs.length
         if (deg > 0) {
-          if (dAcc.length < deg) { dAcc = new Array[Double](deg); mAcc = new Array[Double](deg) }
-          val block = fused(c)
-          // subspace-major accumulation: the transposed block and the
-          // 256-entry table row are both read sequentially
-          var j = 0
-          while (j < deg) { dAcc(j) = 0.0; mAcc(j) = 0.0; j += 1 }
-          var s = 0
-          while (s < m) {
-            val off = s * deg
-            val tOff = s * kk
-            j = 0
-            while (j < deg) {
-              val code = block(off + j)
-              dAcc(j) += dots(tOff + code)
-              mAcc(j) += mags(tOff + code)
-              j += 1
-            }
-            s += 1
+          if (dAcc.length < deg) {
+            dAcc = new Array[Double](deg); mAcc = new Array[Double](deg)
+            cols = new Array[Int](deg)
           }
-          j = 0
+          // select the unvisited columns first: mid-beam most neighbors are
+          // already visited, and batch-scoring them anyway would do strictly
+          // more table lookups than the gathered path (the reference can
+          // afford that — SIMD scores the whole block in one shuffle pass;
+          // scalar accumulation cannot)
+          var nCols = 0
+          var j = 0
           while (j < deg) {
             val nb = nbrs(j)
             if (!visited.get(nb)) {
               visited.set(nb)
-              visits += 1
-              val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
-              if (res.size < ef || sc > LongHeap.score(res.top)) cand.push(LongHeap.pack(sc, nb))
+              cols(nCols) = j
+              dAcc(nCols) = 0.0
+              mAcc(nCols) = 0.0
+              nCols += 1
             }
             j += 1
+          }
+          visits += nCols
+          if (nCols > 0) {
+            val block = fused(c)
+            // subspace-major accumulation over the selected columns: each
+            // subspace reads one strided slice of the block and stays inside
+            // one 256-entry table row
+            var s = 0
+            while (s < m) {
+              val off = s * deg
+              val tOff = s * kk
+              j = 0
+              while (j < nCols) {
+                val code = block(off + cols(j))
+                dAcc(j) += dots(tOff + code)
+                mAcc(j) += mags(tOff + code)
+                j += 1
+              }
+              s += 1
+            }
+            j = 0
+            while (j < nCols) {
+              val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
+              if (res.size < ef || sc > LongHeap.score(res.top))
+                cand.push(LongHeap.pack(sc, nbrs(cols(j))))
+              j += 1
+            }
           }
         }
       }
     }
     visitedCount += visits
     if (vc != null) vc.n += visits
-    res.toArray.map { p => val id = LongHeap.id(p); (id, scoreOne(codes(id))) }
+    res.toArray.map { p => val id = LongHeap.id(p); (id, scoreOne(id)) }
       .sortBy { case (id, s) => (-s, id) }
   }
 
