@@ -782,6 +782,87 @@ object Ann {
     }
   }
 
+  /** Threshold search over a persisted index (jvector T5 over an on-disk
+    * graph: `GraphSearcher.search(ssp, topK, threshold, bits)` with the
+    * adaptive relaxed-monotonicity stop): every live node with
+    * sim >= threshold, per segment, results unioned — unbounded, so there
+    * is no top-k merge, just the union of per-segment hits. Tombstones are
+    * merge-on-read like [[searchIndex]]. `probeSegments` defaults to 0
+    * (scan every segment): threshold semantics promise ALL matches, and
+    * routing would silently drop whole segments — pass it > 0 only for an
+    * explicitly approximate scan. Returns (qid, nid, score). */
+  def thresholdSearchIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      threshold: Double,
+      ef: Int,
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None,
+      probeSegments: Int = 0): DataFrame = {
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qArr)
+    val p = params
+    val raw = readIndex(spark, path)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
+    val withLive = deletes match {
+      case Some(d) =>
+        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+          raw("node_id") === col("__del"), "left")
+          .withColumn("__live", col("__del").isNull).drop("__del")
+      case None => raw.withColumn("__live", lit(true))
+    }
+    val pruned = segQueriesB match {
+      case Some(b) if b.value.nonEmpty =>
+        withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
+      case Some(_) => withLive.filter(lit(false))
+      case None => withLive
+    }
+    pruned
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"), col("__live"))
+      .repartition(col("seg"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
+          val routed: Array[Int] = segQueriesB match {
+            case Some(b) => b.value.getOrElse(segId, Array.empty)
+            case None => qB.value.indices.toArray
+          }
+          if (routed.isEmpty) Iterator.empty
+          else {
+            val sorted = rows.sortBy(_._2)
+            val live = sorted.map(_._7)
+            // same assembly (and cache key shape) as the paged route: no
+            // codes are carried, so it must not share searchIndex's entries
+            val cacheKey = s"paged|$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            val entry = SegmentCache.getOrCompute(cacheKey, {
+              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+              sorted.foreach { r =>
+                g0.neighbors(r._2) ++= r._5
+                if (r._6) g0.entryNode = r._2
+              }
+              SegmentCache.Entry(sorted.map(_._3), g0, null)
+            })
+            val g = entry.graph
+            val ids = entry.ids
+            routed.iterator.flatMap { qi =>
+              val (qid, qv) = qB.value(qi)
+              g.thresholdSearch(qv, threshold, ef, i => live(i)).iterator
+                .map { case (l, s) => (qid, ids(l), s) }
+            }
+          }
+        }
+      }
+      .toDF("qid", "nid", "score")
+  }
+
   /** Segment routing (IVF over segments) shared by the search entry points:
     * with probeSegments > 0, each query is assigned its probeSegments
     * nearest segment centroids; unrouted segments are pruned before the

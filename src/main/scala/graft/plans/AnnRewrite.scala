@@ -69,6 +69,15 @@ object AnnCatalog {
 
 object AnnRewriteRule extends Rule[LogicalPlan] {
 
+  /** Marks Filter nodes this rule itself emits (accept-list builds, base
+    * re-filters): transformDown recurses into rewritten output, and an
+    * emitted `Filter(sim >= t, rel)` must not get threshold-rewritten in
+    * turn (a second layer of approximation on an exact sub-plan). */
+  private val Generated =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.ann.generated")
+
+  private def markGenerated(f: Filter): Filter = { f.setTagValue(Generated, true); f }
+
   /** Extract (vec attribute, query literal as Array[Float], metric). */
   private def matchSim(e: Expression): Option[(AttributeReference, Array[Float], String)] = {
     def arr(l: Literal): Option[Array[Float]] = l.dataType match {
@@ -116,13 +125,13 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
       // selective predicate still yields k results)
       val acceptChild = filterCond.map { c =>
         Project(Seq(Alias(Cast(idAttr, org.apache.spark.sql.types.LongType), "id")()),
-          Filter(c, rel))
+          markGenerated(Filter(c, rel)))
       }
       val scan = KnnIndexScan(info.indexPath, Array((0L, qv)), k,
         math.max(info.ef, k), info.params, acceptChild = acceptChild)
       val nidAttr = scan.output.find(_.name == "nid").get
       val scoreAttr = scan.output.find(_.name == "score").get
-      val base = filterCond.map(c => Filter(c, rel)).getOrElse(rel)
+      val base = filterCond.map(c => markGenerated(Filter(c, rel))).getOrElse(rel)
       // the scan side is tiny (<= queries * k rows) — hint it broadcast so
       // the base table never shuffles for the join-back
       val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
@@ -135,6 +144,57 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
             global = true, joined)))
     }
 
+  /** Extract a similarity-threshold conjunct: sim >= t (or t <= sim). Only
+    * the non-strict form is matched — the engine's threshold search returns
+    * score >= t, so rewriting `>` would wrongly include equality hits. */
+  private def matchThreshold(e: Expression): Option[(Expression, Double)] = e match {
+    case GreaterThanOrEqual(sim, Literal(t: Double, DoubleType)) if matchSim(sim).isDefined =>
+      Some((sim, t))
+    case LessThanOrEqual(Literal(t: Double, DoubleType), sim) if matchSim(sim).isDefined =>
+      Some((sim, t))
+    case _ => None
+  }
+
+  /** Rewrite `WHERE sim(vec, :q) >= t [AND p...]` over a registered table
+    * into an index-backed threshold scan (T5/O1: the predicate runs INSIDE
+    * the graph traversal with the adaptive stop, instead of scoring every
+    * row). Approximate by design, like the top-k rewrite: returned rows all
+    * satisfy the predicate exactly (scores are exact), but a low-recall
+    * traversal may miss matches — the trade the user opted into by
+    * registering the index. Residual conjuncts stay as a post-filter. */
+  private def rewriteThreshold(
+      cond: Expression,
+      rel: LogicalRelation): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val hits = conjuncts.flatMap(c => matchThreshold(c).map(c -> _))
+    if (hits.length != 1) return None
+    val (thrConjunct, (simExpr, t)) = hits.head
+    val residual = conjuncts.filterNot(_ eq thrConjunct)
+    for {
+      info <- AnnCatalog.lookup(rel)
+      (vecAttr, qv, metric) <- matchSim(simExpr)
+      if vecAttr.name.equalsIgnoreCase(info.vecCol) &&
+        metric.startsWith(info.params.metric.toUpperCase.take(3))
+      idAttr <- rel.output.find(_.name.equalsIgnoreCase(info.idCol))
+      if residual.forall(c => c.deterministic && c.references.subsetOf(rel.outputSet))
+    } yield {
+      val scan = ThresholdIndexScan(info.indexPath, Array((0L, qv)), t,
+        info.ef, info.params)
+      val nidAttr = scan.output.find(_.name == "nid").get
+      val base = residual.reduceOption(And)
+        .map(c => markGenerated(Filter(c, rel))).getOrElse(rel)
+      // hits are a small fraction of the base — broadcast the scan side
+      val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      Project(rel.output, joined)
+    }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true, rel: LogicalRelation, _))) =>
@@ -143,5 +203,8 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
         LocalLimit(_, Sort(Seq(SortOrder(simExpr, Descending, _, _)), true,
           Filter(cond, rel: LogicalRelation), _))) =>
       rewriteTopK(k, simExpr, rel, Some(cond)).getOrElse(limit)
+    case filter @ Filter(cond, rel: LogicalRelation)
+        if filter.getTagValue(Generated).isEmpty =>
+      rewriteThreshold(cond, rel).getOrElse(filter)
   }
 }

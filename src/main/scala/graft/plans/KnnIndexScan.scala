@@ -106,14 +106,63 @@ case class KnnIndexScanExec(
   }
 }
 
-/** Planner strategy: KnnIndexScan -> KnnIndexScanExec. Injected via
-  * [[graft.GraftExtensions]] (`SparkSessionExtensions.injectPlannerStrategy`). */
+/** Plan node for index-backed threshold search (jvector T5 over a persisted
+  * graph): all live nodes with sim >= threshold — no top-k bound, so the
+  * output is the union of per-segment hits. Planned by [[KnnIndexStrategy]]
+  * into [[ThresholdIndexScanExec]], which delegates to
+  * [[Ann.thresholdSearchIndex]] (single execution kernel, like the top-k
+  * route). Output schema: (qid LONG, nid LONG, score DOUBLE). */
+case class ThresholdIndexScan(
+    indexPath: String,
+    queries: Array[(Long, Array[Float])],
+    threshold: Double,
+    ef: Int,
+    params: Ann.Params,
+    deletes: Array[Long] = Array.empty,
+    override val output: Seq[Attribute] = ThresholdIndexScan.schemaAttrs) extends LeafNode
+
+object ThresholdIndexScan {
+  def schemaAttrs: Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("nid", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)())
+}
+
+case class ThresholdIndexScanExec(
+    indexPath: String,
+    queries: Array[(Long, Array[Float])],
+    threshold: Double,
+    ef: Int,
+    params: Ann.Params,
+    deletes: Array[Long],
+    override val output: Seq[Attribute]) extends LeafExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = session
+    import spark.implicits._
+    val qDf = queries.toSeq.toDF("qid", "qvec")
+    val delDf = if (deletes.isEmpty) None else Some(deletes.toSeq.toDF("id"))
+    val result = Ann.thresholdSearchIndex(spark, indexPath, qDf, threshold, ef,
+      params, deletes = delDf)
+      .select(org.apache.spark.sql.functions.col("qid").cast("long"),
+        org.apache.spark.sql.functions.col("nid").cast("long"),
+        org.apache.spark.sql.functions.col("score").cast("double"))
+    result.queryExecution.toRdd
+  }
+}
+
+/** Planner strategy: KnnIndexScan -> KnnIndexScanExec, ThresholdIndexScan ->
+  * ThresholdIndexScanExec. Injected via [[graft.GraftExtensions]]
+  * (`SparkSessionExtensions.injectPlannerStrategy`). */
 object KnnIndexStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: KnnIndexScan =>
       KnnIndexScanExec(s.indexPath, s.queries, s.topK, s.ef, s.params,
         s.deletes, s.probeSegments, s.rerankK, s.acceptChild.map(planLater),
         s.output) :: Nil
+    case s: ThresholdIndexScan =>
+      ThresholdIndexScanExec(s.indexPath, s.queries, s.threshold, s.ef,
+        s.params, s.deletes, s.output) :: Nil
     case _ => Nil
   }
 }

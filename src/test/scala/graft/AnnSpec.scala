@@ -138,10 +138,10 @@ class AnnSpec extends SparkSpec {
     val queries = randVectors(16, 16, seed = 44).toDF("qid", "qvec")
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 32)
     Ann.buildIndex(base, s"$tmp/idx", params)
-    def run(fused: Boolean): Set[(Long, Int, Long, Double)] = {
+    def run(fused: Boolean, dels: Option[Seq[Long]] = None): Set[(Long, Int, Long, Double)] = {
       Ann.clearSegmentCache() // force reassembly so both runs build fresh entries
       Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params, rerankK = 60,
-        shareRerankFloor = false, fusedAdc = fused)
+        deletes = dels.map(_.toDF("id")), shareRerankFloor = false, fusedAdc = fused)
         .select("qid", "rank", "nid", "score")
         .as[(Long, Int, Long, Double)].collect().toSet
     }
@@ -151,6 +151,12 @@ class AnnSpec extends SparkSpec {
     // order as the gathered loop, so scores — and results — are bit-equal
     assert(fused === gathered, "fused and gathered two-phase paths must be identical")
     assert(fused.nonEmpty)
+    // identity must hold under merge-on-read tombstones too (the live
+    // filter gates results, not traversal, on both paths)
+    val dels = Some((0L until 200L).toSeq)
+    val fusedDel = run(true, dels)
+    assert(fusedDel === run(false, dels), "fused/gathered diverge under deletes")
+    assert(fusedDel.forall(_._3 >= 200L), "tombstoned ids must not appear")
   }
 
   test("buildIndexClustered: locality-aligned segments keep routing recall with few probes") {
@@ -497,5 +503,66 @@ class AnnSpec extends SparkSpec {
     val got = g.thresholdSearch(q, t, 64).map(_._1).toSet
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.9, s"threshold recall $recall < 0.9 (reference contract)")
+  }
+
+  test("index-backed threshold search: recall >= 0.9 vs exact scan, deletes honored") {
+    val tmp = java.nio.file.Files.createTempDirectory("annthr").toString
+    val base = randVectors(4000, 16, seed = 51).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    // queries drawn from the base rows so the threshold region is non-empty
+    val queries = randVectors(4000, 16, seed = 51).take(6)
+      .map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    val t = 0.93
+    val got = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, t, 64, params)
+    assert(got.filter($"score" < t).count() === 0, "scores below threshold")
+    val exact = KnnExact.thresholdSearch(base, queries, t, "COSINE")
+    val nExact = exact.count()
+    assert(nExact > 0, "test threshold matched nothing — pick a lower t")
+    val hits = exact.select("qid", "nid")
+      .join(got.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hits.toDouble / nExact >= 0.9,
+      s"index-backed threshold recall ${hits.toDouble / nExact} < 0.9")
+    // merge-on-read tombstones
+    val dels = (0L until 500L).toSeq
+    val gotDel = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, t, 64, params,
+      deletes = Some(dels.toDF("id")))
+    assert(gotDel.filter($"nid" < 500).count() === 0, "tombstoned ids returned")
+  }
+
+  test("AnnRewriteRule: WHERE sim >= t over a registered table uses the threshold index scan") {
+    import graft.plans.AnnCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("annthrrule").toString
+    val vecs = randVectors(3000, 16, seed = 23)
+    vecs.toDF("id", "vec").repartition(2).write.parquet(s"$tmp/base")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/idx", params)
+    val qv = vecs(7)._2
+    val simCol = graft.functions.VectorFunctions.cosineSim($"vec", typedLit(qv))
+    // exact matches computed BEFORE registering (afterwards the same plan
+    // shape would itself be rewritten)
+    val want = spark.read.parquet(s"$tmp/base").filter(simCol >= 0.93)
+      .select("id").as[Long].collect().toSet
+    assert(want.nonEmpty, "test threshold matched nothing")
+
+    AnnCatalog.register(spark, s"$tmp/base",
+      AnnCatalog.IndexInfo(s"$tmp/idx", "id", "vec", ef = 64, params))
+    val df = spark.read.parquet(s"$tmp/base").filter(simCol >= 0.93)
+    assert(df.queryExecution.executedPlan.toString.contains("ThresholdIndexScan"),
+      s"expected threshold index scan in:\n${df.queryExecution.executedPlan}")
+    assert(df.columns.toSeq === Seq("id", "vec"))
+    val got = df.select("id").as[Long].collect().toSet
+    assert(got.subsetOf(want), "rewrite returned rows that do not satisfy the predicate")
+    assert(got.size.toDouble / want.size >= 0.9,
+      s"threshold rewrite recall ${got.size.toDouble / want.size} < 0.9")
+
+    // residual conjuncts survive as a post-filter
+    val fdf = spark.read.parquet(s"$tmp/base").filter(simCol >= 0.93 && $"id" % 2 === 0)
+    assert(fdf.queryExecution.executedPlan.toString.contains("ThresholdIndexScan"),
+      s"conjunctive threshold rewrite did not fire:\n${fdf.queryExecution.optimizedPlan}")
+    val fGot = fdf.select("id").as[Long].collect()
+    assert(fGot.forall(_ % 2 == 0), "residual predicate violated")
+    assert(fGot.toSet.subsetOf(want), "conjunctive rewrite returned non-matching rows")
+    AnnCatalog.clear()
   }
 }
