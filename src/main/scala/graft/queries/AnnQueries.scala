@@ -248,9 +248,99 @@ object AnnQueries {
     ("threshold_all_scores_ge_t", 0.6),
     ("threshold_recall_ge_0.9", 0.9)))
 
+  /** Memoized persisted indexes per scale dir (immutable inputs, seeded
+    * deterministic builds — same reasoning as the model memos above).
+    * `pq = true` builds with a codebook sidecar for the two-phase gates. */
+  private val idxDirs = new scala.collection.concurrent.TrieMap[(String, Boolean), String]()
+  private def persistedIndex(s: SparkSession, dir: String, pq: Boolean): String =
+    idxDirs.getOrElseUpdate((dir, pq), {
+      val p = if (pq) annParams.copy(pqM = 8) else annParams
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString + "/idx"
+      Ann.buildIndex(Tables.embeddings(s, dir), tmp, p, "vec_id", "embedding")
+      tmp
+    })
+
+  /** Index-backed threshold search (T5 over a PERSISTED graph,
+    * [[Ann.thresholdSearchIndex]]): exact-precision contract (every score
+    * clears t) + recall >= 0.9 vs the exact threshold scan — the same
+    * gates as the transient `ann_threshold`, through the on-disk route. */
+  private def annThresholdIdx(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = persistedIndex(s, dir, pq = false)
+    val res = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams).cache()
+    val below = res.filter(col("score") < 0.6).count()
+    val exact = KnnExact.thresholdSearch(emb, queries0(s, dir), 0.6, "COSINE",
+      "vec_id", "embedding")
+    val nExact = exact.count()
+    val hits = exact.select("qid", "nid")
+      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val rec = if (nExact == 0) 1.0 else hits.toDouble / nExact
+    Gates.df(s, Seq(
+      ("threshold_idx_all_scores_ge_t", 0.6, below == 0L),
+      ("threshold_idx_recall_ge_0.9", 0.9, rec >= 0.9)))
+  }
+
+  private val annThresholdIdxSql: String = Gates.sql(Seq(
+    ("threshold_idx_all_scores_ge_t", 0.6),
+    ("threshold_idx_recall_ge_0.9", 0.9)))
+
+  /** Rescore rebuild (B8, [[Ann.rescore]]): a COSINE-built index rescored
+    * to EUCLIDEAN must preserve topology (row/edge counts) and serve the
+    * new metric at the recall gate. */
+  private def annRescore(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val src = persistedIndex(s, dir, pq = false)
+    val out = idxDirs.getOrElseUpdate((dir + "#rescore", false), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gate_resc").toString + "/idx"
+      Ann.rescore(s, src, tmp, "EUCLIDEAN", annParams)
+      tmp
+    })
+    val a = s.read.parquet(src).select(col("node_id"), size(col("neighbors")).as("d"))
+    val b = s.read.parquet(out).select(col("node_id"), size(col("neighbors")).as("d"))
+    val topologySame = a.count() == b.count() &&
+      a.join(b, Seq("node_id", "d"), "left_anti").count() == 0
+    val eucParams = annParams.copy(metric = "EUCLIDEAN")
+    val res = Ann.searchIndex(s, out, queries0(s, dir), k, 64, eucParams)
+    val exact = KnnExact.knn(emb, queries0(s, dir), k, "EUCLIDEAN", "vec_id", "embedding")
+    val rec = Metrics.recallAtK(res, exact, k).head().getDouble(0)
+    Gates.df(s, Seq(
+      ("rescore_topology_preserved", 1.0, topologySame),
+      ("rescore_euclidean_recall_ge_0.9", 0.9, rec >= 0.9)))
+  }
+
+  private val annRescoreSql: String = Gates.sql(Seq(
+    ("rescore_topology_preserved", 1.0),
+    ("rescore_euclidean_recall_ge_0.9", 0.9)))
+
+  /** Fused transposed-layout traversal (Q7, [[Vamana.searchTwoPhaseFused]]):
+    * bit-identical to the gathered path on the same persisted PQ index,
+    * and the two-phase result clears the recall gate. */
+  private def annFused(s: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIndex(s, dir, pq = true)
+    def run(fused: Boolean) =
+      Ann.searchIndex(s, idx, queries0(s, dir), k, 64, annParams.copy(pqM = 8),
+        rerankK = 60, shareRerankFloor = false, fusedAdc = fused)
+        .select("qid", "rank", "nid", "score")
+    val f = run(true).cache()
+    val g = run(false).cache()
+    val identical = f.count() == g.count() &&
+      f.join(g, Seq("qid", "rank", "nid", "score"), "left_anti").count() == 0
+    val rec = recallOf(f, exactKnn(s, dir))
+    Gates.df(s, Seq(
+      ("fused_identical_to_gathered", 1.0, identical),
+      ("fused_twophase_recall_ge_0.85", 0.85, rec >= 0.85)))
+  }
+
+  private val annFusedSql: String = Gates.sql(Seq(
+    ("fused_identical_to_gathered", 1.0),
+    ("fused_twophase_recall_ge_0.85", 0.85)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dense_ids" -> (denseIds _),
     "ann_threshold" -> (annThreshold _),
+    "ann_threshold_idx" -> (annThresholdIdx _),
+    "ann_rescore" -> (annRescore _),
+    "ann_fused" -> (annFused _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn" -> (annKnn _),
     "ann_paged" -> (annPaged _),
@@ -261,6 +351,9 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "dense_ids" -> denseIdsSql,
     "ann_threshold" -> annThresholdSql,
+    "ann_threshold_idx" -> annThresholdIdxSql,
+    "ann_rescore" -> annRescoreSql,
+    "ann_fused" -> annFusedSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ann_knn" -> annKnnSql,
     "ann_paged" -> annPagedSql,
