@@ -102,10 +102,27 @@ object Ann {
   /** Read an index directory or a glob of batch sub-indexes. Index trees are
     * hive-partitioned (seg=..., optionally nested under batch=...), so a
     * glob expands to several partitioned roots — basePath anchors partition
-    * discovery at the tree root, as Spark requires for multi-root reads. */
+    * discovery at the tree root, as Spark requires for multi-root reads.
+    *
+    * NVQ-compressed indexes (built with `nvqBits > 0`) store codes instead
+    * of vectors; the `vec` column is reconstructed here at NVQ precision,
+    * so every consumer — search, pagination, threshold scan, delete repair,
+    * compaction — reads one uniform schema. `coalesce` keeps mixed trees
+    * working (some batches full-res, some compressed). */
   private[graft] def readIndex(spark: SparkSession, path: String): DataFrame = {
     val base = path.stripSuffix("/*").stripSuffix("/")
-    spark.read.option("basePath", base).parquet(path)
+    val df = spark.read.option("basePath", base).parquet(path)
+    if (!df.columns.contains("nvq_code")) df
+    else {
+      val dec = udf { (codes: Seq[Int], params: Seq[Seq[Double]], bits: Int) =>
+        graft.operators.NVQ.decodeSelfContained(
+          codes.toArray, params.map(_.toArray).toArray, bits).map(_.toFloat)
+      }
+      df.withColumn("vec",
+        coalesce(col("vec").cast("array<float>"),
+          when(col("nvq_code").isNotNull,
+            dec(col("nvq_code"), col("nvq_params"), col("nvq_bits")))))
+    }
   }
 
   /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
@@ -167,7 +184,19 @@ object Ann {
         * ADC scores and rerank exactly (the reference's default two-pass
         * design). */
       pqM: Int = 0,
-      pqK: Int = 256)
+      pqK: Int = 256,
+      /** 8 or 4: store per-row NVQ codes INSTEAD of full-res vectors — the
+        * memory-bound production layout (jvector's default rerank source is
+        * NVQ, `yaml-configs/index-parameters/default.yml` reranking block).
+        * The index shrinks ~4x (8-bit) / ~8x (4-bit); every read path
+        * transparently reconstructs vectors at NVQ precision ([[readIndex]]),
+        * so search/rerank/repair/compact work unchanged with near-exact
+        * scores (recall gates hold; see AnnSpec). Rows are self-contained
+        * (no global-mean sidecar), so batch globs and compaction need no
+        * model coordination. 0 = store full-res vectors (default). */
+      nvqBits: Int = 0,
+      /** Subvector count for the NVQ index encode. */
+      nvqSubs: Int = 2)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -301,7 +330,7 @@ object Ann {
       case Some(m) => v => m.encodeOne(v.map(_.toDouble))
       case None => _ => null
     }
-    segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
+    val indexed = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val rows = it.toArray
@@ -309,6 +338,8 @@ object Ann {
         else {
           val seg = java.util.UUID.nameUUIDFromBytes(
             rows.map(_._1).mkString(",").getBytes).toString
+          // graph + centroid are computed from the ORIGINAL vectors; in NVQ
+          // mode only the stored payload is lossy, never the build
           val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
             p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
           // per-segment centroid for search-time routing (IVF over
@@ -321,16 +352,26 @@ object Ann {
             while (j < dim) { centroid(j) += r._2(j) / rows.length; j += 1 }
           }
           rows.indices.iterator.map { i =>
-            (seg, i, rows(i)._1, rows(i)._2, g.neighbors(i).toArray, i == g.entryNode,
-              if (i == 0) centroid else null, encodeCode(rows(i)._2))
+            val v = rows(i)._2
+            val (storedVec, nvqCode, nvqParams) =
+              if (p.nvqBits > 0) {
+                val (c, pr) = graft.operators.NVQ.encodeSelfContained(
+                  v.map(_.toDouble), p.nvqSubs, p.nvqBits)
+                (null: Array[Float], c, pr)
+              } else (v, null: Array[Int], null: Array[Array[Double]])
+            (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
+              if (i == 0) centroid else null, encodeCode(v), nvqCode, nvqParams, p.nvqBits)
           }
         }
       }
-      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid", "pq_code")
-      // hive-partitioned by segment: searchIndex's probeSegments filter then
-      // prunes whole DIRECTORIES at plan time — probed-segments I/O instead
-      // of full-index I/O, which is what makes routing pay off at 100 TB
-      .write.mode("overwrite").partitionBy("seg").parquet(path)
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
+    val out = if (p.nvqBits > 0) indexed
+              else indexed.drop("nvq_code", "nvq_params", "nvq_bits")
+    // hive-partitioned by segment: searchIndex's probeSegments filter then
+    // prunes whole DIRECTORIES at plan time — probed-segments I/O instead
+    // of full-index I/O, which is what makes routing pay off at 100 TB
+    out.write.mode("overwrite").partitionBy("seg").parquet(path)
     // sidecar AFTER the main write (overwrite would wipe it)
     pqModel.foreach(m => graft.operators.PQ.save(spark, m, s"$path/_pq_model"))
   }
@@ -1005,16 +1046,28 @@ object Ann {
     val delB = spark.sparkContext.broadcast(
       delDf.as[Long].collect().toSet)
 
-    val withCode =
-      if (raw.columns.contains("pq_code")) raw
-      else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+    // NVQ trees: vec arrives DECODED from readIndex (needed for re-pruning)
+    // but the rewritten rows carry the original codes through unchanged —
+    // repair touches edges, never payloads — and keep vec null so the
+    // segment stays compressed and the tree schema uniform.
+    val hasNvq = raw.columns.contains("nvq_code")
+    val withCode = {
+      val c = if (raw.columns.contains("pq_code")) raw
+              else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+      if (hasNvq) c
+      else c.withColumn("nvq_code", lit(null).cast("array<int>"))
+        .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
+        .withColumn("nvq_bits", lit(0))
+    }
     val patched = withCode
       .filter(col("seg").isin(affected.toSeq: _*))
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("pq_code").cast("array<int>"))
+        col("is_entry"), col("pq_code").cast("array<int>"),
+        col("nvq_code").cast("array<int>"), col("nvq_params").cast("array<array<double>>"),
+        col("nvq_bits").cast("int"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int])]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
@@ -1040,18 +1093,22 @@ object Ann {
               var j = 0
               while (j < dim) { centroid(j) += sorted(i)._4(j) / keep.length; j += 1 }
             }
+            val nvq = sorted(0)._8 != null
             val newEntry = remap(g.entryNode)
             keep.zipWithIndex.iterator.map { case (old, nw) =>
               val r = sorted(old)
-              (newSeg, nw, r._3, r._4,
+              (newSeg, nw, r._3, if (nvq) null else r._4,
                 g.neighbors(r._2).iterator.map(remap(_)).toArray,
-                nw == newEntry, if (nw == 0) centroid else null, r._7)
+                nw == newEntry, if (nw == 0) centroid else null, r._7, r._8, r._9, r._10)
             }
           }
         }
       }
-      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid", "pq_code")
-    patched.write.mode("append").partitionBy("seg").parquet(path)
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
+    val patchedOut = if (hasNvq) patched
+                     else patched.drop("nvq_code", "nvq_params", "nvq_bits")
+    patchedOut.write.mode("append").partitionBy("seg").parquet(path)
     // drop the replaced segment directories AFTER the new ones land
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1115,16 +1172,28 @@ object Ann {
       params: Params = Params()): Unit = {
     import spark.implicits._
     val p = params.copy(metric = newMetric)
-    readIndex(spark, inPath)
+    // NVQ trees: edges are re-scored on the DECODED vectors (same precision
+    // search uses), but the rewritten rows keep the original codes and a
+    // null vec, so the output tree stays compressed.
+    val raw = readIndex(spark, inPath)
+    val hasNvq = raw.columns.contains("nvq_code")
+    val withNvq =
+      if (hasNvq) raw
+      else raw.withColumn("nvq_code", lit(null).cast("array<int>"))
+        .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
+        .withColumn("nvq_bits", lit(0))
+    val rescored0 = withNvq
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"))
+        col("is_entry"), col("nvq_code").cast("array<int>"),
+        col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Array[Double]], Int)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
           val sorted = rows.sortBy(_._2)
           val vecs = sorted.map(_._4)
+          val nvq = sorted(0)._7 != null
           // scoring shell only — no build(): topology is carried over
           val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
             p.alpha, p.neighborOverflow, p.seed)
@@ -1151,13 +1220,15 @@ object Ann {
               .map(nb => (nb, g.sim(vecs(r._2), vecs(nb))))
               .sortBy { case (id, s) => (-s, id) }
               .map(_._1)
-            (segId, r._2, r._3, r._4, rescored, r._2 == bestE,
-              if (r._2 == 0) centroid else null)
+            (segId, r._2, r._3, if (nvq) null else r._4, rescored, r._2 == bestE,
+              if (r._2 == 0) centroid else null, r._7, r._8, r._9)
           }
         }
       }
-      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry", "seg_centroid")
-      .write.mode("overwrite").partitionBy("seg").parquet(outPath)
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
+        "seg_centroid", "nvq_code", "nvq_params", "nvq_bits")
+    val out = if (hasNvq) rescored0 else rescored0.drop("nvq_code", "nvq_params", "nvq_bits")
+    out.write.mode("overwrite").partitionBy("seg").parquet(outPath)
   }
 
   /** First loadable PQ sidecar under an index root or batch tree (the

@@ -146,6 +146,48 @@ object NVQ {
     df.withColumn("uniform_err", f(col(vecCol).cast("array<double>")))
   }
 
+  /** Self-contained per-row NVQ encode for the compressed-index mode
+    * ([[graft.index.Ann]] `Params.nvqBits`): NO global-mean centering, so a
+    * row's (codes, [growthRate, min, max] per subvector) decode without any
+    * sidecar — segments stay independent under multi-batch globs, delete
+    * repair and compaction. Deviation from the reference's global centering
+    * is deliberate (distributed self-containment); the logistic quantizer
+    * still adapts per subvector via the learned rate and range. */
+  def encodeSelfContained(v: Array[Double], nSubs: Int, bits: Int): (Array[Int], Array[Array[Double]]) = {
+    val ns = if (v.length <= 2) 1 else nSubs
+    val (sizes, offsets) = PQ.subvectorSizes(v.length, ns)
+    val codes = new Array[Int](v.length)
+    val params = new Array[Array[Double]](ns)
+    var s = 0
+    while (s < ns) {
+      val sub = java.util.Arrays.copyOfRange(v, offsets(s), offsets(s) + sizes(s))
+      val gr = learnGrowthRate(sub, bits)
+      val q = quantizeSub(sub, gr, bits)
+      var i = 0
+      while (i < q.length) { codes(offsets(s) + i) = q(i); i += 1 }
+      params(s) = Array(gr, sub.min, sub.max)
+      s += 1
+    }
+    (codes, params)
+  }
+
+  /** Inverse of [[encodeSelfContained]] — layout re-derived from the code
+    * length and the number of parameter triples. */
+  def decodeSelfContained(codes: Array[Int], params: Array[Array[Double]], bits: Int): Array[Double] = {
+    val ns = params.length
+    val (sizes, offsets) = PQ.subvectorSizes(codes.length, ns)
+    val out = new Array[Double](codes.length)
+    var s = 0
+    while (s < ns) {
+      val q = java.util.Arrays.copyOfRange(codes, offsets(s), offsets(s) + sizes(s))
+      val d = dequantizeSub(q, params(s)(0), params(s)(1), params(s)(2), bits)
+      var i = 0
+      while (i < d.length) { out(offsets(s) + i) = d(i); i += 1 }
+      s += 1
+    }
+    out
+  }
+
   /** Adds `nvq_code` (array<int>, full dim, 0..(2^bits - 1)) and
     * `nvq_params` (array<array<double>> of [growthRate, min, max] per
     * subvector). `bits` = 8 (default) or 4. */

@@ -565,4 +565,29 @@ class AnnSpec extends SparkSpec {
     assert(fGot.toSet.subsetOf(want), "conjunctive rewrite returned non-matching rows")
     AnnCatalog.clear()
   }
+
+  test("NVQ-compressed index (nvqBits=8): stores codes not floats, recall holds through delete repair") {
+    val tmp = java.nio.file.Files.createTempDirectory("annnvq").toString
+    val base = randVectors(3000, 16, seed = 9).toDF("id", "vec").repartition(2)
+    val queries = randVectors(20, 16, seed = 10).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, nvqBits = 8)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    // the stored payload is NVQ codes; no full-res vectors on disk
+    val stored = spark.read.parquet(s"$tmp/idx")
+    assert(stored.filter(col("vec").isNotNull).count() === 0)
+    assert(stored.filter(col("nvq_code").isNull).count() === 0)
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, topK = 10, ef = 64, params)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    assert(recallOf(got, want) >= 0.9, "NVQ-reconstructed search recall below 0.9")
+    // delete repair rewrites affected segments but keeps the tree compressed
+    val dels = Seq(1L, 2L, 3L).toDF("id")
+    Ann.repairDeleted(spark, s"$tmp/idx", dels, params)
+    val after = spark.read.parquet(s"$tmp/idx")
+    assert(after.filter(col("vec").isNotNull).count() === 0,
+      "repair re-materialized full-res vectors into an NVQ tree")
+    val got2 = Ann.searchIndex(spark, s"$tmp/idx", queries, topK = 10, ef = 64, params)
+    assert(got2.filter(col("nid").isin(1L, 2L, 3L)).count() === 0)
+    val want2 = KnnExact.knn(base.filter(!col("id").isin(1L, 2L, 3L)), queries, 10, "COSINE")
+    assert(recallOf(got2, want2) >= 0.85)
+  }
 }
