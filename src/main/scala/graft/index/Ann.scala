@@ -125,6 +125,37 @@ object Ann {
     }
   }
 
+  /** Pinned serving indexes: path -> the index rows persisted in executor
+    * memory, pre-partitioned by segment. jvector's serving model is a
+    * resident `OnDiskGraphIndex` + per-thread searchers (DiskIntro.java);
+    * the Spark-native equivalent is the index Dataset cached with a
+    * segment-aligned partitioning, so each query batch is ONE narrow job —
+    * no parquet re-scan, no shuffle, and (for NVQ trees) vectors decoded
+    * once at pin time rather than per batch. Without a pin, [[searchIndex]]
+    * stays a cold scan-and-shuffle job — correct, just batch-latency. */
+  private val pinnedIndexes =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def pinKey(path: String): String = path.stripSuffix("/")
+
+  /** Pin an index for warm serving: materializes (and for NVQ trees,
+    * decodes) the rows into executor storage, partitioned by segment.
+    * Idempotent per path. MEMORY_AND_DISK: a segment that outgrows the
+    * executor spills instead of failing — at 100 TB you pin the hot
+    * indexes, not the fleet. */
+  def pin(spark: SparkSession, path: String): Unit =
+    pinnedIndexes.getOrElseUpdate(pinKey(path), {
+      val df = readIndex(spark, path)
+        .repartition(col("seg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize now, not on first query
+      df
+    })
+
+  /** Drop a pinned index (no-op if not pinned). */
+  def unpin(path: String): Unit =
+    pinnedIndexes.remove(pinKey(path)).foreach(_.unpersist(false))
+
   /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
     * graphs, content-keyed: the seeded build over a deterministic partition
     * makes (params, ids, vector bytes) fully identify the graph. Repeated
@@ -451,7 +482,8 @@ object Ann {
     // Tombstones are merge-on-read (jvector liveNodes filter fused into the
     // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
     // nodes just stop being acceptable results. compact() repairs for real.
-    val raw = readIndex(spark, path)
+    val pinnedOpt = pinnedIndexes.get(pinKey(path))
+    val raw = pinnedOpt.getOrElse(readIndex(spark, path))
 
     // Segment routing (IVF over segments): with probeSegments > 0, each
     // query searches only its probeSegments nearest segment centroids —
@@ -535,12 +567,17 @@ object Ann {
       if (chunks <= 1) withCode.withColumn("__chunk", lit(0))
       else withCode.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
 
-    val perSegment = fanned
+    val selected = fanned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
         col("__chunk").cast("int"))
-      .repartition(col("seg"), col("__chunk"))
+    // pinned + no chunk fan-out: the cached rows are already partitioned by
+    // seg and everything since the pin is narrow (broadcast joins, filters,
+    // projections), so the batch runs WITHOUT a shuffle — the whole point
+    // of pinning. Any other case must co-locate (seg, chunk) here.
+    val perSegment = (if (pinnedOpt.isDefined && chunks <= 1) selected
+                      else selected.repartition(col("seg"), col("__chunk")))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Int)]
       .mapPartitions { it =>
         // per-task rerank floors, keyed by query index: segments searched
