@@ -99,6 +99,54 @@ object Ann {
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear() }
 
+  /** Write a fresh content token (`_build_id`) at an index root. Mutators
+    * call this after every write; search cache keys embed the token, so a
+    * rebuild at the same path — even with identical seg UUIDs, which derive
+    * only from row ids — changes every key and stale graphs simply stop
+    * being addressed, cluster-wide (an executor-local clear() could never
+    * reach the other executors' caches). */
+  private def writeBuildToken(spark: SparkSession, path: String): Unit = {
+    val base = path.stripSuffix("/*").stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/_build_id"), true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Resolve the content token(s) under an index root or batch-tree glob.
+    * One tiny file read per query BATCH (driver-side, never memoized —
+    * memoization would reintroduce exactly the staleness the token kills).
+    * Trees written before tokens existed resolve to "" and keep the old
+    * (path, seg, params) key behavior. */
+  private def buildToken(spark: SparkSession, path: String): String = {
+    try {
+      val base = path.stripSuffix("/*").stripSuffix("/")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def readOne(p: org.apache.hadoop.fs.Path): Option[String] =
+        try {
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](256)
+              var n = in.read(tmp)
+              while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+              Some(new String(buf.toByteArray, "UTF-8").trim)
+            } finally in.close()
+          }
+        } catch { case _: Exception => None }
+      val direct = readOne(new org.apache.hadoop.fs.Path(s"$base/_build_id")).toSeq
+      val nested =
+        try fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_build_id"))
+          .toSeq.flatMap(st => readOne(st.getPath))
+        catch { case _: Exception => Seq.empty }
+      (direct ++ nested).sorted.mkString(",")
+    } catch { case _: Exception => "" }
+  }
+
   /** Read an index directory or a glob of batch sub-indexes. Index trees are
     * hive-partitioned (seg=..., optionally nested under batch=...), so a
     * glob expands to several partitioned roots — basePath anchors partition
@@ -108,10 +156,18 @@ object Ann {
     * of vectors; the `vec` column is reconstructed here at NVQ precision,
     * so every consumer — search, pagination, threshold scan, delete repair,
     * compaction — reads one uniform schema. `coalesce` keeps mixed trees
-    * working (some batches full-res, some compressed). */
+    * working (some batches full-res, some compressed); mergeSchema makes
+    * the mix SAFE — without it schema inference can sample a full-res
+    * footer, omit nvq_code, and silently null out compressed batches'
+    * payloads. (New builds always write the nvq columns, so current trees
+    * share one schema and the merge is a no-op; the option covers trees
+    * written before that.) */
   private[graft] def readIndex(spark: SparkSession, path: String): DataFrame = {
     val base = path.stripSuffix("/*").stripSuffix("/")
-    val df = spark.read.option("basePath", base).parquet(path)
+    val df = spark.read
+      .option("basePath", base)
+      .option("mergeSchema", "true")
+      .parquet(path)
     if (!df.columns.contains("nvq_code")) df
     else {
       val dec = udf { (codes: Seq[Int], params: Seq[Seq[Double]], bits: Int) =>
@@ -397,14 +453,21 @@ object Ann {
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
         "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
-    val out = if (p.nvqBits > 0) indexed
-              else indexed.drop("nvq_code", "nvq_params", "nvq_bits")
+    // the nvq columns are written (null-valued) even for full-res builds:
+    // every batch of a mixed tree then shares ONE schema, so a glob read
+    // can never infer compressed batches' codes away
     // hive-partitioned by segment: searchIndex's probeSegments filter then
     // prunes whole DIRECTORIES at plan time — probed-segments I/O instead
     // of full-index I/O, which is what makes routing pay off at 100 TB
-    out.write.mode("overwrite").partitionBy("seg").parquet(path)
+    indexed.write.mode("overwrite").partitionBy("seg").parquet(path)
     // sidecar AFTER the main write (overwrite would wipe it)
     pqModel.foreach(m => graft.operators.PQ.save(spark, m, s"$path/_pq_model"))
+    // fresh content token: executor-side SegmentCache keys include it, so a
+    // rebuild-in-place (same seg UUIDs, new vectors) can never serve a
+    // stale cached graph — on ANY executor, not just this JVM
+    writeBuildToken(spark, path)
+    // an in-place overwrite invalidates a pinned pre-build materialization
+    unpin(path)
   }
 
   /** Locality-aware index build (SPANN-style coarse partitioning; jvector's
@@ -478,6 +541,7 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
+    val tok = buildToken(spark, path)
 
     // Tombstones are merge-on-read (jvector liveNodes filter fused into the
     // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
@@ -601,8 +665,9 @@ object Ann {
           else {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
-            // warm-serving path: immutable segments cache per executor
-            val cacheKey = s"$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            // warm-serving path: immutable segments cache per executor;
+            // the content token makes rebuilds-in-place change the key
+            val cacheKey = s"$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
             val entry = SegmentCache.getOrCompute(cacheKey, {
               val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
                 p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
@@ -773,6 +838,7 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
+    val tok = buildToken(spark, path)
     val raw = readIndex(spark, path)
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
     val withLive = deletes match {
@@ -807,7 +873,7 @@ object Ann {
             val live = sorted.map(_._7)
             // "paged|" prefix: this assembly omits pq codes — must not be
             // shared with searchIndex's entries (which carry them)
-            val cacheKey = s"paged|$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            val cacheKey = s"paged|$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
             val entry = SegmentCache.getOrCompute(cacheKey, {
               val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
                 p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
@@ -885,6 +951,7 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
+    val tok = buildToken(spark, path)
     val raw = readIndex(spark, path)
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
     val withLive = deletes match {
@@ -918,7 +985,7 @@ object Ann {
             val live = sorted.map(_._7)
             // same assembly (and cache key shape) as the paged route: no
             // codes are carried, so it must not share searchIndex's entries
-            val cacheKey = s"paged|$path|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            val cacheKey = s"paged|$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
             val entry = SegmentCache.getOrCompute(cacheKey, {
               val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
                 p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
@@ -1143,16 +1210,23 @@ object Ann {
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
         "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
-    val patchedOut = if (hasNvq) patched
-                     else patched.drop("nvq_code", "nvq_params", "nvq_bits")
-    patchedOut.write.mode("append").partitionBy("seg").parquet(path)
+    // nvq columns always written (uniform tree schema — see buildIndex);
+    // legacy trees without them stay readable via readIndex's mergeSchema
+    patched.write.mode("append").partitionBy("seg").parquet(path)
     // drop the replaced segment directories AFTER the new ones land
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     affected.foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$s"), true)
     }
+    // new content token (cluster-wide cache invalidation; the local clear
+    // only covers this JVM) + refresh any pinned materialization so a warm
+    // serving path cannot resurrect the pre-repair segments
+    writeBuildToken(spark, path)
     clearSegmentCache()
+    val wasPinned = pinnedIndexes.contains(pinKey(path))
+    unpin(path)
+    if (wasPinned) pin(spark, path)
   }
 
   /** Segment compaction (jvector `OnDiskGraphIndexCompactor`, B10 +
@@ -1264,8 +1338,10 @@ object Ann {
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
         "seg_centroid", "nvq_code", "nvq_params", "nvq_bits")
-    val out = if (hasNvq) rescored0 else rescored0.drop("nvq_code", "nvq_params", "nvq_bits")
-    out.write.mode("overwrite").partitionBy("seg").parquet(outPath)
+    // nvq columns always written (uniform tree schema — see buildIndex)
+    rescored0.write.mode("overwrite").partitionBy("seg").parquet(outPath)
+    writeBuildToken(spark, outPath)
+    unpin(outPath)
   }
 
   /** First loadable PQ sidecar under an index root or batch tree (the

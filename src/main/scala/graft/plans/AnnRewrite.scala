@@ -158,10 +158,14 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
   /** Rewrite `WHERE sim(vec, :q) >= t [AND p...]` over a registered table
     * into an index-backed threshold scan (T5/O1: the predicate runs INSIDE
     * the graph traversal with the adaptive stop, instead of scoring every
-    * row). Approximate by design, like the top-k rewrite: returned rows all
-    * satisfy the predicate exactly (scores are exact), but a low-recall
+    * row). Approximate by design, like the top-k rewrite: a low-recall
     * traversal may miss matches — the trade the user opted into by
-    * registering the index. Residual conjuncts stay as a post-filter. */
+    * registering the index. PRECISION however stays exact regardless of
+    * the index's storage mode: the threshold conjunct is re-applied above
+    * the join-back against the base side's FULL-RES vectors, so an
+    * NVQ-compressed index (which scores reconstructed vectors inside the
+    * traversal, and can let a slightly-below-t row through) never leaks a
+    * non-matching row. Residual conjuncts stay as a post-filter too. */
   private def rewriteThreshold(
       cond: Expression,
       rel: LogicalRelation): Option[LogicalPlan] = {
@@ -186,7 +190,10 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
       // hits are a small fraction of the base — broadcast the scan side
       val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
-      Project(rel.output, joined)
+      // exact-precision gate: recheck sim >= t on the base side's full-res
+      // vec (Generated-tagged so this rule never threshold-rewrites its own
+      // output if later passes push it down to the relation)
+      Project(rel.output, markGenerated(Filter(thrConjunct, joined)))
     }
   }
 

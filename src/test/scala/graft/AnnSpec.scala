@@ -590,4 +590,94 @@ class AnnSpec extends SparkSpec {
     val want2 = KnnExact.knn(base.filter(!col("id").isin(1L, 2L, 3L)), queries, 10, "COSINE")
     assert(recallOf(got2, want2) >= 0.85)
   }
+
+  test("threshold rewrite precision is exact on an NVQ-compressed index (no below-t leaks)") {
+    import graft.plans.AnnCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("annthrnvq").toString
+    val vecs = randVectors(3000, 16, seed = 27)
+    vecs.toDF("id", "vec").repartition(2).write.parquet(s"$tmp/base")
+    // compressed storage: the traversal scores NVQ-reconstructed vectors,
+    // which can push a just-below-t row above t inside the scan
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, nvqBits = 8)
+    Ann.buildIndex(spark.read.parquet(s"$tmp/base"), s"$tmp/idx", params)
+    val qv = vecs(11)._2
+    val simCol = graft.functions.VectorFunctions.cosineSim($"vec", typedLit(qv))
+    val t = 0.93
+    val want = spark.read.parquet(s"$tmp/base").filter(simCol >= t)
+      .select("id").as[Long].collect().toSet
+    assert(want.nonEmpty, "test threshold matched nothing")
+    AnnCatalog.register(spark, s"$tmp/base",
+      AnnCatalog.IndexInfo(s"$tmp/idx", "id", "vec", ef = 64, params))
+    val df = spark.read.parquet(s"$tmp/base").filter(simCol >= t)
+    assert(df.queryExecution.executedPlan.toString.contains("ThresholdIndexScan"),
+      s"threshold rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    val got = df.select("id").as[Long].collect().toSet
+    // the contract: recall is approximate, PRECISION is not — every
+    // returned row satisfies the predicate on the full-res vectors
+    assert(got.subsetOf(want),
+      s"NVQ threshold rewrite leaked below-threshold rows: ${(got -- want).take(5)}")
+    AnnCatalog.clear()
+  }
+
+  test("rebuild-in-place with same ids but new vectors is never served from a stale cache") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstale").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val v1 = randVectors(2000, 16, seed = 61)
+    Ann.buildIndex(v1.toDF("id", "vec").repartition(2), s"$tmp/idx", params)
+    val queries = Seq((0L, v1(5)._2)).toDF("qid", "qvec")
+    // warm the executor-side SegmentCache
+    Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params).count()
+    // same ids, different vectors -> same seg UUIDs; only the _build_id
+    // content token distinguishes the trees
+    val v2 = randVectors(2000, 16, seed = 62)
+    Ann.buildIndex(v2.toDF("id", "vec").repartition(2), s"$tmp/idx", params)
+    val q2 = Seq((0L, v2(5)._2)).toDF("qid", "qvec")
+    val got = Ann.searchIndex(spark, s"$tmp/idx", q2, 10, 64, params)
+    val want = KnnExact.knn(v2.toDF("id", "vec"), q2, 10, "COSINE")
+    assert(recallOf(got, want) >= 0.9,
+      "post-rebuild search answered from the pre-rebuild cached graphs")
+    // scores must be the NEW vectors' similarities: the query IS row 5, so
+    // rank-1 must be id 5 at sim ~1.0 (stale graphs would score old vecs)
+    val top = got.filter($"rank" === 1).select("nid", "score")
+      .as[(Long, Double)].head()
+    assert(top._1 === 5L && top._2 > 0.999, s"stale result: $top")
+  }
+
+  test("pinned index is refreshed by repairDeleted and invalidated by rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("annpinmut").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val vecs = randVectors(2000, 16, seed = 71)
+    Ann.buildIndex(vecs.toDF("id", "vec").repartition(2), s"$tmp/idx", params)
+    val queries = Seq((0L, vecs(3)._2)).toDF("qid", "qvec")
+    Ann.pin(spark, s"$tmp/idx")
+    val before = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+    assert(before.filter($"rank" === 1).select("nid").as[Long].head() === 3L)
+    // repair with id 3 tombstoned: a stale pin would resurrect it for a
+    // caller that (correctly) stops passing the tombstone afterwards
+    Ann.repairDeleted(spark, s"$tmp/idx", Seq(3L).toDF("id"), params)
+    val after = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+    assert(after.filter($"nid" === 3L).count() === 0,
+      "stale pinned materialization served the pre-repair segments")
+    Ann.unpin(s"$tmp/idx")
+  }
+
+  test("mixed tree (full-res batch + NVQ batch) reads one uniform schema and searches both") {
+    val tmp = java.nio.file.Files.createTempDirectory("annmixed").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val a = randVectors(1000, 16, seed = 81)
+    val b = randVectors(1000, 16, seed = 82).map { case (id, v) => (id + 1000L, v) }
+    Ann.buildIndex(a.toDF("id", "vec").repartition(2), s"$tmp/tree/batch=0", params)
+    Ann.buildIndex(b.toDF("id", "vec").repartition(2), s"$tmp/tree/batch=1",
+      params.copy(nvqBits = 8))
+    // one query from each half: both batches must be searchable with
+    // non-null vectors (a schema-inference miss would null out the
+    // compressed batch's payload)
+    val queries = Seq((0L, a(5)._2), (1L, b(5)._2)).toDF("qid", "qvec")
+    val got = Ann.searchIndex(spark, s"$tmp/tree/*", queries, 10, 64, params)
+    val top = got.filter($"rank" === 1).select("qid", "nid", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(top.length === 2)
+    assert(top(0)._2 === 5L && top(0)._3 > 0.999, s"full-res batch miss: ${top(0)}")
+    assert(top(1)._2 === 1005L && top(1)._3 > 0.99, s"NVQ batch miss: ${top(1)}")
+  }
 }
