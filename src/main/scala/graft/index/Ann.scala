@@ -839,7 +839,11 @@ object Ann {
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
     val tok = buildToken(spark, path)
-    val raw = readIndex(spark, path)
+    // warm-serving: a pinned index is already materialized in executor
+    // storage partitioned by segment — the batch then runs shuffle-free,
+    // exactly like the top-k route
+    val pinnedOpt = pinnedIndexes.get(pinKey(path))
+    val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
     val withLive = deletes match {
       case Some(d) =>
@@ -855,11 +859,15 @@ object Ann {
       case None => withLive
     }
     val pagesB = pages.toArray
-    val perSegment = pruned
+    val selectedPg = pruned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("__live"))
-      .repartition(col("seg"))
+    // segment completeness per task is a CORRECTNESS requirement (each task
+    // assembles whole graphs); the pin's seg partitioning already provides
+    // it and everything since is narrow, so skip the shuffle when pinned
+    val perSegment = (if (pinnedOpt.isDefined) selectedPg
+                      else selectedPg.repartition(col("seg")))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
@@ -952,7 +960,9 @@ object Ann {
     val qB = spark.sparkContext.broadcast(qArr)
     val p = params
     val tok = buildToken(spark, path)
-    val raw = readIndex(spark, path)
+    // warm-serving via pin, exactly like the paged/top-k routes
+    val pinnedOpt = pinnedIndexes.get(pinKey(path))
+    val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
     val withLive = deletes match {
       case Some(d) =>
@@ -967,11 +977,11 @@ object Ann {
       case Some(_) => withLive.filter(lit(false))
       case None => withLive
     }
-    pruned
+    val selectedTh = pruned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("__live"))
-      .repartition(col("seg"))
+    (if (pinnedOpt.isDefined) selectedTh else selectedTh.repartition(col("seg")))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>

@@ -335,12 +335,69 @@ object AnnQueries {
     ("fused_identical_to_gathered", 1.0),
     ("fused_twophase_recall_ge_0.85", 0.85)))
 
+  /** Prepared maintenance-lifecycle trees per scale dir: (post-repair tree,
+    * compacted tree). Built once — the mutations are the expensive part;
+    * the gate searches over them are cheap and re-run per call. */
+  private val lifecycleTrees =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Tombstoned ids for the lifecycle gates — disjoint from the query ids
+    * so every query's own vector stays live. */
+  private def lifecycleDels: Seq[Long] = (nQueries.toLong until nQueries + 8L)
+
+  /** Maintenance lifecycle end-to-end (B6 incremental delete repair + B10
+    * compaction, driver-verifiable): tombstone 8 rows, [[Ann.repairDeleted]]
+    * in place (only affected segments rewritten), then [[Ann.compact]] into
+    * a fresh tree. Gates: tombstones stay gone through BOTH steps with no
+    * tombstone list passed at search time (the repair is real, not
+    * merge-on-read), the compacted tree's row count equals the live set,
+    * and recall vs the exact live-set twin holds end-to-end. */
+  private def annLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val dels = lifecycleDels
+    val (repTree, cmpTree) = lifecycleTrees.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_gate_life").toString
+      Ann.buildIndex(emb, s"$root/idx", annParams, "vec_id", "embedding")
+      Ann.repairDeleted(s, s"$root/idx", dels.toDF("id"), annParams)
+      Ann.compact(s, s"$root/idx", s"$root/idx2", annParams)
+      (s"$root/idx", s"$root/idx2")
+    })
+    val live = emb.filter(!col("vec_id").isin(dels: _*))
+    val exact = KnnExact.knn(live, queries0(s, dir), k, "COSINE", "vec_id", "embedding")
+    val delSet = dels.toSet
+    def gatesFor(tree: String): (Long, Double, Long) = {
+      val res = Ann.searchIndex(s, tree, queries0(s, dir), k, 64, annParams).cache()
+      val resurrected = res.filter(col("nid").isin(dels: _*)).count()
+      val rec = recallOf(res, exact)
+      val rows = Ann.readIndex(s, tree).count()
+      (resurrected, rec, rows)
+    }
+    val (rep0, repRec, _) = gatesFor(repTree)
+    val (cmp0, cmpRec, cmpRows) = gatesFor(cmpTree)
+    val liveN = live.count()
+    Gates.df(s, Seq(
+      ("lifecycle_repair_no_resurrection", 0.0, rep0 == 0L),
+      ("lifecycle_repair_recall_ge_0.9", 0.9, repRec >= 0.9),
+      ("lifecycle_compact_no_resurrection", 0.0, cmp0 == 0L),
+      ("lifecycle_compact_rows_eq_live", 1.0, cmpRows == liveN),
+      ("lifecycle_compact_recall_ge_0.9", 0.9, cmpRec >= 0.9)))
+  }
+
+  private val annLifecycleSql: String = Gates.sql(Seq(
+    ("lifecycle_repair_no_resurrection", 0.0),
+    ("lifecycle_repair_recall_ge_0.9", 0.9),
+    ("lifecycle_compact_no_resurrection", 0.0),
+    ("lifecycle_compact_rows_eq_live", 1.0),
+    ("lifecycle_compact_recall_ge_0.9", 0.9)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dense_ids" -> (denseIds _),
     "ann_threshold" -> (annThreshold _),
     "ann_threshold_idx" -> (annThresholdIdx _),
     "ann_rescore" -> (annRescore _),
     "ann_fused" -> (annFused _),
+    "ann_lifecycle" -> (annLifecycle _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn" -> (annKnn _),
     "ann_paged" -> (annPaged _),
@@ -354,6 +411,7 @@ object AnnQueries {
     "ann_threshold_idx" -> annThresholdIdxSql,
     "ann_rescore" -> annRescoreSql,
     "ann_fused" -> annFusedSql,
+    "ann_lifecycle" -> annLifecycleSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ann_knn" -> annKnnSql,
     "ann_paged" -> annPagedSql,

@@ -661,6 +661,26 @@ class AnnSpec extends SparkSpec {
     Ann.unpin(s"$tmp/idx")
   }
 
+  test("pinned serving matches cold scans on the paged and threshold routes") {
+    val tmp = java.nio.file.Files.createTempDirectory("annpinroutes").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val vecs = randVectors(2000, 16, seed = 91)
+    Ann.buildIndex(vecs.toDF("id", "vec").repartition(2), s"$tmp/idx", params)
+    val queries = Seq((0L, vecs(9)._2), (1L, vecs(42)._2)).toDF("qid", "qvec")
+    val coldPaged = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, Seq(5, 5), 64, params)
+      .select("qid", "page", "rank", "nid").as[(Long, Int, Int, Long)].collect().toSet
+    val coldThr = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, 0.93, 64, params)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    Ann.pin(spark, s"$tmp/idx")
+    val warmPaged = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, Seq(5, 5), 64, params)
+      .select("qid", "page", "rank", "nid").as[(Long, Int, Int, Long)].collect().toSet
+    val warmThr = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, 0.93, 64, params)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    Ann.unpin(s"$tmp/idx")
+    assert(warmPaged === coldPaged, "pinned paged route diverged from cold scan")
+    assert(warmThr === coldThr, "pinned threshold route diverged from cold scan")
+  }
+
   test("mixed tree (full-res batch + NVQ batch) reads one uniform schema and searches both") {
     val tmp = java.nio.file.Files.createTempDirectory("annmixed").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
