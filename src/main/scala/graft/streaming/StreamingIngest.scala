@@ -67,10 +67,30 @@ object StreamingIngest {
   case class SessionState(sessionId: Int, lastUs: Long, n: Int, total: Double)
   case class SessionOut(user_id: Long, session_id: Int, n: Int, total: Double)
 
+  /** Watermark-correct sessionization via the built-in `session_window`
+    * (dynamic-gap event-time sessions): late events within the watermark
+    * are merged into — or even BRIDGE — existing sessions, which the
+    * arrival-order [[sessionize]] below cannot do across micro-batches.
+    * This is the out-of-order-safe production path; sessions are emitted
+    * when the watermark passes their close (append mode). Batch twin:
+    * the same groupBy(session_window) on a static frame. */
+  def sessionizeWindowed(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("total"))
+
   /** Stateful sessionization via flatMapGroupsWithState (KeyValueGrouped
     * custom state, SURVEY §2.10): emits a session row whenever a gap >
     * `gapMinutes` closes the previous session. Batch twin:
-    * RelationalQueries.eventsSessions (DuckDB-oracled). */
+    * RelationalQueries.eventsSessions (DuckDB-oracled). Assumes in-order
+    * arrival ACROSS micro-batches (within a batch it sorts); for
+    * out-of-order sources use [[sessionizeWindowed]]. */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -83,6 +83,33 @@ class StreamingMaintenanceSpec extends SparkSpec {
     for ((k, n) <- streamed) assert(batch.get(k).contains(n), s"session $k count mismatch")
   }
 
+  test("session_window sessionization is out-of-order-safe: late event bridges two sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = StreamingIngest.sessionizeWindowed(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_win").start()
+    // batch 1: two clusters 50 min apart -> would be two sessions
+    mem.addData((1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 1.0), (1L, 3L, ts(60), 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at min 35 bridges the gap (arrival-order state
+    // would have closed session 1 and mis-assigned this); then an event far
+    // past the watermark so the merged session actually emits
+    mem.addData((1L, 4L, ts(35), 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 9L, ts(60 * 24), 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT user_id, session_start, n FROM sess_win")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    // all four early events must land in ONE merged session starting at 0
+    assert(rows.exists(r => r._2.getTime == 0L && r._3 == 4L),
+      s"late bridge event did not merge the sessions: ${rows.mkString(", ")}")
+    assert(!rows.exists(r => r._2.getTime == 3600000L),
+      s"a separate session at min 60 survived the bridge: ${rows.mkString(", ")}")
+  }
+
   test("tombstone deletes: merge-on-read filtering, then compaction removes rows") {
     val dir = tmpDir()
     val emb = Tables.embeddings(spark, sfDir)
