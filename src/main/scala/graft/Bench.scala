@@ -156,7 +156,15 @@ object Bench {
     val kernelTs = (1 to runs).map(_ => time(kernelRun())._2)
     val kernelQps = qLocal.length / (kernelTs.sum / runs)
 
-    val qsJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 bytes of stdout and parses the
+    // JSON line out of that tail — full-precision doubles pushed the line past
+    // the window and the JSON arrived decapitated (unparseable) in rounds 1-3.
+    // Fixed-precision formatting keeps the whole line inside the window.
+    def num(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+    def qJson(p: Int): String =
+      results.map { case (k, v) => s""""$k":${num(v, p)}""" }.mkString("{", ",", "}")
+    val qsJson = qJson(3)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -167,15 +175,21 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val annJson =
-      s"""{"exact_knn_qps":$exactQps,"ann_qps":$annQps,"ann_qps_pinned":$annQpsPinned,"ann_build_sec":$buildSec,""" +
-        s""""recall_at_10":$recall,"visited_ratio":$visitedRatio,""" +
-        s""""pq_fused_qps":$pqFusedQps,"pq_gathered_qps":$pqGatheredQps,""" +
-        s""""pq_recall_at_10":$pqRecall,"pq_build_sec":$pqBuildSec,""" +
-        s""""kernel_qps":$kernelQps,"kernel_build_vps":$kernelBuildVps,""" +
+      s"""{"exact_knn_qps":${num(exactQps, 1)},"ann_qps":${num(annQps, 1)},""" +
+        s""""ann_qps_pinned":${num(annQpsPinned, 1)},"ann_build_sec":${num(buildSec, 3)},""" +
+        s""""recall_at_10":${num(recall, 4)},"visited_ratio":${num(visitedRatio, 4)},""" +
+        s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
+        s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
+        s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"ann":$annJson,"sf":"$sfDir"}""")
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"ann":$annJson,"sf":"$sfDir"}"""
+    // defensive: if the sweep ever grows enough to overflow the tail window,
+    // shed query-time precision before shedding the line itself
+    val out = Seq(line(qsJson), line(qJson(2)), line(qJson(1))).find(_.length <= 1900)
+      .getOrElse(line(qJson(1)))
+    println(out)
     spark.stop()
   }
 }

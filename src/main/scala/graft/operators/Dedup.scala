@@ -132,6 +132,65 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list (HashMin label
+    * propagation): every node's label converges to the minimum id reachable
+    * from it, so `group_id` = canonical representative of the duplicate
+    * cluster. This is the step that turns pairwise candidates (minhash /
+    * ngram / embedding pairs) into keep/drop decisions — pairs alone can't
+    * dedup a transitive cluster {a~b, b~c} correctly.
+    *
+    * Scale design: per iteration ONE shuffle (edge-label join + min-agg);
+    * iteration count = cluster diameter, which for near-dup clusters is
+    * small (near-duplicates of a common ancestor are near each other).
+    * Labels only ever decrease, so convergence is detected by a cheap
+    * scalar checksum (sum of labels strictly decreases until fixpoint) —
+    * no extra join. Lineage is truncated every iteration with an eager
+    * localCheckpoint, otherwise the iterated plan grows unboundedly (on a
+    * cluster with an HDFS checkpoint dir, `Dataset.checkpoint` is the
+    * durable equivalent). For graphs with giant diameters the
+    * large-star/small-star variant halves rounds; near-dup workloads don't
+    * need it.
+    *
+    * Output: (id, group_id, group_size, is_canonical) for EVERY id in
+    * `nodes` — singletons keep group_id = id, size 1. */
+  def duplicateGroups(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      id1Col: String = "id1",
+      id2Col: String = "id2",
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val edges = pairs
+      .select(col(id1Col).cast("long").as("src"), col(id2Col).cast("long").as("dst"))
+      .union(pairs.select(col(id2Col).cast("long").as("src"), col(id1Col).cast("long").as("dst")))
+      .localCheckpoint(true)
+
+    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var checksum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // min label among each node's neighbors, folded into its own label
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
+      labels = next
+      it += 1
+    }
+    val w = Window.partitionBy("label")
+    labels.select(col("id"), col("label").as("group_id"),
+        count(lit(1)).over(w).as("group_size"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (exact verify
     * path; the ANN module provides the LSH/IVF candidate path at scale).
     * Output: (id1, id2, sim) with sim = (1+cos)/2 >= threshold. */

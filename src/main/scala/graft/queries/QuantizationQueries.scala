@@ -164,20 +164,33 @@ object QuantizationQueries {
     * growth-rate grid includes a ~uniform rate), and codes must stay in
     * the 8-bit range. */
   private def nvqReconError(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    // the UDF chain is the cost — spread a single-split scan across cores
+    val emb = KnnExact.spreadSmall(Tables.embeddings(s, dir))
     val model = nvqModel(s, dir)
-    def stats(bits: Int): (Double, Double, Int, Int) = {
-      val enc = NVQ.encode(emb, "embedding", model, bits)
-      val dec = NVQ.uniformErrCol(NVQ.decode(enc, model, bits = bits), "embedding", model, bits)
-      val r = dec.agg(
-        avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))).as("nvq"),
-        avg(col("uniform_err")).as("uni"),
-        max(array_max(col("nvq_code"))).as("cmax"),
-        min(array_min(col("nvq_code"))).as("cmin")).head()
-      (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
-    }
-    val (n8, u8, cmax8, cmin8) = stats(8)
-    val (n4, u4, cmax4, cmin4) = stats(4)
+    // both widths stacked into ONE plan and aggregated in ONE job — the
+    // UDF encode/decode chains are per-row and fuse in a single pass over
+    // the table (two sequential jobs doubled the query's wall time)
+    val w8 = NVQ.uniformErrCol(
+        NVQ.decode(NVQ.encode(emb, "embedding", model, 8), model, bits = 8),
+        "embedding", model, 8)
+      .withColumnRenamed("nvq_code", "code8")
+      .withColumnRenamed("nvq_decoded", "dec8")
+      .withColumnRenamed("uniform_err", "uni8")
+      .drop("nvq_params")
+    val both = NVQ.uniformErrCol(
+      NVQ.decode(NVQ.encode(w8, "embedding", model, 4), model, bits = 4),
+      "embedding", model, 4)
+    val r = both.agg(
+      avg(VectorFunctions.l2Sq(col("embedding"), col("dec8"))).as("nvq8"),
+      avg(col("uni8")).as("uni8"),
+      max(array_max(col("code8"))).as("cmax8"),
+      min(array_min(col("code8"))).as("cmin8"),
+      avg(VectorFunctions.l2Sq(col("embedding"), col("nvq_decoded"))).as("nvq4"),
+      avg(col("uniform_err")).as("uni4"),
+      max(array_max(col("nvq_code"))).as("cmax4"),
+      min(array_min(col("nvq_code"))).as("cmin4")).head()
+    val (n8, u8, cmax8, cmin8) = (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+    val (n4, u4, cmax4, cmin4) = (r.getDouble(4), r.getDouble(5), r.getInt(6), r.getInt(7))
     Gates.df(s, Seq(
       ("nvq8_avg_err_le_uniform", 1.0, n8 <= u8 * 1.0000001),
       ("nvq8_codes_in_range", 255.0, cmax8 <= 255 && cmin8 >= 0),

@@ -144,6 +144,71 @@ object TextDedupQueries {
        |SELECT id1, id2, round(jac, 6) AS jaccard FROM ver WHERE jac >= $mhThreshold""".stripMargin
   }
 
+  /** Transitive duplicate clusters from the minhash pairs: HashMin
+    * connected components in Spark, a recursive-CTE transitive closure in
+    * the DuckDB twin (tractable at oracle scale; the Spark side is the one
+    * that has to survive 100 TB). */
+  private def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(Tables.documents(s, dir), "doc_id", minhashPairs(s, dir))
+
+  private val dedupGroupsSql: String = {
+    val bands = numHashes / rowsPerBand
+    s"""WITH RECURSIVE t AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks FROM documents),
+       |sig AS (SELECT id, toks, list_transform(range(0, $numHashes),
+       |   i -> coalesce(list_min(list_transform(toks, tok -> md5(CAST(i AS VARCHAR) || '|' || tok))), '')) AS sg FROM t),
+       |bands AS (SELECT id, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
+       |   array_to_string(sg[j*$rowsPerBand+1:j*$rowsPerBand+$rowsPerBand], '|')), 1, 15) AS BIGINT) AS bh
+       |   FROM sig, range(0, $bands) r(j)),
+       |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+       |   FROM bands a JOIN bands b ON a.bh = b.bh AND a.id < b.id),
+       |th AS (SELECT id, list_distinct(list_transform(toks,
+       |   tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT))) AS toks FROM t),
+       |ver AS (SELECT id1, id2,
+       |   CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) / len(list_distinct(list_concat(x.toks, y.toks))) AS jac
+       |   FROM cand JOIN th x ON x.id = cand.id1 JOIN th y ON y.id = cand.id2),
+       |pr AS (SELECT id1, id2 FROM ver WHERE jac >= $mhThreshold),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pr UNION SELECT id2, id1 FROM pr),
+       |reach AS (SELECT src, dst FROM edges
+       |   UNION
+       |   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src),
+       |lab AS (SELECT d.doc_id AS id, least(coalesce(c.mn, d.doc_id), d.doc_id) AS group_id
+       |   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size,
+       |       id = group_id AS is_canonical
+       |FROM lab""".stripMargin
+  }
+
+  // ---------------- BM25 retrieval ----------------
+
+  private val bm25Terms = Seq("vector", "hash", "join")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25TopN = 20
+
+  private def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
+      bm25Terms, bm25K1, bm25B, bm25TopN)
+
+  private val bm25TopkSql: String = {
+    val termsIn = bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH b2 AS (SELECT doc_id AS id, toks, CAST(len(toks) AS DOUBLE) AS dl
+       |   FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2),
+       |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+       |   FROM (SELECT id, dl, unnest(toks) AS tok FROM b2)
+       |   WHERE tok IN $termsIn GROUP BY id, tok),
+       |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT tf.id,
+       |   ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * ${bm25K1 + 1.0}
+       |     / (tf.tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * tf.dl / c.avgdl)) AS s
+       |   FROM tf JOIN dfq USING (tok) CROSS JOIN corpus c),
+       |agg AS (SELECT id, sum(s) AS score FROM sc GROUP BY id)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS "rank",
+       |       id, round(score, 6) AS score
+       |FROM agg QUALIFY "rank" <= $bm25TopN""".stripMargin
+  }
+
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
@@ -242,6 +307,8 @@ object TextDedupQueries {
     "text_langid" -> (textLangId _),
     "lang_summary" -> (langSummary _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_groups" -> (dedupGroups _),
+    "bm25_topk" -> (bm25Topk _),
     "minhash_sig" -> (minhashSig _),
     "minhash_pairs" -> (minhashPairs _),
     "simhash" -> (simhash _),
@@ -256,6 +323,8 @@ object TextDedupQueries {
     "text_langid" -> textLangIdSql,
     "lang_summary" -> langSummarySql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_groups" -> dedupGroupsSql,
+    "bm25_topk" -> bm25TopkSql,
     "minhash_sig" -> minhashSigSql,
     "minhash_pairs" -> minhashPairsSql,
     "simhash" -> simhashSql,

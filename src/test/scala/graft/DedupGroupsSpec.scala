@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Bm25, Dedup}
+import org.apache.spark.sql.functions._
+class DedupGroupsSpec extends SparkSpec {
+
+  test("duplicateGroups: transitive clusters resolve to min-id canonical") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; singletons 20, 21
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.duplicateGroups(nodes, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got === Array(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false), (3L, 1L, 4L, false), (4L, 1L, 4L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false),
+      (20L, 20L, 1L, true), (21L, 21L, 1L, true)))
+  }
+
+  test("duplicateGroups: empty pair list leaves every node a singleton") {
+    import spark.implicits._
+    val nodes = Seq(5L, 6L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val got = Dedup.duplicateGroups(nodes, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got === Array((5L, 5L, 1L, true), (6L, 6L, 1L, true)))
+  }
+
+  test("duplicateGroups: long chain converges past a handful of iterations") {
+    import spark.implicits._
+    // a 40-node path graph: diameter 39 forces many HashMin rounds
+    val n = 40
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id1", "id2")
+    val got = Dedup.duplicateGroups(nodes, "id", pairs).collect()
+    assert(got.length === n)
+    assert(got.forall(_.getLong(1) === 0L))
+    assert(got.forall(_.getLong(2) === n.toLong))
+  }
+
+  test("bm25: exact-match doc outranks partial matches; ranks are dense") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark vector search engine"),
+      (2L, "vector vector vector"),
+      (3L, "relational joins only"),
+      (4L, "search and search again"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Bm25.search(docs, "doc_id", "text", Seq("vector", "search"), topN = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // docs 3 and 5 contain no query term -> absent
+    assert(got.map(_._2).toSet === Set(1L, 2L, 4L))
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+    // scores strictly ordered desc (ties broken by id upstream)
+    assert(got.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    // doc 1 matches both terms -> highest score
+    assert(got.head._2 === 1L)
+  }
+}
