@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, MultimodalQueries, QuantizationQueries, RelationalQueries, TextDedupQueries, VectorSearchQueries}
+import graft.queries.{AnnQueries, CorpusPrepQueries, MultimodalQueries, QuantizationQueries, RelationalQueries, TextDedupQueries, VectorSearchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorSearchQueries.queries ++
       TextDedupQueries.queries ++ QuantizationQueries.queries ++
-      AnnQueries.queries ++ MultimodalQueries.queries
+      AnnQueries.queries ++ MultimodalQueries.queries ++
+      CorpusPrepQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorSearchQueries.oracles ++
       TextDedupQueries.oracles ++ QuantizationQueries.oracles ++
-      AnnQueries.oracles ++ MultimodalQueries.oracles
+      AnnQueries.oracles ++ MultimodalQueries.oracles ++
+      CorpusPrepQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation query surface over `documents`: chunking,
+  * repetition-based quality filtering, eval-set decontamination. DuckDB
+  * oracles mirror the Spark pipelines op-for-op (same tokenization, same
+  * 60-bit md5 shingle hashing, same rounding) so results hash-match. */
+object CorpusPrepQueries {
+
+  private val toksSql = TextDedupQueries.toksSql
+
+  /** Shared shingle-set fragment: distinct n-gram shingles hashed to
+    * 60-bit longs — the twin of HashExpressions.ngramShingles. */
+  private def shinglesSql(n: Int): String =
+    s"""list_distinct(list_transform(
+       |   CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(range(0, len(toks) - ${n - 1}),
+       |               i -> array_to_string(toks[i+1:i+$n], ' ')) END,
+       |   s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))""".stripMargin
+
+  // ---------------- chunking ----------------
+
+  private val chunkSize = 64
+  private val chunkOverlap = 16
+  private val chunkStride = chunkSize - chunkOverlap
+
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.chunk(Tables.documents(s, dir), "doc_id", "text", chunkSize, chunkOverlap)
+
+  private val docChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), $chunkStride)) AS st0 FROM t)
+       |SELECT doc_id, CAST(st0 // $chunkStride AS INT) AS chunk_idx,
+       |       CAST(least($chunkSize, greatest(len(toks) - st0, 0)) AS INT) AS n_tokens,
+       |       array_to_string(toks[st0+1:st0+$chunkSize], ' ') AS chunk_text
+       |FROM st""".stripMargin
+
+  // ---------------- repetition / quality ----------------
+
+  private val repN = 3
+  private val repDupMax = 0.18
+  private val repTopMax = 0.20
+
+  private def docRepetition(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.repetitionStats(Tables.documents(s, dir), "doc_id", "text",
+      repN, repDupMax, repTopMax)
+
+  private val docRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, toks,
+       |   greatest(len(toks) - ${repN - 1}, 1) AS total,
+       |   len(${shinglesSql(repN)}) AS dist FROM t),
+       |r AS (SELECT doc_id,
+       |   round(1.0 - CAST(dist AS DOUBLE) / total, 6) AS dup_ngram_ratio,
+       |   round(CASE WHEN len(toks) = 0 THEN 0.0
+       |     ELSE CAST(list_max(list_transform(list_distinct(toks),
+       |            tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks) END, 6)
+       |     AS top_tok_ratio
+       |   FROM m)
+       |SELECT doc_id, dup_ngram_ratio, top_tok_ratio,
+       |       (dup_ngram_ratio > $repDupMax OR top_tok_ratio > $repTopMax) AS flagged
+       |FROM r""".stripMargin
+
+  // ---------------- decontamination ----------------
+
+  private val decontamN = 3
+  private val evalMaxId = 5
+
+  private def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusPrep.decontaminate(
+      docs.filter(col("doc_id") >= evalMaxId),
+      docs.filter(col("doc_id") < evalMaxId),
+      "doc_id", "text", decontamN)
+  }
+
+  private val decontamOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql(decontamN)} AS sh FROM t),
+       |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id >= $evalMaxId),
+       |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS h FROM sh WHERE doc_id < $evalMaxId)
+       |SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
+       |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id, ev.eval_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> (docChunks _),
+    "doc_repetition" -> (docRepetition _),
+    "decontam_overlap" -> (decontamOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    "doc_chunks" -> docChunksSql,
+    "doc_repetition" -> docRepetitionSql,
+    "decontam_overlap" -> decontamOverlapSql)
+}

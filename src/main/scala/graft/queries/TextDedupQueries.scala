@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextDedupQueries {
 
   /** DuckDB twin of TextFunctions.tokens(text). */
-  private val toksSql =
+  private[queries] val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin.replace("\n", "")
 
