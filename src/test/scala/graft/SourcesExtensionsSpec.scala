@@ -19,6 +19,55 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got(7)._2 === vecs(7).toSeq)
   }
 
+  test("fvecs V2: multi-file glob assigns dense ids in path order, split-invariant") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_multi").toString
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(40)(Array.fill(8)(rnd.nextFloat()))
+    val b = Array.fill(25)(Array.fill(8)(rnd.nextFloat()))
+    Fvecs.writeFvecs(s"$tmp/part-0.fvecs", a.iterator)
+    Fvecs.writeFvecs(s"$tmp/part-1.fvecs", b.iterator)
+    val df = spark.read.format("fvecs").load(s"$tmp/*.fvecs")
+    val got = df.orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(got.length === 65)
+    assert(got.map(_._1).toSeq === (0L until 65L))
+    assert(got(39)._2 === a(39).toSeq)
+    assert(got(40)._2 === b(0).toSeq) // file boundary: ids continue densely
+    // force many tiny slices: same result regardless of split geometry
+    withSQLConf("spark.sql.files.maxPartitionBytes" -> "128") {
+      val split = spark.read.format("fvecs").load(s"$tmp/*.fvecs")
+      assert(split.rdd.getNumPartitions > 4)
+      val g2 = split.orderBy("id").as[(Long, Seq[Float])].collect()
+      assert(g2.toSeq === got.toSeq)
+    }
+  }
+
+  test("fvecs V2: id-range filters prune slices at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_prune").toString
+    val vecs = Array.tabulate(100)(i => Array.fill(4)(i.toFloat))
+    Fvecs.writeFvecs(s"$tmp/x.fvecs", vecs.iterator)
+    withSQLConf("spark.sql.files.maxPartitionBytes" -> "100") { // 5 recs/slice
+      val df = spark.read.format("fvecs").load(s"$tmp/x.fvecs")
+        .filter(col("id") >= 90 && col("id") < 95)
+      // planning-time prune: only the covering slice(s) survive
+      assert(df.rdd.getNumPartitions <= 2)
+      val got = df.orderBy("id").as[(Long, Seq[Float])].collect()
+      assert(got.map(_._1).toSeq === (90L until 95L))
+      assert(got.head._2 === vecs(90).toSeq)
+    }
+  }
+
+  test("fvecs V2: id-only projection and count(*) never decode vectors") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_prj").toString
+    Fvecs.writeFvecs(s"$tmp/x.fvecs",
+      Array.fill(30)(Array.fill(6)(1.0f)).iterator)
+    val df = spark.read.format("fvecs").load(s"$tmp/x.fvecs")
+    assert(df.count() === 30)
+    assert(df.select("id").as[Long].collect().toSeq === (0L until 30L))
+    // the scan's read schema is pruned to id only
+    val plan = df.select("id").queryExecution.executedPlan.toString
+    assert(!plan.contains("vec,") || plan.contains("cols=id"))
+  }
+
   test("ivecs reader decodes int lists") {
     val tmp = java.nio.file.Files.createTempDirectory("ivecs").toString
     // ivecs = same layout with ints; reuse writer via float bits
