@@ -132,6 +132,44 @@ object Ivf {
         col("col._1").as("nid"), col("col._2").as("score"))
   }
 
+  /** Write the base table hive-partitioned by nearest centroid — the IVF
+    * write path at 100 TB: `path/cluster_id=<c>/part-*.parquet`. A probed
+    * search then filters on cluster_id and Catalyst PARTITION PRUNING skips
+    * every non-probed cluster's files at planning time — the "inverted
+    * file" is the storage layout itself, no index structure to load. */
+  def writePartitioned(
+      df: DataFrame,
+      vecCol: String,
+      model: IvfModel,
+      path: String,
+      mode: String = "overwrite"): Unit =
+    assign(df, vecCol, model)
+      .write.partitionBy("cluster_id").mode(mode).parquet(path)
+
+  /** Probed search over a [[writePartitioned]] layout: the union of all
+    * queries' probe lists becomes ONE `cluster_id IN (...)` scan filter
+    * (partition pruning — only probed directories are read), then the
+    * per-query (qid, cluster) probe join assigns each scanned row to the
+    * queries that probed its cluster. Returns (qid, rank, nid, score). */
+  def searchPartitioned(
+      path: String,
+      queries: DataFrame,
+      model: IvfModel,
+      nprobe: Int,
+      topK: Int,
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probedClusters = qRows.flatMap { case (_, qv) =>
+      model.nearestClusters(qv, nprobe)
+    }.distinct.sorted
+    val assigned = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
+    search(assigned, queries, model, nprobe, topK, baseId, baseVec)
+  }
+
   /** Probed search: per query, pick nprobe nearest centroids (driver-side —
     * centroids are tiny), then score ONLY rows in those clusters via an
     * equi-join on cluster_id (shuffle-hash/broadcast join on a small pair

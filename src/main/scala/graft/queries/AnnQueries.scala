@@ -193,6 +193,52 @@ object AnnQueries {
 
   private val ivfKnnJoinSql: String = Gates.sql(Seq(("ivf_join_recall@5_ge_0.9", 0.9)))
 
+  /** IVF storage layout (the 100 TB read path): base table written
+    * hive-partitioned by cluster_id ([[Ivf.writePartitioned]]), search reads
+    * only probed directories via Catalyst partition pruning. Gates: (1) the
+    * probed scan's physical plan actually prunes partitions; (2) results
+    * are IDENTICAL to the unpartitioned probed search (same model, same
+    * probes — layout must not change semantics); (3) the ivf_knn recall
+    * floor holds. */
+  private val partitionedLayouts = new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def ivfPruned(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val path = partitionedLayouts.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString + "/ivf"
+      Ivf.writePartitioned(emb, "embedding", model, p)
+      p
+    })
+    val res = Ivf.searchPartitioned(path, queries0(s, dir), model, nprobe, topK = k,
+      baseId = "vec_id", baseVec = "embedding").cache()
+
+    // (1) plan-level check: the scan under the search carries PartitionFilters
+    val prunedScanPlan = s.read.parquet(path)
+      .filter(col("cluster_id").isin(0, 1)).queryExecution.executedPlan.toString
+    val prunes = prunedScanPlan.contains("PartitionFilters") &&
+      prunedScanPlan.contains("cluster_id")
+
+    // (2) layout-independence: same rows as the unpartitioned probed search
+    val base = Ivf.search(Ivf.assign(emb, "embedding", model), queries0(s, dir),
+      model, nprobe, topK = k, baseId = "vec_id", baseVec = "embedding")
+    val missing = base.select("qid", "nid")
+      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    val extra = res.select("qid", "nid")
+      .join(base.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+
+    Gates.df(s, Seq(
+      ("ivf_pruned_partition_filters", 1.0, prunes),
+      ("ivf_pruned_matches_unpartitioned", 0.0, missing == 0L && extra == 0L),
+      ("ivf_pruned_recall@10_ge_0.6", 0.6, recallOf(res, exactKnn(s, dir)) >= 0.6)))
+  }
+
+  private val ivfPrunedSql: String = Gates.sql(Seq(
+    ("ivf_pruned_partition_filters", 1.0),
+    ("ivf_pruned_matches_unpartitioned", 0.0),
+    ("ivf_pruned_recall@10_ge_0.6", 0.6)))
+
   /** Distributed pagination (T6): two pages of k via per-(query, segment)
     * resumable cursors inside the segment tasks ([[Ann.searchPaged]]) — no
     * driver-side graph, no full-table collect. Gates: global pages are
@@ -399,6 +445,7 @@ object AnnQueries {
     "ann_fused" -> (annFused _),
     "ann_lifecycle" -> (annLifecycle _),
     "ivf_knn_join" -> (ivfKnnJoin _),
+    "ivf_pruned" -> (ivfPruned _),
     "ann_knn" -> (annKnn _),
     "ann_paged" -> (annPaged _),
     "ann_knn_filtered" -> (annKnnFiltered _),
@@ -413,6 +460,7 @@ object AnnQueries {
     "ann_fused" -> annFusedSql,
     "ann_lifecycle" -> annLifecycleSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
+    "ivf_pruned" -> ivfPrunedSql,
     "ann_knn" -> annKnnSql,
     "ann_paged" -> annPagedSql,
     "ann_knn_filtered" -> annKnnFilteredSql,

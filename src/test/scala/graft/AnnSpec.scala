@@ -364,6 +364,38 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.85, s"IVF recall@10 $r < 0.85 at nprobe=8/32")
   }
 
+  test("IVF partitioned layout: search reads only probed cluster directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    val base = randVectors(10000, 16, seed = 31).toDF("id", "vec").cache()
+    val queries = randVectors(20, 16, seed = 32).toDF("qid", "qvec")
+    val model = Ivf.train(base, "vec", nlist = 32, metric = "COSINE")
+    Ivf.writePartitioned(base, "vec", model, s"$tmp/ivf")
+
+    // the written layout is hive-partitioned by cluster_id
+    val dirs = new java.io.File(s"$tmp/ivf").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName).toSeq
+    assert(dirs.size > 16, s"expected many cluster dirs, got $dirs")
+
+    // partition pruning: a probed read plans PartitionFilters on cluster_id
+    val pruned = spark.read.parquet(s"$tmp/ivf").filter($"cluster_id".isin(0, 1, 2))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"expected partition pruning on cluster_id in plan:\n$plan")
+
+    // end-to-end: pruned search hits the recall bar of the unpruned path
+    val got = Ivf.searchPartitioned(s"$tmp/ivf", queries, model, nprobe = 8, topK = 10)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.85, s"partitioned IVF recall@10 $r < 0.85 at nprobe=8/32")
+
+    // directory-level skipping is real: a 3-cluster filter scans only those
+    // clusters' rows (the pruned relation never materializes other dirs)
+    val total = spark.read.parquet(s"$tmp/ivf").count()
+    val prunedRows = pruned.count()
+    assert(prunedRows > 0 && prunedRows < total / 4,
+      s"3/32 clusters should be a small fraction: $prunedRows of $total")
+  }
+
   test("AnnRewriteRule: ORDER BY sim LIMIT k over a registered table uses the index") {
     import graft.plans.{AnnCatalog, KnnIndexScanExec}
     val tmp = java.nio.file.Files.createTempDirectory("annrule").toString
