@@ -79,6 +79,25 @@ class SourcesExtensionsSpec extends SparkSpec {
     assert(got(3)._2 === Seq(3, 4, 5))
   }
 
+  test("fvecs/ivecs V2 parse externally-produced files (siftsmall fixture)") {
+    // the reference repo ships the public SIFT small query/ground-truth
+    // files — files we did NOT write, so this checks format interop, not
+    // writer/reader symmetry. Guarded: skipped if the fixture is absent.
+    val q = "/root/reference/siftsmall/siftsmall_query.fvecs"
+    val gt = "/root/reference/siftsmall/siftsmall_groundtruth.ivecs"
+    assume(new java.io.File(q).exists() && new java.io.File(gt).exists())
+    val queries = spark.read.format("fvecs").load(q)
+    val truth = spark.read.format("ivecs").load(gt)
+    assert(queries.count() === 100) // 100 queries x 128d: 100*(4+512)=51600 bytes
+    assert(truth.count() === 100) // 100 lists x 100 neighbors: 100*(4+400)=40400
+    val q0 = queries.orderBy("id").head()
+    assert(q0.getSeq[Float](1).length === 128)
+    val t0 = truth.orderBy("id").head()
+    val nbrs = t0.getSeq[Int](1)
+    assert(nbrs.length === 100)
+    assert(nbrs.forall(n => n >= 0 && n < 10000), "neighbor ordinals index the 10k base set")
+  }
+
   test("graft_* SQL functions evaluate through the registry") {
     GraftFunctions.register(spark)
     Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b").createOrReplaceTempView("v")
