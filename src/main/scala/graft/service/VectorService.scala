@@ -1,0 +1,193 @@
+package graft.service
+
+import graft.index.Ann
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's service lifecycle (`jvector-examples/.../IPCService.java:
+  * 85-93`: `CREATE <dim> <sim> <M> <ef>`, `WRITE [vec]…`, `BULKLOAD path`,
+  * `OPTIMIZE`, `SEARCH <ef> <limit> [vec]…`, `MEMORY`) re-expressed as a
+  * catalog of named vector indexes over parquet storage — the public API a
+  * reference user would reach for first.
+  *
+  * Storage layout per index (everything under `root/<name>/`):
+  * {{{
+  *   _meta            params (metric/M/beam/pq/nvq), written at CREATE
+  *   _current         pointer to the serving generation ("gen=K")
+  *   pending/         WRITE/BULKLOAD appends, not yet searchable
+  *   deletes/         tombstoned ids (merge-on-read at SEARCH)
+  *   gen=K/batch=N/   immutable index segments (Ann.buildIndex output)
+  * }}}
+  *
+  * OPTIMIZE flushes `pending/` as a new batch under the serving generation
+  * (incremental build, B9) and — with `compactNow` — folds all batches and
+  * tombstones into a fresh generation (B10 compaction; PQ retrain included
+  * via [[Ann.compact]]). Generations are immutable: a new one is written
+  * COMPLETELY before `_current` flips, so concurrent readers never observe
+  * a half-built index, and stale-cache invalidation rides on the `_build_id`
+  * token `Ann.buildIndex` already writes.
+  */
+class VectorService(spark: SparkSession, root: String) {
+
+  import VectorService.Meta
+
+  private def dir(name: String, part: String = "") =
+    s"$root/$name${if (part.isEmpty) "" else s"/$part"}"
+
+  private def fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeSmall(path: String, content: String): Unit = {
+    val out = fs.create(new HPath(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(path: String): Option[String] = {
+    val p = new HPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](512)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def meta(name: String): Meta = {
+    val s = readSmall(dir(name, "_meta"))
+      .getOrElse(throw new IllegalStateException(s"index '$name' does not exist (CREATE first)"))
+    Meta.parse(s)
+  }
+
+  private def currentGen(name: String): Option[String] = readSmall(dir(name, "_current"))
+
+  private def hasData(path: String): Boolean = {
+    val p = new HPath(path)
+    fs.exists(p) && fs.globStatus(new HPath(s"$path/*.parquet")).nonEmpty
+  }
+
+  /** CREATE: register an index with its build/search parameters. */
+  def create(
+      name: String,
+      metric: String = "COSINE",
+      maxDegree: Int = 32,
+      beamWidth: Int = 100,
+      pqM: Int = 0,
+      nvqBits: Int = 0): Unit = {
+    require(!fs.exists(new HPath(dir(name, "_meta"))), s"index '$name' already exists")
+    writeSmall(dir(name, "_meta"), Meta(metric, maxDegree, beamWidth, pqM, nvqBits).render)
+  }
+
+  /** WRITE: append (id, vec) rows; searchable after the next OPTIMIZE. */
+  def write(name: String, rows: DataFrame, idCol: String = "id", vecCol: String = "vec"): Unit = {
+    meta(name) // existence check
+    rows.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .write.mode("append").parquet(dir(name, "pending"))
+  }
+
+  /** BULKLOAD: ingest a parquet or fvecs file (by extension). */
+  def bulkLoad(name: String, path: String, idCol: String = "id", vecCol: String = "vec"): Unit = {
+    val df =
+      if (path.endsWith(".fvecs")) spark.read.format("fvecs").load(path)
+      else spark.read.parquet(path)
+    write(name, df, idCol, vecCol)
+  }
+
+  /** DELETE: tombstone ids — excluded from SEARCH immediately
+    * (merge-on-read), physically removed by OPTIMIZE(compactNow). */
+  def delete(name: String, ids: DataFrame, idCol: String = "id"): Unit = {
+    meta(name)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(dir(name, "deletes"))
+  }
+
+  /** OPTIMIZE: make pending writes searchable (new immutable batch under
+    * the serving generation); with `compactNow`, fold all batches and
+    * tombstones into a fresh generation and flip the pointer. */
+  def optimize(name: String, compactNow: Boolean = false): Unit = {
+    val m = meta(name)
+    val params = m.params
+    val gen = currentGen(name).getOrElse("gen=0")
+    val genDir = dir(name, gen)
+
+    if (hasData(dir(name, "pending"))) {
+      val pending = spark.read.parquet(dir(name, "pending"))
+      val nextBatch = Option(fs.globStatus(new HPath(s"$genDir/batch=*")))
+        .map(_.length).getOrElse(0)
+      Ann.buildIndex(pending, s"$genDir/batch=$nextBatch", params, "id", "vec")
+      fs.delete(new HPath(dir(name, "pending")), true)
+      if (currentGen(name).isEmpty) writeSmall(dir(name, "_current"), gen)
+      Ann.invalidateSegmentCounts(s"$genDir/*")
+    }
+
+    if (compactNow && currentGen(name).isDefined) {
+      val cur = currentGen(name).get
+      val nextGen = s"gen=${cur.stripPrefix("gen=").toInt + 1}"
+      val deletes =
+        if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
+        else None
+      Ann.compact(spark, s"${dir(name, cur)}/*", s"${dir(name, nextGen)}/batch=0",
+        params, deletes)
+      writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
+      fs.delete(new HPath(dir(name, "deletes")), true)
+      fs.delete(new HPath(dir(name, cur)), true)
+      Ann.invalidateSegmentCounts(s"${dir(name, nextGen)}/*")
+    }
+  }
+
+  /** SEARCH: top-`limit` over the serving generation; tombstones are
+    * excluded merge-on-read. Queries: (qid, qvec). */
+  def search(name: String, queries: DataFrame, limit: Int, ef: Int = 64): DataFrame = {
+    val m = meta(name)
+    val gen = currentGen(name)
+      .getOrElse(throw new IllegalStateException(s"index '$name' has no data (OPTIMIZE first)"))
+    val deletes =
+      if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
+      else None
+    Ann.searchIndex(spark, s"${dir(name, gen)}/*", queries, limit, ef, m.params,
+      deletes = deletes, rerankK = if (m.pqM > 0) math.max(4 * limit, limit) else 0)
+  }
+
+  /** MEMORY: storage accounting per component (the reference reports
+    * `ramBytesUsed`; segments live in storage here, so bytes are file
+    * sizes — metadata-only, no data scan). */
+  def memory(name: String): DataFrame = {
+    import spark.implicits._
+    meta(name)
+    def usage(part: String): (String, Long, Long) = {
+      val p = new HPath(dir(name, part))
+      if (!fs.exists(p)) (part, 0L, 0L)
+      else {
+        val it = fs.listFiles(p, true) // recursive
+        var files = 0L; var bytes = 0L
+        while (it.hasNext) { val f = it.next(); files += 1; bytes += f.getLen }
+        (part, files, bytes)
+      }
+    }
+    val gen = currentGen(name).toSeq.map(usage)
+    (gen ++ Seq(usage("pending"), usage("deletes")))
+      .toDF("component", "files", "bytes")
+  }
+}
+
+object VectorService {
+
+  private[service] case class Meta(
+      metric: String, maxDegree: Int, beamWidth: Int, pqM: Int, nvqBits: Int) {
+    def render: String = s"$metric,$maxDegree,$beamWidth,$pqM,$nvqBits"
+    def params: Ann.Params = Ann.Params(metric = metric, maxDegree = maxDegree,
+      beamWidth = beamWidth, pqM = pqM, nvqBits = nvqBits)
+  }
+
+  private[service] object Meta {
+    def parse(s: String): Meta = {
+      val a = s.split(",")
+      Meta(a(0), a(1).toInt, a(2).toInt, a(3).toInt, a(4).toInt)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.KnnExact
+import graft.service.VectorService
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class VectorServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVectors(n: Int, dim: Int, seed: Long, idFrom: Long = 0L) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (idFrom + i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  private def recallOf(got: DataFrame, want: DataFrame): Double = {
+    val g = got.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val w = want.select("qid", "nid").as[(Long, Long)].collect().toSet
+    g.intersect(w).size.toDouble / w.size
+  }
+
+  test("service lifecycle: create -> write -> optimize -> search -> delete -> compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_svc").toString
+    val svc = new VectorService(spark, root)
+    svc.create("t", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    intercept[IllegalArgumentException](svc.create("t")) // double CREATE
+
+    // two WRITE batches, then OPTIMIZE makes them searchable
+    val b1 = randVectors(600, 16, seed = 1).toDF("id", "vec")
+    val b2 = randVectors(400, 16, seed = 2, idFrom = 600).toDF("id", "vec")
+    svc.write("t", b1)
+    svc.write("t", b2)
+    intercept[IllegalStateException](
+      svc.search("t", randVectors(1, 16, 3).toDF("qid", "qvec"), 5))
+    svc.optimize("t")
+
+    val all = b1.union(b2).cache()
+    val queries = all.filter($"id" < 5).select($"id".as("qid"), $"vec".as("qvec")).cache()
+    val got = svc.search("t", queries, limit = 10)
+    val want = KnnExact.knn(all, queries, 10, "COSINE")
+    assert(recallOf(got, want) >= 0.9)
+
+    // incremental WRITE + OPTIMIZE: new rows become visible
+    val b3 = randVectors(200, 16, seed = 4, idFrom = 1000).toDF("id", "vec")
+    svc.write("t", b3)
+    svc.optimize("t")
+    val all2 = all.union(b3).cache()
+    val got2 = svc.search("t", queries, limit = 10)
+    val want2 = KnnExact.knn(all2, queries, 10, "COSINE")
+    assert(recallOf(got2, want2) >= 0.9)
+
+    // DELETE is merge-on-read: tombstoned ids vanish without a rebuild
+    val victims = got2.select($"nid".as("id")).limit(3).cache()
+    val victimSet = victims.as[Long].collect().toSet
+    svc.delete("t", victims)
+    val got3 = svc.search("t", queries, limit = 10)
+    assert(got3.filter($"nid".isin(victimSet.toSeq: _*)).count() === 0)
+
+    // OPTIMIZE(compactNow): one generation, tombstones folded in physically
+    svc.optimize("t", compactNow = true)
+    val got4 = svc.search("t", queries, limit = 10)
+    assert(got4.filter($"nid".isin(victimSet.toSeq: _*)).count() === 0)
+    val wantLive = KnnExact.knn(all2.filter(!$"id".isin(victimSet.toSeq: _*)), queries, 10, "COSINE")
+    assert(recallOf(got4, wantLive) >= 0.9)
+    // old generation is gone, new one serves
+    assert(!new java.io.File(s"$root/t/gen=0").exists())
+    assert(new java.io.File(s"$root/t/gen=1").exists())
+
+    // MEMORY: storage accounting reports the serving generation's footprint
+    val mem = svc.memory("t").as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(mem("gen=1")._3 > 0, s"expected bytes in gen=1: ${mem.toSeq}")
+    assert(mem("pending")._2 === 0)
+    assert(mem("deletes")._2 === 0)
+  }
+
+  test("bulkLoad ingests fvecs through the V2 source") {
+    val root = java.nio.file.Files.createTempDirectory("graft_svc2").toString
+    val tmp = java.nio.file.Files.createTempDirectory("svc_fvecs").toString
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(300)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    graft.sources.Fvecs.writeFvecs(s"$tmp/x.fvecs", vecs.iterator)
+
+    val svc = new VectorService(spark, root)
+    svc.create("f", maxDegree = 8, beamWidth = 32)
+    svc.bulkLoad("f", s"$tmp/x.fvecs")
+    svc.optimize("f")
+    val q = Seq((0L, vecs(42).toSeq)).toDF("qid", "qvec")
+    val got = svc.search("f", q, limit = 1)
+    assert(got.select("nid").as[Long].head() === 42L, "nearest neighbor of a base vector is itself")
+  }
+}
