@@ -135,6 +135,24 @@ object Bench {
     val pqAnn = Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams, rerankK = 40)
     val pqRecall = Metrics.recallAtK(pqAnn, exact, topK).head().getDouble(0)
 
+    // ---- reference search-sweep protocol: topK=10 x overquery {1,2,5,10}
+    // (`yaml-configs/index-parameters/default.yml` search block; overquery
+    // scales rerankK = topK*oq on the two-phase index). recall/QPS per
+    // point — the recall-vs-throughput tradeoff curve the reference's Grid
+    // publishes. ----
+    val sweep = Seq(1, 2, 5, 10).map { oq =>
+      val rk = topK * oq
+      val efq = math.max(64, rk)
+      val q = qps {
+        Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = efq, pqParams,
+          rerankK = rk).count()
+      }
+      val res = Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = efq, pqParams,
+        rerankK = rk)
+      val rec = Metrics.recallAtK(res, exact, topK).head().getDouble(0)
+      (oq, q, rec)
+    }
+
     // ---- engine-kernel throughput: the reference's measurement basis is an
     // in-process searcher over a resident index (jvector Bench /
     // ThroughputBenchmark run zero scheduling layers). ann_qps above charges
@@ -181,6 +199,9 @@ object Bench {
         s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
+        sweep.map { case (oq, q, rec) =>
+          s""""oq${oq}_qps":${num(q, 1)},"oq${oq}_recall":${num(rec, 3)},"""
+        }.mkString +
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
     def line(qs: String): String =
