@@ -66,7 +66,19 @@ object Dedup {
       textCol: String,
       numHashes: Int = 16,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      /** Skew guard for the candidate self-join. A band bucket with n
+        * members emits n(n-1)/2 pairs — one giant near-identical cluster
+        * (boilerplate pages, templated docs) turns the join quadratic at
+        * exactly the corpus sizes where it hurts. Buckets larger than
+        * `hubCap` switch to STAR edges (bucket-min id -> member): O(n)
+        * pairs that keep the cluster connected for [[duplicateGroups]],
+        * at the cost of not verifying every in-bucket pair directly
+        * (members similar to the hub transitively group anyway; a member
+        * NOT similar to the hub can lose edges it would have had — the
+        * standard recall/safety trade for capped LSH). Default off so the
+        * uncapped semantics stay oracle-exact. */
+      hubCap: Int = Int.MaxValue): DataFrame = {
 
     // signatures are the expensive per-row step — make sure they compute
     // across cores even when the corpus is one parquet split (no-op at scale)
@@ -76,11 +88,28 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("text"), numHashes))
       .select(col("id"), explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("band_hash"))
 
-    val l = withBands.select(col("band_hash"), col("id").as("id1"))
-    val r = withBands.select(col("band_hash"), col("id").as("id2"))
-    val cand = l.join(r, Seq("band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val cand =
+      if (hubCap == Int.MaxValue) {
+        val l = withBands.select(col("band_hash"), col("id").as("id1"))
+        val r = withBands.select(col("band_hash"), col("id").as("id2"))
+        l.join(r, Seq("band_hash"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2").distinct()
+      } else {
+        // bucket sizes: aggregated on the SAME key as the join below, so
+        // the exchange is reused (no extra shuffle of the big side)
+        val sizes = withBands.groupBy("band_hash")
+          .agg(count(lit(1)).as("__n"), min("id").as("__hub"))
+        val tagged = withBands.join(sizes, Seq("band_hash"))
+        val small = tagged.filter(col("__n") <= hubCap)
+        val pairwise = small.select(col("band_hash"), col("id").as("id1"))
+          .join(small.select(col("band_hash"), col("id").as("id2")), Seq("band_hash"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2")
+        val star = tagged.filter(col("__n") > hubCap && col("id") =!= col("__hub"))
+          .select(col("__hub").as("id1"), col("id").as("id2")) // hub = min id, so id1 < id2
+        pairwise.union(star).distinct()
+      }
 
     // verify join carries 60-bit token hashes, not strings (4x less shuffle;
     // portable to the DuckDB oracle via ('0x'||substr(md5(t),1,15))::BIGINT)

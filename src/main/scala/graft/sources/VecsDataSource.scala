@@ -181,11 +181,13 @@ private[sources] class VecsScan(
       }
     }.sortBy(_.getPath.toString)
     require(statuses.nonEmpty, s"no files matched: ${paths.mkString(",")}")
+    val nonEmpty = statuses.filter(_.getLen > 0) // empty files = zero records
+    if (nonEmpty.isEmpty) return Array.empty
 
     // dim from the first 4 bytes of the first file; every file must agree
     // (one header read per file at planning time, no data pass)
     val dim: Int = {
-      val f = statuses.head
+      val f = nonEmpty.head
       val in = f.getPath.getFileSystem(hconf).open(f.getPath)
       try {
         val b = new Array[Byte](4)
@@ -201,7 +203,7 @@ private[sources] class VecsScan(
 
     val parts = Array.newBuilder[InputPartition]
     var baseId = 0L
-    for (st <- statuses) {
+    for (st <- nonEmpty) {
       require(st.getLen % recLen == 0,
         s"${st.getPath}: length ${st.getLen} not a multiple of record size $recLen (dim=$dim)")
       val nRecs = st.getLen / recLen

@@ -32,6 +32,41 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhash LSH hubCap: a giant near-identical cluster emits O(n) star edges, not O(n^2)") {
+    // 120 identical docs (one LSH bucket per band) + 3 unrelated docs
+    val giant = (0L until 120L).map(i => (i, "repeated boilerplate template page content here"))
+    val others = Seq(
+      (200L, "a completely different document about spark engines"),
+      (201L, "another unrelated piece of text entirely"),
+      (202L, "a completely different document about spark pipelines")) // near-dup of 200
+    val corpus = (giant ++ others).toDF("doc_id", "text")
+
+    val capped = Dedup.minhashLsh(corpus, "doc_id", "text",
+      numHashes = 32, rowsPerBand = 4, threshold = 0.5, hubCap = 20)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // star edges only for the giant cluster: every member connects to hub 0
+    val clusterEdges = capped.filter(p => p._1 < 200L && p._2 < 200L)
+    assert(clusterEdges.size === 119, s"expected 119 star edges, got ${clusterEdges.size}")
+    assert(clusterEdges.forall(_._1 == 0L), "all cluster edges anchor at the min-id hub")
+    // the unrelated near-dup pair outside the giant bucket is still found pairwise
+    assert(capped.contains((200L, 202L)))
+
+    // connectivity preserved: grouping still produces ONE group of 120
+    val groups = Dedup.duplicateGroups(
+      corpus.select($"doc_id"), "doc_id",
+      capped.toSeq.toDF("id1", "id2"))
+    val sizes = groups.filter($"group_id" === 0L).count()
+    assert(sizes === 120)
+
+    // equivalence: with no oversized bucket, capped == uncapped
+    val smallCorpus = others.toDF("doc_id", "text")
+    val a = Dedup.minhashLsh(smallCorpus, "doc_id", "text", 32, 4, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val b = Dedup.minhashLsh(smallCorpus, "doc_id", "text", 32, 4, 0.5, hubCap = 20)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("simhash: identical token sets get identical hashes; unrelated differ") {
     val h = docs.select($"doc_id", Dedup.simhashBits($"text").as("h"))
       .as[(Long, String)].collect().toMap
