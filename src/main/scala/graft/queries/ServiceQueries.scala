@@ -1,0 +1,249 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables
+import graft.operators.{Dedup, KnnExact, Metrics}
+import graft.service.VectorService
+import graft.sources.Fvecs
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable gates for the service / source / streaming surfaces
+  * that would otherwise be spec-only (invisible to the DuckDB oracle):
+  *
+  *   - `service_lifecycle` — the [[VectorService]] IPC verb set
+  *     (CREATE / WRITE / BULKLOAD / OPTIMIZE / SEARCH / DELETE / MEMORY,
+  *     `IPCService.java:85-93`) run end-to-end on the embeddings table.
+  *   - `vecs_source` — the fvecs/ivecs DataSource V2 (S1/S2): multi-file
+  *     round-trip identity with offset-derived dense ids, planning-time
+  *     id-range partition pruning, and the ivecs variant.
+  *   - `stream_dedup` — streaming exact + near-dup dedup compared against
+  *     the batch operators on the same corpus (bounded multi-micro-batch
+  *     replay; the STREAMING result must equal the BATCH oracle-gated one).
+  *
+  * All three follow the [[Gates]] pattern: the Spark side computes invariant
+  * booleans, the DuckDB twin is the constant relation — so the driver's
+  * hash-match passes iff every gate held.
+  */
+object ServiceQueries {
+
+  private val nQueries = 5
+  private val k = 10
+
+  private def recallOf(results: DataFrame, exact: DataFrame, kk: Int = k): Double =
+    Metrics.recallAtK(results, exact, kk).head().getDouble(0)
+
+  private def queries0(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  // ---------------------------------------------------------------- service
+
+  /** Deleted ids (none of them query ids). */
+  private val delIds: Seq[Long] = (50L until 70L)
+
+  /** One-time lifecycle per scale dir: "live" gets two WRITE+OPTIMIZE
+    * batches plus tombstones (merge-on-read state); "packed" gets the same
+    * data via BULKLOAD, the same tombstones, then OPTIMIZE(compactNow). */
+  private val serviceRoots = new TrieMap[String, String]()
+
+  private def serviceLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.count()
+    val root = serviceRoots.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_svc").toString
+      val svc = new VectorService(s, r)
+      svc.create("live", metric = "COSINE", maxDegree = 32, beamWidth = 100)
+      svc.write("live", emb.filter(col("vec_id") < n / 2), "vec_id", "embedding")
+      svc.optimize("live")
+      svc.write("live", emb.filter(col("vec_id") >= n / 2), "vec_id", "embedding")
+      svc.optimize("live") // second immutable batch under gen=0
+      svc.delete("live", s.range(delIds.head, delIds.last + 1).toDF("id"))
+
+      svc.create("packed", metric = "COSINE", maxDegree = 32, beamWidth = 100)
+      svc.bulkLoad("packed", s"$dir/embeddings.parquet", "vec_id", "embedding")
+      svc.optimize("packed")
+      svc.delete("packed", s.range(delIds.head, delIds.last + 1).toDF("id"))
+      svc.optimize("packed", compactNow = true) // gen=0 -> gen=1, tombstones folded
+      r
+    })
+    val svc = new VectorService(s, root)
+    val live = emb.filter(!col("vec_id").isin(delIds: _*))
+    val exact = KnnExact.knn(live, queries0(s, dir), k, "COSINE", "vec_id", "embedding")
+
+    def gatesFor(name: String): (Long, Double) = {
+      val res = svc.search(name, queries0(s, dir), k).cache()
+      (res.filter(col("nid").isin(delIds: _*)).count(), recallOf(res, exact))
+    }
+    val (liveDel, liveRec) = gatesFor("live")
+    val (packDel, packRec) = gatesFor("packed")
+
+    def mem(name: String): Map[String, (Long, Long)] =
+      svc.memory(name).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val liveMem = mem("live")
+    val packMem = mem("packed")
+
+    Gates.df(s, Seq(
+      ("svc_live_merge_on_read_no_deleted", 0.0, liveDel == 0L),
+      ("svc_live_recall_ge_0.9", 0.9, liveRec >= 0.9),
+      ("svc_packed_no_resurrection", 0.0, packDel == 0L),
+      ("svc_packed_recall_ge_0.9", 0.9, packRec >= 0.9),
+      // pending flushed by OPTIMIZE; tombstones still pending on "live",
+      // folded (dir dropped) on "packed"; compaction flipped to gen=1
+      ("svc_mem_pending_flushed", 0.0,
+        liveMem("pending")._2 == 0L && packMem("pending")._2 == 0L),
+      ("svc_mem_tombstone_state", 1.0,
+        liveMem("deletes")._2 > 0L && packMem("deletes")._2 == 0L),
+      ("svc_mem_gen_flipped", 1.0,
+        liveMem.contains("gen=0") && liveMem("gen=0")._2 > 0L &&
+          packMem.contains("gen=1") && packMem("gen=1")._2 > 0L)))
+  }
+
+  private val serviceLifecycleSql: String = Gates.sql(Seq(
+    ("svc_live_merge_on_read_no_deleted", 0.0),
+    ("svc_live_recall_ge_0.9", 0.9),
+    ("svc_packed_no_resurrection", 0.0),
+    ("svc_packed_recall_ge_0.9", 0.9),
+    ("svc_mem_pending_flushed", 0.0),
+    ("svc_mem_tombstone_state", 1.0),
+    ("svc_mem_gen_flipped", 1.0)))
+
+  // ----------------------------------------------------------- fvecs/ivecs
+
+  /** One-time fixture per scale dir: the embeddings table written as TWO
+    * fvecs files (cross-file dense-id contract) plus one deterministic
+    * ivecs file. Bounded driver work: <= 2000 rows x 64 floats. */
+  private val vecsFixtures = new TrieMap[String, (String, Long)]()
+
+  private def vecsSource(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (tmp, n) = vecsFixtures.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft_vecs").toString
+      val rows = emb.orderBy("vec_id")
+        .select(col("embedding").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val half = rows.length / 2
+      Fvecs.writeFvecs(s"$t/part0.fvecs", rows.iterator.take(half))
+      Fvecs.writeFvecs(s"$t/part1.fvecs", rows.iterator.drop(half))
+      Fvecs.writeIvecs(s"$t/gt.ivecs",
+        rows.indices.iterator.map(i => Array(i, i * 2, (i * 7) % rows.length)))
+      (t, rows.length.toLong)
+    })
+    val half = n / 2
+
+    val fv = s.read.format("fvecs").load(s"$tmp/part0.fvecs", s"$tmp/part1.fvecs")
+    // round-trip identity: every id present once, vector bit-equal to the
+    // source (same float conversion on both paths)
+    val joined = fv.join(
+      emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("src")), "id")
+    val identical = joined.filter(col("vec") === col("src")).count()
+
+    // planning-time id-range pruning: restricting to the first file's id
+    // range must plan strictly fewer input slices than the full scan
+    val fullParts = fv.rdd.getNumPartitions
+    val pruned = s.read.format("fvecs")
+      .load(s"$tmp/part0.fvecs", s"$tmp/part1.fvecs").filter(col("id") < half)
+    val prunedParts = pruned.rdd.getNumPartitions
+    val prunedOk = pruned.count() == half &&
+      pruned.agg(max("id")).head().getLong(0) == half - 1 &&
+      prunedParts < fullParts
+
+    // ivecs: offset-derived ids line up with the generator's row index
+    val iv = s.read.format("ivecs").load(s"$tmp/gt.ivecs")
+    val ivOk = iv.count() == n &&
+      iv.filter(col("neighbors") ===
+        array(col("id").cast("int"), (col("id") * 2).cast("int"),
+          pmod(col("id") * 7, lit(n)).cast("int"))).count() == n
+
+    Gates.df(s, Seq(
+      ("vecs_roundtrip_identical", 1.0, fv.count() == n && identical == n),
+      ("vecs_id_range_prunes_slices", 1.0, prunedOk),
+      ("vecs_ivecs_roundtrip", 1.0, ivOk)))
+  }
+
+  private val vecsSourceSql: String = Gates.sql(Seq(
+    ("vecs_roundtrip_identical", 1.0),
+    ("vecs_id_range_prunes_slices", 1.0),
+    ("vecs_ivecs_roundtrip", 1.0)))
+
+  // -------------------------------------------------------- streaming dedup
+
+  private val streamGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
+  private val streamNames = new AtomicInteger(0)
+
+  /** Replays the documents table as a 3-file stream (maxFilesPerTrigger=1 ->
+    * multiple micro-batches) with event time = doc_id minutes, and checks
+    * the STREAMING dedup results against the BATCH operators (which are
+    * themselves DuckDB-oracled via `dedup_exact` / `minhash_pairs`):
+    * exact dedup keeps exactly one survivor per fingerprint, and the LSH
+    * near-dup pair set is IDENTICAL to [[Dedup.minhashLsh]]'s. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val gates = streamGateMemo.getOrElseUpdate(dir, {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("doc_id") * 60))
+      val nDocs = docs.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdq").toString
+      // three event-time-ordered files; watermark >> corpus span, so no
+      // state is evicted mid-replay and batch order cannot change results
+      docs.filter(col("doc_id") < nDocs / 3).write.parquet(s"$tmp/f1")
+      docs.filter(col("doc_id") >= nDocs / 3 && col("doc_id") < 2 * nDocs / 3)
+        .write.parquet(s"$tmp/f2")
+      docs.filter(col("doc_id") >= 2 * nDocs / 3).write.parquet(s"$tmp/f3")
+
+      def stream = s.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/f*")
+
+      val uniq = streamNames.incrementAndGet()
+
+      val qe = StreamingDedup.dedupExact(stream, "text", "ts", watermark = "720 hours")
+        .writeStream.outputMode("append").format("memory").queryName(s"sq_exact_$uniq").start()
+      qe.processAllAvailable(); qe.stop()
+      val survived = s.table(s"sq_exact_$uniq").cache()
+      val fpCounts = survived.groupBy("fp").count()
+      val expectedFps = docs
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .select("fp").distinct().count()
+
+      val qp = StreamingDedup.nearDupPairs(stream, "doc_id", "text", "ts",
+          numHashes = 16, rowsPerBand = 2, threshold = 0.5,
+          watermark = "720 hours", joinLag = "720 hours")
+        .writeStream.outputMode("append").format("memory").queryName(s"sq_pairs_$uniq").start()
+      qp.processAllAvailable(); qp.stop()
+      val sPairs = s.table(s"sq_pairs_$uniq").select("id1", "id2", "jaccard")
+      val bPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+        .select("id1", "id2", "jaccard")
+      val missing = bPairs.exceptAll(sPairs).count()
+      val extra = sPairs.exceptAll(bPairs).count()
+
+      Seq(
+        ("sdq_one_survivor_per_fp", 1.0,
+          survived.count() == expectedFps && fpCounts.filter(col("count") > 1).count() == 0L),
+        ("sdq_pairs_eq_batch_lsh", 0.0, missing == 0L && extra == 0L))
+    })
+    Gates.df(s, gates)
+  }
+
+  private val streamDedupSql: String = Gates.sql(Seq(
+    ("sdq_one_survivor_per_fp", 1.0),
+    ("sdq_pairs_eq_batch_lsh", 0.0)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "service_lifecycle" -> (serviceLifecycle _),
+    "vecs_source" -> (vecsSource _),
+    "stream_dedup" -> (streamDedup _))
+
+  def oracles: Map[String, String] = Map(
+    "service_lifecycle" -> serviceLifecycleSql,
+    "vecs_source" -> vecsSourceSql,
+    "stream_dedup" -> streamDedupSql)
+}

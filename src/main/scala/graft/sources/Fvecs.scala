@@ -35,4 +35,17 @@ object Fvecs {
       }
     } finally out.close()
   }
+
+  /** ivecs writer (same record layout, int32 elements). */
+  def writeIvecs(path: String, lists: Iterator[Array[Int]]): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    try {
+      for (v <- lists) {
+        val buf = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(v.length)
+        v.foreach(buf.putInt)
+        out.write(buf.array())
+      }
+    } finally out.close()
+  }
 }
