@@ -173,7 +173,9 @@ object Dedup {
     * small (near-duplicates of a common ancestor are near each other).
     * Labels only ever decrease, so convergence is detected by a cheap
     * scalar checksum (sum of labels strictly decreases until fixpoint) —
-    * no extra join. Lineage is truncated every iteration with an eager
+    * no extra join. Only EDGE-CONNECTED nodes iterate (per-round state is
+    * O(duplicate-cluster members), not O(corpus)); singletons join back in
+    * one pass at the end. Lineage is truncated every iteration with an eager
     * localCheckpoint, otherwise the iterated plan grows unboundedly (on a
     * cluster with an HDFS checkpoint dir, `Dataset.checkpoint` is the
     * durable equivalent). For graphs with giant diameters the
@@ -196,9 +198,20 @@ object Dedup {
       .union(pairs.select(col(id2Col).cast("long").as("src"), col(id1Col).cast("long").as("dst")))
       .localCheckpoint(true)
 
-    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var checksum = labels.agg(sum("label")).head().getLong(0)
-    var converged = false
+    // iterate ONLY over edge-connected nodes: after dedup candidate
+    // generation the connected set is a tiny fraction of the corpus, and an
+    // isolated node's label can never change — keeping the full corpus in
+    // the loop would checkpoint + checksum O(corpus) rows EVERY round
+    // instead of O(connected). Singletons are folded back in one left join
+    // after the fixpoint.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    def sumOf(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty edge set -> no loop work
+    }
+    var checksum = sumOf(labels)
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
       // min label among each node's neighbors, folded into its own label
@@ -208,14 +221,16 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("label")).head().getLong(0)
+      val nextSum = sumOf(next)
       converged = nextSum == checksum
       checksum = nextSum
       labels = next
       it += 1
     }
+    val all = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     val w = Window.partitionBy("label")
-    labels.select(col("id"), col("label").as("group_id"),
+    all.select(col("id"), col("label").as("group_id"),
         count(lit(1)).over(w).as("group_size"),
         (col("id") === col("label")).as("is_canonical"))
   }
