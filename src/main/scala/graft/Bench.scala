@@ -140,17 +140,22 @@ object Bench {
     // scales rerankK = topK*oq on the two-phase index). recall/QPS per
     // point — the recall-vs-throughput tradeoff curve the reference's Grid
     // publishes. ----
-    val sweep = Seq(1, 2, 5, 10).map { oq =>
-      val rk = topK * oq
-      val efq = math.max(64, rk)
-      val q = qps {
-        Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = efq, pqParams,
-          rerankK = rk).count()
-      }
-      val res = Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = efq, pqParams,
-        rerankK = rk)
-      val rec = Metrics.recallAtK(res, exact, topK).head().getDouble(0)
-      (oq, q, rec)
+    // default.yml sweep: topK=10 x oq {1,2,5,10} plus topK=100 x oq {1,2}
+    val exact100 = KnnExact.knn(emb, queries, 100, "COSINE", "vec_id", "embedding").cache()
+    exact100.count()
+    val sweep = (Seq(1, 2, 5, 10).map((topK, _)) ++ Seq((100, 1), (100, 2))).map {
+      case (tk, oq) =>
+        val rk = tk * oq
+        val efq = math.max(64, rk)
+        val q = qps {
+          Ann.searchIndex(spark, pqIdxPath, queries, tk, ef = efq, pqParams,
+            rerankK = rk).count()
+        }
+        val res = Ann.searchIndex(spark, pqIdxPath, queries, tk, ef = efq, pqParams,
+          rerankK = rk)
+        val truth = if (tk == topK) exact else exact100
+        val rec = Metrics.recallAtK(res, truth, tk).head().getDouble(0)
+        (if (tk == topK) s"oq$oq" else s"k${tk}oq$oq", q, rec)
     }
 
     // ---- engine-kernel throughput: the reference's measurement basis is an
@@ -199,8 +204,8 @@ object Bench {
         s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
-        sweep.map { case (oq, q, rec) =>
-          s""""oq${oq}_qps":${num(q, 1)},"oq${oq}_recall":${num(rec, 3)},"""
+        sweep.map { case (tag, q, rec) =>
+          s""""${tag}_qps":${num(q, 1)},"${tag}_recall":${num(rec, 3)},"""
         }.mkString +
         s""""n_queries":$actualNq,"top_k":$topK,""" +
         s""""warmup_runs":$warmups,"test_runs":$runs}"""
