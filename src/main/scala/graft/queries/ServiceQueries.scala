@@ -190,12 +190,15 @@ object ServiceQueries {
         .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("doc_id") * 60))
       val nDocs = docs.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_sdq").toString
-      // three event-time-ordered files; watermark >> corpus span, so no
-      // state is evicted mid-replay and batch order cannot change results
-      docs.filter(col("doc_id") < nDocs / 3).write.parquet(s"$tmp/f1")
+      // three event-time-ordered files (coalesce(1): ONE part-file each, so
+      // maxFilesPerTrigger=1 means exactly 3 micro-batches — every extra
+      // part-file would be its own micro-batch paying full state-store
+      // overhead); watermark >> corpus span, so no state is evicted
+      // mid-replay and batch order cannot change results
+      docs.filter(col("doc_id") < nDocs / 3).coalesce(1).write.parquet(s"$tmp/f1")
       docs.filter(col("doc_id") >= nDocs / 3 && col("doc_id") < 2 * nDocs / 3)
-        .write.parquet(s"$tmp/f2")
-      docs.filter(col("doc_id") >= 2 * nDocs / 3).write.parquet(s"$tmp/f3")
+        .coalesce(1).write.parquet(s"$tmp/f2")
+      docs.filter(col("doc_id") >= 2 * nDocs / 3).coalesce(1).write.parquet(s"$tmp/f3")
 
       def stream = s.readStream
         .schema("doc_id LONG, text STRING, ts TIMESTAMP")
@@ -213,14 +216,17 @@ object ServiceQueries {
         .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
         .select("fp").distinct().count()
 
+      // SAME banding/threshold as the oracled batch query (minhash_pairs):
+      // selective bands matter — permissive banding (e.g. r=2) on this
+      // template-heavy corpus matches nearly every doc pair (~n^2 candidates)
       val qp = StreamingDedup.nearDupPairs(stream, "doc_id", "text", "ts",
-          numHashes = 16, rowsPerBand = 2, threshold = 0.5,
+          numHashes = 32, rowsPerBand = 8, threshold = 0.9,
           watermark = "720 hours", joinLag = "720 hours")
         .writeStream.outputMode("append").format("memory").queryName(s"sq_pairs_$uniq").start()
       qp.processAllAvailable(); qp.stop()
       val sPairs = s.table(s"sq_pairs_$uniq").select("id1", "id2", "jaccard")
       val bPairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+        numHashes = 32, rowsPerBand = 8, threshold = 0.9)
         .select("id1", "id2", "jaccard")
       val missing = bPairs.exceptAll(sPairs).count()
       val extra = sPairs.exceptAll(bPairs).count()
