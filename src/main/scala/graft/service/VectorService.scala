@@ -127,7 +127,8 @@ class VectorService(spark: SparkSession, root: String) {
 
     if (compactNow && currentGen(name).isDefined) {
       val cur = currentGen(name).get
-      val nextGen = s"gen=${cur.stripPrefix("gen=").toInt + 1}"
+      val curN = cur.stripPrefix("gen=").toInt
+      val nextGen = s"gen=${curN + 1}"
       val deletes =
         if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
         else None
@@ -135,7 +136,11 @@ class VectorService(spark: SparkSession, root: String) {
         params, deletes)
       writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
       fs.delete(new HPath(dir(name, "deletes")), true)
-      fs.delete(new HPath(dir(name, cur)), true)
+      // read-grace GC: a reader that resolved `_current` just before the
+      // flip may still be scanning gen=K, so K survives one compaction and
+      // is reclaimed at the K+1 -> K+2 flip (generations are immutable, so
+      // the stale read is consistent, just pre-compaction)
+      if (curN > 0) fs.delete(new HPath(dir(name, s"gen=${curN - 1}")), true)
       Ann.invalidateSegmentCounts(s"${dir(name, nextGen)}/*")
     }
   }

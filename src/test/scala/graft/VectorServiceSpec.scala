@@ -62,15 +62,24 @@ class VectorServiceSpec extends SparkSpec {
     assert(got4.filter($"nid".isin(victimSet.toSeq: _*)).count() === 0)
     val wantLive = KnnExact.knn(all2.filter(!$"id".isin(victimSet.toSeq: _*)), queries, 10, "COSINE")
     assert(recallOf(got4, wantLive) >= 0.9)
-    // old generation is gone, new one serves
-    assert(!new java.io.File(s"$root/t/gen=0").exists())
+    // new generation serves; gen=0 survives one flip as the read-grace
+    // window (in-flight readers of the pre-flip pointer), reclaimed at the
+    // NEXT compaction
     assert(new java.io.File(s"$root/t/gen=1").exists())
+    assert(new java.io.File(s"$root/t/gen=0").exists())
+    svc.optimize("t", compactNow = true) // gen=1 -> gen=2 reclaims gen=0
+    assert(!new java.io.File(s"$root/t/gen=0").exists())
+    assert(new java.io.File(s"$root/t/gen=1").exists(), "grace window for gen=1")
+    assert(new java.io.File(s"$root/t/gen=2").exists())
 
     // MEMORY: storage accounting reports the serving generation's footprint
     val mem = svc.memory("t").as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(mem("gen=1")._3 > 0, s"expected bytes in gen=1: ${mem.toSeq}")
+    assert(mem("gen=2")._3 > 0, s"expected bytes in gen=2: ${mem.toSeq}")
     assert(mem("pending")._2 === 0)
     assert(mem("deletes")._2 === 0)
+    // the second compaction had no tombstones: results unchanged
+    val got5 = svc.search("t", queries, limit = 10)
+    assert(recallOf(got5, wantLive) >= 0.9)
   }
 
   test("bulkLoad ingests fvecs through the V2 source") {
