@@ -197,24 +197,36 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val annJson =
+    def annJson(compact: Boolean): String = {
+      // compact mode: keep the sweep's endpoints (oq1, oq10, k100oq2) and
+      // drop the protocol constants — they're in BASELINE.md
+      val sweepKept = if (compact) sweep.filter(t => Set("oq1", "oq10", "k100oq2")(t._1))
+                      else sweep
       s"""{"exact_knn_qps":${num(exactQps, 1)},"ann_qps":${num(annQps, 1)},""" +
         s""""ann_qps_pinned":${num(annQpsPinned, 1)},"ann_build_sec":${num(buildSec, 3)},""" +
         s""""recall_at_10":${num(recall, 4)},"visited_ratio":${num(visitedRatio, 4)},""" +
         s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
-        sweep.map { case (tag, q, rec) =>
+        sweepKept.map { case (tag, q, rec) =>
           s""""${tag}_qps":${num(q, 1)},"${tag}_recall":${num(rec, 3)},"""
         }.mkString +
-        s""""n_queries":$actualNq,"top_k":$topK,""" +
-        s""""warmup_runs":$warmups,"test_runs":$runs}"""
-    def line(qs: String): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"ann":$annJson,"sf":"$sfDir"}"""
-    // defensive: if the sweep ever grows enough to overflow the tail window,
-    // shed query-time precision before shedding the line itself
-    val out = Seq(line(qsJson), line(qJson(2)), line(qJson(1))).find(_.length <= 1900)
-      .getOrElse(line(qJson(1)))
+        (if (compact) s""""n_queries":$actualNq}"""
+         else s""""n_queries":$actualNq,"top_k":$topK,""" +
+           s""""warmup_runs":$warmups,"test_runs":$runs}""")
+    }
+    def line(qs: String, ann: String): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"ann":$ann,"sf":"$sfDir"}"""
+    // the driver keeps only the LAST ~2000 chars of stdout ("[info] " prefix
+    // included) and parses the final JSON line — a line that overflows gets
+    // its FRONT clipped and parses as nothing. Shed query-time precision,
+    // then ann-block detail, until the line fits with margin.
+    val out = Seq(
+      line(qsJson, annJson(false)),
+      line(qJson(2), annJson(false)),
+      line(qJson(1), annJson(false)),
+      line(qJson(1), annJson(true))).find(_.length <= 1950)
+      .getOrElse(line(qJson(1), annJson(true)))
     println(out)
     spark.stop()
   }
