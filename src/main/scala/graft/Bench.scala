@@ -211,6 +211,14 @@ object Bench {
         sweepKept.map { case (tag, q, rec) =>
           s""""${tag}_qps":${num(q, 1)},"${tag}_recall":${num(rec, 3)},"""
         }.mkString +
+        // max heap actually used (GC high-water across pools) — the
+        // reference reports max heap/off-heap MB per run (run-config.yml)
+        s""""heap_mb":${
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+            .filter(_.getType == java.lang.management.MemoryType.HEAP)
+            .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+        },""" +
         (if (compact) s""""n_queries":$actualNq}"""
          else s""""n_queries":$actualNq,"top_k":$topK,""" +
            s""""warmup_runs":$warmups,"test_runs":$runs}""")
