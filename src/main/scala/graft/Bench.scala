@@ -178,6 +178,13 @@ object Bench {
     (1 to warmups).foreach(_ => kernelRun())
     val kernelTs = (1 to runs).map(_ => time(kernelRun())._2)
     val kernelQps = qLocal.length / (kernelTs.sum / runs)
+    // per-query latency distribution (reference LatencyBenchmark: AVG +
+    // high percentile) — measured on the kernel path where queries run
+    // individually, so no batch amortization hides the tail
+    val latNs = (1 to runs).flatMap(_ => qLocal.map(q =>
+      time(kernelGraph.search(q, topK, 64))._2 * 1e9)).sorted
+    val kernelLatAvgUs = latNs.sum / latNs.length / 1000.0
+    val kernelLatP99Us = latNs((latNs.length * 99 / 100).min(latNs.length - 1)) / 1000.0
 
     // The driver captures only the LAST ~2000 bytes of stdout and parses the
     // JSON line out of that tail — full-precision doubles pushed the line past
@@ -208,6 +215,9 @@ object Bench {
         s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
+        (if (compact) ""
+         else s""""kernel_lat_avg_us":${num(kernelLatAvgUs, 1)},""" +
+           s""""kernel_lat_p99_us":${num(kernelLatP99Us, 1)},""") +
         sweepKept.map { case (tag, q, rec) =>
           s""""${tag}_qps":${num(q, 1)},"${tag}_recall":${num(rec, 3)},"""
         }.mkString +
