@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix breaks the bench driver's
+// json-parse of the final stdout line (BENCH_r01..r04 all `parsed: null`).
+// StdoutOutput pipes the program's stdout through raw (and keeps stderr
+// WARNs out of stdout entirely).
+run / outputStrategy := Some(StdoutOutput)
 // The bench driver keeps only the tail of stdout and parses the final JSON
 // line; sbt's "[success] Total time ..." epilogue would eat into that budget.
 ThisBuild / showSuccess := false

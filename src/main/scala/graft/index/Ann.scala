@@ -447,12 +447,18 @@ object Ann {
                 (null: Array[Float], c, pr)
               } else (v, null: Array[Int], null: Array[Array[Double]])
             (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
-              if (i == 0) centroid else null, encodeCode(v), nvqCode, nvqParams, p.nvqBits)
+              if (i == 0) centroid else null, encodeCode(v), nvqCode, nvqParams, p.nvqBits,
+              // persisted hierarchy (S7/S8): upper-layer adjacency rows ride
+              // along, null for layer-0-only nodes (~ (1/degree) of rows
+              // carry one) — searchIndex's assembly restores them so the
+              // descent skips the cold-entry beam hops (reference v6 format
+              // serializes all layers, OnDiskGraphIndex.java:68-162)
+              g.upperAdjacencyOf(i))
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
     // the nvq columns are written (null-valued) even for full-res builds:
     // every batch of a mixed tree then shares ONE schema, so a glob read
     // can never infer compressed batches' codes away
@@ -571,22 +577,7 @@ object Ann {
     }
 
     // two-phase mode: load the PQ sidecar + precompute per-query ADC tables
-    val adcB: Option[(Int, Int, org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Array[Double], Double)]])] =
-      if (rerankK > 0) {
-        try {
-          val model = graft.operators.PQ.load(spark, s"$path/_pq_model")
-          val tables = qArr.map { case (_, qv) =>
-            val qd = qv.map(_.toDouble)
-            val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
-            var qn = 0.0; var i = 0
-            while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
-            (dots, mags, qn)
-          }
-          Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(tables)))
-        } catch {
-          case _: Exception => None // no sidecar -> fall back to exact beam
-        }
-      } else None
+    val adcB = loadAdcTables(spark, path, qArr, rerankK)
 
     // with routing active, prune unprobed segments BEFORE the read/shuffle —
     // I/O and shuffle stay proportional to probed segments, not index size
@@ -600,6 +591,11 @@ object Ann {
     val withCode =
       if (pruned.columns.contains("pq_code")) pruned
       else pruned.withColumn("pq_code", lit(null).cast("array<int>"))
+    // trees written before hierarchy persistence lack the column — they
+    // assemble with empty upper layers and keep the cold-entry behavior
+    val withUpper =
+      if (withCode.columns.contains("upper_nbrs")) withCode
+      else withCode.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
 
     // Query fan-out: tasks parallelize across SEGMENTS, so an index with
     // fewer segments than cores would search its query batch serially in
@@ -621,33 +617,33 @@ object Ann {
         // the fan-out from those, not the whole index
         val nSegs = segQueriesB match {
           case Some(b) => math.max(1, b.value.size)
-          case None => SegCountCache.getOrCompute(path,
+          case None => SegCountCache.getOrCompute(s"$path|$tok",
             math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
         }
         math.min(16, math.max(1, math.min(cores / nSegs, byQueries)))
       }
     }
     val fanned =
-      if (chunks <= 1) withCode.withColumn("__chunk", lit(0))
-      else withCode.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
+      if (chunks <= 1) withUpper.withColumn("__chunk", lit(0))
+      else withUpper.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
 
     val selected = fanned
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
-        col("__chunk").cast("int"))
+        col("upper_nbrs").cast("array<array<int>>"), col("__chunk").cast("int"))
     // pinned + no chunk fan-out: the cached rows are already partitioned by
     // seg and everything since the pin is narrow (broadcast joins, filters,
     // projections), so the batch runs WITHOUT a shuffle — the whole point
     // of pinning. Any other case must co-locate (seg, chunk) here.
     val perSegment = (if (pinnedOpt.isDefined && chunks <= 1) selected
                       else selected.repartition(col("seg"), col("__chunk")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Int)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
       .mapPartitions { it =>
         // per-task rerank floors, keyed by query index: segments searched
         // sequentially within this task tighten each other's floors
         val floors = scala.collection.mutable.Map.empty[Int, Double]
-        it.toArray.groupBy(r => (r._1, r._9)).iterator.flatMap { case ((segId, chunk), rows) =>
+        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
           val routed: Array[Int] = segQueriesB match {
             case Some(b) => b.value.getOrElse(segId, Array.empty)
             case None => qB.value.indices.toArray
@@ -674,6 +670,7 @@ object Ann {
               sorted.foreach { r =>
                 g0.neighbors(r._2) ++= r._5
                 if (r._6) g0.entryNode = r._2
+                if (r._9 != null) g0.restoreUpperAdjacency(r._2, r._9)
               }
               SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
             })
@@ -688,11 +685,7 @@ object Ann {
               val found = adcB match {
                 case Some((m, kk, tb)) if hasCodes =>
                   val (dots, mags, qn) = tb.value(qi)
-                  val mc = p.metric.toUpperCase match {
-                    case "EUCLIDEAN" => 0
-                    case "DOT_PRODUCT" | "DOT" => 1
-                    case _ => 2
-                  }
+                  val mc = adcMetricCode(p.metric)
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
                   else Double.NegativeInfinity
@@ -707,18 +700,7 @@ object Ann {
                     else {
                       // gathered path over the FLAT code array: node i's
                       // code at [i*m, (i+1)*m) — no per-node object hop
-                      val flat = entry.codesFlat
-                      val approx: Int => Double = { i =>
-                        val base = i * m
-                        var dot = 0.0; var mag = 0.0; var s = 0
-                        while (s < m) {
-                          val code = flat(base + s)
-                          dot += dots(s * kk + code); mag += mags(s * kk + code); s += 1
-                        }
-                        if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
-                        else if (mc == 1) (1.0 + dot) / 2.0
-                        else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
-                      }
+                      val approx = adcScorer(entry.codesFlat, m, kk, mc, dots, mags, qn)
                       g.searchTwoPhaseWithFloor(qv, approx, topK,
                         math.max(rerankK, ef), i => live(i), vc, rerankFloor = floor, rc = rc)
                     }
@@ -744,6 +726,55 @@ object Ann {
       .select(col("qid"), posexplode(col("t")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
+  /** Per-query ADC table broadcast for the two-phase routes: loads the PQ
+    * sidecar under `path` and precomputes each query's (dots, mags, |q|^2)
+    * lookup tables. None when two-phase is off or the tree has no sidecar
+    * (callers fall back to the exact beam). Returns (m, k, broadcast). */
+  private def loadAdcTables(
+      spark: SparkSession,
+      path: String,
+      qArr: Array[(Long, Array[Float])],
+      rerankK: Int): Option[(Int, Int, org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Array[Double], Double)]])] =
+    if (rerankK > 0) {
+      try {
+        val model = graft.operators.PQ.load(spark, s"${path.stripSuffix("/*").stripSuffix("/")}/_pq_model")
+        val tables = qArr.map { case (_, qv) =>
+          val qd = qv.map(_.toDouble)
+          val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
+          var qn = 0.0; var i = 0
+          while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
+          (dots, mags, qn)
+        }
+        Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(tables)))
+      } catch {
+        case _: Exception => None // no sidecar -> fall back to exact beam
+      }
+    } else None
+
+  /** Metric code for the ADC score combiner (0 = EUCLIDEAN, 1 = DOT,
+    * 2 = COSINE) — must stay in lockstep with [[Vamana.adcCombine]]. */
+  private def adcMetricCode(metric: String): Int = metric.toUpperCase match {
+    case "EUCLIDEAN" => 0
+    case "DOT_PRODUCT" | "DOT" => 1
+    case _ => 2
+  }
+
+  /** Gathered per-node ADC scorer over a segment's flat code array (node
+    * i's code at [i*m, (i+1)*m)) — the approx scorer the compressed paged
+    * and threshold routes traverse on. */
+  private def adcScorer(flat: Array[Int], m: Int, kk: Int, mc: Int,
+      dots: Array[Double], mags: Array[Double], qn: Double): Int => Double = { i =>
+    val base = i * m
+    var dot = 0.0; var mag = 0.0; var s = 0
+    while (s < m) {
+      val code = flat(base + s)
+      dot += dots(s * kk + code); mag += mags(s * kk + code); s += 1
+    }
+    if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + mag))
+    else if (mc == 1) (1.0 + dot) / 2.0
+    else (1.0 + dot / (math.sqrt(mag) * math.sqrt(qn))) / 2.0
   }
 
   /** Shared page-labeling merge for the paged searches: candidates are each

@@ -91,10 +91,43 @@ final class Vamana(
     val rnd = new java.util.Random(seed ^ 0x9E3779B97F4A7C15L)
     Array.fill(n)(math.min((-math.log(rnd.nextDouble()) * ml).toInt, 8))
   }
-  private val maxLevel: Int = if (n == 0) 0 else levels.max
-  // upperNeighbors(l)(node) defined only for nodes with levels(node) >= l
-  private val upperNeighbors: Array[mutable.Map[Int, Array[Int]]] =
-    Array.fill(math.max(0, maxLevel))(mutable.Map.empty)
+  // upperNeighbors(l)(node) defined only for nodes with levels(node) >= l.
+  // A var (with maxLevel derived from it) because [[restoreUpperAdjacency]]
+  // can install a persisted hierarchy whose depth differs from this shell's
+  // freshly drawn `levels` (e.g. a repaired segment re-assembled with a
+  // different row count draws different levels than the one that built it).
+  private var upperNeighbors: Array[mutable.Map[Int, Array[Int]]] =
+    Array.fill(math.max(0, if (n == 0) 0 else levels.max))(mutable.Map.empty)
+  private def maxLevel: Int = upperNeighbors.length
+
+  /** Per-node upper-layer adjacency for index persistence (S7/S8 — the
+    * reference serializes the full multi-layer graph, v6 format
+    * `OnDiskGraphIndex.java:68-162`, layer info `CommonHeader.java:59-75`):
+    * element j is this node's neighbor list at level j+1 (local-id space);
+    * null when the node lives only on layer 0 — so a persisted column of
+    * these is almost-all-null and costs ~nothing. Membership-derived (not
+    * `levels`-derived) so it also serializes a RESTORED + repaired
+    * hierarchy faithfully. */
+  def upperAdjacencyOf(node: Int): Array[Array[Int]] = {
+    var lv = 0
+    while (lv < upperNeighbors.length && upperNeighbors(lv).contains(node)) lv += 1
+    if (lv == 0) null
+    else Array.tabulate(lv)(j => upperNeighbors(j)(node))
+  }
+
+  /** Install a node's persisted upper-layer adjacency into this shell
+    * (inverse of [[upperAdjacencyOf]]; grows the layer stack as needed).
+    * Callers assembling a stored segment invoke this per row — after
+    * which [[descendScored]] seeds the layer-0 beam through the restored
+    * hierarchy instead of starting cold at the stored entry node. */
+  def restoreUpperAdjacency(node: Int, adj: Array[Array[Int]]): Unit = {
+    if (adj == null || adj.length == 0) return
+    if (adj.length > upperNeighbors.length)
+      upperNeighbors = upperNeighbors ++
+        Array.fill(adj.length - upperNeighbors.length)(mutable.Map.empty[Int, Array[Int]])
+    var j = 0
+    while (j < adj.length) { upperNeighbors(j)(node) = adj(j); j += 1 }
+  }
 
   /** Build upper layers by incremental beam insert (the reference's
     * `addGraphNode` shape per layer, `GraphIndexBuilder.java:605-659`):
@@ -270,6 +303,10 @@ final class Vamana(
 
   /** Query-to-node scorer with the query norm hoisted out of the loop
     * (COSINE); other metrics fall through to `sim`. Bit-identical results. */
+  /** Public exact per-node scorer for `q` — the rerank seam the compressed
+    * paged/threshold routes use to re-score approx-selected survivors. */
+  def exactScorer(q: Array[Float]): Int => Double = queryScorer(q)
+
   private def queryScorer(q: Array[Float]): Int => Double =
     if (metricCode == 2) {
       val qn = math.sqrt(normSq(q))
@@ -361,7 +398,11 @@ final class Vamana(
       accept: Int => Boolean = _ => true, vc: Vamana.VisitCounter = null,
       rerankFloor: Double = Double.NegativeInfinity,
       rc: Vamana.VisitCounter = null): (Array[(Int, Double)], Double) = {
-    val candidates = searchInternalScored(approx, entryNode, math.max(rerankK, topK), accept, vc)
+    // descend the upper layers on the same approx scorer before the layer-0
+    // beam (jvector runs its compressed SSP through the full hierarchy,
+    // GraphSearcher.java:263-282) — a no-op on hierarchy-less shells
+    val candidates = searchInternalScored(approx, descendScored(approx, vc),
+      math.max(rerankK, topK), accept, vc)
     rerankPhase(q, candidates, topK, rerankFloor, rc)
   }
 
@@ -440,7 +481,10 @@ final class Vamana(
     var dAcc = new Array[Double](maxDegree * 2)
     var mAcc = new Array[Double](maxDegree * 2)
     var cols = new Array[Int](maxDegree * 2)
-    val entry = entryNode
+    // hierarchy descent on the SAME per-node ADC score the gathered path
+    // descends on (scoreOne == the gathered approx for any node) — keeps
+    // the fused/gathered bit-identity contract through the descent
+    val entry = descendScored(scoreOne, vc)
     cand.push(LongHeap.pack(scoreOne(entry), entry))
     visited.set(entry)
     var visits = 1L
@@ -522,8 +566,16 @@ final class Vamana(
     * frontier, visited set and evicted results carry over, so pagination
     * costs only the incremental expansion, not a re-search. */
   def searchResumable(q: Array[Float], topK: Int, ef: Int,
+      accept: Int => Boolean = _ => true): (Array[(Int, Double)], Vamana.SearchState) =
+    searchResumableScored(queryScorer(q), topK, ef, accept)
+
+  /** [[searchResumable]] with a pluggable node scorer — the compressed
+    * resume path: jvector's resume runs on the SAME (possibly approximate)
+    * SearchScoreProvider as the initial search (`GraphSearcher.java:
+    * 298-303,509-547`), so a PQ-backed index pages on ADC scores and the
+    * caller reranks each page's survivors exactly. */
+  def searchResumableScored(scorer: Int => Double, topK: Int, ef: Int,
       accept: Int => Boolean = _ => true): (Array[(Int, Double)], Vamana.SearchState) = {
-    val scorer = queryScorer(q)
     val state = new Vamana.SearchState(scorer, accept, new java.util.BitSet(n),
       new LongHeap(64, min = false), mutable.ArrayBuffer.empty[Long], new java.util.BitSet(n))
     if (n == 0) return (Array.empty, state)
@@ -818,9 +870,19 @@ final class Vamana(
     * re-search; results unbounded. `ef` is kept for signature compatibility
     * (the adaptive stop replaces the result-set bound). */
   def thresholdSearch(q: Array[Float], threshold: Double, ef: Int, accept: Int => Boolean = _ => true,
+      vc: Vamana.VisitCounter = null): Array[(Int, Double)] =
+    thresholdSearchScored(queryScorer(q), threshold, ef, accept, vc)
+
+  /** [[thresholdSearch]] with a pluggable node scorer — the compressed
+    * threshold path (jvector runs threshold searches on the same, possibly
+    * approximate, SearchScoreProvider as top-k, `GraphSearcher.java:
+    * 298-303`): traversal, collection, AND the adaptive stop all run on
+    * `scorer`'s scale; the caller reranks survivors exactly and re-applies
+    * the threshold on exact scores to restore the precision contract. */
+  def thresholdSearchScored(scorer: Int => Double, threshold: Double, ef: Int,
+      accept: Int => Boolean = _ => true,
       vc: Vamana.VisitCounter = null): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
-    val scorer = queryScorer(q)
     val visited = new java.util.BitSet(n)
     val cand = new LongHeap(64, min = false)
     val out = new mutable.ArrayBuffer[(Int, Double)]
