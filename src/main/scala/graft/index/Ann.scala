@@ -283,7 +283,18 @@ object Ann {
         * model coordination. 0 = store full-res vectors (default). */
       nvqBits: Int = 0,
       /** Subvector count for the NVQ index encode. */
-      nvqSubs: Int = 2)
+      nvqSubs: Int = 2,
+      /** Minimum ADC (compressed) search frontier as a multiple of topK.
+        * PQ rank-inversion error grows with rank depth, so a compressed
+        * beam of only ~2x topK loses true neighbors that ADC ordering
+        * pushes below the cutoff — measured on sf0.1 (K100Probe, NOTES_r6):
+        * at k=100 the exact beam at ef=200 has recall 1.0 while the ADC
+        * beam's top-200 contains only 0.833 of the truth; frontier 4x k
+        * restores 0.967. The exact path is unaffected (its beam is ef).
+        * The reference couples frontier to rerankK = topK*overquery
+        * (`GraphSearcher.java:397-402`); this floor enforces the same
+        * scaling when callers pass small overquery at large k. */
+      adcFrontierPerK: Int = 4)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -689,20 +700,24 @@ object Ann {
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
                   else Double.NegativeInfinity
+                  // ADC frontier floor (Params.adcFrontierPerK): the
+                  // compressed beam must over-visit relative to topK or PQ
+                  // rank inversion drops true neighbors below the cutoff
+                  val adcBeam = math.max(math.max(rerankK, ef), p.adcFrontierPerK * topK)
                   val (r, worstApprox) =
                     if (fusedAdc && entry.fused != null)
                       // fused traversal (Q7): batch-score the unvisited
                       // neighbors of the expanded node from its transposed
                       // code block
                       g.searchTwoPhaseFused(qv, entry.codesFlat, entry.fused, dots, mags, qn,
-                        m, kk, mc, topK, math.max(rerankK, ef), i => live(i), vc,
+                        m, kk, mc, topK, adcBeam, i => live(i), vc,
                         rerankFloor = floor, rc = rc)
                     else {
                       // gathered path over the FLAT code array: node i's
                       // code at [i*m, (i+1)*m) — no per-node object hop
                       val approx = adcScorer(entry.codesFlat, m, kk, mc, dots, mags, qn)
                       g.searchTwoPhaseWithFloor(qv, approx, topK,
-                        math.max(rerankK, ef), i => live(i), vc, rerankFloor = floor, rc = rc)
+                        adcBeam, i => live(i), vc, rerankFloor = floor, rc = rc)
                     }
                   if (shareRerankFloor &&
                       worstApprox > floors.getOrElse(qi, Double.NegativeInfinity))

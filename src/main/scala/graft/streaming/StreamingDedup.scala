@@ -78,6 +78,13 @@ object StreamingDedup {
 
     older.join(newer,
         col("band_hash") === col("band_hash2") &&
+          // Top-level ts1 <= ts2 conjunct: redundant with the ordering
+          // disjunction below, but Spark's state-watermark extraction only
+          // reads top-level conjuncts — without it, only ts2 <= ts1+joinLag
+          // is extracted and the `newer` side's join buffer is never
+          // evicted (unbounded state on continuous ingest; mutation-tested
+          // in StreamingDedupSpec "join state is bounded").
+          col("ts1") <= col("ts2") &&
           // strictly-older-first ordering; id tiebreak on equal timestamps
           (col("ts1") < col("ts2") ||
             (col("ts1") === col("ts2") && col("id1") < col("id2"))) &&

@@ -36,6 +36,7 @@ object K100Probe {
         rerankK = rk, shareRerankFloor = floor)
       Metrics.recallAtK(r, exact100, tk).head().getDouble(0)
     }
+    // first (200,200) entry is an intentional warm-up repeat (JIT + cache)
     for ((ef, rk) <- Seq((200, 200), (200, 200), (400, 200), (400, 400), (800, 800), (2000, 2000)))
       println(s"### k=100 ef=$ef rk=$rk floorOn=${rec(100, ef, rk, floor = true)}")
     println(s"### k=100 ef=200 rk=200 floorOFF=${rec(100, 200, 200, floor = false)}")

@@ -66,6 +66,33 @@ class StreamingDedupSpec extends SparkSpec {
     assert(j13 === 1.0)
   }
 
+  test("near-dup join state is bounded: eviction keeps numRowsTotal from growing with the stream") {
+    val dir = tmpDir()
+    // 8 docs, one per micro-batch, 1h apart; watermark+lag 30min means every
+    // batch's state should be evicted once the next batch's watermark passes.
+    (1 to 8).foreach { i =>
+      Seq((i.toLong, s"doc number $i $fox", ts(f"0$i:00".takeRight(5))))
+        .toDF("doc_id", "text", "ts").write.parquet(s"$dir/docs/f$i")
+    }
+    val q = StreamingDedup.nearDupPairs(stream(dir), "doc_id", "text", "ts",
+        watermark = "30 minutes", joinLag = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sd_state").start()
+    q.processAllAvailable()
+    val joinRows = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.filter(_.operatorName.contains("Join")).map(_.numRowsTotal).sum)
+    q.stop()
+    assert(joinRows.nonEmpty, "expected stream-stream join state metrics")
+    // 8 docs x 8 bands x 2 sides = 128 rows fed to the join. Without the
+    // top-level ts1 <= ts2 conjunct the `newer` side never evicts and the
+    // final total sits at >= 64; with eviction only the watermark window
+    // (~1-2 docs per side) remains.
+    assert(joinRows.last < 48,
+      s"join state must be evicted at the watermark, got per-batch totals: $joinRows")
+    assert(joinRows.max < 64,
+      s"join state must never accumulate the whole stream, got: $joinRows")
+  }
+
   test("near-dup join respects the lag window: docs beyond joinLag don't pair") {
     val dir = tmpDir()
     Seq((1L, fox, ts("01:00"))).toDF("doc_id", "text", "ts")
