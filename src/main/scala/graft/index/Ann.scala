@@ -673,8 +673,9 @@ object Ann {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
             // warm-serving path: immutable segments cache per executor;
-            // the content token makes rebuilds-in-place change the key
-            val cacheKey = s"$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+            // the content token makes rebuilds-in-place change the key.
+            // Key + assembly are shared with the paged/threshold routes.
+            val cacheKey = segmentCacheKey(path, tok, segId, p)
             val entry = SegmentCache.getOrCompute(cacheKey, {
               val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
                 p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
@@ -863,10 +864,59 @@ object Ann {
     mergePaged(perSegment, pages)
   }
 
+  /** Shared projection for persisted-segment assembly: every index search
+    * route reads the same nine columns so their assemblies (and warm
+    * [[SegmentCache]] entries) are interchangeable. `pq_code` and
+    * `upper_nbrs` are null-backfilled for trees written before those
+    * features existed — such segments assemble codeless / hierarchy-less
+    * and keep the old behavior. */
+  private def segmentSelect(pruned: DataFrame): DataFrame = {
+    val withCode =
+      if (pruned.columns.contains("pq_code")) pruned
+      else pruned.withColumn("pq_code", lit(null).cast("array<int>"))
+    val withUpper =
+      if (withCode.columns.contains("upper_nbrs")) withCode
+      else withCode.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
+    withUpper.select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+      col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+      col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
+      col("upper_nbrs").cast("array<array<int>>"))
+  }
+
+  /** One cache key shape for ALL search routes over a persisted segment —
+    * the assemblies are identical ([[assembleSegment]]), so top-k, paged
+    * and threshold searches share each other's warm entries. */
+  private def segmentCacheKey(path: String, tok: String, segId: String, p: Params): String =
+    s"$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
+
+  /** Assemble a persisted segment: vectors, adjacency, entry node, persisted
+    * multi-layer hierarchy, PQ codes. Identical across routes (see
+    * [[segmentCacheKey]]). `sorted` must be local-id sorted. */
+  private def assembleSegment(
+      sorted: Array[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])],
+      p: Params): SegmentCache.Entry = {
+    val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+      p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+    sorted.foreach { r =>
+      g0.neighbors(r._2) ++= r._5
+      if (r._6) g0.entryNode = r._2
+      if (r._9 != null) g0.restoreUpperAdjacency(r._2, r._9)
+    }
+    SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
+  }
+
   /** Paged search over a persisted index — the same per-(query, segment)
     * resumable cursors, honoring tombstones (merge-on-read accept filter)
     * and segment routing. Pages beyond the first reuse the in-task cursor,
-    * so the incremental cost per page is beam expansion only. */
+    * so the incremental cost per page is beam expansion only.
+    *
+    * With `rerankK > 0` on a PQ tree, the cursor traverses on ADC scores
+    * and each segment's page survivors are reranked exactly before the
+    * merge — jvector's resume runs on the SAME compressed
+    * SearchScoreProvider as the initial search (`GraphSearcher.java:
+    * 298-303,509-547`). The assembly carries codes + persisted hierarchy
+    * and is IDENTICAL to [[searchIndex]]'s, so the two routes share warm
+    * [[SegmentCache]] entries. */
   def searchIndexPaged(
       spark: SparkSession,
       path: String,
@@ -875,7 +925,10 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
-      probeSegments: Int = 0): DataFrame = {
+      probeSegments: Int = 0,
+      /** >0 pages on PQ-ADC approx scores (needs a pqM > 0 tree) with exact
+        * rerank of each segment's page survivors. 0 = exact traversal. */
+      rerankK: Int = 0): DataFrame = {
     require(pages.nonEmpty && pages.forall(_ > 0), "pages must be positive")
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
@@ -898,6 +951,7 @@ object Ann {
           .withColumn("__live", col("__del").isNull).drop("__del")
       case None => raw.withColumn("__live", lit(true))
     }
+    val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
@@ -905,16 +959,13 @@ object Ann {
       case None => withLive
     }
     val pagesB = pages.toArray
-    val selectedPg = pruned
-      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
-        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("__live"))
+    val selectedPg = segmentSelect(pruned)
     // segment completeness per task is a CORRECTNESS requirement (each task
     // assembles whole graphs); the pin's seg partitioning already provides
     // it and everything since is narrow, so skip the shuffle when pinned
     val perSegment = (if (pinnedOpt.isDefined) selectedPg
                       else selectedPg.repartition(col("seg")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
           val routed: Array[Int] = segQueriesB match {
@@ -925,25 +976,36 @@ object Ann {
           else {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
-            // "paged|" prefix: this assembly omits pq codes — must not be
-            // shared with searchIndex's entries (which carry them)
-            val cacheKey = s"paged|$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
-            val entry = SegmentCache.getOrCompute(cacheKey, {
-              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
-              sorted.foreach { r =>
-                g0.neighbors(r._2) ++= r._5
-                if (r._6) g0.entryNode = r._2
-              }
-              SegmentCache.Entry(sorted.map(_._3), g0, null)
-            })
+            val entry = SegmentCache.getOrCompute(
+              segmentCacheKey(path, tok, segId, p), assembleSegment(sorted, p))
             val g = entry.graph
             val ids = entry.ids
+            val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
             routed.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
-              val (first, st) = g.searchResumable(qv, pagesB(0), ef, i => live(i))
-              val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
-              (first.iterator ++ rest).map { case (l, s) => (qid, ids(l), s) }
+              adcB match {
+                case Some((m, kk, tb)) if hasCodes =>
+                  // Compressed route: [[mergePaged]] re-slices global pages
+                  // from the exact-ordered union of per-segment candidates,
+                  // so per-segment page boundaries don't matter — only the
+                  // candidate pool's quality. One widened ADC cursor per
+                  // (query, segment) with the same frontier floor as the
+                  // top-k route, then one exact rerank of the pool
+                  // (jvector resume reranks each phase on the same
+                  // compressed SSP, `GraphSearcher.java:509-547`).
+                  val totalK = pagesB.sum
+                  val width = math.max(math.max(rerankK, ef), p.adcFrontierPerK * totalK)
+                  val (dots, mags, qn) = tb.value(qi)
+                  val approx = adcScorer(entry.codesFlat, m, kk,
+                    adcMetricCode(p.metric), dots, mags, qn)
+                  val (cands, _) = g.searchResumableScored(approx, width, width, i => live(i))
+                  val exact = g.exactScorer(qv)
+                  cands.iterator.map { case (l, _) => (qid, ids(l), exact(l)) }
+                case _ =>
+                  val (first, st) = g.searchResumable(qv, pagesB(0), ef, i => live(i))
+                  val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
+                  (first.iterator ++ rest).map { case (l, s) => (qid, ids(l), s) }
+              }
             }
           }
         }
@@ -997,7 +1059,14 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
-      probeSegments: Int = 0): DataFrame = {
+      probeSegments: Int = 0,
+      /** >0 runs the adaptive threshold traversal on PQ-ADC approx scores
+        * (needs a pqM > 0 tree); survivors are reranked exactly and the
+        * threshold re-applied on the exact scale, restoring the precision
+        * contract (jvector runs threshold search on the same compressed
+        * SearchScoreProvider as top-k, `GraphSearcher.java:298-303`).
+        * 0 = exact traversal. */
+      rerankK: Int = 0): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -1017,18 +1086,16 @@ object Ann {
           .withColumn("__live", col("__del").isNull).drop("__del")
       case None => raw.withColumn("__live", lit(true))
     }
+    val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
       case Some(_) => withLive.filter(lit(false))
       case None => withLive
     }
-    val selectedTh = pruned
-      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
-        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("__live"))
+    val selectedTh = segmentSelect(pruned)
     (if (pinnedOpt.isDefined) selectedTh else selectedTh.repartition(col("seg")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
           val routed: Array[Int] = segQueriesB match {
@@ -1039,24 +1106,36 @@ object Ann {
           else {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
-            // same assembly (and cache key shape) as the paged route: no
-            // codes are carried, so it must not share searchIndex's entries
-            val cacheKey = s"paged|$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
-            val entry = SegmentCache.getOrCompute(cacheKey, {
-              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
-              sorted.foreach { r =>
-                g0.neighbors(r._2) ++= r._5
-                if (r._6) g0.entryNode = r._2
-              }
-              SegmentCache.Entry(sorted.map(_._3), g0, null)
-            })
+            val entry = SegmentCache.getOrCompute(
+              segmentCacheKey(path, tok, segId, p), assembleSegment(sorted, p))
             val g = entry.graph
             val ids = entry.ids
+            val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
             routed.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
-              g.thresholdSearch(qv, threshold, ef, i => live(i)).iterator
-                .map { case (l, s) => (qid, ids(l), s) }
+              adcB match {
+                case Some((m, kk, tb)) if hasCodes =>
+                  // Compressed traversal: collect + adaptive-stop on the
+                  // ADC scale, then exact rerank and threshold re-check.
+                  // Collection runs at a small margin BELOW the threshold:
+                  // quantization score error would otherwise drop exact
+                  // hits sitting just above t whose approx score lands just
+                  // under it; the margin costs only the extra reranks in
+                  // [t - margin, t) while the exact re-check keeps the
+                  // precision contract intact.
+                  val margin = 0.05
+                  val (dots, mags, qn) = tb.value(qi)
+                  val approx = adcScorer(entry.codesFlat, m, kk,
+                    adcMetricCode(p.metric), dots, mags, qn)
+                  val exact = g.exactScorer(qv)
+                  g.thresholdSearchScored(approx, threshold - margin, ef, i => live(i)).iterator
+                    .map { case (l, _) => (l, exact(l)) }
+                    .filter(_._2 >= threshold)
+                    .map { case (l, s) => (qid, ids(l), s) }
+                case _ =>
+                  g.thresholdSearch(qv, threshold, ef, i => live(i)).iterator
+                    .map { case (l, s) => (qid, ids(l), s) }
+              }
             }
           }
         }

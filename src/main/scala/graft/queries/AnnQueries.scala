@@ -251,16 +251,31 @@ object AnnQueries {
     val nDistinct = res.select("qid", "nid").distinct().count()
     val exact2k = exactKnn(s, dir, 2 * k)
     val rec = recallOf(res, exact2k, 2 * k)
+    // index-backed compressed pagination (the r6 wiring): pages traverse on
+    // PQ-ADC scores over the persisted pqM=8 tree (shared with the pq
+    // gates), survivors reranked exactly before the global page merge
+    val idx = persistedIndex(s, dir, pq = true)
+    val resIdx = Ann.searchIndexPaged(s, idx, queries0(s, dir), pages = Seq(k, k),
+      ef = 64, annParams, rerankK = 2 * k).cache()
+    val nIdx = resIdx.count()
+    val nIdxDistinct = resIdx.select("qid", "nid").distinct().count()
+    val recIdx = recallOf(resIdx, exact2k, 2 * k)
     Gates.df(s, Seq(
       ("paged_rows_complete", (nQueries * 2 * k).toDouble, n == nQueries.toLong * 2 * k),
       ("paged_pages_disjoint", 0.0, nDistinct == n),
-      ("paged_union_recall@20_ge_0.9", 0.9, rec >= 0.9)))
+      ("paged_union_recall@20_ge_0.9", 0.9, rec >= 0.9),
+      ("paged_idx_adc_rows_complete", (nQueries * 2 * k).toDouble, nIdx == nQueries.toLong * 2 * k),
+      ("paged_idx_adc_pages_disjoint", 0.0, nIdxDistinct == nIdx),
+      ("paged_idx_adc_union_recall@20_ge_0.9", 0.9, recIdx >= 0.9)))
   }
 
   private val annPagedSql: String = Gates.sql(Seq(
     ("paged_rows_complete", (5 * 2 * 10).toDouble),
     ("paged_pages_disjoint", 0.0),
-    ("paged_union_recall@20_ge_0.9", 0.9)))
+    ("paged_union_recall@20_ge_0.9", 0.9),
+    ("paged_idx_adc_rows_complete", (5 * 2 * 10).toDouble),
+    ("paged_idx_adc_pages_disjoint", 0.0),
+    ("paged_idx_adc_union_recall@20_ge_0.9", 0.9)))
 
   /** Dense-ordinal remap (S5 RemappedRAVV semantics) — oracle-able. */
   private def denseIds(s: SparkSession, dir: String): DataFrame =
@@ -312,8 +327,13 @@ object AnnQueries {
     * gates as the transient `ann_threshold`, through the on-disk route. */
   private def annThresholdIdx(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val idx = persistedIndex(s, dir, pq = false)
-    val res = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams).cache()
+    // pqM=8 tree + rerankK > 0: the adaptive threshold traversal runs on
+    // ADC scores, survivors are reranked exactly and the threshold
+    // re-applied on the exact scale (the r6 compressed-threshold wiring) —
+    // the precision gate below then checks EXACT scores, same as before
+    val idx = persistedIndex(s, dir, pq = true)
+    val res = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams,
+      rerankK = 64).cache()
     val below = res.filter(col("score") < 0.6).count()
     val exact = KnnExact.thresholdSearch(emb, queries0(s, dir), 0.6, "COSINE",
       "vec_id", "embedding")

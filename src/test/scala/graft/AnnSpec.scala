@@ -255,6 +255,52 @@ class AnnSpec extends SparkSpec {
     assert(paged.select("qid", "nid").distinct().count() === paged.count())
   }
 
+  test("compressed paged route: ADC cursor + exact rerank, pages complete/disjoint, recall >= 0.9") {
+    val tmp = java.nio.file.Files.createTempDirectory("annpgadc").toString
+    val base = randVectors(6000, 16, seed = 91).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      pqM = 4, segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(20, 16, seed = 92).toDF("qid", "qvec")
+    val paged = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, pages = Seq(10, 10),
+      ef = 64, params, rerankK = 20).cache()
+    assert(paged.count() === 20L * 20, "compressed pages must be complete")
+    assert(paged.select("qid", "nid").distinct().count() === 20L * 20,
+      "compressed pages must be disjoint")
+    val want = KnnExact.knn(base, queries, 20, "COSINE")
+    val r = recallOf(paged, want)
+    assert(r >= 0.9, s"compressed paged union recall $r < 0.9")
+    // output scores are EXACT (reranked), so page boundaries follow the
+    // exact global ordering: worst of page 1 >= best of page 2
+    val byQ = paged.select("qid", "page", "score").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val p1min = rows.filter(_._2 == 1).map(_._3).min
+      val p2max = rows.filter(_._2 == 2).map(_._3).max
+      assert(p1min >= p2max - 1e-12, "page 1 worst < page 2 best")
+    }
+  }
+
+  test("compressed threshold index route: ADC traversal, exact precision, recall >= 0.9") {
+    val tmp = java.nio.file.Files.createTempDirectory("annthradc").toString
+    val base = randVectors(4000, 16, seed = 51).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(4000, 16, seed = 51).take(6).toDF("qid", "qvec")
+    val t = 0.93
+    val got = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, t, 64, params,
+      rerankK = 64).cache()
+    assert(got.filter($"score" < t).count() === 0,
+      "compressed threshold route must keep the exact-precision contract")
+    val exact = KnnExact.thresholdSearch(base, queries, t, "COSINE")
+    val nExact = exact.count()
+    assert(nExact > 0, "test threshold matched nothing — pick a lower t")
+    val hits = exact.select("qid", "nid")
+      .join(got.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hits.toDouble / nExact >= 0.9,
+      s"compressed threshold recall ${hits.toDouble / nExact} < 0.9")
+  }
+
   test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
     val tmp = java.nio.file.Files.createTempDirectory("annmb").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
