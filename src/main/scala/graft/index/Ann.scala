@@ -1291,8 +1291,10 @@ object Ann {
     // segment stays compressed and the tree schema uniform.
     val hasNvq = raw.columns.contains("nvq_code")
     val withCode = {
-      val c = if (raw.columns.contains("pq_code")) raw
-              else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+      val c0 = if (raw.columns.contains("pq_code")) raw
+               else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+      val c = if (c0.columns.contains("upper_nbrs")) c0
+              else c0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
       if (hasNvq) c
       else c.withColumn("nvq_code", lit(null).cast("array<int>"))
         .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
@@ -1304,9 +1306,9 @@ object Ann {
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("pq_code").cast("array<int>"),
         col("nvq_code").cast("array<int>"), col("nvq_params").cast("array<array<double>>"),
-        col("nvq_bits").cast("int"))
+        col("nvq_bits").cast("int"), col("upper_nbrs").cast("array<array<int>>"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
@@ -1315,6 +1317,10 @@ object Ann {
           sorted.foreach { r =>
             g.neighbors(r._2) ++= r._5
             if (r._6) g.entryNode = r._2
+            // restore the persisted hierarchy BEFORE the repair so
+            // repairDeleted prunes the real layers (not empty maps) and the
+            // rewritten segment keeps its warm-descent structure
+            if (r._11 != null) g.restoreUpperAdjacency(r._2, r._11)
           }
           val deleted = new java.util.BitSet(sorted.length)
           sorted.foreach { r => if (delB.value.contains(r._3)) deleted.set(r._2) }
@@ -1336,15 +1342,23 @@ object Ann {
             val newEntry = remap(g.entryNode)
             keep.zipWithIndex.iterator.map { case (old, nw) =>
               val r = sorted(old)
+              // re-emit the (repaired) hierarchy with neighbors remapped to
+              // the compacted local-id space — repairDeleted has already
+              // dropped deleted members/edges, so every id is remappable
+              val upper = g.upperAdjacencyOf(r._2) match {
+                case null => null
+                case adj => adj.map(_.map(remap))
+              }
               (newSeg, nw, r._3, if (nvq) null else r._4,
                 g.neighbors(r._2).iterator.map(remap(_)).toArray,
-                nw == newEntry, if (nw == 0) centroid else null, r._7, r._8, r._9, r._10)
+                nw == newEntry, if (nw == 0) centroid else null, r._7, r._8, r._9, r._10,
+                upper)
             }
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits")
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
     // nvq columns always written (uniform tree schema — see buildIndex);
     // legacy trees without them stay readable via readIndex's mergeSchema
     patched.write.mode("append").partitionBy("seg").parquet(path)

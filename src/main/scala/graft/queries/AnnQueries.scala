@@ -214,11 +214,19 @@ object AnnQueries {
     val res = Ivf.searchPartitioned(path, queries0(s, dir), model, nprobe, topK = k,
       baseId = "vec_id", baseVec = "embedding").cache()
 
-    // (1) plan-level check: the scan under the search carries PartitionFilters
-    val prunedScanPlan = s.read.parquet(path)
-      .filter(col("cluster_id").isin(0, 1)).queryExecution.executedPlan.toString
-    val prunes = prunedScanPlan.contains("PartitionFilters") &&
-      prunedScanPlan.contains("cluster_id")
+    // (1) plan-level check on the plan searchPartitioned ACTUALLY produced:
+    // some scan line in ITS executed plan must carry a SELECTIVE cluster_id
+    // PartitionFilters entry (INSET/IN membership — joining on cluster_id
+    // already pushes a non-selective isnotnull partition filter, which must
+    // NOT satisfy this gate; mutation-verified). A synthetic stand-in plan
+    // would keep passing if searchPartitioned's own filter regressed.
+    val prunes = res.queryExecution.executedPlan.toString.linesIterator.exists { l =>
+      val pf = l.indexOf("PartitionFilters: [")
+      pf >= 0 && {
+        val seg = l.substring(pf, math.min(l.length, pf + 400))
+        seg.contains("cluster_id") && (seg.contains("INSET") || seg.contains(" IN ("))
+      }
+    }
 
     // (2) layout-independence: same rows as the unpartitioned probed search
     val base = Ivf.search(Ivf.assign(emb, "embedding", model), queries0(s, dir),

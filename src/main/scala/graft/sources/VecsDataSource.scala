@@ -184,10 +184,12 @@ private[sources] class VecsScan(
     val nonEmpty = statuses.filter(_.getLen > 0) // empty files = zero records
     if (nonEmpty.isEmpty) return Array.empty
 
-    // dim from the first 4 bytes of the first file; every file must agree
-    // (one header read per file at planning time, no data pass)
-    val dim: Int = {
-      val f = nonEmpty.head
+    // dim from the first 4 bytes of EVERY file (one header read per file at
+    // planning, no data pass): a mixed-dim glob must fail HERE — file
+    // lengths can happen to divide evenly by the wrong record size, and
+    // id-only/count scans never reach the per-record dim check, so a
+    // first-file-only read would silently mis-assign ids and counts
+    def headerDim(f: FileStatus): Int = {
       val in = f.getPath.getFileSystem(hconf).open(f.getPath)
       try {
         val b = new Array[Byte](4)
@@ -195,7 +197,14 @@ private[sources] class VecsScan(
         ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
       } finally in.close()
     }
+    val dim: Int = headerDim(nonEmpty.head)
     require(dim > 0, s"bad fvecs/ivecs dim: $dim")
+    nonEmpty.drop(1).foreach { f =>
+      val d = headerDim(f)
+      require(d == dim,
+        s"${f.getPath}: dim $d differs from ${nonEmpty.head.getPath}'s dim $dim — " +
+          "all files of one fvecs/ivecs load must share a dimension")
+    }
     val recLen = 4L + 4L * dim
 
     val wantVec = readSchema.fieldNames.contains(vecColName)

@@ -255,6 +255,38 @@ class AnnSpec extends SparkSpec {
     assert(paged.select("qid", "nid").distinct().count() === paged.count())
   }
 
+  test("delete repair preserves the persisted hierarchy (upper_nbrs survive, remapped)") {
+    val tmp = java.nio.file.Files.createTempDirectory("annreph").toString
+    val base = randVectors(4000, 8, seed = 31).toDF("id", "vec").repartition(2)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val before = spark.read.parquet(s"$tmp/idx")
+      .filter(col("upper_nbrs").isNotNull).count()
+    assert(before > 0, "build must persist a multi-layer hierarchy")
+    // ids 0..199 hash across both segments, so every segment is rewritten
+    Ann.repairDeleted(spark, s"$tmp/idx", (0L until 200L).toDF("id"), params)
+    val after = spark.read.parquet(s"$tmp/idx").cache()
+    assert(after.filter(col("node_id") < 200).count() === 0, "tombstones not removed")
+    val upperRows = after.filter(col("upper_nbrs").isNotNull).count()
+    assert(upperRows > 0,
+      "repaired segments must keep their persisted hierarchy (was dropped pre-r6)")
+    // hierarchy neighbors must live in the compacted local-id space
+    val segSizes = after.groupBy("seg").count().as[(String, Long)].collect().toMap
+    val bad = after.filter(col("upper_nbrs").isNotNull)
+      .select(col("seg"), col("upper_nbrs")).as[(String, Array[Array[Int]])].collect()
+      .exists { case (seg, adj) =>
+        adj.filter(_ != null).flatten.exists(nb => nb < 0 || nb >= segSizes(seg)) }
+    assert(!bad, "hierarchy neighbor outside the compacted local-id range")
+    // the repaired tree still serves at recall
+    val queries = randVectors(10, 8, seed = 32).toDF("qid", "qvec")
+    val live = base.filter(col("id") >= 200)
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, ef = 64, params)
+    val want = KnnExact.knn(live, queries, 10, "COSINE")
+    val r = recallOf(got, want)
+    assert(r >= 0.9, s"post-repair recall $r < 0.9")
+  }
+
   test("compressed paged route: ADC cursor + exact rerank, pages complete/disjoint, recall >= 0.9") {
     val tmp = java.nio.file.Files.createTempDirectory("annpgadc").toString
     val base = randVectors(6000, 16, seed = 91).toDF("id", "vec").repartition(3)

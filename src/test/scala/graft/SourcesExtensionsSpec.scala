@@ -41,6 +41,23 @@ class SourcesExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("fvecs V2: mixed-dim glob fails at planning, not silently") {
+    val tmp = java.nio.file.Files.createTempDirectory("fvecs_mixdim").toString
+    Fvecs.writeFvecs(s"$tmp/part-0.fvecs",
+      Seq(Array(1f, 2f, 3f, 4f), Array(5f, 6f, 7f, 8f)).iterator) // dim 4
+    Fvecs.writeFvecs(s"$tmp/part-1.fvecs",
+      Seq(Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f, 9f, 10f)).iterator) // dim 10: 44 bytes, NOT a multiple of 20
+    Fvecs.writeFvecs(s"$tmp/part-2.fvecs",
+      Seq(Array(1f, 2f, 3f), Array(4f, 5f, 6f), Array(7f, 8f, 9f),
+        Array(1f, 1f, 1f), Array(2f, 2f, 2f)).iterator) // dim 3: 80 bytes = 4 dim-4 records — divides evenly!
+    val e = intercept[Exception] {
+      // id-only scan: the per-record dim check never runs, so without the
+      // per-file header validation this would return WRONG counts/ids
+      spark.read.format("fvecs").load(s"$tmp/*.fvecs").select("id").count()
+    }
+    assert(e.getMessage.contains("dim"), s"expected a dim-mismatch planning error, got: ${e.getMessage}")
+  }
+
   test("fvecs V2: id-range filters prune slices at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("fvecs_prune").toString
     val vecs = Array.tabulate(100)(i => Array.fill(4)(i.toFloat))
