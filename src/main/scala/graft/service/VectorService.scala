@@ -106,43 +106,117 @@ class VectorService(spark: SparkSession, root: String) {
       .write.mode("append").parquet(dir(name, "deletes"))
   }
 
+  /** Content token of the current `pending/` payload (file names + sizes):
+    * a flushed batch records the token it ingested, making the flush
+    * idempotent — a crash between batch commit and pending/ cleanup must
+    * NOT re-ingest the same rows as a second batch (duplicate ids). */
+  private def pendingToken(name: String): Option[String] = {
+    val files = Option(fs.globStatus(new HPath(s"${dir(name, "pending")}/*.parquet")))
+      .getOrElse(Array.empty)
+    if (files.isEmpty) None
+    else Some(java.util.UUID.nameUUIDFromBytes(
+      files.map(f => s"${f.getPath.getName}:${f.getLen}").sorted
+        .mkString("|").getBytes("UTF-8")).toString)
+  }
+
+  /** Exclusive OPTIMIZE lease via atomic create-if-absent of a lock file.
+    * A crashed writer's lock is broken once older than `leaseMs`. This is
+    * a best-effort single-writer guard (the strongest available on a bare
+    * filesystem without a coordination service): concurrent OPTIMIZEs on
+    * the same index fail fast instead of both building the same batch or
+    * generation. */
+  private def acquireOptimizeLock(name: String, leaseMs: Long): HPath = {
+    val lock = new HPath(dir(name, "_optimize_lock"))
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val stale =
+        try readSmall(lock.toString).map(_.toLong)
+          .forall(ts => System.currentTimeMillis() - ts > leaseMs)
+        catch { case _: Exception => true }
+      if (!stale)
+        throw new IllegalStateException(
+          s"another OPTIMIZE is running on '$name' (lock ${lock}; " +
+            s"stale after ${leaseMs / 1000}s)")
+      fs.delete(lock, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"another OPTIMIZE is running on '$name' (lost the lock race after lease break)")
+    }
+    lock
+  }
+
   /** OPTIMIZE: make pending writes searchable (new immutable batch under
     * the serving generation); with `compactNow`, fold all batches and
-    * tombstones into a fresh generation and flip the pointer. */
-  def optimize(name: String, compactNow: Boolean = false): Unit = {
+    * tombstones into a fresh generation and flip the pointer.
+    *
+    * Crash-safety: the batch is built in a `_staging/` dir and committed
+    * with one atomic rename; the staged batch records the pending token it
+    * ingested, so a crash anywhere between commit and `pending/` cleanup
+    * re-runs as a no-op flush instead of duplicating ids. Compaction's
+    * commit point is the `_current` flip — un-flipped next-generation
+    * leftovers from a crash are deleted and rebuilt. Single-writer via
+    * [[acquireOptimizeLock]]. */
+  def optimize(name: String, compactNow: Boolean = false,
+      lockLeaseMs: Long = 10 * 60 * 1000L): Unit = {
     val m = meta(name)
     val params = m.params
-    val gen = currentGen(name).getOrElse("gen=0")
-    val genDir = dir(name, gen)
+    val lock = acquireOptimizeLock(name, lockLeaseMs)
+    try {
+      val gen = currentGen(name).getOrElse("gen=0")
+      val genDir = dir(name, gen)
+      // orphaned staging dirs from a crashed writer are garbage (their
+      // batch never got renamed in) — safe to GC under the lock
+      fs.delete(new HPath(dir(name, "_staging")), true)
 
-    if (hasData(dir(name, "pending"))) {
-      val pending = spark.read.parquet(dir(name, "pending"))
-      val nextBatch = Option(fs.globStatus(new HPath(s"$genDir/batch=*")))
-        .map(_.length).getOrElse(0)
-      Ann.buildIndex(pending, s"$genDir/batch=$nextBatch", params, "id", "vec")
-      fs.delete(new HPath(dir(name, "pending")), true)
-      if (currentGen(name).isEmpty) writeSmall(dir(name, "_current"), gen)
-      Ann.invalidateSegmentCounts(s"$genDir/*")
-    }
+      pendingToken(name).foreach { tok =>
+        val alreadyLanded = Option(fs.globStatus(new HPath(s"$genDir/batch=*/_flushed_token")))
+          .getOrElse(Array.empty)
+          .exists(st => readSmall(st.getPath.toString).contains(tok))
+        if (!alreadyLanded) {
+          val staging = dir(name, s"_staging/${java.util.UUID.randomUUID()}")
+          Ann.buildIndex(spark.read.parquet(dir(name, "pending")), staging,
+            params, "id", "vec")
+          writeSmall(s"$staging/_flushed_token", tok)
+          val nextBatch = Option(fs.globStatus(new HPath(s"$genDir/batch=*")))
+            .map(_.length).getOrElse(0)
+          fs.mkdirs(new HPath(genDir))
+          val target = new HPath(s"$genDir/batch=$nextBatch")
+          if (!fs.rename(new HPath(staging), target))
+            throw new IllegalStateException(s"batch commit failed: $staging -> $target")
+        }
+        fs.delete(new HPath(dir(name, "pending")), true)
+        if (currentGen(name).isEmpty) writeSmall(dir(name, "_current"), gen)
+        Ann.invalidateSegmentCounts(s"$genDir/*")
+      }
 
-    if (compactNow && currentGen(name).isDefined) {
-      val cur = currentGen(name).get
-      val curN = cur.stripPrefix("gen=").toInt
-      val nextGen = s"gen=${curN + 1}"
-      val deletes =
-        if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
-        else None
-      Ann.compact(spark, s"${dir(name, cur)}/*", s"${dir(name, nextGen)}/batch=0",
-        params, deletes)
-      writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
-      fs.delete(new HPath(dir(name, "deletes")), true)
-      // read-grace GC: a reader that resolved `_current` just before the
-      // flip may still be scanning gen=K, so K survives one compaction and
-      // is reclaimed at the K+1 -> K+2 flip (generations are immutable, so
-      // the stale read is consistent, just pre-compaction)
-      if (curN > 0) fs.delete(new HPath(dir(name, s"gen=${curN - 1}")), true)
-      Ann.invalidateSegmentCounts(s"${dir(name, nextGen)}/*")
-    }
+      if (compactNow && currentGen(name).isDefined) {
+        val cur = currentGen(name).get
+        val curN = cur.stripPrefix("gen=").toInt
+        val nextGen = s"gen=${curN + 1}"
+        val deletes =
+          if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
+          else None
+        // a crashed compaction's un-flipped generation is garbage: the
+        // pointer never moved, so rebuild it from scratch
+        fs.delete(new HPath(dir(name, nextGen)), true)
+        Ann.compact(spark, s"${dir(name, cur)}/*", s"${dir(name, nextGen)}/batch=0",
+          params, deletes)
+        writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
+        fs.delete(new HPath(dir(name, "deletes")), true)
+        // read-grace GC: a reader that resolved `_current` just before the
+        // flip may still be scanning gen=K, so K survives one compaction and
+        // is reclaimed at the K+1 -> K+2 flip (generations are immutable, so
+        // the stale read is consistent, just pre-compaction)
+        if (curN > 0) fs.delete(new HPath(dir(name, s"gen=${curN - 1}")), true)
+        Ann.invalidateSegmentCounts(s"${dir(name, nextGen)}/*")
+      }
+    } finally fs.delete(lock, false)
   }
 
   /** SEARCH: top-`limit` over the serving generation; tombstones are

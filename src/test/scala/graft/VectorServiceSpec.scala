@@ -82,6 +82,55 @@ class VectorServiceSpec extends SparkSpec {
     assert(recallOf(got5, wantLive) >= 0.9)
   }
 
+  test("OPTIMIZE is crash-safe: replayed pending after a batch commit is not re-ingested") {
+    val root = java.nio.file.Files.createTempDirectory("graft_svc_crash").toString
+    val svc = new VectorService(spark, root)
+    svc.create("c", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    svc.write("c", randVectors(500, 8, seed = 9).toDF("id", "vec"))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val pending = new org.apache.hadoop.fs.Path(s"$root/c/pending")
+    val backup = new org.apache.hadoop.fs.Path(s"$root/c_pending_backup")
+    // snapshot pending/ — the crash scenario is "batch commit landed but
+    // the pending cleanup never ran", i.e. pending reappears verbatim
+    org.apache.hadoop.fs.FileUtil.copy(fs, pending, fs, backup, false, conf)
+    svc.optimize("c")
+    def batches() =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/c/gen=0/batch=*")).length
+    assert(batches() === 1)
+    org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, pending, false, conf)
+    svc.optimize("c")
+    assert(batches() === 1, "replayed pending must not become a duplicate batch")
+    assert(!fs.exists(pending), "replay OPTIMIZE must still clear pending/")
+    val res = svc.search("c", randVectors(3, 8, seed = 10).toDF("qid", "qvec"), limit = 20)
+    assert(res.groupBy("qid", "nid").count().filter($"count" > 1).count() === 0,
+      "no id may be served twice")
+    // genuinely NEW writes still flush as a new batch
+    svc.write("c", randVectors(100, 8, seed = 12, idFrom = 500).toDF("id", "vec"))
+    svc.optimize("c")
+    assert(batches() === 2)
+  }
+
+  test("OPTIMIZE is single-writer: a live lock rejects a second run, a stale one is broken") {
+    val root = java.nio.file.Files.createTempDirectory("graft_svc_lock").toString
+    val svc = new VectorService(spark, root)
+    svc.create("l", metric = "COSINE", maxDegree = 8, beamWidth = 32)
+    svc.write("l", randVectors(100, 8, seed = 11).toDF("id", "vec"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(s"$root/l/_optimize_lock")
+    val out = fs.create(lock, false)
+    out.write(System.currentTimeMillis().toString.getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException](svc.optimize("l"))
+    // a crashed writer's stale lease is broken and OPTIMIZE proceeds
+    fs.delete(lock, false)
+    val out2 = fs.create(lock, false)
+    out2.write("1000".getBytes("UTF-8")); out2.close() // ancient timestamp
+    svc.optimize("l")
+    assert(!fs.exists(lock), "lock must be released after OPTIMIZE")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/l/gen=0/batch=*")).length === 1)
+  }
+
   test("bulkLoad ingests fvecs through the V2 source") {
     val root = java.nio.file.Files.createTempDirectory("graft_svc2").toString
     val tmp = java.nio.file.Files.createTempDirectory("svc_fvecs").toString
