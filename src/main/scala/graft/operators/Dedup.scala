@@ -161,26 +161,36 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Connected components over a near-dup pair list (HashMin label
-    * propagation): every node's label converges to the minimum id reachable
-    * from it, so `group_id` = canonical representative of the duplicate
-    * cluster. This is the step that turns pairwise candidates (minhash /
-    * ngram / embedding pairs) into keep/drop decisions — pairs alone can't
-    * dedup a transitive cluster {a~b, b~c} correctly.
+  /** Rounds the last [[duplicateGroups]] call took to converge (dev/bench
+    * instrumentation only — not part of the operator contract). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Connected components over a near-dup pair list via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): every node ends up with a direct
+    * edge to its component's minimum id, so `group_id` = canonical
+    * representative of the duplicate cluster. This is the step that turns
+    * pairwise candidates (minhash / ngram / embedding pairs) into keep/drop
+    * decisions — pairs alone can't dedup a transitive cluster {a~b, b~c}
+    * correctly.
     *
-    * Scale design: per iteration ONE shuffle (edge-label join + min-agg);
-    * iteration count = cluster diameter, which for near-dup clusters is
-    * small (near-duplicates of a common ancestor are near each other).
-    * Labels only ever decrease, so convergence is detected by a cheap
-    * scalar checksum (sum of labels strictly decreases until fixpoint) —
-    * no extra join. Only EDGE-CONNECTED nodes iterate (per-round state is
-    * O(duplicate-cluster members), not O(corpus)); singletons join back in
-    * one pass at the end. Lineage is truncated every iteration with an eager
-    * localCheckpoint, otherwise the iterated plan grows unboundedly (on a
-    * cluster with an HDFS checkpoint dir, `Dataset.checkpoint` is the
-    * durable equivalent). For graphs with giant diameters the
-    * large-star/small-star variant halves rounds; near-dup workloads don't
-    * need it.
+    *   - large-star: every node hangs its LARGER neighbors off the minimum
+    *     of its neighborhood — long chains fold toward their minimum in
+    *     O(log diameter) alternations (HashMin label propagation, the
+    *     previous implementation, needs a full `diameter` rounds).
+    *   - small-star: canonically-oriented edges re-star smaller neighbors
+    *     onto the neighborhood minimum, keeping the edge set from growing.
+    *
+    * Scale design: per round TWO shuffles (one groupBy per star op) over
+    * O(edges) state — state stays O(duplicate-cluster members), never
+    * O(corpus), and per-node work is bounded by cluster membership exactly
+    * like the hub-capped LSH candidates feeding it. Convergence is an edge
+    * multiset (count, hash-sum) signature whose evaluation IS the action
+    * that materializes each round's lazy checkpoint — the checksum rides
+    * the update job instead of scheduling a second one. Lineage is
+    * truncated every round (localCheckpoint; on a cluster with an HDFS
+    * checkpoint dir, `Dataset.checkpoint` is the durable equivalent).
+    * Singletons join back in one pass at the end.
     *
     * Output: (id, group_id, group_size, is_canonical) for EVERY id in
     * `nodes` — singletons keep group_id = id, size 1. */
@@ -193,40 +203,65 @@ object Dedup {
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ids = nodes.select(col(idCol).cast("long").as("id"))
-    val edges = pairs
-      .select(col(id1Col).cast("long").as("src"), col(id2Col).cast("long").as("dst"))
-      .union(pairs.select(col(id2Col).cast("long").as("src"), col(id1Col).cast("long").as("dst")))
+    // canonical (larger -> smaller) undirected edges, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(id1Col).cast("long"), col(id2Col).cast("long")).as("src"),
+        least(col(id1Col).cast("long"), col(id2Col).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint(true)
 
-    // iterate ONLY over edge-connected nodes: after dedup candidate
-    // generation the connected set is a tiny fraction of the corpus, and an
-    // isolated node's label can never change — keeping the full corpus in
-    // the loop would checkpoint + checksum O(corpus) rows EVERY round
-    // instead of O(connected). Singletons are folded back in one left join
-    // after the fixpoint.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
-    def sumOf(df: DataFrame): Long = {
-      val r = df.agg(sum("label")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty edge set -> no loop work
+    // large-star: from BOTH endpoints' perspective, connect each strictly
+    // larger neighbor to the neighborhood minimum. small-star: from the
+    // larger endpoint's perspective only, connect every smaller member
+    // (and itself) except the minimum to the minimum.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym =
+        if (large) e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        else e // already (larger -> smaller) oriented
+      val grouped = sym.groupBy(col("src").as("u"))
+        .agg(collect_set(col("dst")).as("nbrs"))
+        .select(col("u"), col("nbrs"),
+          least(array_min(col("nbrs")), col("u")).as("m"))
+      val emitted =
+        if (large)
+          grouped.select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+            .filter(col("v") > col("u"))
+            .select(col("v").as("src"), col("m").as("dst"))
+        else
+          grouped.select(col("m"),
+              explode(array_union(col("nbrs"), array(col("u")))).as("v"))
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("src"), col("m").as("dst"))
+      emitted.distinct()
     }
-    var checksum = sumOf(labels)
-    var converged = labels.isEmpty
+
+    // edge multiset signature: (count, sum of per-edge hashes) — equal
+    // signatures across a round mean the star fixpoint is reached. The sum
+    // runs in decimal: ANSI mode makes a long sum of 2^63-range hashes an
+    // overflow error, not a wrap.
+    def sig(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(28,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var checksum = sig(edges)
+    var converged = checksum._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
-      // min label among each node's neighbors, folded into its own label
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val nextSum = sumOf(next)
-      converged = nextSum == checksum
-      checksum = nextSum
-      labels = next
+      // lazy checkpoint: sig()'s aggregate is the materializing action, so
+      // each round runs ONE job carrying both the update and the checksum
+      val next = star(star(edges, large = true), large = false).localCheckpoint(false)
+      val s = sig(next)
+      converged = s == checksum
+      checksum = s
+      edges = next
       it += 1
     }
+    lastCcRounds = it
+    // fixpoint edge set is a star per component: (member -> component min)
+    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
     val all = ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     val w = Window.partitionBy("label")

@@ -28,16 +28,21 @@ class DedupGroupsSpec extends SparkSpec {
     assert(got === Array((5L, 5L, 1L, true), (6L, 6L, 1L, true)))
   }
 
-  test("duplicateGroups: long chain converges past a handful of iterations") {
+  test("duplicateGroups: long chain converges in O(log diameter) star rounds") {
     import spark.implicits._
-    // a 40-node path graph: diameter 39 forces many HashMin rounds
-    val n = 40
+    // a 256-node path graph: diameter 255 would need 255 HashMin rounds
+    // (more than maxIters=50 allows); alternating large/small-star folds it
+    // in ~log2(n) alternations
+    val n = 256
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id1", "id2")
     val got = Dedup.duplicateGroups(nodes, "id", pairs).collect()
     assert(got.length === n)
     assert(got.forall(_.getLong(1) === 0L))
     assert(got.forall(_.getLong(2) === n.toLong))
+    assert(Dedup.lastCcRounds <= 14,
+      s"star contraction took ${Dedup.lastCcRounds} rounds on a 255-diameter chain " +
+        "(HashMin would take 255)")
   }
 
   test("bm25: exact-match doc outranks partial matches; ranks are dense") {
