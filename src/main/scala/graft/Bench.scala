@@ -103,6 +103,31 @@ object Bench {
     val annQpsPinned = qps {
       Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params).count()
     }
+    // distributed per-query latency on the pinned serving route (the
+    // reference's LatencyBenchmark reports AVG + high percentile): each
+    // sample is a SINGLE-query batch, so it pays the full per-batch
+    // scheduling cost the serving path pays — no batch amortization. The
+    // kernel latency below isolates the engine; this number is the
+    // end-to-end Spark-job latency a pinned serving deployment sees.
+    val singleQs = queries.collect().map { r =>
+      val qid = r.getLong(r.fieldIndex("qid"))
+      val qv = r.getSeq[Float](r.fieldIndex("qvec"))
+      spark.createDataFrame(Seq((qid, qv))).toDF("qid", "qvec")
+    }
+    // warm EVERY single-query plan: each tiny DF is a distinct plan whose
+    // first run pays analysis/codegen — that's session setup, not serving
+    // latency, and must not pollute the percentile samples
+    singleQs.foreach(q =>
+      Ann.searchIndex(spark, idxPath, q, topK, ef = 64, params).count())
+    // 4 passes x nq samples: with ~200 samples the p99 tolerates a couple
+    // of GC-pause outliers instead of degenerating into the max
+    val pinnedLatMs = (1 to 4).flatMap(_ => singleQs.map(q =>
+      time(Ann.searchIndex(spark, idxPath, q, topK, ef = 64, params).count())._2 * 1e3)).sorted
+    val annLatAvgMs = pinnedLatMs.sum / pinnedLatMs.length
+    val annLatP99Ms = pinnedLatMs((pinnedLatMs.length * 99 / 100).min(pinnedLatMs.length - 1))
+    // distribution detail on stderr (driver parses stdout only)
+    System.err.println("pinned-lat-ms deciles: " +
+      (0 to 10).map(d => f"${pinnedLatMs(((pinnedLatMs.length - 1) * d / 10))}%.1f").mkString(" "))
     Ann.unpin(idxPath)
 
     val ann = Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params)
@@ -215,8 +240,12 @@ object Bench {
         s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
+        // pinned-route p99 survives compaction (reference LatencyBenchmark's
+        // headline number); the avg + kernel latencies are full-mode detail
+        s""""ann_lat_p99_ms":${num(annLatP99Ms, 1)},""" +
         (if (compact) ""
-         else s""""kernel_lat_avg_us":${num(kernelLatAvgUs, 1)},""" +
+         else s""""ann_lat_avg_ms":${num(annLatAvgMs, 1)},""" +
+           s""""kernel_lat_avg_us":${num(kernelLatAvgUs, 1)},""" +
            s""""kernel_lat_p99_us":${num(kernelLatP99Us, 1)},""") +
         sweepKept.map { case (tag, q, rec) =>
           s""""${tag}_qps":${num(q, 1)},"${tag}_recall":${num(rec, 3)},"""
