@@ -78,6 +78,20 @@ object Ann {
     def clear(): Unit = m.clear()
   }
 
+  /** Task-visible query batch: small batches ride the task closure
+    * directly — a per-call broadcast costs block-manager writes plus
+    * ContextCleaner churn, which is measurable per-query latency on the
+    * single-query pinned serving path — while large batches broadcast
+    * once. Exposes `.value` like a Broadcast. */
+  private final class QueryCarrier(spark: SparkSession, qArr: Array[(Long, Array[Float])])
+      extends Serializable {
+    private val inline: Array[(Long, Array[Float])] =
+      if (qArr.length <= 64) qArr else null
+    private val bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] =
+      if (inline == null) spark.sparkContext.broadcast(qArr) else null
+    def value: Array[(Long, Array[Float])] = if (inline != null) inline else bc.value
+  }
+
   /** Driver-side segment-count memo per index path (one pushed-down scan of
     * the centroid rows otherwise runs per search call). Streaming appends
     * must invalidate via [[invalidateSegmentCounts]] or the chunk fan-out
@@ -339,7 +353,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
 
     val visitedAcc = spark.sparkContext.longAccumulator("ann.visited")
     val scannedAcc = spark.sparkContext.longAccumulator("ann.segment.rows")
@@ -556,7 +570,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
 
@@ -845,7 +859,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
     val p = params
     val pagesB = pages.toArray
     val perSegment = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
@@ -942,7 +956,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
     // warm-serving: a pinned index is already materialized in executor
@@ -1021,6 +1035,184 @@ object Ann {
     mergePaged(perSegment, pages)
   }
 
+  /** Cross-invocation pagination session (T6 beyond the reference's
+    * in-process `GraphSearcher.resume`): the per-(query, segment) beam
+    * cursors are PERSISTED under `statePath`, so pagination continues from
+    * a new driver/JVM without re-searching earlier pages. Open with
+    * [[openPagedSession]] (returns page 1), continue with
+    * [[nextSessionPage]]; each call returns (qid, rank, nid, score) for
+    * its page, pages are globally ordered and disjoint, and match the
+    * batch route ([[searchIndexPaged]], exact path) page for page.
+    *
+    * Layout under statePath: `cursors/` (qid, seg, qvec + exported beam
+    * state) and `pool/` (produced-but-not-yet-emitted candidates). State
+    * cost is O(segment rows / 8) bytes per (query, segment) — bitsets —
+    * so sessions are a bounded-lifetime serving feature; writes go to a
+    * temp dir and swap in atomically per page. Exact traversal. */
+  def openPagedSession(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      queries: DataFrame,
+      k: Int,
+      ef: Int,
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/cursors")),
+      s"session already open at $statePath — use nextSessionPage")
+    sessionPage(spark, path, statePath, Some(queries), k, ef, params, deletes)
+  }
+
+  /** Next page of a persisted session (see [[openPagedSession]]). */
+  def nextSessionPage(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      k: Int,
+      ef: Int,
+      params: Params = Params(),
+      deletes: Option[DataFrame] = None): DataFrame =
+    sessionPage(spark, path, statePath, None, k, ef, params, deletes)
+
+  private def sessionPage(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      queriesOpt: Option[DataFrame],
+      k: Int,
+      ef: Int,
+      params: Params,
+      deletes: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val p = params
+    val tok = buildToken(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    val qB = queriesOpt.map { q =>
+      spark.sparkContext.broadcast(q
+        .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    }
+
+    val raw = pinnedIndexes.get(pinKey(path)).getOrElse(readIndex(spark, path))
+    val withLive = deletes match {
+      case Some(d) =>
+        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+          raw("node_id") === col("__del"), "left")
+          .withColumn("__live", col("__del").isNull).drop("__del")
+      case None => raw.withColumn("__live", lit(true))
+    }
+    // index rows and cursor rows tagged into ONE dataset so each segment
+    // task sees its graph rows AND its queries' cursors after one
+    // repartition — no driver-side collect of the (large) cursor blobs
+    val idxTagged = withLive
+      .select(col("seg"), lit(0).as("kind"), col("local_id").cast("int"),
+        col("node_id").cast("long"), col("vec").cast("array<float>"),
+        col("neighbors").cast("array<int>"), col("is_entry"), col("__live"),
+        lit(0L).as("qid"), lit(null).cast("array<float>").as("qvec"),
+        lit(null).cast("binary").as("visited"), lit(null).cast("binary").as("returned"),
+        lit(null).cast("array<bigint>").as("frontier"),
+        lit(null).cast("array<bigint>").as("evicted"), lit(0.0).as("score"))
+    val combinedIn = queriesOpt match {
+      case Some(_) => idxTagged // create: queries ride the broadcast
+      case None =>
+        idxTagged.unionByName(spark.read.parquet(s"$statePath/cursors")
+          .select(col("seg"), lit(1).as("kind"), lit(0).as("local_id"),
+            lit(0L).as("node_id"), lit(null).cast("array<float>").as("vec"),
+            lit(null).cast("array<int>").as("neighbors"), lit(false).as("is_entry"),
+            lit(false).as("__live"), col("qid"), col("qvec"), col("visited"),
+            col("returned"), col("frontier"), col("evicted"), lit(0.0).as("score")))
+    }
+    val out = combinedIn.repartition(col("seg"))
+      .as[(String, Int, Int, Long, Array[Float], Array[Int], Boolean, Boolean,
+        Long, Array[Float], Array[Byte], Array[Byte], Array[Long], Array[Long], Double)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
+          val idx = rows.filter(_._2 == 0)
+          if (idx.isEmpty) Iterator.empty
+          else {
+            val sorted = idx.sortBy(_._3)
+            val live = sorted.map(_._8)
+            // session assembly carries no codes/hierarchy columns; cache
+            // under a distinct key so it can't alias the full assemblies
+            val entry = SegmentCache.getOrCompute(
+              s"session|${segmentCacheKey(path, tok, segId, p)}", {
+                val g0 = new Vamana(sorted.map(_._5), p.metric, p.maxDegree,
+                  p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+                sorted.foreach { r =>
+                  g0.neighbors(r._3) ++= r._6
+                  if (r._7) g0.entryNode = r._3
+                }
+                SegmentCache.Entry(sorted.map(_._4), g0, null)
+              })
+            val g = entry.graph
+            val ids = entry.ids
+            val work: Array[(Long, Array[Float], Vamana.SearchState, Array[(Int, Double)])] =
+              qB match {
+                case Some(b) => b.value.map { case (qid, qv) =>
+                  val (first, st) = g.searchResumable(qv, k, ef, i => live(i))
+                  (qid, qv, st, first)
+                }
+                case None => rows.filter(_._2 == 1).map { c =>
+                  val st = g.importCursor(c._10, i => live(i), c._11, c._12, c._13, c._14)
+                  (c._9, c._10, st, g.resume(st, k, ef))
+                }
+              }
+            work.iterator.flatMap { case (qid, qv, st, found) =>
+              val (vis, ret, fr, ev) = g.exportCursor(st)
+              val cursorRow = (segId, 1, 0, 0L, null: Array[Float], null: Array[Int],
+                false, false, qid, qv, vis, ret, fr, ev, 0.0)
+              val resultRows = found.iterator.map { case (l, s) =>
+                (segId, 0, 0, ids(l), null: Array[Float], null: Array[Int],
+                  false, false, qid, null: Array[Float], null: Array[Byte],
+                  null: Array[Byte], null: Array[Long], null: Array[Long], s)
+              }
+              Iterator.single(cursorRow) ++ resultRows
+            }
+          }
+        }
+      }
+      .toDF("seg", "kind", "local_id", "node_id", "vec", "neighbors", "is_entry",
+        "__live", "qid", "qvec", "visited", "returned", "frontier", "evicted", "score")
+      .localCheckpoint(true) // materialize BEFORE touching the old state dirs
+
+    val producedScored = out.filter(col("kind") === 0)
+      .select(col("qid"), col("node_id").as("nid"), col("score"))
+    val poolPath = new org.apache.hadoop.fs.Path(s"$statePath/pool")
+    val poolDf =
+      if (fs.exists(poolPath)) spark.read.parquet(poolPath.toString)
+      else spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "score")
+    val candidates = producedScored.unionByName(poolDf).localCheckpoint(true)
+
+    val agg = TopK.udf(k)
+    val page = candidates.groupBy("qid")
+      .agg(agg(col("nid"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+      .localCheckpoint(true)
+    val newPool = candidates.join(page.select(col("qid"), col("nid")),
+      Seq("qid", "nid"), "left_anti").localCheckpoint(true)
+
+    // atomic-ish state swap: new dirs land fully, then replace the old
+    def swap(df: DataFrame, name: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$statePath/${name}_tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$statePath/$name")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(s"session state swap failed for $name")
+    }
+    swap(out.filter(col("kind") === 1)
+      .select(col("qid"), col("seg"), col("qvec"), col("visited"),
+        col("returned"), col("frontier"), col("evicted")), "cursors")
+    swap(newPool, "pool")
+    page
+  }
+
   /** Transposed neighbor-code blocks for fused-ADC traversal (Q7, jvector
     * `FusedPQ.java:48-60`): block(u)[s * deg(u) + j] = code of u's j-th
     * neighbor in subspace s. Built once per cached segment assembly.
@@ -1079,7 +1271,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
     // warm-serving via pin, exactly like the paged/top-k routes
@@ -1212,7 +1404,7 @@ object Ann {
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qArr)
+    val qB = new QueryCarrier(spark, qArr)
     val p = params
     segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]

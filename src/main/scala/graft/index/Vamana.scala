@@ -593,6 +593,29 @@ final class Vamana(
   def resume(state: Vamana.SearchState, additionalK: Int, ef: Int = 0): Array[(Int, Double)] =
     advance(state, additionalK, math.max(if (ef <= 0) additionalK * 4 else ef, additionalK))
 
+  /** Serialize a resumable cursor for CROSS-INVOCATION pagination (T6
+    * beyond the reference's in-process resume): everything [[resume]]
+    * needs except the scorer/accept closures, which [[importCursor]]
+    * recreates from the query vector and live-filter. Cost note: the two
+    * bitsets are O(n bits) per (query, segment) — persisted sessions pay
+    * that storage, which is why they're a session feature, not the default
+    * batch-paging path. */
+  def exportCursor(st: Vamana.SearchState): (Array[Byte], Array[Byte], Array[Long], Array[Long]) =
+    (st.visited.toByteArray, st.returned.toByteArray, st.frontier.toArray, st.evicted.toArray)
+
+  /** Rebuild a [[resume]]-able cursor from [[exportCursor]] blobs against
+    * THIS graph (must be the same persisted segment the cursor was
+    * exported from — same rows, same local-id order). */
+  def importCursor(q: Array[Float], accept: Int => Boolean,
+      visited: Array[Byte], returned: Array[Byte],
+      frontier: Array[Long], evicted: Array[Long]): Vamana.SearchState = {
+    val f = new LongHeap(math.max(64, frontier.length + 1), min = false)
+    frontier.foreach(f.push)
+    new Vamana.SearchState(queryScorer(q), accept,
+      java.util.BitSet.valueOf(visited), f,
+      mutable.ArrayBuffer.from(evicted), java.util.BitSet.valueOf(returned))
+  }
+
   /** Run the shared beam loop until `ef` results are held and the frontier
     * can no longer improve them; return the best `k`, stash the rest in the
     * evicted pool, mark returned. */

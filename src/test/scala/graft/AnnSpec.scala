@@ -333,6 +333,39 @@ class AnnSpec extends SparkSpec {
       s"compressed threshold recall ${hits.toDouble / nExact} < 0.9")
   }
 
+  test("persisted pagination session: cross-invocation pages match the batch route exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("annsess").toString
+    val base = randVectors(6000, 16, seed = 61).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(15, 16, seed = 62).toDF("qid", "qvec")
+    val k = 10
+    val statePath = s"$tmp/session"
+    val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params).cache()
+    // simulate a fresh process between pages: all executor caches dropped,
+    // only the persisted state survives
+    Ann.clearSegmentCache()
+    val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params).cache()
+    Ann.clearSegmentCache()
+    val p3 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params).cache()
+    val union = p1.union(p2).union(p3)
+    assert(union.count() === 15L * 30, "3 full pages per query")
+    assert(union.select("qid", "nid").distinct().count() === 15L * 30, "pages disjoint")
+    // page-for-page identical to the single-invocation batch route
+    val batch = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, pages = Seq(k, k, k),
+      ef = 64, params)
+    val sessTagged = p1.withColumn("page", lit(1))
+      .union(p2.withColumn("page", lit(2))).union(p3.withColumn("page", lit(3)))
+      .select("qid", "page", "rank", "nid")
+    val diff = sessTagged.except(batch.select("qid", "page", "rank", "nid")).count() +
+      batch.select("qid", "page", "rank", "nid").except(sessTagged).count()
+    assert(diff === 0L, "session pages must equal the batch route's pages")
+    // a second session cannot clobber an open one
+    intercept[IllegalArgumentException](
+      Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params))
+  }
+
   test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
     val tmp = java.nio.file.Files.createTempDirectory("annmb").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
