@@ -268,13 +268,28 @@ object AnnQueries {
     val nIdx = resIdx.count()
     val nIdxDistinct = resIdx.select("qid", "nid").distinct().count()
     val recIdx = recallOf(resIdx, exact2k, 2 * k)
+    // persisted pagination session (r6): cursors + pool survive on disk;
+    // two session pages must equal the batch route's pages exactly. The
+    // exact-path tree (pq=false) is the session's supported traversal.
+    val idxEx = persistedIndex(s, dir, pq = false)
+    val statePath = java.nio.file.Files.createTempDirectory("graft_gate_sess").toString + "/s"
+    val sp1 = Ann.openPagedSession(s, idxEx, statePath, queries0(s, dir), k, ef = 64, annParams)
+      .withColumn("page", lit(1))
+    val sp2 = Ann.nextSessionPage(s, idxEx, statePath, k, ef = 64, annParams)
+      .withColumn("page", lit(2))
+    val sess = sp1.union(sp2).select("qid", "page", "rank", "nid")
+    val batchPages = Ann.searchIndexPaged(s, idxEx, queries0(s, dir), pages = Seq(k, k),
+      ef = 64, annParams).select("qid", "page", "rank", "nid")
+    val sessDiff = sess.except(batchPages).count() + batchPages.except(sess).count()
+
     Gates.df(s, Seq(
       ("paged_rows_complete", (nQueries * 2 * k).toDouble, n == nQueries.toLong * 2 * k),
       ("paged_pages_disjoint", 0.0, nDistinct == n),
       ("paged_union_recall@20_ge_0.9", 0.9, rec >= 0.9),
       ("paged_idx_adc_rows_complete", (nQueries * 2 * k).toDouble, nIdx == nQueries.toLong * 2 * k),
       ("paged_idx_adc_pages_disjoint", 0.0, nIdxDistinct == nIdx),
-      ("paged_idx_adc_union_recall@20_ge_0.9", 0.9, recIdx >= 0.9)))
+      ("paged_idx_adc_union_recall@20_ge_0.9", 0.9, recIdx >= 0.9),
+      ("paged_session_matches_batch", 0.0, sessDiff == 0L)))
   }
 
   private val annPagedSql: String = Gates.sql(Seq(
@@ -283,7 +298,8 @@ object AnnQueries {
     ("paged_union_recall@20_ge_0.9", 0.9),
     ("paged_idx_adc_rows_complete", (5 * 2 * 10).toDouble),
     ("paged_idx_adc_pages_disjoint", 0.0),
-    ("paged_idx_adc_union_recall@20_ge_0.9", 0.9)))
+    ("paged_idx_adc_union_recall@20_ge_0.9", 0.9),
+    ("paged_session_matches_batch", 0.0)))
 
   /** Dense-ordinal remap (S5 RemappedRAVV semantics) — oracle-able. */
   private def denseIds(s: SparkSession, dir: String): DataFrame =
