@@ -1119,7 +1119,19 @@ object Ann {
     val combinedIn = queriesOpt match {
       case Some(_) => idxTagged // create: queries ride the broadcast
       case None =>
-        idxTagged.unionByName(spark.read.parquet(s"$statePath/cursors")
+        val cursorsPath = new org.apache.hadoop.fs.Path(s"$statePath/cursors")
+        require(fs.exists(cursorsPath),
+          s"no open session at $statePath — call openPagedSession first")
+        val cursors = spark.read.parquet(cursorsPath.toString)
+        // cursors index LOCAL ids of the segment assembly they were
+        // exported from; a rebuild/repair/compact under the session would
+        // silently remap those ids to different rows — fail loudly instead
+        val cursorToks = cursors.select("tok").distinct().collect().map(_.getString(0))
+        require(cursorToks.forall(_ == tok),
+          s"index at $path changed since this session opened " +
+            s"(build token ${cursorToks.mkString(",")} != $tok) — " +
+            "persisted cursors cannot survive a rebuild; open a new session")
+        idxTagged.unionByName(cursors
           .select(col("seg"), lit(1).as("kind"), lit(0).as("local_id"),
             lit(0L).as("node_id"), lit(null).cast("array<float>").as("vec"),
             lit(null).cast("array<int>").as("neighbors"), lit(false).as("is_entry"),
@@ -1208,7 +1220,7 @@ object Ann {
     }
     swap(out.filter(col("kind") === 1)
       .select(col("qid"), col("seg"), col("qvec"), col("visited"),
-        col("returned"), col("frontier"), col("evicted")), "cursors")
+        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok")), "cursors")
     swap(newPool, "pool")
     page
   }

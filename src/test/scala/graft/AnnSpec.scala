@@ -364,6 +364,12 @@ class AnnSpec extends SparkSpec {
     // a second session cannot clobber an open one
     intercept[IllegalArgumentException](
       Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params))
+    // a rebuild under the session invalidates its cursors LOUDLY (local
+    // ids would silently remap otherwise)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val e = intercept[IllegalArgumentException](
+      Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params))
+    assert(e.getMessage.contains("cannot survive a rebuild"))
   }
 
   test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
