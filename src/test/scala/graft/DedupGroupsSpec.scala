@@ -45,6 +45,33 @@ class DedupGroupsSpec extends SparkSpec {
         "(HashMin would take 255)")
   }
 
+  test("duplicateGroups matches a reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      val n = 30 + rnd.nextInt(120)
+      val nEdges = rnd.nextInt(3 * n)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference union-find with min-root merging: component root = min id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want: Map[Long, Long] =
+        (0 until n).map(x => x.toLong -> find(x).toLong).toMap
+      val got = Dedup.duplicateGroups((0 until n).map(_.toLong).toDF("id"), "id",
+        edges.toDF("id1", "id2")).select("id", "group_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial n=$n edges=$nEdges")
+    }
+  }
+
   test("bm25: exact-match doc outranks partial matches; ranks are dense") {
     import spark.implicits._
     val docs = Seq(
