@@ -631,23 +631,7 @@ object Ann {
     // nothing is replicated. (jvector parallelizes queries across threads
     // over one shared index — "one searcher per thread", DiskIntro.java —
     // this is the same shape with tasks as threads.)
-    val chunks: Int = {
-      // replication + extra tasks only pay off when each chunk still gets a
-      // substantial query slice — small batches stay single-task per segment
-      val byQueries = qArr.length / 64
-      if (byQueries <= 1) 1
-      else {
-        val cores = spark.sparkContext.defaultParallelism
-        // with routing active, only the PROBED segments produce tasks — size
-        // the fan-out from those, not the whole index
-        val nSegs = segQueriesB match {
-          case Some(b) => math.max(1, b.value.size)
-          case None => SegCountCache.getOrCompute(s"$path|$tok",
-            math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
-        }
-        math.min(16, math.max(1, math.min(cores / nSegs, byQueries)))
-      }
-    }
+    val chunks: Int = chunkFanout(spark, raw, path, tok, qArr.length, segQueriesB)
     val fanned =
       if (chunks <= 1) withUpper.withColumn("__chunk", lit(0))
       else withUpper.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
@@ -885,6 +869,36 @@ object Ann {
     mergePaged(perSegment, pages)
   }
 
+  /** Query-chunk fan-out sizing shared by the index search routes: when
+    * the probed segment count is below the core count AND the query batch
+    * is large, replicate each segment's rows across up to cores/nSegs
+    * chunk-tasks, each searching a modulo-slice of the queries — the warm
+    * SegmentCache assembles each graph once per executor regardless, and
+    * at scale (segments >= cores) this is 1 and nothing is replicated.
+    * Small batches stay single-task per segment: replication + extra
+    * tasks only pay off when each chunk still gets a substantial slice. */
+  private def chunkFanout(
+      spark: SparkSession,
+      raw: DataFrame,
+      path: String,
+      tok: String,
+      nQueries: Int,
+      segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]]): Int = {
+    val byQueries = nQueries / 64
+    if (byQueries <= 1) 1
+    else {
+      val cores = spark.sparkContext.defaultParallelism
+      // with routing active, only the PROBED segments produce tasks — size
+      // the fan-out from those, not the whole index
+      val nSegs = segQueriesB match {
+        case Some(b) => math.max(1, b.value.size)
+        case None => SegCountCache.getOrCompute(s"$path|$tok",
+          math.max(1, raw.filter(col("local_id") === 0).select("seg").distinct().count().toInt))
+      }
+      math.min(16, math.max(1, math.min(cores / nSegs, byQueries)))
+    }
+  }
+
   /** Shared projection for persisted-segment assembly: every index search
     * route reads the same nine columns so their assemblies (and warm
     * [[SegmentCache]] entries) are interchangeable. `pq_code` and
@@ -980,25 +994,36 @@ object Ann {
       case None => withLive
     }
     val pagesB = pages.toArray
-    val selectedPg = segmentSelect(pruned)
+    // same query-chunk fan-out as the top-k route: queries parallelize
+    // across chunk-tasks when probed segments < cores
+    val chunks: Int = chunkFanout(spark, raw, path, tok, qArr.length, segQueriesB)
+    val selectedPg = {
+      val base9 = segmentSelect(pruned)
+      if (chunks <= 1) base9.withColumn("__chunk", lit(0))
+      else base9.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
+    }
     // segment completeness per task is a CORRECTNESS requirement (each task
     // assembles whole graphs); the pin's seg partitioning already provides
     // it and everything since is narrow, so skip the shuffle when pinned
-    val perSegment = (if (pinnedOpt.isDefined) selectedPg
-                      else selectedPg.repartition(col("seg")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])]
+    val perSegment = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
+                      else selectedPg.repartition(col("seg"), col("__chunk")))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
-          val routed: Array[Int] = segQueriesB match {
+        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
+          val allRouted: Array[Int] = segQueriesB match {
             case Some(b) => b.value.getOrElse(segId, Array.empty)
             case None => qB.value.indices.toArray
           }
+          val routed: Array[Int] =
+            if (chunks <= 1) allRouted else allRouted.filter(_ % chunks == chunk)
           if (routed.isEmpty) Iterator.empty
           else {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
             val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, tok, segId, p), assembleSegment(sorted, p))
+              segmentCacheKey(path, tok, segId, p),
+              assembleSegment(sorted.map(t =>
+                (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
@@ -1304,21 +1329,32 @@ object Ann {
       case Some(_) => withLive.filter(lit(false))
       case None => withLive
     }
-    val selectedTh = segmentSelect(pruned)
-    (if (pinnedOpt.isDefined) selectedTh else selectedTh.repartition(col("seg")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])]
+    // same query-chunk fan-out as the top-k route
+    val chunks: Int = chunkFanout(spark, raw, path, tok, qArr.length, segQueriesB)
+    val selectedTh = {
+      val base9 = segmentSelect(pruned)
+      if (chunks <= 1) base9.withColumn("__chunk", lit(0))
+      else base9.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
+    }
+    (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
+     else selectedTh.repartition(col("seg"), col("__chunk")))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
-          val routed: Array[Int] = segQueriesB match {
+        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
+          val allRouted: Array[Int] = segQueriesB match {
             case Some(b) => b.value.getOrElse(segId, Array.empty)
             case None => qB.value.indices.toArray
           }
+          val routed: Array[Int] =
+            if (chunks <= 1) allRouted else allRouted.filter(_ % chunks == chunk)
           if (routed.isEmpty) Iterator.empty
           else {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
             val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, tok, segId, p), assembleSegment(sorted, p))
+              segmentCacheKey(path, tok, segId, p),
+              assembleSegment(sorted.map(t =>
+                (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null

@@ -333,6 +333,31 @@ class AnnSpec extends SparkSpec {
       s"compressed threshold recall ${hits.toDouble / nExact} < 0.9")
   }
 
+  test("paged + threshold routes fan out across chunk tasks with complete, correct results") {
+    val tmp = java.nio.file.Files.createTempDirectory("annfan2").toString
+    val base = randVectors(2000, 16, seed = 53).toDF("id", "vec")
+    val queries = randVectors(256, 16, seed = 54).toDF("qid", "qvec") // 256/64 -> multi-chunk
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    Ann.clearSegmentCache()
+    val paged = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, pages = Seq(10, 10),
+      ef = 64, params).cache()
+    assert(paged.count() === 256L * 20, "chunked pages complete for every query")
+    assert(paged.select("qid", "nid").distinct().count() === 256L * 20, "pages disjoint")
+    val want = KnnExact.knn(base, queries, 20, "COSINE")
+    assert(recallOf(paged, want) >= 0.9)
+    val t = 0.9
+    val thr = Ann.thresholdSearchIndex(spark, s"$tmp/idx", queries, t, 64, params).cache()
+    assert(thr.filter($"score" < t).count() === 0)
+    val exactThr = KnnExact.thresholdSearch(base, queries, t, "COSINE")
+    val nExact = exactThr.count()
+    assert(nExact > 0)
+    val hits = exactThr.select("qid", "nid")
+      .join(thr.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hits.toDouble / nExact >= 0.9,
+      s"chunked threshold recall ${hits.toDouble / nExact} < 0.9")
+  }
+
   test("persisted pagination session: cross-invocation pages match the batch route exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("annsess").toString
     val base = randVectors(6000, 16, seed = 61).toDF("id", "vec").repartition(3)
