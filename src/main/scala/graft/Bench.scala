@@ -193,8 +193,13 @@ object Bench {
     val qLocal = queries.select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .collect().map(r => r.getSeq[Float](1).toArray)
     val kt0 = System.nanoTime()
+    // threaded build: the reference's builder is concurrent by default
+    // (GraphIndexBuilder addGraphNode), so the in-process build-throughput
+    // comparison is threads-vs-threads; half the slots leaves headroom for
+    // GC + the JIT compiler on the shared JVM
     val kernelGraph = new graft.index.Vamana(localRows.map(_._2), "COSINE",
-      params.maxDegree, params.beamWidth, params.alpha, params.neighborOverflow).build()
+      params.maxDegree, params.beamWidth, params.alpha, params.neighborOverflow)
+      .build(math.max(1, cpus.toInt / 2))
     val kernelBuildVps = localRows.length / ((System.nanoTime() - kt0) / 1e9)
     def kernelRun(): Unit = {
       var i = 0

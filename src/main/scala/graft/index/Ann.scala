@@ -308,7 +308,15 @@ object Ann {
         * The reference couples frontier to rerankK = topK*overquery
         * (`GraphSearcher.java:397-402`); this floor enforces the same
         * scaling when callers pass small overquery at large k. */
-      adcFrontierPerK: Int = 4)
+      adcFrontierPerK: Int = 4,
+      /** Worker threads per segment build (Vamana's deterministic prefix-
+        * doubling parallel schedule; the reference's builder is likewise
+        * concurrent, `GraphIndexBuilder.java` addGraphNode). Default 1:
+        * Spark tasks get one core each and segments already build in
+        * parallel across tasks — raise it only in lockstep with
+        * `spark.task.cpus`, or for driver-side/pinned builds that own the
+        * whole machine. */
+      buildThreads: Int = 1)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -383,7 +391,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-              p.alpha, p.neighborOverflow, p.seed).build())
+              p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
           val vc = new Vamana.VisitCounter
           val out = qB.value.iterator.flatMap { case (qid, qv) =>
             g.search(qv, topK, ef, i => accept(i), vc)
@@ -453,7 +461,7 @@ object Ann {
           // graph + centroid are computed from the ORIGINAL vectors; in NVQ
           // mode only the stored payload is lossy, never the build
           val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build()
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads)
           // per-segment centroid for search-time routing (IVF over
           // segments) — stored ONLY on the local_id=0 row, so it costs one
           // vector per segment, not one per row
@@ -857,7 +865,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-              p.alpha, p.neighborOverflow, p.seed).build())
+              p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
           qB.value.iterator.flatMap { case (qid, qv) =>
             val (first, st) = g.searchResumable(qv, pagesB(0), ef)
             val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
@@ -1465,7 +1473,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree,
-              p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build())
+              p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
           qB.value.iterator.flatMap { case (qid, qv) =>
             g.thresholdSearch(qv, threshold, ef).iterator
               .map { case (l, s) => (qid, ids(l), s) }

@@ -685,18 +685,21 @@ final class Vamana(
   private val pruneSeen = new java.util.BitSet(math.max(1, n))
 
   private def robustPrune(p: Int, packed: Array[Long], deg: Int,
-      scoresOut: mutable.ArrayBuffer[Double] = null): mutable.ArrayBuffer[Int] = {
+      scoresOut: mutable.ArrayBuffer[Double] = null,
+      /** dedupe scratch — parallel build workers pass their own (the shared
+        * default is NOT thread-safe) */
+      seen: java.util.BitSet = pruneSeen): mutable.ArrayBuffer[Int] = {
     java.util.Arrays.sort(packed)
     val kept = new mutable.ArrayBuffer[Int](deg)
     val alive = Array.fill(packed.length)(true)
-    pruneSeen.clear()
+    seen.clear()
     var a = 1.0
     while (kept.size < deg && a <= alpha + 1e-9) {
       var i = packed.length - 1 // best score first; ties -> smaller id first
       while (i >= 0 && kept.size < deg) {
         if (alive(i)) {
           val c = LongHeap.id(packed(i))
-          if (c == p || pruneSeen.get(c)) alive(i) = false
+          if (c == p || seen.get(c)) alive(i) = false
           else {
             val sPC = LongHeap.score(packed(i)).toDouble
             var dominated = false
@@ -708,7 +711,7 @@ final class Vamana(
             if (!dominated) {
               kept += c
               if (scoresOut != null) scoresOut += sPC
-              pruneSeen.set(c)
+              seen.set(c)
               alive(i) = false
             }
           }
@@ -727,9 +730,60 @@ final class Vamana(
     out
   }
 
+  /** One incremental insert against the current graph: beam search, prune,
+    * set forward edges, backlink with overflow re-prune (the body of the
+    * sequential build loop, also the parallel build's seed phase). */
+  private def insertOne(node: Int, overflowDeg: Int,
+      nbrSims: Array[mutable.ArrayBuffer[Double]]): Unit = {
+    val found = searchInternal(vectors(node), beamWidth, _ => true)
+    val chosenScores = mutable.ArrayBuffer.empty[Double]
+    val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree, chosenScores)
+    neighbors(node) = chosen
+    nbrSims(node) = chosenScores
+    // reverse edges (backlink), prune on overflow
+    var ci = 0
+    while (ci < chosen.length) {
+      val nb = chosen(ci)
+      val lst = neighbors(nb)
+      if (!lst.contains(node)) {
+        lst += node
+        nbrSims(nb) += chosenScores(ci)
+        if (lst.length > overflowDeg) {
+          val sims = nbrSims(nb)
+          val packed = new Array[Long](lst.length)
+          var i2 = 0
+          while (i2 < lst.length) { packed(i2) = LongHeap.pack(sims(i2), lst(i2)); i2 += 1 }
+          val outScores = mutable.ArrayBuffer.empty[Double]
+          neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
+          nbrSims(nb) = outScores
+        }
+      }
+      ci += 1
+    }
+  }
+
   /** Batch build: seeded insertion order, beam-search-then-prune per node,
     * reverse edges with overflow, final degree enforcement + refine pass. */
-  def build(): this.type = {
+  def build(): this.type = build(1)
+
+  /** Build with `threads` worker threads (the reference's builder inserts
+    * concurrently, `GraphIndexBuilder.java` addGraphNode + its concurrent
+    * neighbor sets; our parallel schedule is the deterministic prefix-
+    * doubling batch variant). threads <= 1 runs the exact sequential path.
+    *
+    * Parallel schedule: a sequential seed prefix, then rounds that at most
+    * double the built prefix — within a round every pending node's beam
+    * search + self-prune runs against the FROZEN round-start graph on the
+    * pool (reads only), then forward edges + backlinks apply in insertion
+    * order on the caller thread, with overflowed backlink lists re-pruned
+    * in a final parallel sweep (each trim touches only its own node).
+    * Deterministic regardless of thread interleaving: searches see the same
+    * frozen graph, applies are ordered, trims are per-node independent.
+    *
+    * Intended for driver-side / pinned builds and `spark.task.cpus > 1`
+    * deployments; inside default Spark tasks (1 core) keep threads = 1 —
+    * segments already build in parallel across tasks. */
+  def build(threads: Int): this.type = {
     if (n == 0) return this
     // entry = node nearest to the centroid (medoid approximation)
     val dim = vectors(0).length
@@ -757,50 +811,148 @@ final class Vamana(
     // overflow re-prunes then need zero fresh similarity evaluations to pack.
     val nbrSims: Array[mutable.ArrayBuffer[Double]] =
       Array.fill(n)(mutable.ArrayBuffer.empty[Double])
-    for (node <- order if node != entryNode) {
-      val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val chosenScores = mutable.ArrayBuffer.empty[Double]
-      val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree, chosenScores)
-      neighbors(node) = chosen
-      nbrSims(node) = chosenScores
-      // reverse edges (backlink), prune on overflow
-      var ci = 0
-      while (ci < chosen.length) {
-        val nb = chosen(ci)
-        val lst = neighbors(nb)
-        if (!lst.contains(node)) {
-          lst += node
-          nbrSims(nb) += chosenScores(ci)
-          if (lst.length > overflowDeg) {
-            val sims = nbrSims(nb)
-            val packed = new Array[Long](lst.length)
-            var i2 = 0
-            while (i2 < lst.length) { packed(i2) = LongHeap.pack(sims(i2), lst(i2)); i2 += 1 }
-            val outScores = mutable.ArrayBuffer.empty[Double]
-            neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
-            nbrSims(nb) = outScores
-          }
-        }
-        ci += 1
+    val nodes = order.filter(_ != entryNode).toArray
+    if (threads <= 1 || n < 4096) {
+      var oi = 0
+      while (oi < nodes.length) { insertOne(nodes(oi), overflowDeg, nbrSims); oi += 1 }
+      // refine pass (jvector refineFinalGraph / improveConnections); existing
+      // edges are re-packed from the cached sims, only the fresh beam results
+      // need scoring (which searchInternal already produced)
+      for (node <- 0 until n) {
+        val found = searchInternal(vectors(node), beamWidth, _ => true)
+        val lst = neighbors(node)
+        val sims = nbrSims(node)
+        val packed = new Array[Long](found.length + lst.length)
+        var i2 = 0
+        while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
+        var j2 = 0
+        while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
+        neighbors(node) = robustPrune(node, packed, maxDegree)
       }
-    }
-    // refine pass (jvector refineFinalGraph / improveConnections); existing
-    // edges are re-packed from the cached sims, only the fresh beam results
-    // need scoring (which searchInternal already produced)
-    for (node <- 0 until n) {
-      val found = searchInternal(vectors(node), beamWidth, _ => true)
-      val lst = neighbors(node)
-      val sims = nbrSims(node)
-      val packed = new Array[Long](found.length + lst.length)
-      var i2 = 0
-      while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
-      var j2 = 0
-      while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
-      neighbors(node) = robustPrune(node, packed, maxDegree)
-    }
+    } else buildParallel(nodes, overflowDeg, nbrSims, threads)
     buildHierarchy()
     visitedCount = 0 // build traffic doesn't count as search effort
     this
+  }
+
+  /** Submit `workers` copies of `body` and await them all; exceptions
+    * surface on the caller thread. */
+  private def runOnPool(pool: java.util.concurrent.ExecutorService, workers: Int)(
+      body: () => Unit): Unit = {
+    val futs = (0 until workers).map(_ => pool.submit(new Runnable {
+      def run(): Unit = body()
+    }))
+    futs.foreach(_.get())
+  }
+
+  /** Prefix-doubling parallel build (see [[build(threads:Int)*]] scaladoc for
+    * the schedule and the determinism argument). Worker phases only READ the
+    * graph (each worker has its own prune scratch; `visitedCount` bumps from
+    * concurrent searches are lost-update racy but the value is reset when
+    * build returns); all adjacency writes happen either on the caller thread
+    * in insertion order or in the per-node-independent trim/refine sweeps. */
+  private def buildParallel(nodes: Array[Int], overflowDeg: Int,
+      nbrSims: Array[mutable.ArrayBuffer[Double]], threads: Int): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      // seed prefix: sequential inserts so early beams have a graph to walk
+      var done = 0
+      val seedCount = math.min(1024, nodes.length)
+      while (done < seedCount) { insertOne(nodes(done), overflowDeg, nbrSims); done += 1 }
+      while (done < nodes.length) {
+        val batch = math.min(nodes.length - done, math.max(done, 1024))
+        val chosenArr = new Array[mutable.ArrayBuffer[Int]](batch)
+        val scoresArr = new Array[mutable.ArrayBuffer[Double]](batch)
+        val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        val base = done
+        runOnPool(pool, threads) { () =>
+          val scratch = new java.util.BitSet(math.max(1, n))
+          var i = next.getAndIncrement()
+          while (i < batch) {
+            val node = nodes(base + i)
+            val found = searchInternal(vectors(node), beamWidth, _ => true)
+            val ss = mutable.ArrayBuffer.empty[Double]
+            chosenArr(i) =
+              robustPrune(node, packPairs(found.iterator, found.length), maxDegree, ss, scratch)
+            scoresArr(i) = ss
+            i = next.getAndIncrement()
+          }
+        }
+        // apply in insertion order; overflow trims deferred to the sweep
+        // below so the serial section is list appends only
+        val overflowed = mutable.LinkedHashSet.empty[Int]
+        var i = 0
+        while (i < batch) {
+          val node = nodes(base + i)
+          val chosen = chosenArr(i)
+          neighbors(node) = chosen
+          nbrSims(node) = scoresArr(i)
+          var ci = 0
+          while (ci < chosen.length) {
+            val nb = chosen(ci)
+            val lst = neighbors(nb)
+            if (!lst.contains(node)) {
+              lst += node
+              nbrSims(nb) += scoresArr(i)(ci)
+              if (lst.length > overflowDeg) overflowed += nb
+            }
+            ci += 1
+          }
+          i += 1
+        }
+        val ovf = overflowed.toArray
+        val next2 = new java.util.concurrent.atomic.AtomicInteger(0)
+        runOnPool(pool, threads) { () =>
+          val scratch = new java.util.BitSet(math.max(1, n))
+          var i = next2.getAndIncrement()
+          while (i < ovf.length) {
+            val nb = ovf(i)
+            val lst = neighbors(nb)
+            val sims = nbrSims(nb)
+            val packed = new Array[Long](lst.length)
+            var j = 0
+            while (j < lst.length) { packed(j) = LongHeap.pack(sims(j), lst(j)); j += 1 }
+            val out = mutable.ArrayBuffer.empty[Double]
+            neighbors(nb) = robustPrune(nb, packed, maxDegree, out, scratch)
+            nbrSims(nb) = out
+            i = next2.getAndIncrement()
+          }
+        }
+        done += batch
+      }
+      // refine pass, chunked Jacobi: each chunk's searches + prunes read the
+      // frozen pre-chunk graph in parallel, then the chunk's new adjacency
+      // lands in one ordered sweep (the sequential path's Gauss-Seidel
+      // refine sees earlier refinements mid-pass; at chunk granularity the
+      // difference is quality-neutral — both end degree-enforced)
+      val chunk = 65536
+      var start = 0
+      while (start < n) {
+        val end = math.min(n, start + chunk)
+        val out = new Array[mutable.ArrayBuffer[Int]](end - start)
+        val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        runOnPool(pool, threads) { () =>
+          val scratch = new java.util.BitSet(math.max(1, n))
+          var i = next.getAndIncrement()
+          while (i < end - start) {
+            val node = start + i
+            val found = searchInternal(vectors(node), beamWidth, _ => true)
+            val lst = neighbors(node)
+            val sims = nbrSims(node)
+            val packed = new Array[Long](found.length + lst.length)
+            var i2 = 0
+            while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
+            var j2 = 0
+            while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
+            out(i) = robustPrune(node, packed, maxDegree, null, scratch)
+            i = next.getAndIncrement()
+          }
+        }
+        var i = 0
+        while (i < end - start) { neighbors(start + i) = out(i); i += 1 }
+        start = end
+      }
+    } finally pool.shutdown()
   }
 
   /** FreshDiskANN §4.2 delete repair (jvector `removeDeletedNodes`,
