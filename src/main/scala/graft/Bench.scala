@@ -201,13 +201,17 @@ object Bench {
       params.maxDegree, params.beamWidth, params.alpha, params.neighborOverflow)
       .build(math.max(1, cpus.toInt / 2))
     val kernelBuildVps = localRows.length / ((System.nanoTime() - kt0) / 1e9)
-    def kernelRun(): Unit = {
-      var i = 0
-      while (i < qLocal.length) { kernelGraph.search(qLocal(i), topK, 64); i += 1 }
-    }
+    // parallel searcher threads over the shared resident graph — the
+    // reference's ThroughputBenchmark measures with .parallel() streams
+    // (ThroughputBenchmark.java:153,213), so throughput is threads-vs-
+    // threads; reps keep each measured run long enough to time stably
+    val kernelReps = math.max(1, 1000 / math.max(1, qLocal.length))
+    def kernelRun(): Unit =
+      java.util.stream.IntStream.range(0, qLocal.length * kernelReps).parallel()
+        .forEach(i => { kernelGraph.search(qLocal(i % qLocal.length), topK, 64); () })
     (1 to warmups).foreach(_ => kernelRun())
     val kernelTs = (1 to runs).map(_ => time(kernelRun())._2)
-    val kernelQps = qLocal.length / (kernelTs.sum / runs)
+    val kernelQps = qLocal.length.toDouble * kernelReps / (kernelTs.sum / runs)
     // per-query latency distribution (reference LatencyBenchmark: AVG +
     // high percentile) — measured on the kernel path where queries run
     // individually, so no batch amortization hides the tail
