@@ -400,7 +400,11 @@ object PQ {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PQModel = {
-    val rows = spark.read.parquet(path)
+    // address the part files, not the directory: the sidecar dir's name
+    // starts with "_" (so index-root reads skip it), and reading the dir
+    // itself makes Spark's hidden-path filter log a spurious
+    // "All paths were ignored" WARN on every load
+    val rows = spark.read.parquet(s"${path.stripSuffix("/")}/part-*")
       .select("dim", "m", "k", "subspace", "centroid_id", "centroid")
       .collect()
     val head = rows.head
