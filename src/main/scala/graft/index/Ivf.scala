@@ -146,6 +146,101 @@ object Ivf {
     assign(df, vecCol, model)
       .write.partitionBy("cluster_id").mode(mode).parquet(path)
 
+  /** IVF+PQ layout (FAISS-style IVFPQ re-expressed as a storage layout;
+    * jvector pairs its graph with the same PQ sidecars —
+    * `PQVectors.java:210`): rows are hive-partitioned by nearest centroid
+    * AND carry their PQ code column, so the candidate stage of a probed
+    * search reads ONLY the code bytes of probed directories. Parquet's
+    * columnar layout leaves the full-resolution vectors untouched until
+    * the bounded rerank set is known — late materialization pushed down
+    * to storage. At pqM=8 over dim-64 floats the candidate scan reads
+    * ~32x fewer bytes than [[writePartitioned]]'s, on top of the same
+    * nprobe/nlist partition pruning. */
+  def writePartitionedPQ(
+      df: DataFrame,
+      vecCol: String,
+      model: IvfModel,
+      pq: graft.operators.PQModel,
+      path: String,
+      mode: String = "overwrite"): Unit =
+    PQ.encode(assign(df, vecCol, model), vecCol, pq)
+      .write.partitionBy("cluster_id").mode(mode).parquet(path)
+
+  /** Two-phase probed search over a [[writePartitionedPQ]] layout.
+    *
+    * Phase 1 (candidates): one `cluster_id IN (...)` partition-pruned scan
+    * that selects ONLY (id, pq_code); each scanned code is ADC-scored for
+    * the queries that probed its cluster (broadcast probe pairs + broadcast
+    * per-query tables, lookup-sum HOF expression — no UDF); a bounded
+    * top-rerankK survives per query.
+    *
+    * Phase 2 (rerank): a second scan of the probed directories reading
+    * (id, vec), pruned to survivor ids — pushed as an `In` filter when the
+    * survivor set is small enough to plan (its size is nQueries * rerankK,
+    * a serving-batch bound, so parquet row-group stats skip non-candidate
+    * pages); exact re-score, final top-k.
+    *
+    * Returns (qid, rank, nid, score) like [[search]]. */
+  def searchPartitionedPQ(
+      path: String,
+      queries: DataFrame,
+      model: IvfModel,
+      pq: graft.operators.PQModel,
+      nprobe: Int,
+      topK: Int,
+      rerankK: Int,
+      baseId: String = "id",
+      baseVec: String = "vec",
+      maxPushdownIds: Int = 65536): DataFrame = {
+    require(rerankK >= topK, s"rerankK ($rerankK) must be >= topK ($topK)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probePairs = qRows.flatMap { case (qid, qv) =>
+      model.nearestClusters(qv, nprobe).map(c => (qid, c))
+    }
+    val probedClusters = probePairs.map(_._2).distinct.sorted
+    def pruned(): DataFrame = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
+    val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
+
+    // phase 1: narrow scan — the vec column is never materialized here
+    val approx = pruned()
+      .select(col(baseId).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
+      .join(broadcast(probesDf), "cluster_id")
+      .join(PQ.adcQueryFrame(spark, qRows, pq), "qid")
+      .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+    val candAgg = TopK.udf(rerankK)
+    val cands = approx.groupBy("qid")
+      .agg(candAgg(col("__nid"), col("__approx")).as("t"))
+      .select(col("qid"), explode(col("t._1")).as("__nid"))
+      .cache()
+    val nCand = cands.count()
+
+    // phase 2: targeted full-res re-read of survivors only. The id filter
+    // goes on the RAW scan column (before the long cast) so it reaches
+    // parquet as a pushed In filter rather than dying under the Cast.
+    val vecs = {
+      val base =
+        if (nCand <= maxPushdownIds) {
+          val ids = cands.select("__nid").distinct().as[Long].collect()
+          pruned().filter(col(baseId).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+        } else pruned() // huge batch: let the shuffled join do the filtering
+      base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
+    }
+    val exact = cands.join(vecs, "__nid")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("__score",
+        VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec")))
+    val fin = TopK.udf(topK)
+    exact.groupBy("qid")
+      .agg(fin(col("__nid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
   /** Probed search over a [[writePartitioned]] layout: the union of all
     * queries' probe lists becomes ONE `cluster_id IN (...)` scan filter
     * (partition pruning — only probed directories are read), then the

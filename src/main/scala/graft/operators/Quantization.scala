@@ -542,6 +542,45 @@ object PQ {
     (dots, mags)
   }
 
+  /** Broadcast relation of per-query ADC state: (qid, qvec, adc_dots,
+    * adc_mags, qnorm) — one row per query, tables flattened m*k wide.
+    * Shared by [[knn]] and [[graft.index.Ivf.searchPartitionedPQ]]. */
+  private[graft] def adcQueryFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      qRows: Array[(Long, Array[Double])],
+      model: PQModel): DataFrame = {
+    import spark.implicits._
+    val qTab = qRows.map { case (qid, qv) =>
+      val (dots, mags) = adcTables(qv, model)
+      (qid, qv, dots, mags, VectorFunctions.dotSeq(qv, qv))
+    }
+    broadcast(qTab.toSeq.toDF("qid", "qvec", "adc_dots", "adc_mags", "qnorm"))
+  }
+
+  /** Approximate-similarity column for `codeCol` given an [[adcQueryFrame]]
+    * join: pure table lookups via built-in HOF expressions — no UDF in the
+    * candidate-scoring hot path. */
+  private[graft] def adcApproxScore(metric: String, model: PQModel, codeCol: String): Column = {
+    val kk = model.codebooks(0).length
+    val m = model.m
+    val codeIdx = sequence(lit(0), lit(m - 1))
+    def lookupSum(table: Column): Column =
+      aggregate(
+        transform(codeIdx, i => element_at(table, i * kk + element_at(col(codeCol), i + 1) + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    metric.toUpperCase match {
+      case "DOT_PRODUCT" | "DOT" => (lit(1.0) + lookupSum(col("adc_dots"))) / 2.0
+      case "COSINE" =>
+        (lit(1.0) + lookupSum(col("adc_dots")) /
+          (sqrt(lookupSum(col("adc_mags"))) * sqrt(col("qnorm")))) / 2.0
+      case "EUCLIDEAN" =>
+        // ||q-c||^2 = |q|^2 - 2 q.c + |c|^2 summed per subspace
+        lit(1.0) / (lit(1.0) + (col("qnorm") - lit(2.0) * lookupSum(col("adc_dots"))
+          + lookupSum(col("adc_mags"))))
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
   /** Approximate kNN over PQ codes with optional exact rerank (two-phase
     * search, jvector `GraphSearcher.java:471-507` / NodeQueue.rerank):
     * phase 1 scores all codes via ADC table lookups (cheap, in-memory),
@@ -561,41 +600,16 @@ object PQ {
       baseVec: String = "vec",
       codeCol: String = "pq_code"): DataFrame = {
 
-    val kk = model.codebooks(0).length
     val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val qTab = qRows.map { case (qid, qv) =>
-      val (dots, mags) = adcTables(qv, model)
-      (qid, qv, dots, mags, VectorFunctions.dotSeq(qv, qv))
-    }
     val spark = baseEncoded.sparkSession
-    import spark.implicits._
-    val qdf = broadcast(qTab.toSeq.toDF("qid", "qvec", "adc_dots", "adc_mags", "qnorm"))
-
-    // approx score from table lookups: built-in HOF expression, no UDF
-    val m = model.m
-    val codeIdx = sequence(lit(0), lit(m - 1))
-    def lookupSum(table: Column): Column =
-      aggregate(
-        transform(codeIdx, i => element_at(table, i * kk + element_at(col(codeCol), i + 1) + 1)),
-        lit(0.0), (acc, x) => acc + x)
-    val approxScore = metric.toUpperCase match {
-      case "DOT_PRODUCT" | "DOT" => (lit(1.0) + lookupSum(col("adc_dots"))) / 2.0
-      case "COSINE" =>
-        (lit(1.0) + lookupSum(col("adc_dots")) /
-          (sqrt(lookupSum(col("adc_mags"))) * sqrt(col("qnorm")))) / 2.0
-      case "EUCLIDEAN" =>
-        // ||q-c||^2 = |q|^2 - 2 q.c + |c|^2 summed per subspace
-        lit(1.0) / (lit(1.0) + (col("qnorm") - lit(2.0) * lookupSum(col("adc_dots"))
-          + lookupSum(col("adc_mags"))))
-      case other => throw new IllegalArgumentException(other)
-    }
+    val qdf = adcQueryFrame(spark, qRows, model)
 
     val approx = baseEncoded
       .select(col(baseId).cast("long").as("__nid"), col(codeCol))
       .crossJoin(qdf)
-      .withColumn("__approx", approxScore)
+      .withColumn("__approx", adcApproxScore(metric, model, codeCol))
     val topkAgg = TopK.udf(rerankK)
     val candidates = approx.groupBy("qid")
       .agg(topkAgg(col("__nid"), col("__approx")).as("t"))

@@ -93,19 +93,14 @@ object AnnQueries {
     * vectors — IVF's adversarial case — so the floor reflects the probed
     * fraction, while clustered data would sit near 1.0; see
     * `buildIndexClustered`'s routing demo for the structured-data path). */
-  private def ivfKnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val model = ivfModel(s, dir, 32)
-    val nprobe = 16
-    val assigned = Ivf.assign(emb, "embedding", model).cache()
-    val res = Ivf.search(assigned, queries0(s, dir), model, nprobe = nprobe, topK = k,
-      baseId = "vec_id", baseVec = "embedding").cache()
+  /** Exact top-k restricted to each query's probed clusters, computed as
+    * ONE batched job: (qid, cluster) probe pairs broadcast-joined against
+    * the assigned rows, scored, bounded TopK per qid — not a per-query
+    * driver loop (which would run O(nQueries) jobs). Returns (qid, nid). */
+  private def probedExactTop(s: SparkSession, dir: String, assigned: DataFrame,
+      model: Ivf.IvfModel, nprobe: Int): DataFrame = {
     val spark = s
     import spark.implicits._
-    // exact top-k restricted to each query's probed clusters, computed as
-    // ONE batched job: (qid, cluster) probe pairs broadcast-joined against
-    // the assigned rows, scored, bounded TopK per qid — not a per-query
-    // driver loop (which would run O(nQueries) jobs)
     val qRows = queries0(s, dir)
       .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -114,7 +109,7 @@ object AnnQueries {
     }.toSeq.toDF("qid", "cluster_id")
     val qDf = qRows.toSeq.toDF("qid", "qvec")
     val agg = graft.operators.TopK.udf(k)
-    val exTop = assigned
+    assigned
       .join(broadcast(probePairs), Seq("cluster_id"))
       .join(broadcast(qDf), Seq("qid"))
       .withColumn("__score", graft.functions.VectorFunctions.cosineSim(
@@ -122,6 +117,16 @@ object AnnQueries {
       .groupBy("qid").agg(agg(col("vec_id").cast("long"), col("__score")).as("t"))
       .select(col("qid"), posexplode(col("t")))
       .select(col("qid"), col("col._1").as("nid"))
+  }
+
+  private def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val assigned = Ivf.assign(emb, "embedding", model).cache()
+    val res = Ivf.search(assigned, queries0(s, dir), model, nprobe = nprobe, topK = k,
+      baseId = "vec_id", baseVec = "embedding").cache()
+    val exTop = probedExactTop(s, dir, assigned, model, nprobe)
     // both sides return exactly k rows per qid with deterministic tiebreaks,
     // so set equality == empty anti-join in both directions
     val missing = exTop.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
@@ -246,6 +251,68 @@ object AnnQueries {
     ("ivf_pruned_partition_filters", 1.0),
     ("ivf_pruned_matches_unpartitioned", 0.0),
     ("ivf_pruned_recall@10_ge_0.6", 0.6)))
+
+  /** IVF+PQ storage layout ([[Ivf.writePartitionedPQ]] — the compressed
+    * 100 TB read path): cluster-partitioned AND PQ-encoded, so the probed
+    * search's candidate stage reads only the code column of probed
+    * directories and the rerank stage re-reads only survivor ids.
+    * Gates, all on the plan [[Ivf.searchPartitionedPQ]] ACTUALLY produced:
+    * (1) the candidate scan is partition-pruned AND vec-column-free
+    *     (its ReadSchema carries pq_code but not embedding — the
+    *     columnar-IO claim, asserted physically);
+    * (2) the rerank scan pushes the survivor-id In filter to parquet;
+    * (3) two-phase quality: results reach recall >= 0.9 vs the probed-exact
+    *     twin at rerankK = 8k (what compression itself costs);
+    * (4) the ivf_knn global recall floor holds. */
+  private val ivfPqLayouts =
+    new scala.collection.concurrent.TrieMap[String, (String, graft.operators.PQModel)]()
+
+  private def ivfPqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val (path, pq) = ivfPqLayouts.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivfpq"
+      val pqm = graft.operators.PQ.train(emb, "embedding", m = 8)
+      Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p)
+      (p, pqm)
+    })
+    val res = Ivf.searchPartitionedPQ(path, queries0(s, dir), model, pq, nprobe,
+      topK = k, rerankK = 8 * k, baseId = "vec_id", baseVec = "embedding").cache()
+    res.count()
+    val planLines = res.queryExecution.executedPlan.toString.linesIterator.toSeq
+    def prunedLine(l: String): Boolean = {
+      val pf = l.indexOf("PartitionFilters: [")
+      pf >= 0 && {
+        val seg = l.substring(pf, math.min(l.length, pf + 400))
+        seg.contains("cluster_id") && (seg.contains("INSET") || seg.contains(" IN ("))
+      }
+    }
+    val codesOnlyScan = planLines.exists { l =>
+      val rs = l.indexOf("ReadSchema: ")
+      rs >= 0 && l.substring(rs).contains("pq_code") &&
+        !l.substring(rs).contains("embedding") && prunedLine(l)
+    }
+    val rerankPushed = planLines.exists { l =>
+      val rs = l.indexOf("ReadSchema: ")
+      rs >= 0 && l.substring(rs).contains("embedding") &&
+        l.contains("In(vec_id") && prunedLine(l)
+    }
+    val assigned = Ivf.assign(emb, "embedding", model)
+    val twin = probedExactTop(s, dir, assigned, model, nprobe)
+      .withColumn("rank", lit(1)) // recallAtK needs the column; set equality is what matters
+    Gates.df(s, Seq(
+      ("ivfpq_candidate_scan_codes_only", 1.0, codesOnlyScan),
+      ("ivfpq_rerank_pushes_id_filter", 1.0, rerankPushed),
+      ("ivfpq_vs_probed_exact@10_ge_0.9", 0.9, recallOf(res, twin) >= 0.9),
+      ("ivfpq_recall@10_ge_0.6", 0.6, recallOf(res, exactKnn(s, dir)) >= 0.6)))
+  }
+
+  private val ivfPqKnnSql: String = Gates.sql(Seq(
+    ("ivfpq_candidate_scan_codes_only", 1.0),
+    ("ivfpq_rerank_pushes_id_filter", 1.0),
+    ("ivfpq_vs_probed_exact@10_ge_0.9", 0.9),
+    ("ivfpq_recall@10_ge_0.6", 0.6)))
 
   /** Distributed pagination (T6): two pages of k via per-(query, segment)
     * resumable cursors inside the segment tasks ([[Ann.searchPaged]]) — no
@@ -490,6 +557,7 @@ object AnnQueries {
     "ann_lifecycle" -> (annLifecycle _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ivf_pruned" -> (ivfPruned _),
+    "ivfpq_knn" -> (ivfPqKnn _),
     "ann_knn" -> (annKnn _),
     "ann_paged" -> (annPaged _),
     "ann_knn_filtered" -> (annKnnFiltered _),
@@ -505,6 +573,7 @@ object AnnQueries {
     "ann_lifecycle" -> annLifecycleSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ivf_pruned" -> ivfPrunedSql,
+    "ivfpq_knn" -> ivfPqKnnSql,
     "ann_knn" -> annKnnSql,
     "ann_paged" -> annPagedSql,
     "ann_knn_filtered" -> annKnnFilteredSql,

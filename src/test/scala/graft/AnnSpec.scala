@@ -538,6 +538,48 @@ class AnnSpec extends SparkSpec {
       s"3/32 clusters should be a small fraction: $prunedRows of $total")
   }
 
+  test("IVF+PQ layout: full-probe full-rerank equals exact; bounded rerank holds recall; narrow scan") {
+    import graft.operators.PQ
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val base = randVectors(5000, 16, seed = 41).toDF("id", "vec").cache()
+    val queries = randVectors(20, 16, seed = 42).toDF("qid", "qvec")
+    val model = Ivf.train(base, "vec", nlist = 16, metric = "COSINE")
+    val pq = PQ.train(base, "vec", m = 4)
+    Ivf.writePartitionedPQ(base, "vec", model, pq, s"$tmp/ivfpq")
+
+    // degenerate corner: all clusters probed + rerankK >= n means phase 1
+    // keeps every row and phase 2 re-scores exactly — results must be
+    // IDENTICAL to brute-force kNN (compression must not change semantics
+    // when the candidate set is total)
+    val full = Ivf.searchPartitionedPQ(s"$tmp/ivfpq", queries, model, pq,
+      nprobe = 16, topK = 10, rerankK = 5000)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    val missing = want.select("qid", "nid")
+      .join(full.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    val extra = full.select("qid", "nid")
+      .join(want.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    assert(missing == 0 && extra == 0,
+      s"full-probe full-rerank IVFPQ differs from exact: missing=$missing extra=$extra")
+
+    // production shape: fractional probes, bounded rerank
+    val res = Ivf.searchPartitionedPQ(s"$tmp/ivfpq", queries, model, pq,
+      nprobe = 8, topK = 10, rerankK = 80)
+    res.count()
+    val r = recallOf(res, want)
+    assert(r >= 0.8, s"IVFPQ recall@10 $r < 0.8 at nprobe=8/16, rerankK=80")
+
+    // the claim that makes the layout worth having: the candidate scan's
+    // ReadSchema has the code column but NOT the vec column, and the rerank
+    // scan pushes the survivor-id In filter
+    val lines = res.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists { l =>
+      val i = l.indexOf("ReadSchema: ")
+      i >= 0 && l.substring(i).contains("pq_code") && !l.substring(i).contains("vec:")
+    }, s"no codes-only candidate scan in plan:\n${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("In(id") && l.contains("ReadSchema")),
+      s"no pushed survivor-id In filter in plan:\n${lines.mkString("\n")}")
+  }
+
   test("AnnRewriteRule: ORDER BY sim LIMIT k over a registered table uses the index") {
     import graft.plans.{AnnCatalog, KnnIndexScanExec}
     val tmp = java.nio.file.Files.createTempDirectory("annrule").toString
