@@ -47,6 +47,18 @@ object VecOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** ADC partial-sum gather (jvector `PQVectors.java:210` O3 folding, the
+    * per-row half): sum over subspaces i of table[i*kk + codes[i]], where
+    * `table` is a per-query m*kk flattened lookup table and `codes` a row's
+    * m PQ centroid ids. Left-to-right summation — bit-identical to the
+    * aggregate/transform HOF composition it replaces. */
+  def adcLookupSum(table: ArrayData, codes: ArrayData, kk: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0; var i = 0
+    while (i < m) { acc += table.getDouble(i * kk + codes.getInt(i)); i += 1 }
+    acc
+  }
+
   /** mode: 0 = string, 1 = long, 2 = int. */
   def jaccard(x: ArrayData, y: ArrayData, mode: Int): Double = {
     if (mode == 0) return jaccardStrings(x, y)

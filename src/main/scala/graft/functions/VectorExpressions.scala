@@ -85,9 +85,27 @@ case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardExpr = copy(l, r)
 }
 
+/** ADC lookup-sum: left = per-query flattened m*kk double table, right = a
+  * row's m int PQ codes, `kk` = centroids per subspace. Codegen'd so the PQ
+  * candidate-scoring scan stays inside one whole-stage span (the HOF
+  * transform/aggregate composition it replaces is interpreted per element). */
+case class AdcLookupSumExpr(left: Expression, right: Expression, kk: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.adcLookupSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], kk)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.VecOps.adcLookupSum($t, $c, $kk);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcLookupSumExpr =
+    copy(l, r)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
   def jaccard(a: Column, b: Column): Column = column(JaccardExpr(expression(a), expression(b)))
+  def adcLookupSum(table: Column, codes: Column, kk: Int): Column =
+    column(AdcLookupSumExpr(expression(table), expression(codes), kk))
 }

@@ -142,9 +142,13 @@ object Ivf {
       vecCol: String,
       model: IvfModel,
       path: String,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite",
+      idCol: String = "id",
+      options: Map[String, String] = Map.empty): Unit =
     assign(df, vecCol, model)
-      .write.partitionBy("cluster_id").mode(mode).parquet(path)
+      .repartitionByRange(col("cluster_id"), col(idCol))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+      .write.partitionBy("cluster_id").options(options).mode(mode).parquet(path)
 
   /** IVF+PQ layout (FAISS-style IVFPQ re-expressed as a storage layout;
     * jvector pairs its graph with the same PQ sidecars —
@@ -162,9 +166,39 @@ object Ivf {
       model: IvfModel,
       pq: graft.operators.PQModel,
       path: String,
-      mode: String = "overwrite"): Unit =
-    PQ.encode(assign(df, vecCol, model), vecCol, pq)
-      .write.partitionBy("cluster_id").mode(mode).parquet(path)
+      mode: String = "overwrite",
+      idCol: String = "id",
+      options: Map[String, String] = Map.empty): Unit = {
+    // Range-partition on (cluster_id, id) and sort, then stamp each row
+    // with a DENSE cluster-major ordinal (`row_ord`). User ids are useless
+    // for phase-2 page skipping: a cluster's members subsample the global
+    // id range, so each parquet page's id min/max spans ~nlist times its
+    // row count and every page's range contains some survivor value —
+    // nothing is ever eliminated (measured: zero skipping). Dense ordinals
+    // make pages contiguous ordinal ranges, so a pushed survivor-ordinal
+    // In filter reads exactly the pages holding survivors — the Spark/
+    // parquet re-expression of FAISS/jvector IVF list-local offsets
+    // (`PQVectors.java:210`). One shuffle + one zipWithIndex pass, paid
+    // once at write time.
+    // Row-range elimination works at the granularity of the PREDICATE
+    // column's pages: a row_ord page of parquet's default 20k-row limit
+    // would drag ~20k-row vec ranges into every survivor read. Cap page
+    // rows near the vec column's natural page row count so a survivor
+    // costs ~one vec page. Caller options override.
+    val opts = Map("parquet.page.row.count.limit" -> "2048") ++ options
+    val sorted = PQ.encode(assign(df, vecCol, model), vecCol, pq)
+      .repartitionByRange(col("cluster_id"), col(idCol))
+      .sortWithinPartitions(col("cluster_id"), col(idCol))
+    val spark = df.sparkSession
+    val withOrd = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, ord) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ord)
+      },
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("row_ord",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    withOrd.write.partitionBy("cluster_id").options(opts).mode(mode).parquet(path)
+  }
 
   /** Two-phase probed search over a [[writePartitionedPQ]] layout.
     *
@@ -175,10 +209,10 @@ object Ivf {
     * top-rerankK survives per query.
     *
     * Phase 2 (rerank): a second scan of the probed directories reading
-    * (id, vec), pruned to survivor ids — pushed as an `In` filter when the
-    * survivor set is small enough to plan (its size is nQueries * rerankK,
-    * a serving-batch bound, so parquet row-group stats skip non-candidate
-    * pages); exact re-score, final top-k.
+    * (id, vec), pruned to the survivors — their dense cluster-major
+    * ordinals (bounded by nQueries * rerankK, a serving-batch size) are
+    * sorted and pushed as chunked In filters that parquet's column index
+    * turns into page-level skips; exact re-score, final top-k.
     *
     * Returns (qid, rank, nid, score) like [[search]]. */
   def searchPartitionedPQ(
@@ -205,9 +239,15 @@ object Ivf {
       .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
     val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
 
+    // Layouts written by [[writePartitionedPQ]] carry a dense cluster-major
+    // ordinal; candidates are keyed by it so the phase-2 In pushdown hits
+    // tight contiguous page ranges. Pre-row_ord layouts fall back to the
+    // user id key (correct, but page stats can't skip — see write path).
+    val keyCol = if (spark.read.parquet(path).columns.contains("row_ord")) "row_ord" else baseId
+
     // phase 1: narrow scan — the vec column is never materialized here
     val approx = pruned()
-      .select(col(baseId).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
+      .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
       .join(broadcast(probesDf), "cluster_id")
       .join(PQ.adcQueryFrame(spark, qRows, pq), "qid")
       .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
@@ -224,10 +264,31 @@ object Ivf {
     val vecs = {
       val base =
         if (nCand <= maxPushdownIds) {
-          val ids = cands.select("__nid").distinct().as[Long].collect()
-          pruned().filter(col(baseId).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+          val ids = cands.select("__nid").distinct().as[Long].collect().sorted
+          // Pushdown mechanics (measured, Spark 4.1 + parquet-mr): an In of
+          // <= spark.sql.parquet.pushdown.inFilterThreshold values becomes
+          // an Or-chain of Eq — the only translation whose column-index
+          // evaluation actually eliminates pages — but its evaluation
+          // recurses once per value and overflows the stack in the low
+          // thousands. Above the threshold Spark pushes parquet's native
+          // in(Set), which does NOT drive page elimination here. So: sort
+          // the survivor ordinals, push them in chunks small enough for a
+          // safe Or-chain (each chunk also gets a redundant between-range
+          // conjunct for cheap row-group pruning — sorted dense ordinals
+          // make chunks tight ranges), and union the chunk scans.
+          val chunk = 1000
+          val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+          if (spark.conf.get(thrKey, "10").toInt < chunk)
+            spark.conf.set(thrKey, chunk) // session-level; only widens pushdown
+          if (ids.isEmpty) pruned().filter(lit(false))
+          else ids.grouped(chunk).map { g =>
+            pruned()
+              .filter(col(keyCol).between(g.head, g.last))
+              .filter(col(keyCol).isin(g.map(java.lang.Long.valueOf).toSeq: _*))
+          }.reduce(_ union _)
         } else pruned() // huge batch: let the shuffled join do the filtering
-      base.select(col(baseId).cast("long").as("__nid"), col(baseVec).as("__vec"))
+      base.select(col(keyCol).cast("long").as("__nid"),
+        col(baseId).cast("long").as("__uid"), col(baseVec).as("__vec"))
     }
     val exact = cands.join(vecs, "__nid")
       .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
@@ -235,7 +296,7 @@ object Ivf {
         VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec")))
     val fin = TopK.udf(topK)
     exact.groupBy("qid")
-      .agg(fin(col("__nid"), col("__score")).as("t"))
+      .agg(fin(col("__uid"), col("__score")).as("t"))
       .select(col("qid"), posexplode(col("t")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))

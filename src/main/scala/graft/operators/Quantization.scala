@@ -558,16 +558,15 @@ object PQ {
   }
 
   /** Approximate-similarity column for `codeCol` given an [[adcQueryFrame]]
-    * join: pure table lookups via built-in HOF expressions — no UDF in the
-    * candidate-scoring hot path. */
+    * join: a codegen'd lookup-sum expression
+    * ([[graft.functions.VectorExpressions.adcLookupSum]]) — the whole
+    * candidate-scoring scan stays in one whole-stage codegen span (the
+    * earlier transform/aggregate HOF composition was interpreted per
+    * element; results are bit-identical). */
   private[graft] def adcApproxScore(metric: String, model: PQModel, codeCol: String): Column = {
     val kk = model.codebooks(0).length
-    val m = model.m
-    val codeIdx = sequence(lit(0), lit(m - 1))
     def lookupSum(table: Column): Column =
-      aggregate(
-        transform(codeIdx, i => element_at(table, i * kk + element_at(col(codeCol), i + 1) + 1)),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorExpressions.adcLookupSum(table, col(codeCol), kk)
     metric.toUpperCase match {
       case "DOT_PRODUCT" | "DOT" => (lit(1.0) + lookupSum(col("adc_dots"))) / 2.0
       case "COSINE" =>

@@ -213,7 +213,7 @@ object AnnQueries {
     val nprobe = 16
     val path = partitionedLayouts.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString + "/ivf"
-      Ivf.writePartitioned(emb, "embedding", model, p)
+      Ivf.writePartitioned(emb, "embedding", model, p, idCol = "vec_id")
       p
     })
     val res = Ivf.searchPartitioned(path, queries0(s, dir), model, nprobe, topK = k,
@@ -274,7 +274,7 @@ object AnnQueries {
     val (path, pq) = ivfPqLayouts.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivfpq"
       val pqm = graft.operators.PQ.train(emb, "embedding", m = 8)
-      Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p)
+      Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p, idCol = "vec_id")
       (p, pqm)
     })
     val res = Ivf.searchPartitionedPQ(path, queries0(s, dir), model, pq, nprobe,
@@ -295,8 +295,10 @@ object AnnQueries {
     }
     val rerankPushed = planLines.exists { l =>
       val rs = l.indexOf("ReadSchema: ")
+      // survivor filter key: dense cluster-major ordinal on current layouts
+      // (page-skippable), the user id on pre-row_ord ones
       rs >= 0 && l.substring(rs).contains("embedding") &&
-        l.contains("In(vec_id") && prunedLine(l)
+        (l.contains("In(row_ord") || l.contains("In(vec_id")) && prunedLine(l)
     }
     val assigned = Ivf.assign(emb, "embedding", model)
     val twin = probedExactTop(s, dir, assigned, model, nprobe)

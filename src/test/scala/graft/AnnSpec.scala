@@ -576,8 +576,8 @@ class AnnSpec extends SparkSpec {
       val i = l.indexOf("ReadSchema: ")
       i >= 0 && l.substring(i).contains("pq_code") && !l.substring(i).contains("vec:")
     }, s"no codes-only candidate scan in plan:\n${lines.mkString("\n")}")
-    assert(lines.exists(l => l.contains("In(id") && l.contains("ReadSchema")),
-      s"no pushed survivor-id In filter in plan:\n${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("In(row_ord") && l.contains("ReadSchema")),
+      s"no pushed survivor-ordinal In filter in plan:\n${lines.mkString("\n")}")
   }
 
   test("AnnRewriteRule: ORDER BY sim LIMIT k over a registered table uses the index") {
