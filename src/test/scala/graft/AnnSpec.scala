@@ -578,6 +578,17 @@ class AnnSpec extends SparkSpec {
     }, s"no codes-only candidate scan in plan:\n${lines.mkString("\n")}")
     assert(lines.exists(l => l.contains("In(row_ord") && l.contains("ReadSchema")),
       s"no pushed survivor-ordinal In filter in plan:\n${lines.mkString("\n")}")
+
+    // layout invariant that makes the ordinal pushdown page-skippable:
+    // row_ord is a dense permutation of 0..n-1 assigned in (cluster, id)
+    // order, so each cluster's ordinals are one contiguous range
+    val layout = spark.read.parquet(s"$tmp/ivfpq")
+      .select(col("cluster_id").cast("int"), col("id").cast("long"), col("row_ord").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(layout.map(_._3).sorted.toSeq === (0L until layout.length.toLong),
+      "row_ord must be a dense permutation of 0..n-1")
+    assert(layout.sortBy(t => (t._1, t._2)).map(_._3).toSeq === (0L until layout.length.toLong),
+      "row_ord must follow (cluster_id, id) order — contiguous per cluster")
   }
 
   test("AnnRewriteRule: ORDER BY sim LIMIT k over a registered table uses the index") {

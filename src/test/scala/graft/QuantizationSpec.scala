@@ -246,6 +246,33 @@ class QuantizationSpec extends SparkSpec {
     assert(sim === 1.0 - 2.0 / 4.0) // bits differ at idx 0 and 3
   }
 
+  test("AdcLookupSumExpr is bit-identical to the HOF lookup-sum it replaced") {
+    import org.apache.spark.sql.functions._
+    val kk = 16
+    val m = 6
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(m * kk)(rnd.nextDouble() * 2 - 1).toSeq,
+        Array.fill(m)(rnd.nextInt(kk)).toSeq)
+    }
+    val df = rows.toDF("id", "table", "codes")
+    val codeIdx = sequence(lit(0), lit(m - 1))
+    // the exact pre-r6 composition from PQ.adcApproxScore
+    val hof = aggregate(
+      transform(codeIdx, i => element_at(col("table"), i * kk + element_at(col("codes"), i + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val native = graft.functions.VectorExpressions.adcLookupSum(col("table"), col("codes"), kk)
+    val diff = df.select((hof - native).as("d")).filter(col("d") =!= 0.0).count()
+    assert(diff === 0L, "codegen ADC lookup-sum must be bit-identical to the HOF composition")
+    // and to a driver-side reference
+    val got = df.select(col("id"), native.as("s")).as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, table, codes) =>
+      val want = codes.zipWithIndex.map { case (c, i) => table(i * kk + c) }.sum
+      assert(got(id) === want, s"row $id")
+    }
+  }
+
   test("BQ packs >64 dims into multiple words") {
     val v = (0 until 100).map(i => if (i % 3 == 0) 1.0f else -1.0f)
     val bits = Seq(Tuple1(v)).toDF("v")
