@@ -32,7 +32,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// jdk.incubator.vector is a JDK module (present in this JDK 17), not a
+// library dependency: compile the Panama SIMD provider against it and make
+// it readable in forked test/run JVMs. graft.simd.Kernels loads the
+// provider reflectively and falls back to scalar when a JVM lacks the
+// module (e.g. a bare `java -cp` without --add-modules).
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "-encoding", "UTF-8")
+// zinc's in-process javac defines incubator-module classes in the unnamed
+// module and dies with IllegalAccessError; setting javaHome makes sbt fork
+// a real javac process (same JDK), where --add-modules behaves normally.
+javaHome := Some(file(sys.props("java.home")))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -257,44 +257,30 @@ final class Vamana(
     case m => throw new IllegalArgumentException(s"unknown metric: $m")
   }
 
+  // All instance scoring goes through one VectorKernels implementation
+  // (Panama SIMD when jdk.incubator.vector is readable, scalar fallback —
+  // graft.simd.Kernels). Every path below composes the SAME dot/l2sq/normSq
+  // calls, so sim == simNodes == queryScorer stays bit-identical by
+  // construction regardless of which kernel set is active.
+  private val kernels = graft.simd.Kernels.INSTANCE
+
   def sim(a: Array[Float], b: Array[Float]): Double = (metricCode: @annotation.switch) match {
-    case 0 =>
-      var d = 0.0; var i = 0
-      while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
-      1.0 / (1.0 + d)
-    case 1 =>
-      var d = 0.0; var i = 0
-      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-      (1.0 + d) / 2.0
+    case 0 => 1.0 / (1.0 + kernels.l2sq(a, b))
+    case 1 => (1.0 + kernels.dot(a, b)) / 2.0
     case 2 =>
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+      (1.0 + kernels.dot(a, b) / (math.sqrt(kernels.normSq(a)) * math.sqrt(kernels.normSq(b)))) / 2.0
   }
 
   // COSINE: node norms are fixed — precompute sqrt(sum sq) once so the hot
-  // kernel does one multiply-add per element instead of three. Accumulation
-  // order matches the fused loop in `sim` exactly (independent accumulators,
-  // same index order), so scores stay bit-identical to the unfused formula.
+  // kernel does one dot instead of three reductions. normSq(v) is bit-equal
+  // to dot(v, v) (VectorKernels contract), so the precomputed-norm scorers
+  // stay bit-identical to the unfused `sim` formula.
   private val normSqrts: Array[Double] =
     if (metricCode == 2) Array.tabulate(n)(i => math.sqrt(normSq(vectors(i)))) else null
 
-  private def normSq(v: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-    s
-  }
+  private def normSq(v: Array[Float]): Double = kernels.normSq(v)
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
-  }
+  private def dot(a: Array[Float], b: Array[Float]): Double = kernels.dot(a, b)
 
   private def simNodes(i: Int, j: Int): Double =
     if (metricCode == 2)
