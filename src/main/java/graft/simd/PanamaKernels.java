@@ -1,5 +1,6 @@
 package graft.simd;
 
+import jdk.incubator.vector.DoubleVector;
 import jdk.incubator.vector.FloatVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
@@ -79,6 +80,48 @@ public final class PanamaKernels implements VectorKernels {
   @Override
   public double normSq(float[] a) {
     return dot(a, a);
+  }
+
+  private static final VectorSpecies<Double> D = DoubleVector.SPECIES_PREFERRED;
+
+  @Override
+  public double l2sqD(double[] a, double[] b) {
+    final int n = a.length;
+    final int L = D.length();
+    int i = 0;
+    double acc = 0.0;
+    if (n >= L) {
+      DoubleVector acc0 = DoubleVector.zero(D);
+      final int upper = n - (n % L);
+      for (; i < upper; i += L) {
+        DoubleVector d0 = DoubleVector.fromArray(D, a, i).sub(DoubleVector.fromArray(D, b, i));
+        acc0 = d0.fma(d0, acc0);
+      }
+      acc = acc0.reduceLanes(VectorOperators.ADD);
+    }
+    for (; i < n; i++) {
+      double t = a[i] - b[i];
+      acc += t * t;
+    }
+    return acc;
+  }
+
+  @Override
+  public double dotD(double[] a, double[] b) {
+    final int n = a.length;
+    final int L = D.length();
+    int i = 0;
+    double acc = 0.0;
+    if (n >= L) {
+      DoubleVector acc0 = DoubleVector.zero(D);
+      final int upper = n - (n % L);
+      for (; i < upper; i += L) {
+        acc0 = DoubleVector.fromArray(D, a, i).fma(DoubleVector.fromArray(D, b, i), acc0);
+      }
+      acc = acc0.reduceLanes(VectorOperators.ADD);
+    }
+    for (; i < n; i++) acc += a[i] * b[i];
+    return acc;
   }
 
   @Override

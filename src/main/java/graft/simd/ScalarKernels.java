@@ -30,6 +30,23 @@ public final class ScalarKernels implements VectorKernels {
   }
 
   @Override
+  public double l2sqD(double[] a, double[] b) {
+    double d = 0.0;
+    for (int i = 0; i < a.length; i++) {
+      double t = a[i] - b[i];
+      d += t * t;
+    }
+    return d;
+  }
+
+  @Override
+  public double dotD(double[] a, double[] b) {
+    double d = 0.0;
+    for (int i = 0; i < a.length; i++) d += a[i] * b[i];
+    return d;
+  }
+
+  @Override
   public String name() {
     return "scalar";
   }

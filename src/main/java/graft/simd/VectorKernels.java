@@ -28,6 +28,12 @@ public interface VectorKernels {
   /** Squared norm; bit-equal to {@code dot(a, a)}. */
   double normSq(float[] a);
 
+  /** Squared L2 distance over doubles (k-means training loops). */
+  double l2sqD(double[] a, double[] b);
+
+  /** Dot product over doubles. */
+  double dotD(double[] a, double[] b);
+
   /** Implementation tag for logs/specs (e.g. "scalar", "panama-16f"). */
   String name();
 }

@@ -145,11 +145,14 @@ object PQ {
     // k-means++ seeding
     centers(0) = points(rnd.nextInt(points.length)).clone()
     val d2 = Array.fill(points.length)(Double.MaxValue)
+    // Training distances go through the SIMD kernel seam (graft.simd) —
+    // training arithmetic is free to change in ulps; only ENCODE argmin
+    // must stay sequential-double to match the DuckDB oracle's list_reduce.
+    val kern = graft.simd.Kernels.INSTANCE
     def updateD2(c: Array[Double]): Unit = {
       var i = 0
       while (i < points.length) {
-        var d = 0.0; var j = 0
-        while (j < dim) { val t = points(i)(j) - c(j); d += t * t; j += 1 }
+        val d = kern.l2sqD(points(i), c)
         if (d < d2(i)) d2(i) = d
         i += 1
       }
@@ -179,8 +182,7 @@ object PQ {
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+          val d = kern.l2sqD(points(i), centers(c))
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
@@ -236,19 +238,15 @@ object PQ {
     val ocm = 1.0 / pcm
     val xNorm2 = points.map(p => { var s = 0.0; var j = 0; while (j < dim) { s += p(j) * p(j); j += 1 }; s })
 
-    // initial nearest-by-L2 assignment
+    // initial nearest-by-L2 assignment (training-side: SIMD kernels ok)
+    val kern = graft.simd.Kernels.INSTANCE
     val assign = new Array[Int](points.length)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var j = 0
-      while (j < dim) { s += a(j) * b(j); j += 1 }
-      s
-    }
+    def dot(a: Array[Double], b: Array[Double]): Double = kern.dotD(a, b)
     var i = 0
     while (i < points.length) {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < k) {
-        var d = 0.0; var j = 0
-        while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+        val d = kern.l2sqD(points(i), centers(c))
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -470,6 +468,7 @@ object PQ {
   private def lloydIterate(points: Array[Array[Double]], centers: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     val k = centers.length
     val dim = centers(0).length
+    val kern = graft.simd.Kernels.INSTANCE
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k, dim)(0.0)
@@ -479,8 +478,7 @@ object PQ {
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = points(i)(j) - centers(c)(j); d += t * t; j += 1 }
+          val d = kern.l2sqD(points(i), centers(c))
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }

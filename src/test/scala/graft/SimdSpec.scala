@@ -33,6 +33,18 @@ class SimdSpec extends AnyFunSuite {
     }
   }
 
+  test("double-lane kernels (training loops) match scalar within tolerance") {
+    val p = new PanamaKernels
+    val rnd = new scala.util.Random(3)
+    for (dim <- Seq(1, 7, 8, 64, 129)) {
+      val a = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      assert(math.abs(p.l2sqD(a, b) - scalar.l2sqD(a, b)) < 1e-12 * dim, s"l2sqD dim=$dim")
+      assert(math.abs(p.dotD(a, b) - scalar.dotD(a, b)) < 1e-12 * dim, s"dotD dim=$dim")
+      assert(p.l2sqD(a, b) === p.l2sqD(b, a), s"l2sqD symmetry dim=$dim")
+    }
+  }
+
   test("contract: bit-symmetric dot/l2sq and normSq bit-equal to dot(a,a)") {
     for (k <- Seq(new PanamaKernels, scalar: graft.simd.VectorKernels); dim <- Seq(7, 64, 100)) {
       val Array(a, b) = vecs(2, dim, 7 * dim)
