@@ -125,6 +125,28 @@ public final class PanamaKernels implements VectorKernels {
   }
 
   @Override
+  public void adcAccumulate(double[] dots, double[] mags, int tOff,
+                            int[] codes, int off, int n,
+                            double[] dAcc, double[] mAcc) {
+    final int L = D.length();
+    int j = 0;
+    final int upper = n - (n % L);
+    // fromArray(species, a, aOff, indexMap, mapOff): gathers
+    // a[aOff + indexMap[mapOff + lane]] — exactly dots[tOff + codes[...]]
+    for (; j < upper; j += L) {
+      DoubleVector dv = DoubleVector.fromArray(D, dots, tOff, codes, off + j);
+      DoubleVector mv = DoubleVector.fromArray(D, mags, tOff, codes, off + j);
+      DoubleVector.fromArray(D, dAcc, j).add(dv).intoArray(dAcc, j);
+      DoubleVector.fromArray(D, mAcc, j).add(mv).intoArray(mAcc, j);
+    }
+    for (; j < n; j++) {
+      int c = tOff + codes[off + j];
+      dAcc[j] += dots[c];
+      mAcc[j] += mags[c];
+    }
+  }
+
+  @Override
   public String name() {
     return "panama-" + S.length() + "f";
   }

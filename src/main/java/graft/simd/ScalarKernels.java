@@ -47,6 +47,17 @@ public final class ScalarKernels implements VectorKernels {
   }
 
   @Override
+  public void adcAccumulate(double[] dots, double[] mags, int tOff,
+                            int[] codes, int off, int n,
+                            double[] dAcc, double[] mAcc) {
+    for (int j = 0; j < n; j++) {
+      int c = tOff + codes[off + j];
+      dAcc[j] += dots[c];
+      mAcc[j] += mags[c];
+    }
+  }
+
+  @Override
   public String name() {
     return "scalar";
   }

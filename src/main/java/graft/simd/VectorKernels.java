@@ -34,6 +34,17 @@ public interface VectorKernels {
   /** Dot product over doubles. */
   double dotD(double[] a, double[] b);
 
+  /**
+   * ADC fused-block accumulate (Quicker-ADC's shuffle-lookup re-expressed
+   * as a SIMD gather): for j in [0, n): dAcc[j] += dots[tOff + codes[off+j]]
+   * and mAcc[j] += mags[tOff + codes[off+j]]. Codes must be non-negative
+   * and tOff + code within the table. Bit-equal to the scalar loop for any
+   * implementation (adds are elementwise, no reduction).
+   */
+  void adcAccumulate(double[] dots, double[] mags, int tOff,
+                     int[] codes, int off, int n,
+                     double[] dAcc, double[] mAcc);
+
   /** Implementation tag for logs/specs (e.g. "scalar", "panama-16f"). */
   String name();
 }

@@ -467,6 +467,7 @@ final class Vamana(
     var dAcc = new Array[Double](maxDegree * 2)
     var mAcc = new Array[Double](maxDegree * 2)
     var cols = new Array[Int](maxDegree * 2)
+    var colCodes = new Array[Int](maxDegree * 2)
     // hierarchy descent on the SAME per-node ADC score the gathered path
     // descends on (scoreOne == the gathered approx for any node) — keeps
     // the fused/gathered bit-identity contract through the descent
@@ -491,7 +492,7 @@ final class Vamana(
         if (deg > 0) {
           if (dAcc.length < deg) {
             dAcc = new Array[Double](deg); mAcc = new Array[Double](deg)
-            cols = new Array[Int](deg)
+            cols = new Array[Int](deg); colCodes = new Array[Int](deg)
           }
           // select the unvisited columns first: mid-beam most neighbors are
           // already visited, and batch-scoring them anyway would do strictly
@@ -514,19 +515,22 @@ final class Vamana(
           visits += nCols
           if (nCols > 0) {
             val block = fused(c)
-            // subspace-major accumulation over the selected columns: each
-            // subspace reads one strided slice of the block and stays inside
-            // one 256-entry table row
+            // subspace-major accumulation over the selected columns via the
+            // SIMD gather kernel (Quicker-ADC's in-register lookup,
+            // re-expressed — graft.simd adcAccumulate; elementwise adds, so
+            // bit-identical to the scalar loop and the gathered path). When
+            // every column survived the visited filter the block slice is
+            // already contiguous; otherwise pack the survivors' codes first.
             var s = 0
             while (s < m) {
               val off = s * deg
               val tOff = s * kk
-              j = 0
-              while (j < nCols) {
-                val code = block(off + cols(j))
-                dAcc(j) += dots(tOff + code)
-                mAcc(j) += mags(tOff + code)
-                j += 1
+              if (nCols == deg) {
+                kernels.adcAccumulate(dots, mags, tOff, block, off, deg, dAcc, mAcc)
+              } else {
+                j = 0
+                while (j < nCols) { colCodes(j) = block(off + cols(j)); j += 1 }
+                kernels.adcAccumulate(dots, mags, tOff, colCodes, 0, nCols, dAcc, mAcc)
               }
               s += 1
             }

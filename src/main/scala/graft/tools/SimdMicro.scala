@@ -40,6 +40,34 @@ object SimdMicro {
     bench(active.name, active)
     bench("scalar", scalar)
 
+    // ADC gather-accumulate (fused-block pattern): m subspaces x deg columns
+    {
+      val m = 8; val kk = 256; val deg = 32
+      val dots = Array.fill(m * kk)(rnd.nextDouble())
+      val mags = Array.fill(m * kk)(rnd.nextDouble())
+      val blocks = Array.fill(1024)(Array.fill(m * deg)(rnd.nextInt(kk)))
+      def benchAdc(name: String, k: graft.simd.VectorKernels): Unit = {
+        val dAcc = new Array[Double](deg); val mAcc = new Array[Double](deg)
+        var sink = 0.0
+        val reps = 20000
+        var t0 = System.nanoTime()
+        var r = 0
+        while (r < reps) {
+          val block = blocks(r % blocks.length)
+          java.util.Arrays.fill(dAcc, 0.0); java.util.Arrays.fill(mAcc, 0.0)
+          var s = 0
+          while (s < m) { k.adcAccumulate(dots, mags, s * kk, block, s * deg, deg, dAcc, mAcc); s += 1 }
+          sink += dAcc(0) + mAcc(deg - 1)
+          r += 1
+        }
+        val el = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-10s adcAccumulate: ${reps.toLong * m * deg / el / 1e6}%.1f Mlookup-pair/s (sink=${sink != 0})")
+      }
+      // warmup both
+      benchAdc("warm-" + active.name, active); benchAdc("warm-scalar", scalar)
+      benchAdc(active.name, active); benchAdc("scalar", scalar)
+    }
+
     // engine-level: build + search a 50k graph
     val nb = 50000
     val base = Array.fill(nb)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
