@@ -377,10 +377,16 @@ object PQ {
     val dim = vectors(0).length
     val (sizes, offsets) = subvectorSizes(dim, m)
     val aniso = anisotropicThreshold > -1.0 && anisotropicThreshold < 1.0
-    val codebooks = Array.tabulate(m) { i =>
+    // subspaces are independent (seed + i each) — train them in parallel;
+    // bit-deterministic regardless of scheduling (the reference parallelizes
+    // the same way: parallel IntStream over the M subspaces,
+    // ProductQuantization.java:487-494)
+    val codebooks = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { i =>
       val sub = vectors.map(v => java.util.Arrays.copyOfRange(v, offsets(i), offsets(i) + sizes(i)))
-      if (aniso) kmeansAnisotropic(sub, math.min(k, sub.length), iters, seed + i, anisotropicThreshold)
-      else kmeans(sub, math.min(k, sub.length), iters, seed + i)
+      codebooks(i) =
+        if (aniso) kmeansAnisotropic(sub, math.min(k, sub.length), iters, seed + i, anisotropicThreshold)
+        else kmeans(sub, math.min(k, sub.length), iters, seed + i)
     }
     PQModel(dim, m, k, sizes, offsets, codebooks)
   }
@@ -456,10 +462,12 @@ object PQ {
       sampleCap: Int = 128000,
       seed: Long = 1L): PQModel = {
     val vectors = Sampling.sampleVectors(df, vecCol, sampleCap, seed)
-    val codebooks = Array.tabulate(model.m) { i =>
+    // independent subspaces: parallel, bit-deterministic (see train)
+    val codebooks = new Array[Array[Array[Double]]](model.m)
+    java.util.stream.IntStream.range(0, model.m).parallel().forEach { i =>
       val sub = vectors.map(v => java.util.Arrays.copyOfRange(v,
         model.subOffsets(i), model.subOffsets(i) + model.subSizes(i)))
-      lloydIterate(sub, model.codebooks(i).map(_.clone()), lloydsRounds)
+      codebooks(i) = lloydIterate(sub, model.codebooks(i).map(_.clone()), lloydsRounds)
     }
     model.copy(codebooks = codebooks)
   }
