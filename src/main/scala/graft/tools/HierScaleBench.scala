@@ -14,13 +14,14 @@ import graft.index.Vamana
   * searcher descends instead of beam-walking from a fixed entry,
   * `OnDiskGraphIndex.java:68-162`).
   *
-  * Usage: HierScaleBench [n] [dim] [nQueries]
+  * Usage: HierScaleBench [n] [dim] [nQueries] [buildThreads]
   */
 object HierScaleBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 1000000
     val dim = if (args.length > 1) args(1).toInt else 32
     val nQ = if (args.length > 2) args(2).toInt else 200
+    val threads = if (args.length > 3) args(3).toInt else 1
     val ef = 64
     val topK = 10
     val rnd = new scala.util.Random(17)
@@ -28,8 +29,9 @@ object HierScaleBench {
     val queries = Array.fill(nQ)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
 
     val t0 = System.nanoTime()
-    val g = new Vamana(vecs, "COSINE", 32, 100).build()
-    println(f"### built n=$n dim=$dim in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val g = new Vamana(vecs, "COSINE", 32, 100).build(threads)
+    println(f"### built n=$n dim=$dim threads=$threads in ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      s"(kernels=${graft.simd.Kernels.INSTANCE.name})")
 
     // Round-trip through the persistence seam into two fresh shells that
     // share layer-0 adjacency + entry: one restores the hierarchy rows
