@@ -316,7 +316,17 @@ object Ann {
         * parallel across tasks — raise it only in lockstep with
         * `spark.task.cpus`, or for driver-side/pinned builds that own the
         * whole machine. */
-      buildThreads: Int = 1)
+      buildThreads: Int = 1,
+      /** Build segment graphs from PQ codes instead of full-res vectors —
+        * the reference's DEFAULT construction mode (default.yml build
+        * block `compression: PQ`; `BuildScoreProvider.pqBuildScoreProvider`,
+        * `similarity/BuildScoreProvider.java:170-212`). Requires pqM > 0.
+        * Construction then needs only codes + codebooks in memory (32:1 at
+        * pqM = dim/8) — the build-memory path for segments whose full-res
+        * vectors shouldn't be resident; search-time rerank stays exact.
+        * Costs a few recall points vs exact-scored build (gated). Post-build
+        * maintenance (repair/rescore/compact) always re-scores exact. */
+      pqBuild: Boolean = false)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -458,10 +468,25 @@ object Ann {
         else {
           val seg = java.util.UUID.nameUUIDFromBytes(
             rows.map(_._1).mkString(",").getBytes).toString
-          // graph + centroid are computed from the ORIGINAL vectors; in NVQ
-          // mode only the stored payload is lossy, never the build
-          val g = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads)
+          // graph + centroid are computed from the ORIGINAL vectors (NVQ
+          // mode only stores lossily) — unless pqBuild, where construction
+          // scores on the PQ codes it is about to persist anyway and never
+          // reads full-res (the reference's default build mode)
+          val codes: Array[Array[Int]] =
+            if (pqModel.isDefined) rows.map(r => encodeCode(r._2)) else null
+          val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+          val g =
+            if (p.pqBuild && pqModel.isDefined) {
+              val mm = pqModel.get
+              val flat = new Array[Int](rows.length * mm.m)
+              var i = 0
+              while (i < rows.length) {
+                System.arraycopy(codes(i), 0, flat, i * mm.m, mm.m); i += 1
+              }
+              val sc = new graft.operators.PQPairScorer(mm, flat, p.metric)
+              shell.buildApprox(sc.score, sc.entryNode(), p.buildThreads)
+            } else shell.build(p.buildThreads)
           // per-segment centroid for search-time routing (IVF over
           // segments) — stored ONLY on the local_id=0 row, so it costs one
           // vector per segment, not one per row
@@ -480,7 +505,8 @@ object Ann {
                 (null: Array[Float], c, pr)
               } else (v, null: Array[Int], null: Array[Array[Double]])
             (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
-              if (i == 0) centroid else null, encodeCode(v), nvqCode, nvqParams, p.nvqBits,
+              if (i == 0) centroid else null,
+              if (codes == null) null else codes(i), nvqCode, nvqParams, p.nvqBits,
               // persisted hierarchy (S7/S8): upper-layer adjacency rows ride
               // along, null for layer-0-only nodes (~ (1/degree) of rows
               // carry one) — searchIndex's assembly restores them so the

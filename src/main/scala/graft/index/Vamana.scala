@@ -148,7 +148,7 @@ final class Vamana(
       else if (members.length > 1 && members.length <= 64) {
         for (m <- members) {
           layer(m) = members.filter(_ != m)
-            .map(o => (o, simNodes(m, o)))
+            .map(o => (o, pairScore(m, o)))
             .sortBy { case (id, s) => (-s, id) }
             .take(degUpper).map(_._1)
         }
@@ -162,7 +162,7 @@ final class Vamana(
           val visited = new java.util.HashSet[Integer]()
           val cand = new LongHeap(64, min = false)
           val res = new LongHeap(ef + 1, min = true)
-          val s0 = simNodes(q, entry0)
+          val s0 = pairScore(q, entry0)
           visited.add(entry0)
           cand.push(LongHeap.pack(s0, entry0))
           var stop = false
@@ -178,7 +178,7 @@ final class Vamana(
                 val nb = nbrs(i)._1
                 if (!visited.contains(nb)) {
                   visited.add(nb)
-                  val s = simNodes(q, nb)
+                  val s = pairScore(q, nb)
                   if (res.size < ef || s > LongHeap.score(res.top)) cand.push(LongHeap.pack(s, nb))
                 }
                 i += 1
@@ -286,6 +286,27 @@ final class Vamana(
     if (metricCode == 2)
       (1.0 + dot(vectors(i), vectors(j)) / (normSqrts(i) * normSqrts(j))) / 2.0
     else sim(vectors(i), vectors(j))
+
+  /** BUILD-time pair-scorer seam (jvector's BuildScoreProvider,
+    * `similarity/BuildScoreProvider.java:170-212`): non-null only while an
+    * approximate-scored build ([[buildApprox]]) is running. Insert beams,
+    * RobustPrune diversity, backlink scores and hierarchy construction all
+    * route through [[pairScore]], so an approximate build never consults
+    * full-res vectors; search-time scoring and post-build maintenance
+    * (repair, rescore) always see null and stay exact. */
+  private var buildPair: (Int, Int) => Double = null
+
+  @inline private def pairScore(a: Int, b: Int): Double =
+    if (buildPair == null) simNodes(a, b) else buildPair(a, b)
+
+  /** Insert-time beam for `node` against the current graph: exact query
+    * scorer normally, the build pair scorer during an approximate build. */
+  private def buildSearch(node: Int): Array[(Int, Double)] =
+    if (buildPair == null) searchInternal(vectors(node), beamWidth, _ => true)
+    else {
+      val sc: Int => Double = j => buildPair(node, j)
+      searchInternalScored(sc, descendScored(sc, null), beamWidth, _ => true)
+    }
 
   /** Query-to-node scorer with the query norm hoisted out of the loop
     * (COSINE); other metrics fall through to `sim`. Bit-identical results. */
@@ -695,7 +716,7 @@ final class Vamana(
             var dominated = false
             var j = 0
             while (j < kept.length && !dominated) {
-              if (simNodes(kept(j), c) > sPC * a) dominated = true
+              if (pairScore(kept(j), c) > sPC * a) dominated = true
               j += 1
             }
             if (!dominated) {
@@ -725,7 +746,7 @@ final class Vamana(
     * sequential build loop, also the parallel build's seed phase). */
   private def insertOne(node: Int, overflowDeg: Int,
       nbrSims: Array[mutable.ArrayBuffer[Double]]): Unit = {
-    val found = searchInternal(vectors(node), beamWidth, _ => true)
+    val found = buildSearch(node)
     val chosenScores = mutable.ArrayBuffer.empty[Double]
     val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree, chosenScores)
     neighbors(node) = chosen
@@ -792,7 +813,32 @@ final class Vamana(
       i += 1
     }
     entryNode = best
+    buildFrom(threads)
+  }
 
+  /** Approximate-scored build — the reference's DEFAULT build mode
+    * (default.yml's construction `compression: PQ`;
+    * `BuildScoreProvider.pqBuildScoreProvider`,
+    * `similarity/BuildScoreProvider.java:170-212`): every construction-time
+    * score (insert beams, RobustPrune diversity, backlinks, hierarchy)
+    * routes through `pair`, and full-res vectors are never consulted — at
+    * scale the builder needs only codes + codebooks in memory while
+    * full-res stays on disk for search-time rerank. `entry` is the
+    * caller-selected entry node (e.g. argmax similarity to the approximate
+    * centroid, the reference's `approximateCentroid` seam). Post-build
+    * maintenance (repair, rescore) resumes exact scoring: the seam is
+    * nulled before this returns. */
+  def buildApprox(pair: (Int, Int) => Double, entry: Int, threads: Int = 1): this.type = {
+    if (n == 0) return this
+    require(entry >= 0 && entry < n, s"entry $entry out of range [0, $n)")
+    buildPair = pair
+    try {
+      entryNode = entry
+      buildFrom(threads)
+    } finally buildPair = null
+  }
+
+  private def buildFrom(threads: Int): this.type = {
     val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
     val rnd = new scala.util.Random(seed)
     val order = rnd.shuffle((0 until n).toVector)
@@ -809,7 +855,7 @@ final class Vamana(
       // edges are re-packed from the cached sims, only the fresh beam results
       // need scoring (which searchInternal already produced)
       for (node <- 0 until n) {
-        val found = searchInternal(vectors(node), beamWidth, _ => true)
+        val found = buildSearch(node)
         val lst = neighbors(node)
         val sims = nbrSims(node)
         val packed = new Array[Long](found.length + lst.length)
@@ -860,7 +906,7 @@ final class Vamana(
           var i = next.getAndIncrement()
           while (i < batch) {
             val node = nodes(base + i)
-            val found = searchInternal(vectors(node), beamWidth, _ => true)
+            val found = buildSearch(node)
             val ss = mutable.ArrayBuffer.empty[Double]
             chosenArr(i) =
               robustPrune(node, packPairs(found.iterator, found.length), maxDegree, ss, scratch)
@@ -926,7 +972,7 @@ final class Vamana(
           var i = next.getAndIncrement()
           while (i < end - start) {
             val node = start + i
-            val found = searchInternal(vectors(node), beamWidth, _ => true)
+            val found = buildSearch(node)
             val lst = neighbors(node)
             val sims = nbrSims(node)
             val packed = new Array[Long](found.length + lst.length)

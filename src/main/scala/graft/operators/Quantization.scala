@@ -61,6 +61,131 @@ case class PQModel(
   }
 }
 
+/** Code-to-code scorer for approximate-scored graph builds
+  * ([[graft.index.Vamana.buildApprox]] — the reference's default
+  * construction mode, `BuildScoreProvider.pqBuildScoreProvider`,
+  * `similarity/BuildScoreProvider.java:170-212`).
+  *
+  * Decoded vectors are concatenations of per-subspace centroids, so
+  * dot(decode(a), decode(b)) == Σ_s dot(cb_s(a_s), cb_s(b_s)) exactly —
+  * precomputing the per-subspace centroid-pair dot tables (m * k * k
+  * doubles: ~4 MB at m=8/k=256, independent of n) and per-centroid
+  * subvector norms makes a pair score m table lookups, with no full-res
+  * vector access at all. Normalization formulas match [[graft.index.Vamana]]
+  * sim exactly (EUCLIDEAN 1/(1+l2²), DOT (1+d)/2, COSINE (1+cos)/2) so an
+  * approximate build drops into the same RobustPrune thresholds. */
+final class PQPairScorer(model: PQModel, codesFlat: Array[Int], metric: String)
+    extends Serializable {
+  private val m = model.m
+  private val metricCode: Int = metric.toUpperCase match {
+    case "EUCLIDEAN" => 0
+    case "DOT_PRODUCT" | "DOT" => 1
+    case "COSINE" => 2
+    case x => throw new IllegalArgumentException(s"unknown metric: $x")
+  }
+  // ks(s) = actual centroid count in subspace s (k capped by sample size)
+  private val ks: Array[Int] = Array.tabulate(m)(s => model.codebooks(s).length)
+  private val kern = graft.simd.Kernels.INSTANCE
+  // dotCC(s)(ca * ks(s) + cb) = dot(cb_s(ca), cb_s(cb))
+  private val dotCC: Array[Array[Double]] = Array.tabulate(m) { s =>
+    val cb = model.codebooks(s)
+    val k = ks(s)
+    val t = new Array[Double](k * k)
+    var a = 0
+    while (a < k) {
+      var b = a
+      while (b < k) {
+        val d = kern.dotD(cb(a), cb(b))
+        t(a * k + b) = d
+        t(b * k + a) = d
+        b += 1
+      }
+      a += 1
+    }
+    t
+  }
+  // magC(s)(c) = |cb_s(c)|² (diagonal of dotCC, kept separate for locality)
+  private val magC: Array[Array[Double]] =
+    Array.tabulate(m)(s => Array.tabulate(ks(s))(c => dotCC(s)(c * ks(s) + c)))
+
+  /** Similarity between nodes a and b from codes alone. */
+  def score(a: Int, b: Int): Double = {
+    val ba = a * m
+    val bb = b * m
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var s = 0
+    while (s < m) {
+      val ca = codesFlat(ba + s)
+      val cb = codesFlat(bb + s)
+      dot += dotCC(s)(ca * ks(s) + cb)
+      na += magC(s)(ca)
+      nb += magC(s)(cb)
+      s += 1
+    }
+    (metricCode: @annotation.switch) match {
+      case 0 => 1.0 / (1.0 + (na - 2.0 * dot + nb))
+      case 1 => (1.0 + dot) / 2.0
+      case 2 => (1.0 + dot / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+    }
+  }
+
+  /** Entry node: argmax similarity to the approximate centroid (reference
+    * `approximateCentroid`, `BuildScoreProvider.java:207-210`), computed
+    * from code frequencies — again without touching full-res vectors.
+    * Ties break to the lowest node id (matches the exact build's medoid
+    * scan). */
+  def entryNode(): Int = {
+    val nRows = codesFlat.length / m
+    if (nRows == 0) return 0
+    // centroid subvector per subspace: frequency-weighted mean of centroids
+    val cent: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val freq = new Array[Long](ks(s))
+      var i = 0
+      while (i < nRows) { freq(codesFlat(i * m + s)) += 1L; i += 1 }
+      val sub = new Array[Double](model.subSizes(s))
+      var c = 0
+      while (c < ks(s)) {
+        if (freq(c) > 0) {
+          val cb = model.codebooks(s)(c)
+          val w = freq(c).toDouble / nRows
+          var j = 0
+          while (j < sub.length) { sub(j) += w * cb(j); j += 1 }
+        }
+        c += 1
+      }
+      sub
+    }
+    // per-code dot/mag tables vs the centroid
+    val dCent: Array[Array[Double]] =
+      Array.tabulate(m)(s => Array.tabulate(ks(s))(c => kern.dotD(cent(s), model.codebooks(s)(c))))
+    val centMag = cent.map(sub => kern.dotD(sub, sub)).sum
+    var best = 0
+    var bestS = Double.MinValue
+    var i = 0
+    while (i < nRows) {
+      var dot = 0.0
+      var nb = 0.0
+      var s = 0
+      while (s < m) {
+        val c = codesFlat(i * m + s)
+        dot += dCent(s)(c)
+        nb += magC(s)(c)
+        s += 1
+      }
+      val sc = (metricCode: @annotation.switch) match {
+        case 0 => 1.0 / (1.0 + (centMag - 2.0 * dot + nb))
+        case 1 => (1.0 + dot) / 2.0
+        case 2 => (1.0 + dot / (math.sqrt(centMag) * math.sqrt(nb))) / 2.0
+      }
+      if (sc > bestS) { bestS = sc; best = i }
+      i += 1
+    }
+    best
+  }
+}
+
 /** Bounded deterministic driver-side training sample (the reference caps PQ
   * training at 128k vectors — ProductQuantization.java:62-64; same contract
   * reused by IVF). */

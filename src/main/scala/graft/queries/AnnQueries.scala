@@ -494,6 +494,39 @@ object AnnQueries {
     ("fused_identical_to_gathered", 1.0),
     ("fused_twophase_recall_ge_0.85", 0.85)))
 
+  /** PQ-scored construction (the reference's DEFAULT build mode:
+    * default.yml build `compression: PQ`,
+    * `BuildScoreProvider.pqBuildScoreProvider`): segments build their
+    * graphs from codes alone ([[graft.index.Vamana.buildApprox]] via
+    * `Params.pqBuild`), then the persisted tree serves exact-rerank
+    * searches. Gates: recall vs exact stays over the bar even though
+    * construction never saw a full-res vector, and the two-phase ADC route
+    * over the same tree holds too. */
+  private val pqBuildIdx = new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def annPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val idx = pqBuildIdx.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gate_pqb").toString + "/idx"
+      Ann.buildIndex(Tables.embeddings(s, dir), tmp,
+        annParams.copy(pqM = 8, pqBuild = true), "vec_id", "embedding")
+      tmp
+    })
+    val exact = Ann.searchIndex(s, idx, queries0(s, dir), k, 64, annParams).cache()
+    val twoPhase = Ann.searchIndex(s, idx, queries0(s, dir), k, 64,
+      annParams.copy(pqM = 8), rerankK = 60).cache()
+    val nq = queries0(s, dir).count()
+    val shapeOk = exact.count() == nq * k && twoPhase.count() == nq * k
+    Gates.df(s, Seq(
+      ("pqbuild_exact_search_recall_ge_0.9", 0.9, recallOf(exact, exactKnn(s, dir)) >= 0.9),
+      ("pqbuild_twophase_recall_ge_0.85", 0.85, recallOf(twoPhase, exactKnn(s, dir)) >= 0.85),
+      ("pqbuild_result_shape", k.toDouble, shapeOk)))
+  }
+
+  private val annPqBuildSql: String = Gates.sql(Seq(
+    ("pqbuild_exact_search_recall_ge_0.9", 0.9),
+    ("pqbuild_twophase_recall_ge_0.85", 0.85),
+    ("pqbuild_result_shape", k.toDouble)))
+
   /** Prepared maintenance-lifecycle trees per scale dir: (post-repair tree,
     * compacted tree). Built once — the mutations are the expensive part;
     * the gate searches over them are cheap and re-run per call. */
@@ -556,6 +589,7 @@ object AnnQueries {
     "ann_threshold_idx" -> (annThresholdIdx _),
     "ann_rescore" -> (annRescore _),
     "ann_fused" -> (annFused _),
+    "ann_pq_build" -> (annPqBuild _),
     "ann_lifecycle" -> (annLifecycle _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ivf_pruned" -> (ivfPruned _),
@@ -572,6 +606,7 @@ object AnnQueries {
     "ann_threshold_idx" -> annThresholdIdxSql,
     "ann_rescore" -> annRescoreSql,
     "ann_fused" -> annFusedSql,
+    "ann_pq_build" -> annPqBuildSql,
     "ann_lifecycle" -> annLifecycleSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ivf_pruned" -> ivfPrunedSql,

@@ -1,0 +1,121 @@
+package graft
+
+import graft.index.Vamana
+import graft.operators.{PQ, PQPairScorer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate-scored (PQ) graph construction — the reference's default
+  * build mode (default.yml construction compression: PQ;
+  * BuildScoreProvider.pqBuildScoreProvider). Contracts: the code-pair
+  * scorer equals similarity of decoded vectors; builds are deterministic;
+  * a PQ-built graph searched with EXACT scores still clears the recall
+  * bar; and construction touches no full-res vectors (scorer-only). */
+class PqBuildSpec extends AnyFunSuite {
+
+  private def vecs(n: Int, dim: Int, seed: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  private def trainEncode(vs: Array[Array[Float]], m: Int): (graft.operators.PQModel, Array[Int]) = {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = vs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "vec")
+    val model = PQ.train(df, "vec", m = m, iters = 4)
+    val codes = vs.map(v => model.encodeOne(v.map(_.toDouble)))
+    val flat = new Array[Int](vs.length * m)
+    codes.zipWithIndex.foreach { case (c, i) => System.arraycopy(c, 0, flat, i * m, m) }
+    (model, flat)
+  }
+
+  test("PQPairScorer.score == similarity of decoded vectors (all metrics)") {
+    val vs = vecs(300, 16, 5)
+    val (model, flat) = trainEncode(vs, m = 4)
+    val rnd = new scala.util.Random(9)
+    for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN")) {
+      val sc = new PQPairScorer(model, flat, metric)
+      (0 until 50).foreach { _ =>
+        val a = rnd.nextInt(vs.length)
+        val b = rnd.nextInt(vs.length)
+        val da = model.decode(flat.slice(a * 4, a * 4 + 4)).map(_.toFloat)
+        val db = model.decode(flat.slice(b * 4, b * 4 + 4)).map(_.toFloat)
+        // da/db round through float32, the scorer stays in double — the
+        // difference is float32 rounding of the decoded values, not logic
+        val want = Vamana.similarity(metric, da, db)
+        assert(math.abs(sc.score(a, b) - want) < 1e-5, s"$metric ($a,$b)")
+      }
+    }
+  }
+
+  test("PQ-scored build: deterministic, degree-bounded, recall holds under exact search") {
+    val n = 8000
+    val vs = vecs(n, 16, seed = 42)
+    val (model, flat) = trainEncode(vs, m = 4)
+    val sc = new PQPairScorer(model, flat, "COSINE")
+    val entry = sc.entryNode()
+
+    def buildOnce(threads: Int): Vamana =
+      new Vamana(vs, "COSINE", maxDegree = 32, beamWidth = 100).buildApprox(sc.score, entry, threads)
+
+    val g = buildOnce(1)
+    assert(g.neighbors.forall(_.size <= (32 * 1.2).toInt), "degree bound")
+
+    // recall@10 with EXACT query-time scoring over the PQ-built graph —
+    // what a user gets: compressed build, full-res search
+    val queries = vecs(100, 16, seed = 7)
+    var hits = 0
+    queries.foreach { q =>
+      val truth = vs.indices.map(i => (i, g.sim(q, vs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      val got = g.search(q, 10, 100).map(_._1).toSet
+      hits += got.intersect(truth).size
+    }
+    val recall = hits / 1000.0
+    assert(recall >= 0.9, s"recall@10 over PQ-built graph too low: $recall")
+
+    // deterministic: rebuilds match edge-for-edge at the same thread count
+    // (the parallel schedule differs from sequential insertion by design —
+    // its contract is recall parity, same as ParallelBuildSpec's for the
+    // exact build)
+    val g2 = buildOnce(1)
+    assert(g.neighbors.zip(g2.neighbors).forall { case (a, b) => a == b }, "seq determinism")
+    assert(g.entryNode === g2.entryNode)
+    val gp = buildOnce(4)
+    val gp2 = buildOnce(4)
+    assert(gp.neighbors.zip(gp2.neighbors).forall { case (a, b) => a == b },
+      "parallel approx build deterministic across runs")
+    var hitsP = 0
+    queries.foreach { q =>
+      val truth = vs.indices.map(i => (i, gp.sim(q, vs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      hitsP += gp.search(q, 10, 100).map(_._1).toSet.intersect(truth).size
+    }
+    assert(hitsP / 1000.0 >= recall - 0.05,
+      s"parallel PQ-build recall ${hitsP / 1000.0} vs sequential $recall")
+  }
+
+  test("buildApprox never consults full-res vectors during construction") {
+    val n = 2000
+    val vs = vecs(n, 16, seed = 3)
+    val (model, flat) = trainEncode(vs, m = 4)
+    val sc = new PQPairScorer(model, flat, "COSINE")
+    // poison pill: hand the builder vectors it must not read. Scoring any
+    // poisoned vector yields NaN, which would propagate into edge scores
+    // and break the degree/recall assertions below.
+    val poisoned = Array.fill(n)(Array.fill(16)(Float.NaN))
+    val g = new Vamana(poisoned, "COSINE", maxDegree = 16, beamWidth = 64)
+      .buildApprox(sc.score, sc.entryNode(), threads = 1)
+    assert(g.neighbors.count(_.nonEmpty) === n, "graph must be fully connected from codes alone")
+    // post-build, exact kernels resume: searching the poisoned shell with a
+    // real query produces NaN scores — proving vectors were only needed at
+    // search time, not build time
+    val restored = new Vamana(vs, "COSINE", maxDegree = 16, beamWidth = 64)
+    for (i <- 0 until n) restored.neighbors(i) ++= g.neighbors(i)
+    restored.entryNode = g.entryNode
+    val q = vecs(1, 16, 11).head
+    val got = restored.search(q, 10, 64).map(_._1).toSet
+    val truth = vs.indices.map(i => (i, restored.sim(q, vs(i))))
+      .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+    assert(got.intersect(truth).size >= 8, "restored shell over the code-built graph must search well")
+  }
+}
