@@ -186,6 +186,61 @@ final class PQPairScorer(model: PQModel, codesFlat: Array[Int], metric: String)
   }
 }
 
+/** Hamming-scored build companion to [[PQPairScorer]] (the reference's
+  * other approximate construction mode:
+  * `BuildScoreProvider.bqBuildScoreProvider`,
+  * `similarity/BuildScoreProvider.java:214-246`): node-pair similarity is
+  * `1 - hamming/dim` over sign-bit codes — one XOR+popcount word op per 64
+  * dims, no codebooks at all. Coarser than PQ (1 bit/dim); the reference
+  * offers it for the same build-memory reason with the same recall caveat.
+  * Entry selection follows the reference's zeros approximate-centroid
+  * ("centroid = zeros is actually a decent approximation"): the all-zero
+  * query code makes similarity monotone in -popcount, so entry = node with
+  * the fewest set bits (ties to the lowest id). */
+final class BQPairScorer(codes: Array[Array[Long]], dim: Int) extends Serializable {
+
+  def score(a: Int, b: Int): Double = {
+    val ca = codes(a)
+    val cb = codes(b)
+    var h = 0
+    var w = 0
+    while (w < ca.length) { h += java.lang.Long.bitCount(ca(w) ^ cb(w)); w += 1 }
+    1.0 - h.toDouble / dim
+  }
+
+  def entryNode(): Int = {
+    var best = 0
+    var bestPop = Int.MaxValue
+    var i = 0
+    while (i < codes.length) {
+      var pop = 0
+      var w = 0
+      while (w < codes(i).length) { pop += java.lang.Long.bitCount(codes(i)(w)); w += 1 }
+      if (pop < bestPop) { bestPop = pop; best = i }
+      i += 1
+    }
+    best
+  }
+}
+
+object BQPairScorer {
+  /** Sign-bit pack (bit j of word i set iff v[i*64+j] > 0 — BQ contract). */
+  def encode(vecs: Array[Array[Float]]): Array[Array[Long]] = {
+    vecs.map { v =>
+      val words = new Array[Long]((v.length + 63) / 64)
+      var i = 0
+      while (i < v.length) {
+        if (v(i) > 0f) words(i / 64) |= 1L << (i % 64)
+        i += 1
+      }
+      words
+    }
+  }
+
+  def apply(vecs: Array[Array[Float]]): BQPairScorer =
+    new BQPairScorer(encode(vecs), if (vecs.isEmpty) 1 else vecs(0).length)
+}
+
 /** Bounded deterministic driver-side training sample (the reference caps PQ
   * training at 128k vectors — ProductQuantization.java:62-64; same contract
   * reused by IVF). */

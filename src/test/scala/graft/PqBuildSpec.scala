@@ -94,6 +94,30 @@ class PqBuildSpec extends AnyFunSuite {
       s"parallel PQ-build recall ${hitsP / 1000.0} vs sequential $recall")
   }
 
+  test("BQ (hamming) scored build: the other reference build-compression mode") {
+    val n = 5000
+    val dim = 64 // BQ needs dimension for signal: 1 bit/dim
+    val vs = vecs(n, dim, seed = 21)
+    val sc = graft.operators.BQPairScorer(vs)
+    // scorer sanity: self-similarity 1, symmetric, in [0,1]
+    assert(sc.score(7, 7) === 1.0)
+    assert(sc.score(3, 9) === sc.score(9, 3))
+    assert(sc.score(3, 9) >= 0.0 && sc.score(3, 9) <= 1.0)
+    val g = new Vamana(vs, "COSINE", maxDegree = 32, beamWidth = 100)
+      .buildApprox(sc.score, sc.entryNode(), threads = 1)
+    assert(g.neighbors.forall(_.size <= (32 * 1.2).toInt))
+    val queries = vecs(50, dim, seed = 22)
+    var hits = 0
+    queries.foreach { q =>
+      val truth = vs.indices.map(i => (i, g.sim(q, vs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      hits += g.search(q, 10, 100).map(_._1).toSet.intersect(truth).size
+    }
+    val recall = hits / 500.0
+    // coarser than PQ by design (1 bit/dim); bar reflects measured margin
+    assert(recall >= 0.8, s"recall@10 over BQ-built graph too low: $recall")
+  }
+
   test("buildApprox never consults full-res vectors during construction") {
     val n = 2000
     val vs = vecs(n, 16, seed = 3)
