@@ -18,7 +18,7 @@ package graft.simd;
  * DuckDB hash-match contract. This seam feeds only gate-facing engine paths
  * whose contracts are recall/threshold bounds, not bit equality.
  */
-public interface VectorKernels {
+public interface VectorKernels extends java.io.Serializable {
   /** Dot product. Must be bit-symmetric in its arguments. */
   double dot(float[] a, float[] b);
 

@@ -456,6 +456,10 @@ object Ann {
       if (pqModelIn.isDefined) pqModelIn
       else if (p.pqM > 0) Some(graft.operators.PQ.train(base, baseVec, p.pqM, p.pqK))
       else None
+    // fail fast instead of silently building full-res: pqBuild's whole point
+    // is the codes-only construction footprint
+    require(!p.pqBuild || pqModel.isDefined,
+      "Params.pqBuild requires pqM > 0 (no PQ model to score construction with)")
     val encodeCode: Array[Float] => Array[Int] = pqModel match {
       case Some(m) => v => m.encodeOne(v.map(_.toDouble))
       case None => _ => null
@@ -471,13 +475,16 @@ object Ann {
           // graph + centroid are computed from the ORIGINAL vectors (NVQ
           // mode only stores lossily) — unless pqBuild, where construction
           // scores on the PQ codes it is about to persist anyway and never
-          // reads full-res (the reference's default build mode)
+          // reads full-res (the reference's default build mode). Codes are
+          // pre-materialized ONLY for pqBuild (the builder needs them all);
+          // otherwise each row encodes lazily at emission and is collected
+          // immediately.
           val codes: Array[Array[Int]] =
-            if (pqModel.isDefined) rows.map(r => encodeCode(r._2)) else null
+            if (p.pqBuild && pqModel.isDefined) rows.map(r => encodeCode(r._2)) else null
           val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
             p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
           val g =
-            if (p.pqBuild && pqModel.isDefined) {
+            if (codes != null) {
               val mm = pqModel.get
               val flat = new Array[Int](rows.length * mm.m)
               var i = 0
@@ -506,7 +513,7 @@ object Ann {
               } else (v, null: Array[Int], null: Array[Array[Double]])
             (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
               if (i == 0) centroid else null,
-              if (codes == null) null else codes(i), nvqCode, nvqParams, p.nvqBits,
+              if (codes != null) codes(i) else encodeCode(v), nvqCode, nvqParams, p.nvqBits,
               // persisted hierarchy (S7/S8): upper-layer adjacency rows ride
               // along, null for layer-0-only nodes (~ (1/degree) of rows
               // carry one) — searchIndex's assembly restores them so the

@@ -94,10 +94,10 @@ object Multimodal {
                 if (fmt.getEncoding == PCM_UNSIGNED) ((raw(off) & 0xff) - 128) / 128.0f
                 else raw(off) / 128.0f
               } else {
-                val lo = raw(off) & 0xff
-                val hi = raw(off + 1) & 0xff
-                val s = if (fmt.isBigEndian) ((raw(off) << 8) | (raw(off + 1) & 0xff)).toShort
-                        else ((hi << 8) | lo).toShort
+                val u = if (fmt.isBigEndian) ((raw(off) & 0xff) << 8) | (raw(off + 1) & 0xff)
+                        else ((raw(off + 1) & 0xff) << 8) | (raw(off) & 0xff)
+                // unsigned 16-bit midpoint is 0x8000 (silence), signed is 0
+                val s = if (fmt.getEncoding == PCM_UNSIGNED) u - 32768 else u.toShort.toInt
                 s / 32768.0f
               }
             acc += v
@@ -179,13 +179,21 @@ object Multimodal {
 
   /** Batched feature extraction: processes fixed-size batches per partition
     * (the JVM analogue of `mapInPandas` batch shape — a real decoder would
-    * amortize model/codec init across each batch the same way). */
-  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeature] = {
+    * amortize model/codec init across each batch the same way).
+    *
+    * `codec = false` forces the deterministic histogram for every row —
+    * for oracle-verified pipelines whose twin (e.g. DuckDB) can only
+    * recompute the histogram: whether a blob parses in a JDK codec must
+    * then not influence the output, or the comparison becomes data-
+    * dependent. Real decode keeps its own codec round-trip specs. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
+      codec: Boolean = true): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init seam (codec/model handle would be created here)
-        batch.iterator.map(r => MediaFeature(r.media_id, decodeFeatures(r.kind, r.bytes)))
+        batch.iterator.map(r => MediaFeature(r.media_id,
+          if (codec) decodeFeatures(r.kind, r.bytes) else decodeStub(r.bytes)))
       }
     }
   }

@@ -42,7 +42,11 @@ object MultimodalQueries {
       col("media_id"), col("kind"), col("bytes"),
       lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
       lit(null).cast("int").as("sample_rate")).as[Multimodal.MediaRow]
-    Multimodal.extractFeatures(ds).toDF()
+    // codec = false: the DuckDB twin below can only recompute the histogram,
+    // so whether any synthetic payload happens to parse in a JDK codec must
+    // not influence this entry (real decode is covered by MultimodalSpec's
+    // codec round-trips)
+    Multimodal.extractFeatures(ds, codec = false).toDF()
       .select(col("media_id"), posexplode(col("feature")))
       .select(col("media_id"), col("pos").cast("int").as("bin"),
         round(col("col"), 6).as("v"))

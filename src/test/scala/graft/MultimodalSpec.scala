@@ -77,6 +77,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(rms - (amp / 32768.0) / math.sqrt(2)) < 0.01)
   }
 
+  test("AIFF (big-endian signed PCM) round-trip: exact constant amplitude") {
+    val amp = -4096
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true) // BE
+    val raw = new Array[Byte](800 * 2)
+    (0 until 800).foreach { i =>
+      raw(2 * i) = ((amp >> 8) & 0xff).toByte
+      raw(2 * i + 1) = (amp & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 800L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val audio = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(audio.samples.length === 800)
+    audio.samples.foreach(v => assert(math.abs(v - amp / 32768.0f) < 1e-6))
+  }
+
   test("undecodable bytes fall back to the histogram fingerprint per kind") {
     val junk = "not an image at all".getBytes("UTF-8")
     assert(Multimodal.decodeImage(junk).isEmpty)
