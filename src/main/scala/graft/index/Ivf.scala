@@ -24,6 +24,13 @@ object Ivf {
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
 
+    // SIMD kernels + centroid norms hoisted out of the per-(row, centroid)
+    // loop: assign runs once per ROW of the whole corpus on the write path,
+    // so nlist * dim work per row is the 100 TB-relevant inner loop
+    @transient private lazy val kern = graft.simd.Kernels.INSTANCE
+    @transient private lazy val centNormSqrts: Array[Double] =
+      centroids.map(c => math.sqrt(kern.dotD(c, c)))
+
     def nearestClusters(v: Array[Double], nprobe: Int): Array[Int] =
       centroids.indices.toArray
         .map(c => (c, simTo(v, c)))
@@ -33,16 +40,30 @@ object Ivf {
     def simTo(v: Array[Double], c: Int): Double = {
       val ct = centroids(c)
       (metricCode: @annotation.switch) match {
-        case 0 =>
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
-          1.0 / (1.0 + d)
-        case 1 => (1.0 + VectorFunctions.dotSeq(v, ct)) / 2.0
+        case 0 => 1.0 / (1.0 + kern.l2sqD(v, ct))
+        case 1 => (1.0 + kern.dotD(v, ct)) / 2.0
         case 2 =>
-          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < v.length) { d += v(i) * ct(i); na += v(i) * v(i); nb += ct(i) * ct(i); i += 1 }
-          (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+          (1.0 + kern.dotD(v, ct) / (math.sqrt(kern.dotD(v, v)) * centNormSqrts(c))) / 2.0
       }
+    }
+
+    /** Nearest centroid with the row's norm computed ONCE (ties to the
+      * lowest cluster id, same order as [[nearestClusters]]). */
+    def assignOne(v: Array[Double]): Int = {
+      val vn = if (metricCode == 2) math.sqrt(kern.dotD(v, v)) else 0.0
+      var best = 0
+      var bestS = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        val s = (metricCode: @annotation.switch) match {
+          case 0 => 1.0 / (1.0 + kern.l2sqD(v, centroids(c)))
+          case 1 => (1.0 + kern.dotD(v, centroids(c))) / 2.0
+          case 2 => (1.0 + kern.dotD(v, centroids(c)) / (vn * centNormSqrts(c))) / 2.0
+        }
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
     }
   }
 
@@ -64,17 +85,7 @@ object Ivf {
     * At scale: `.write.partitionBy("cluster_id")` for pruned reads. */
   def assign(df: DataFrame, vecCol: String, model: IvfModel, outCol: String = "cluster_id"): DataFrame = {
     val m = model
-    val assignUdf = udf { v: Seq[Double] =>
-      val arr = v.toArray
-      var best = 0; var bestS = Double.MinValue
-      var c = 0
-      while (c < m.centroids.length) {
-        val s = m.simTo(arr, c)
-        if (s > bestS) { bestS = s; best = c }
-        c += 1
-      }
-      best
-    }
+    val assignUdf = udf { v: Seq[Double] => m.assignOne(v.toArray) }
     df.withColumn(outCol, assignUdf(col(vecCol).cast("array<double>")))
   }
 
