@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -101,6 +102,36 @@ case class AdcLookupSumExpr(left: Expression, right: Expression, kk: Int)
     copy(l, r)
 }
 
+/** Nearest-centroid assignment as a native codegen expression — the IVF
+  * write-path partitioner ([[graft.index.Ivf.assign]]). It runs once per
+  * corpus row when writing a cluster-partitioned layout, so at 100 TB it is
+  * the hottest scalar on the ingest path: a Scala UDF pays a boxed
+  * Seq[Double] conversion per row, while this stays primitive
+  * (ArrayData.toDoubleArray) and rides whole-stage codegen. The model is
+  * attached via addReferenceObj so generated code calls the SAME
+  * [[graft.index.Ivf.IvfModel.assignOne]] the driver-side probe routing
+  * uses — one assignment implementation everywhere. */
+case class NearestCentroidExpr(child: Expression, model: graft.index.Ivf.IvfModel)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<double>, got $other (cast first)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    model.assignOne(v.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("ivfModel", model, model.getClass.getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $modelRef.assignOne($v.toDoubleArray());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
@@ -108,4 +139,6 @@ object VectorExpressions {
   def jaccard(a: Column, b: Column): Column = column(JaccardExpr(expression(a), expression(b)))
   def adcLookupSum(table: Column, codes: Column, kk: Int): Column =
     column(AdcLookupSumExpr(expression(table), expression(codes), kk))
+  def nearestCentroid(vec: Column, model: graft.index.Ivf.IvfModel): Column =
+    column(NearestCentroidExpr(expression(vec), model))
 }

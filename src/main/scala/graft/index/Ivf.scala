@@ -84,9 +84,8 @@ object Ivf {
   /** Assign each row to its nearest centroid — the write-path partitioner.
     * At scale: `.write.partitionBy("cluster_id")` for pruned reads. */
   def assign(df: DataFrame, vecCol: String, model: IvfModel, outCol: String = "cluster_id"): DataFrame = {
-    val m = model
-    val assignUdf = udf { v: Seq[Double] => m.assignOne(v.toArray) }
-    df.withColumn(outCol, assignUdf(col(vecCol).cast("array<double>")))
+    df.withColumn(outCol, graft.functions.VectorExpressions.nearestCentroid(
+      col(vecCol).cast("array<double>"), model))
   }
 
   /** Distributed k-NN JOIN: every LEFT row gets its top-k RIGHT neighbors.

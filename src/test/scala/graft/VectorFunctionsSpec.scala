@@ -62,4 +62,31 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq(Tuple1(Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("a")
     assert(df.select(subVector($"a", 1, 2)).head().getSeq[Float](0) === Seq(2.0f, 3.0f))
   }
+
+  test("NearestCentroidExpr matches driver-side assignOne and stays codegen") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(4)
+    val model = graft.index.Ivf.IvfModel("COSINE",
+      Array.fill(8)(Array.fill(6)(rnd.nextDouble() * 2 - 1)))
+    val vecs = Seq.fill(200)(Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toDF("id", "v")
+    val res = df.select(col("id"),
+        graft.functions.VectorExpressions.nearestCentroid(col("v"), model).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(res(i) === model.assignOne(v), s"row $i")
+    }
+    // the whole assignment must ride whole-stage codegen (no UDF node) —
+    // over a real scan (a LocalTableScan collapses the projection and
+    // shows no codegen span regardless of the expression)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ncexpr").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(graft.functions.VectorExpressions.nearestCentroid(col("v"), model))
+      .queryExecution.executedPlan.toString
+    // "*(N) Project" is the whole-stage-codegen marker in the simple string
+    assert(plan.contains("*(1) Project [nearestcentroidexpr"),
+      s"assignment not inside a codegen span:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF node in plan:\n$plan")
+  }
 }
