@@ -132,6 +132,60 @@ case class NearestCentroidExpr(child: Expression, model: graft.index.Ivf.IvfMode
   override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
 }
 
+/** PQ row encode as a native codegen expression (the other once-per-row
+  * write-path scalar: every row of a compressed layout encodes exactly
+  * once). Calls the SAME [[graft.operators.PQModel.encodeOne]] the oracle
+  * contract is written against — sequential-double argmin, bit-identical
+  * to the DuckDB list_reduce recomputation — so swapping the boxed UDF for
+  * this changes per-row overhead, never arithmetic. */
+case class PqEncodeExpr(child: Expression, model: graft.operators.PQModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double>, got $other (cast first)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(model.encodeOne(v.asInstanceOf[ArrayData].toDoubleArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("pqModel", model, model.getClass.getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"$modelRef.encodeOne($v.toDoubleArray()));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
+}
+
+/** nprobe nearest clusters per row ([[graft.index.Ivf.knnJoin]]'s probe
+  * fan-out — once per LEFT row of the embedding-dedup join at 100 TB). */
+case class NearestClustersExpr(child: Expression, model: graft.index.Ivf.IvfModel, nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_clusters expects array<double>, got $other (cast first)")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(model.nearestClusters(v.asInstanceOf[ArrayData].toDoubleArray(), nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("ivfModel", model, model.getClass.getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"$modelRef.nearestClusters($v.toDoubleArray(), $nprobe));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestClustersExpr = copy(child = c)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
@@ -141,4 +195,8 @@ object VectorExpressions {
     column(AdcLookupSumExpr(expression(table), expression(codes), kk))
   def nearestCentroid(vec: Column, model: graft.index.Ivf.IvfModel): Column =
     column(NearestCentroidExpr(expression(vec), model))
+  def nearestClusters(vec: Column, model: graft.index.Ivf.IvfModel, nprobe: Int): Column =
+    column(NearestClustersExpr(expression(vec), model, nprobe))
+  def pqEncode(vec: Column, model: graft.operators.PQModel): Column =
+    column(PqEncodeExpr(expression(vec), model))
 }

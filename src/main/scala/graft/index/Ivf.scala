@@ -114,9 +114,9 @@ object Ivf {
       saltBuckets: Int = 1): DataFrame = {
 
     val m = model
-    val probesUdf = udf { v: Seq[Double] => m.nearestClusters(v.toArray, nprobe) }
     val l0 = left.select(col(leftId).cast("long").as("__qid"), col(leftVec).as("__qvec"))
-      .withColumn("cluster_id", explode(probesUdf(col("__qvec").cast("array<double>"))))
+      .withColumn("cluster_id", explode(graft.functions.VectorExpressions.nearestClusters(
+        col("__qvec").cast("array<double>"), m, nprobe)))
     // the probes side is small and gets broadcast, so the join streams the
     // right side — spread it when it's a single split (no-op at scale)
     val r0 = KnnExact.spreadSmall(assign(right, rightVec, m)

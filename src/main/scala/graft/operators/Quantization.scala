@@ -689,11 +689,11 @@ object PQ {
   }
 
   /** Distributed encode: adds `codeCol` array<int> (one centroid id per
-    * subspace). The model rides inside the UDF closure (small). */
-  def encode(df: DataFrame, vecCol: String, model: PQModel, codeCol: String = "pq_code"): DataFrame = {
-    val enc = udf { v: Seq[Double] => model.encodeOne(v.toArray) }
-    df.withColumn(codeCol, enc(col(vecCol).cast("array<double>")))
-  }
+    * subspace). Native codegen expression — encode runs once per corpus
+    * row on the write path; same encodeOne arithmetic as the oracle. */
+  def encode(df: DataFrame, vecCol: String, model: PQModel, codeCol: String = "pq_code"): DataFrame =
+    df.withColumn(codeCol, graft.functions.VectorExpressions.pqEncode(
+      col(vecCol).cast("array<double>"), model))
 
   /** Distributed decode of a code column back to approximate vectors. */
   def decode(df: DataFrame, codeCol: String, model: PQModel, outCol: String = "pq_decoded"): DataFrame = {
