@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -186,6 +186,26 @@ case class NearestClustersExpr(child: Expression, model: graft.index.Ivf.IvfMode
   override protected def withNewChildInternal(c: Expression): NearestClustersExpr = copy(child = c)
 }
 
+/** Self-contained NVQ row decode (codes, per-subvector params, bits →
+  * float32 vector) — the NVQ segment-assembly path ([[graft.index.Ann]]
+  * readIndex): once per row on every cold cache fill, so it stays inside
+  * whole-stage codegen instead of paying a boxed UDF round-trip. */
+case class NvqDecodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(codes: Any, params: Any, bits: Any): Any =
+    graft.operators.NVQ.decodeRow(
+      codes.asInstanceOf[ArrayData], params.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, p, b) =>
+      s"${ev.value} = graft.operators.NVQ.decodeRow($c, $p, $b);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NvqDecodeExpr = copy(f, s, t)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
@@ -199,4 +219,6 @@ object VectorExpressions {
     column(NearestClustersExpr(expression(vec), model, nprobe))
   def pqEncode(vec: Column, model: graft.operators.PQModel): Column =
     column(PqEncodeExpr(expression(vec), model))
+  def nvqDecode(codes: Column, params: Column, bits: Column): Column =
+    column(NvqDecodeExpr(expression(codes), expression(params), expression(bits)))
 }

@@ -184,14 +184,11 @@ object Ann {
       .parquet(path)
     if (!df.columns.contains("nvq_code")) df
     else {
-      val dec = udf { (codes: Seq[Int], params: Seq[Seq[Double]], bits: Int) =>
-        graft.operators.NVQ.decodeSelfContained(
-          codes.toArray, params.map(_.toArray).toArray, bits).map(_.toFloat)
-      }
       df.withColumn("vec",
         coalesce(col("vec").cast("array<float>"),
           when(col("nvq_code").isNotNull,
-            dec(col("nvq_code"), col("nvq_params"), col("nvq_bits")))))
+            graft.functions.VectorExpressions.nvqDecode(
+              col("nvq_code"), col("nvq_params"), col("nvq_bits")))))
     }
   }
 

@@ -171,6 +171,18 @@ object NVQ {
     (codes, params)
   }
 
+  /** ArrayData adapter for [[graft.functions.NvqDecodeExpr]]: same
+    * arithmetic as the Seq-based UDF it replaces, minus the boxed
+    * conversions — this runs once per row at NVQ segment assembly (the
+    * cold-start read path). Returns the float32 vector the index serves. */
+  def decodeRow(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      params: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ps = Array.tabulate(params.numElements())(i => params.getArray(i).toDoubleArray())
+    val out = decodeSelfContained(codes.toIntArray(), ps, bits)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.map(_.toFloat))
+  }
+
   /** Inverse of [[encodeSelfContained]] — layout re-derived from the code
     * length and the number of parameter triples. */
   def decodeSelfContained(codes: Array[Int], params: Array[Array[Double]], bits: Int): Array[Double] = {
