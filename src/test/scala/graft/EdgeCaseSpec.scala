@@ -60,4 +60,26 @@ class EdgeCaseSpec extends SparkSpec {
     val r = KnnExact.thresholdSearch(oneVec, q1, threshold = 2.0, metric = "COSINE")
     assert(r.count() === 0)
   }
+
+  test("write-path codegen expressions propagate null rows as null") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(6)
+    val model = graft.index.Ivf.IvfModel("COSINE",
+      Array.fill(4)(Array.fill(4)(rnd.nextDouble())))
+    val pq = PQ.train(
+      Seq.fill(20)(Tuple1(Seq.fill(4)(rnd.nextDouble().toFloat))).toDF("vec"),
+      "vec", m = 2)
+    val df = Seq(
+      (1L, Some(Seq(0.1, 0.2, 0.3, 0.4))),
+      (2L, None: Option[Seq[Double]])).toDF("id", "v")
+    val out = df.select(col("id"),
+        graft.functions.VectorExpressions.nearestCentroid(col("v"), model).as("c"),
+        graft.functions.VectorExpressions.nearestClusters(col("v"), model, 2).as("p"),
+        graft.functions.VectorExpressions.pqEncode(col("v"), pq).as("e"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).isNullAt(1) && !out(1L).isNullAt(2) && !out(1L).isNullAt(3))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3),
+      "null vector row must yield null outputs, not a crash")
+    assert(out(1L).getSeq[Int](2).length === 2)
+  }
 }
