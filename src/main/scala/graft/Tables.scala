@@ -15,13 +15,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table stores ts as TIMESTAMP(NANOS); Spark reads it as a
-    // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true —
-    // set in Session.build). Convert to a proper TimestampType truncated to
-    // micros, matching DuckDB's nanos->micros truncation.
+    // The events table's ts column has shipped in two physical forms across
+    // driver generations; normalize both to a session-tz TimestampType so
+    // every downstream query (unix_micros, windows, as-of) sees one type:
+    //  - TIMESTAMP(NANOS): Spark reads it as a nanos-since-epoch long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true — set in Session.build).
+    //    Convert truncated to micros, matching DuckDB's nanos->micros
+    //    truncation.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    //    TIMESTAMP_NTZ, which time-zone-aware functions reject. Cast to
+    //    TimestampType — the session tz is pinned to UTC everywhere, so the
+    //    wall-clock values (and the DuckDB-compared strings) are unchanged.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
     else df
   }
 

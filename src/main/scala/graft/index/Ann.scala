@@ -306,6 +306,18 @@ object Ann {
         * (`GraphSearcher.java:397-402`); this floor enforces the same
         * scaling when callers pass small overquery at large k. */
       adcFrontierPerK: Int = 4,
+      /** ADC slack below the cutoff on the compressed THRESHOLD route:
+        * candidates are collected at `threshold - margin` on the
+        * approximate scale and re-checked exactly, so precision is intact
+        * regardless — the margin only governs how much quantization score
+        * error the recall contract absorbs (and how many extra reranks in
+        * `[t - margin, t)` it costs). NaN (the default) calibrates it per
+        * (segment, query) from MEASURED error: the q95 of positive
+        * `exact - ADC` deviations over a small deterministic row sample —
+        * a fixed slack either leaks recall when the model's error exceeds
+        * it or reranks the world when the model is finer than it. Set a
+        * constant to pin a fixed slack instead. */
+      thresholdAdcMargin: Double = Double.NaN,
       /** Worker threads per segment build (Vamana's deterministic prefix-
         * doubling parallel schedule; the reference's builder is likewise
         * concurrent, `GraphIndexBuilder.java` addGraphNode). Default 1:
@@ -1402,17 +1414,31 @@ object Ann {
                 case Some((m, kk, tb)) if hasCodes =>
                   // Compressed traversal: collect + adaptive-stop on the
                   // ADC scale, then exact rerank and threshold re-check.
-                  // Collection runs at a small margin BELOW the threshold:
+                  // Collection runs at a margin BELOW the threshold:
                   // quantization score error would otherwise drop exact
                   // hits sitting just above t whose approx score lands just
                   // under it; the margin costs only the extra reranks in
                   // [t - margin, t) while the exact re-check keeps the
-                  // precision contract intact.
-                  val margin = 0.05
+                  // precision contract intact. The margin itself is
+                  // calibrated from measured quantization error (see
+                  // Params.thresholdAdcMargin) — both scorers are already
+                  // in hand here, so the sample costs sN extra scores.
                   val (dots, mags, qn) = tb.value(qi)
                   val approx = adcScorer(entry.codesFlat, m, kk,
                     adcMetricCode(p.metric), dots, mags, qn)
                   val exact = g.exactScorer(qv)
+                  val margin =
+                    if (!p.thresholdAdcMargin.isNaN) p.thresholdAdcMargin
+                    else {
+                      val nSeg = ids.length
+                      val sN = math.min(64, nSeg)
+                      val devs = Array.tabulate(sN) { j =>
+                        val i = (j.toLong * nSeg / sN).toInt
+                        exact(i) - approx(i)
+                      }.filter(_ > 0).sorted
+                      if (devs.isEmpty) 0.0
+                      else math.min(0.25, devs(((devs.length - 1) * 95) / 100))
+                    }
                   g.thresholdSearchScored(approx, threshold - margin, ef, i => live(i)).iterator
                     .map { case (l, _) => (l, exact(l)) }
                     .filter(_._2 >= threshold)

@@ -287,12 +287,30 @@ object Ivf {
           // conjunct for cheap row-group pruning — sorted dense ordinals
           // make chunks tight ranges), and union the chunk scans.
           val chunk = 1000
+          // The In -> Or-chain cliff is a SESSION conf read lazily when the
+          // scan executes (after this method returns), so save-and-restore
+          // here would undo the widening before it takes effect, and a bare
+          // set would leak the change into every later query on the
+          // caller's session (whose own 10..1000-value INs would silently
+          // switch translation strategy). Scope it instead: a throwaway
+          // child session carries the widened threshold, and a parquet
+          // relation resolves pushdown conf from the session that CREATED
+          // it — so scans built here keep the Or-chain translation when the
+          // combined plan runs under the caller's session, and the caller's
+          // conf is never touched.
           val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-          if (spark.conf.get(thrKey, "10").toInt < chunk)
-            spark.conf.set(thrKey, chunk) // session-level; only widens pushdown
+          val scanSession =
+            if (spark.conf.get(thrKey, "10").toInt >= chunk) spark
+            else {
+              val s2 = spark.newSession()
+              s2.conf.set(thrKey, chunk)
+              s2
+            }
+          def prunedScan(): DataFrame = scanSession.read.parquet(path)
+            .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
           if (ids.isEmpty) pruned().filter(lit(false))
           else ids.grouped(chunk).map { g =>
-            pruned()
+            prunedScan()
               .filter(col(keyCol).between(g.head, g.last))
               .filter(col(keyCol).isin(g.map(java.lang.Long.valueOf).toSeq: _*))
           }.reduce(_ union _)

@@ -78,7 +78,13 @@ final class Vamana(
   private val n = vectors.length
   val neighbors: Array[mutable.ArrayBuffer[Int]] = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
   var entryNode: Int = 0
-  var visitedCount: Long = 0L // accumulated across searches (caller may reset)
+  // Accumulated across searches. LongAdder so concurrent searchers (the
+  // bench's parallel throughput section, multi-threaded serving on a pinned
+  // graph) don't lose updates or tear the long — search itself touches no
+  // other shared mutable state.
+  @transient private lazy val visitedAdder = new java.util.concurrent.atomic.LongAdder
+  def visitedCount: Long = visitedAdder.sum()
+  def visitedCount_=(v: Long): Unit = { visitedAdder.reset(); if (v != 0) visitedAdder.add(v) }
 
   /** Optional HNSW-style hierarchy (jvector merges the HNSW hierarchy with
     * a Vamana-pruned layer 0 — README "merges the DiskANN and HNSW family
@@ -242,7 +248,7 @@ final class Vamana(
       }
       l -= 1
     }
-    visitedCount += visits
+    visitedAdder.add(visits)
     if (vc != null) vc.n += visits
     cur
   }
@@ -371,7 +377,7 @@ final class Vamana(
     }
     // one cumulative add per call (not per node): cheap, and concurrent
     // searches over a shared cached graph report exact effort via `vc`
-    visitedCount += visits
+    visitedAdder.add(visits)
     if (vc != null) vc.n += visits
     res.toArray.map { p => val id = LongHeap.id(p); (id, scorer(id)) }
       .sortBy { case (id, s) => (-s, id) }
@@ -566,7 +572,7 @@ final class Vamana(
         }
       }
     }
-    visitedCount += visits
+    visitedAdder.add(visits)
     if (vc != null) vc.n += visits
     res.toArray.map { p => val id = LongHeap.id(p); (id, scoreOne(id)) }
       .sortBy { case (id, s) => (-s, id) }
@@ -592,7 +598,7 @@ final class Vamana(
     if (n == 0) return (Array.empty, state)
     val entry = descendScored(scorer, null)
     state.visited.set(entry)
-    visitedCount += 1
+    visitedAdder.add(1)
     state.frontier.push(LongHeap.pack(scorer(entry), entry))
     (advance(state, topK, math.max(ef, topK)), state)
   }
@@ -678,7 +684,7 @@ final class Vamana(
         }
       }
     }
-    visitedCount += visits
+    visitedAdder.add(visits)
     val all = res.toArray
       .map { p => val id = LongHeap.id(p); (id, state.scorer(id)) }
       .sortBy { case (id, s) => (-s, id) }
@@ -867,7 +873,7 @@ final class Vamana(
       }
     } else buildParallel(nodes, overflowDeg, nbrSims, threads)
     buildHierarchy()
-    visitedCount = 0 // build traffic doesn't count as search effort
+    visitedAdder.reset() // build traffic doesn't count as search effort
     this
   }
 
@@ -1149,7 +1155,7 @@ final class Vamana(
       }
       if (shouldStop()) stop = true
     }
-    visitedCount += visits
+    visitedAdder.add(visits)
     if (vc != null) vc.n += visits
     out.sortBy { case (id, s) => (-s, id) }.toArray
   }

@@ -584,11 +584,26 @@ object PQ {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PQModel = {
-    // address the part files, not the directory: the sidecar dir's name
-    // starts with "_" (so index-root reads skip it), and reading the dir
-    // itself makes Spark's hidden-path filter log a spurious
-    // "All paths were ignored" WARN on every load
-    val rows = spark.read.parquet(s"${path.stripSuffix("/")}/part-*")
+    // Address concrete data files, not the directory: the sidecar dir's
+    // name starts with "_" (so index-root reads skip it), and reading the
+    // dir itself makes Spark's hidden-path filter log a spurious
+    // "All paths were ignored" WARN on every load. Don't hard-code the
+    // part-* naming (a different committer or a compaction may name data
+    // files anything): list the dir and read whatever non-hidden files are
+    // there, falling back to the directory read (one spurious WARN, but
+    // correct) if the listing comes up empty.
+    val dirPath = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = Option(fs.listStatus(dirPath)).getOrElse(Array.empty)
+      .filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      .map(_.getPath.toString).sorted
+    val df =
+      if (dataFiles.nonEmpty) spark.read.parquet(dataFiles: _*)
+      else spark.read.parquet(dirPath.toString)
+    val rows = df
       .select("dim", "m", "k", "subspace", "centroid_id", "centroid")
       .collect()
     val head = rows.head

@@ -565,6 +565,13 @@ class AnnSpec extends SparkSpec {
     val res = Ivf.searchPartitionedPQ(s"$tmp/ivfpq", queries, model, pq,
       nprobe = 8, topK = 10, rerankK = 80)
     res.count()
+    // the phase-2 In-pushdown widening must be scoped to the scan's own
+    // child session — the caller's session conf stays untouched (an IN of
+    // 10..1000 values in a LATER unrelated query must keep its default
+    // translation strategy)
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10") === "10",
+      "searchPartitionedPQ leaked spark.sql.parquet.pushdown.inFilterThreshold " +
+        "into the caller's session")
     val r = recallOf(res, want)
     assert(r >= 0.8, s"IVFPQ recall@10 $r < 0.8 at nprobe=8/16, rerankK=80")
 

@@ -96,6 +96,25 @@ class QuantizationSpec extends SparkSpec {
     assert(cost(refined) <= cost(model) * 1.001)
   }
 
+  test("PQ.load is committer-naming agnostic: loads data files not named part-*") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PQ.train(emb, "embedding", m = 4, k = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("pqload").toString
+    PQ.save(spark, model, s"$tmp/pq")
+    // simulate a different committer / post-hoc compaction: rename every
+    // part-* data file to a name the old part-* glob would never match
+    val dir = new java.io.File(s"$tmp/pq")
+    dir.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val crc = new java.io.File(dir, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+        assert(f.renameTo(new java.io.File(dir, s"data-$i.parquet")))
+      }
+    val loaded = PQ.load(spark, s"$tmp/pq")
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("anisotropic PQ: lowers the score-aware (parallel-weighted) loss vs isotropic on unit vectors") {
     // The reference documents the anisotropic objective as valid only for
     // unit-normalized points (KMeansPlusPlusClusterer.java:81-84) — and in
