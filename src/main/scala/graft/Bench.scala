@@ -284,6 +284,13 @@ object Bench {
       line(qJson(1), annJson(true))).find(_.length <= 1950)
       .getOrElse(line(qJson(1), annJson(true)))
     println(out)
+    // Nothing may reach stdout after the JSON line: the driver parses the
+    // tail of stdout, and sbt's StdoutOutput forwards the forked JVM's log
+    // stream there — one straggling shutdown WARN (r6's tail carried a
+    // stack trace that happened to land BEFORE the line) would decapitate
+    // the parse. Flush, then silence logging for the stop() cleanup.
+    System.out.flush()
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnnQueries, CorpusPrepQueries, MultimodalQueries, QuantizationQueries, RelationalQueries, ServiceQueries, TextDedupQueries, VectorSearchQueries}
+import graft.queries.{AnnQueries, CorpusPrepQueries, MultimodalQueries, QuantizationQueries, RelationalQueries, RetrievalQueries, ServiceQueries, TextDedupQueries, VectorSearchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
     RelationalQueries.queries ++ VectorSearchQueries.queries ++
       TextDedupQueries.queries ++ QuantizationQueries.queries ++
       AnnQueries.queries ++ MultimodalQueries.queries ++
-      CorpusPrepQueries.queries ++ ServiceQueries.queries
+      CorpusPrepQueries.queries ++ ServiceQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
@@ -30,5 +30,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ VectorSearchQueries.oracles ++
       TextDedupQueries.oracles ++ QuantizationQueries.oracles ++
       AnnQueries.oracles ++ MultimodalQueries.oracles ++
-      CorpusPrepQueries.oracles ++ ServiceQueries.oracles
+      CorpusPrepQueries.oracles ++ ServiceQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.index.Vamana
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: rank-level fusion of lexical (BM25) and vector
+  * (embedding-similarity) candidate lists, plus diversity re-ranking —
+  * the serving-side composition a retrieval pipeline runs on top of the
+  * engine's BM25 ([[Bm25]]) and k-NN ([[KnnExact]]/[[graft.index.Ann]])
+  * operators.
+  *
+  * Scale design: both operators consume per-query candidate LISTS (top-N
+  * rows per query, produced by the corpus-scale operators), never the
+  * corpus itself — cost is O(queries x list length) with a single
+  * qid-shuffle, so they are corpus-size-independent and compose with any
+  * of the engine's retrieval paths (exact, Vamana index, IVF, BM25).
+  */
+object Hybrid {
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * `rrf(d) = sum_lists 1 / (rrfK + rank_list(d))`, absent treated as 0.
+    * Rank-level fusion needs no score calibration between lexical and
+    * vector scales, which is why RRF is the standard hybrid combiner.
+    *
+    * Inputs: ranked lists with columns (qid, id, rank), rank 1-based —
+    * the shape [[Bm25.search]] and the k-NN operators produce. Output:
+    * (qid, rank, id, rrf_score), top `topN` per qid, ties broken by id.
+    *
+    * Determinism note: each list's contribution is aggregated into its own
+    * column and the columns are added in list order — a bare SUM over the
+    * union would add doubles in partition order and break bit-identity
+    * with the mirrored oracle SQL.
+    */
+  def rrf(lists: Seq[DataFrame], topN: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"),
+        col("rank").cast("int").as("rank"), lit(i).as("__src"))
+    }.reduce(_ unionByName _)
+    val contribs = lists.indices.map { i =>
+      coalesce(max(when(col("__src") === i, lit(1.0) / (lit(rrfK) + col("rank")))),
+        lit(0.0)).as(s"__c$i")
+    }
+    val fused = tagged.groupBy("qid", "id")
+      .agg(contribs.head, contribs.tail: _*)
+      .withColumn("__rrf", lists.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val w = Window.partitionBy("qid").orderBy(col("__rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("__rrf"), 6).as("rrf_score"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results maximizing
+    * `lambda * rel(d) - (1 - lambda) * max_{s in picked} sim(d, s)` —
+    * relevance traded against redundancy, so near-duplicate hits don't
+    * crowd the page.
+    *
+    * Input: per-query candidates (qid, nid, score, vec) — a bounded top-N
+    * list per query with the candidate's own embedding attached. Each
+    * query's greedy loop runs inside its task via `flatMapGroups`
+    * (O(N * k) similarity evaluations on the engine's scalar kernels);
+    * the only shuffle is the qid grouping. Output: (qid, rank, nid,
+    * mmr_score), deterministic (relevance/id tiebreaks). */
+  def mmr(
+      candidates: DataFrame,
+      lambda: Double,
+      k: Int,
+      metric: String = "COSINE"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col("qid").cast("long"), col("nid").cast("long"),
+        col("score").cast("double"), col("vec").cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // relevance desc, id asc: deterministic scan order = deterministic
+        // argmax tiebreak (first max wins)
+        val cand = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cand.length
+        val take = math.min(k, n)
+        val used = new Array[Boolean](n)
+        // max similarity to any already-picked result; 0 while nothing is
+        // picked (engine similarities live in [0,1]), so the first pick is
+        // the pure-relevance argmax
+        val maxSim = new Array[Double](n)
+        val out = new Array[(Long, Int, Long, Double)](take)
+        var m = 0
+        while (m < take) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val s = lambda * cand(i)._3 - (1.0 - lambda) * maxSim(i)
+              if (s > bestScore) { best = i; bestScore = s }
+            }
+            i += 1
+          }
+          used(best) = true
+          out(m) = (qid, m + 1, cand(best)._2, bestScore)
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              val s = Vamana.similarity(metric, cand(j)._4, cand(best)._4)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          m += 1
+        }
+        out.iterator
+      }
+      .map(t => (t._1, t._2, t._3, math.rint(t._4 * 1e6) / 1e6))
+      .toDF("qid", "rank", "nid", "mmr_score")
+  }
+}

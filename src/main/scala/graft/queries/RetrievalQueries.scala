@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.{Bm25, Hybrid, KnnExact}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval query surface: BM25 + vector fused ranking (RRF) and
+  * MMR diversity re-ranking — the retrieval-serving compositions over the
+  * engine's lexical and vector operators.
+  *
+  * `hybrid_topk` is fully SQL-expressible (both candidate generators
+  * already hash-match their own oracles), so it gets a direct DuckDB twin:
+  * the BM25 CTE mirrors [[Bm25.search]] and the vector CTE mirrors the
+  * exact-cosine scan, fused with the same fixed-order RRF arithmetic.
+  * `mmr_rerank` is an iterative greedy selection (not SQL-expressible);
+  * it is gated on its defining invariants instead.
+  */
+object RetrievalQueries {
+
+  private val nQueries = 5
+  private val k = 10
+  private val candN = 50
+  private val rrfK = 60
+  private val mmrLambda = 0.5
+
+  // keep in lockstep with TextDedupQueries' BM25 gate constants
+  private val terms = Seq("vector", "hash", "join")
+  private val k1 = 1.2
+  private val b = 0.75
+
+  // ---- hybrid_topk: BM25(top-50) + exact-cosine(top-50) -> RRF top-10 ----
+
+  /** Lexical query: `terms` over documents.text; vector query: the
+    * embedding of vec_id 7 over the (row-aligned) embeddings table. One
+    * fused ranking — the canonical RAG serving read. */
+  private def hybridTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lex = Bm25.search(docs, "doc_id", "text", terms, k1, b, topN = candN)
+      .select(lit(0L).as("qid"), col("id"), col("rank"))
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val vec = KnnExact.knn(emb, qv, candN, "COSINE", "vec_id", "embedding")
+      .select(col("qid"), col("nid").as("id"), col("rank"))
+    Hybrid.rrf(Seq(lex, vec), topN = k, rrfK = rrfK)
+      .select(col("rank"), col("id"), col("rrf_score"))
+  }
+
+  // mirrored SQL fragments (keep in lockstep with VectorFunctions /
+  // VectorSearchQueries' simSql)
+  private def dotSql(a: String, q: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def normSql(a: String): String =
+    s"list_reduce(list_transform(CAST($a AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)"
+  private def cosSql(a: String, q: String): String =
+    s"(1.0 + ${dotSql(a, q)} / (sqrt(${normSql(a)}) * sqrt(${normSql(q)}))) / 2.0"
+
+  private val hybridTopkSql: String = {
+    val termsIn = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH b2 AS (SELECT doc_id AS id, toks, CAST(len(toks) AS DOUBLE) AS dl
+       |   FROM (SELECT doc_id, ${TextDedupQueries.toksSql} AS toks FROM documents)),
+       |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2),
+       |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+       |   FROM (SELECT id, dl, unnest(toks) AS tok FROM b2)
+       |   WHERE tok IN $termsIn GROUP BY id, tok),
+       |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT tf.id,
+       |   ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * ${k1 + 1.0}
+       |     / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / c.avgdl)) AS s
+       |   FROM tf JOIN dfq USING (tok) CROSS JOIN corpus c),
+       |lexagg AS (SELECT id, sum(s) AS score FROM sc GROUP BY id),
+       |lex AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r
+       |   FROM lexagg QUALIFY r <= $candN),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+       |vsc AS (SELECT e.vec_id AS id, ${cosSql("e.embedding", "qv.q")} AS score
+       |   FROM embeddings e CROSS JOIN qv),
+       |vec AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r
+       |   FROM vsc QUALIFY r <= $candN),
+       |fused AS (SELECT COALESCE(lex.id, vec.id) AS id,
+       |   COALESCE(1.0 / ($rrfK + lex.r), 0.0) + COALESCE(1.0 / ($rrfK + vec.r), 0.0) AS rrf
+       |   FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS INT) AS "rank",
+       |       id, round(rrf, 6) AS rrf_score
+       |FROM fused QUALIFY "rank" <= $k""".stripMargin
+  }
+
+  // ---- mmr_rerank: greedy diversity re-rank over exact top-50 ----
+
+  /** Gates: result shape, candidate containment, pure-relevance first
+    * pick, and the operator's defining property — the picked set is no
+    * LESS diverse (avg pairwise similarity) than the plain relevance
+    * top-k it replaces. */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
+    val cand = KnnExact.knn(emb, queries, candN, "COSINE", "vec_id", "embedding")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("vec")), "nid")
+      .select(col("qid"), col("nid"), col("score"), col("vec"), col("rank"))
+      .cache()
+    val res = Hybrid.mmr(cand, mmrLambda, k).cache()
+
+    val n = res.count()
+    val outside = res.select("qid", "nid")
+      .join(cand.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    val firstMatches = res.filter(col("rank") === 1).select("qid", "nid")
+      .join(cand.filter(col("rank") === 1).select("qid", "nid"),
+        Seq("qid", "nid"), "left_semi").count()
+
+    def avgPairSim(sel: DataFrame): Double = {
+      val v = emb.select(col("vec_id").cast("long").as("nid"), col("embedding").as("vec"))
+      val a = sel.join(v, "nid")
+      val bb = a.select(col("qid").as("qid2"), col("nid").as("nid2"), col("vec").as("vec2"))
+      a.join(bb, col("qid") === col("qid2") && col("nid") < col("nid2"))
+        .agg(avg(VectorFunctions.cosineSim(col("vec"), col("vec2")))).head().getDouble(0)
+    }
+    val simMmr = avgPairSim(res.select("qid", "nid"))
+    val simTop = avgPairSim(cand.filter(col("rank") <= k).select("qid", "nid"))
+
+    Gates.df(s, Seq(
+      ("mmr_rows_complete", (nQueries * k).toDouble, n == nQueries.toLong * k),
+      ("mmr_subset_of_candidates", 0.0, outside == 0L),
+      ("mmr_first_is_top_relevance", nQueries.toDouble, firstMatches == nQueries.toLong),
+      ("mmr_diversity_not_worse", 0.0, simMmr <= simTop + 1e-9)))
+  }
+
+  private val mmrRerankSql: String = Gates.sql(Seq(
+    ("mmr_rows_complete", (nQueries * k).toDouble),
+    ("mmr_subset_of_candidates", 0.0),
+    ("mmr_first_is_top_relevance", nQueries.toDouble),
+    ("mmr_diversity_not_worse", 0.0)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_topk" -> (hybridTopk _),
+    "mmr_rerank" -> (mmrRerank _))
+
+  val oracles: Map[String, String] = Map(
+    "hybrid_topk" -> hybridTopkSql,
+    "mmr_rerank" -> mmrRerankSql)
+}

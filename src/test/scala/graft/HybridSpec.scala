@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Hybrid
+import org.apache.spark.sql.functions._
+
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrf: hand-computed fusion, absent members contribute 0, id tiebreak") {
+    // list A ranks: 1->10, 2->20, 3->30; list B ranks: 1->20, 2->40
+    val a = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 20L, 1), (0L, 40L, 2)).toDF("qid", "id", "rank")
+    val got = Hybrid.rrf(Seq(a, b), topN = 4, rrfK = 60)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 20: 1/62 + 1/61 (both lists); 10: 1/61; 40: 1/62; 30: 1/63
+    val want = Seq(
+      (0L, 1, 20L, r6(1.0 / 62 + 1.0 / 61)),
+      (0L, 2, 10L, r6(1.0 / 61)),
+      (0L, 3, 40L, r6(1.0 / 62)),
+      (0L, 4, 30L, r6(1.0 / 63)))
+    assert(got.toSeq === want)
+  }
+
+  test("rrf: fuses per query independently") {
+    val a = Seq((1L, 10L, 1), (2L, 99L, 1)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 10L, 1), (2L, 98L, 1)).toDF("qid", "id", "rank")
+    val got = Hybrid.rrf(Seq(a, b), topN = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._3)) === Set((1L, 10L), (2L, 98L)))
+  }
+
+  test("mmr: demotes a near-duplicate of the top pick; lambda=1 is plain top-k") {
+    // cand 1: the top hit; cand 2: its near-duplicate (slightly lower rel);
+    // cand 3: diverse, lower rel. At lambda=0.5 MMR must pick 1 then 3.
+    val v1 = Array(1.0f, 0.0f)
+    val v2 = Array(0.999f, 0.01f)
+    val v3 = Array(0.0f, 1.0f)
+    val cand = Seq(
+      (0L, 1L, 0.99, v1), (0L, 2L, 0.98, v2), (0L, 3L, 0.80, v3))
+      .toDF("qid", "nid", "score", "vec")
+    val picked = Hybrid.mmr(cand, lambda = 0.5, k = 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(picked === Seq(1L, 3L))
+    val plain = Hybrid.mmr(cand, lambda = 1.0, k = 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L))
+  }
+
+  test("mmr: k beyond candidate count returns all candidates, deterministic") {
+    val cand = Seq(
+      (0L, 5L, 0.9, Array(1.0f, 0.0f)), (0L, 6L, 0.7, Array(0.0f, 1.0f)))
+      .toDF("qid", "nid", "score", "vec")
+    val r1 = Hybrid.mmr(cand, 0.5, 10).collect().map(_.toSeq).toSet
+    val r2 = Hybrid.mmr(cand, 0.5, 10).collect().map(_.toSeq).toSet
+    assert(r1.size === 2)
+    assert(r1 === r2)
+  }
+
+  test("hybrid_topk and mmr_rerank query entries run green on sf0.001") {
+    val hybrid = queries.RetrievalQueries.queries("hybrid_topk")(spark, sfDir)
+      .cache()
+    assert(hybrid.count() === 10)
+    assert(hybrid.select("id").distinct().count() === 10)
+    val gates = queries.RetrievalQueries.queries("mmr_rerank")(spark, sfDir)
+    assert(gates.filter(col("pass") === false).count() === 0)
+  }
+}
