@@ -79,44 +79,55 @@ object Hybrid {
       .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        // relevance desc, id asc: deterministic scan order = deterministic
-        // argmax tiebreak (first max wins)
-        val cand = it.toArray.sortBy(t => (-t._3, t._2))
-        val n = cand.length
-        val take = math.min(k, n)
-        val used = new Array[Boolean](n)
-        // max similarity to any already-picked result; 0 while nothing is
-        // picked (engine similarities live in [0,1]), so the first pick is
-        // the pure-relevance argmax
-        val maxSim = new Array[Double](n)
-        val out = new Array[(Long, Int, Long, Double)](take)
-        var m = 0
-        while (m < take) {
-          var best = -1
-          var bestScore = Double.NegativeInfinity
-          var i = 0
-          while (i < n) {
-            if (!used(i)) {
-              val s = lambda * cand(i)._3 - (1.0 - lambda) * maxSim(i)
-              if (s > bestScore) { best = i; bestScore = s }
-            }
-            i += 1
-          }
-          used(best) = true
-          out(m) = (qid, m + 1, cand(best)._2, bestScore)
-          var j = 0
-          while (j < n) {
-            if (!used(j)) {
-              val s = Vamana.similarity(metric, cand(j)._4, cand(best)._4)
-              if (s > maxSim(j)) maxSim(j) = s
-            }
-            j += 1
-          }
-          m += 1
-        }
-        out.iterator
+        mmrSelect(it.map(t => (t._2, t._3, t._4)).toArray, lambda, k, metric)
+          .iterator.map { case (rank, nid, s) => (qid, rank, nid, s) }
       }
       .map(t => (t._1, t._2, t._3, math.rint(t._4 * 1e6) / 1e6))
       .toDF("qid", "rank", "nid", "mmr_score")
+  }
+
+  /** One query's greedy MMR selection (the pure kernel [[mmr]] runs inside
+    * each qid group task): candidates (nid, relevance, vec) -> picks
+    * (rank, nid, mmr_score). Deterministic: candidates scan in
+    * (relevance desc, id asc) order, first max wins; `maxSim` starts at 0
+    * (engine similarities live in [0,1]), so the first pick is the
+    * pure-relevance argmax. O(n*k) similarity evaluations via incremental
+    * max-sim updates. */
+  private[graft] def mmrSelect(
+      candidates: Array[(Long, Double, Array[Float])],
+      lambda: Double,
+      k: Int,
+      metric: String): Array[(Int, Long, Double)] = {
+    val cand = candidates.sortBy(t => (-t._2, t._1))
+    val n = cand.length
+    val take = math.min(k, n)
+    val used = new Array[Boolean](n)
+    val maxSim = new Array[Double](n)
+    val out = new Array[(Int, Long, Double)](take)
+    var m = 0
+    while (m < take) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val s = lambda * cand(i)._2 - (1.0 - lambda) * maxSim(i)
+          if (s > bestScore) { best = i; bestScore = s }
+        }
+        i += 1
+      }
+      used(best) = true
+      out(m) = (m + 1, cand(best)._1, bestScore)
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val s = Vamana.similarity(metric, cand(j)._3, cand(best)._3)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      m += 1
+    }
+    out
   }
 }

@@ -88,6 +88,51 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, s"graph invariants failed: ${r.status}")
   }
 
+  test("MMR greedy selection: every pick is the argmax of the MMR objective (from-scratch oracle)") {
+    // the impl maintains maxSim incrementally; the oracle recomputes each
+    // step's objective from scratch over the full picked set
+    val candGen: Gen[(List[(Long, Double, Array[Float])], Double, Int)] = for {
+      d <- Gen.chooseNum(2, 8)
+      n <- Gen.chooseNum(1, 20)
+      cands <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 50L)
+        rel <- Gen.chooseNum(0.0, 1.0)
+        v <- Gen.listOfN(d, Gen.chooseNum(-5.0f, 5.0f))
+      } yield (id, rel, v.toArray))
+      lambda <- Gen.oneOf(0.0, 0.3, 0.5, 0.8, 1.0)
+      k <- Gen.chooseNum(1, 25)
+    } yield (cands.distinctBy(_._1), lambda, k)
+
+    check(Prop.forAll(candGen) { case (cands0, lambda, k) =>
+      // zero-norm vectors make COSINE NaN — outside the engine's contract
+      // (same precondition as every scoring path); shrinking can produce
+      // them regardless of the generator's ranges
+      val cands = cands0.filter(c => c._3.exists(x => math.abs(x) > 1e-3))
+      val arr = cands.toArray
+      val got = graft.operators.Hybrid.mmrSelect(arr, lambda, k, "COSINE")
+      val sorted = arr.sortBy(t => (-t._2, t._1))
+      // oracle: replay greedily, recomputing max-sim-to-picked from scratch
+      var picked = Vector.empty[(Long, Array[Float])]
+      val okSteps = got.forall { case (rank, nid, score) =>
+        val remaining = sorted.filterNot(c => picked.exists(_._1 == c._1))
+        val objective = remaining.map { c =>
+          val pen = if (picked.isEmpty) 0.0
+            else picked.map(p => Vamana.similarity("COSINE", c._3, p._2)).max
+          (c._1, lambda * c._2 - (1.0 - lambda) * pen)
+        }
+        val bestVal = objective.map(_._2).max
+        // first-max-wins over the (rel desc, id asc) scan order
+        val expect = objective.find(_._2 == bestVal).get
+        val ok = rank == picked.size + 1 && nid == expect._1 &&
+          math.abs(score - bestVal) < 1e-12
+        picked = picked :+ ((nid, sorted.find(_._1 == nid).get._3))
+        ok
+      }
+      okSteps && got.length == math.min(k, arr.length) &&
+        got.map(_._2).distinct.length == got.length
+    }, "mmr argmax oracle")
+  }
+
   test("NVQ/SQ8 quantization: roundtrip error bounded by the value range") {
     val subGen = Gen.chooseNum(4, 32).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)).map(_.toArray))
