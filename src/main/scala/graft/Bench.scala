@@ -256,17 +256,24 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def annJson(compact: Boolean): String = {
-      // compact mode: keep the sweep's endpoints (oq1, oq10, k100oq2) and
-      // drop the protocol constants — they're in BASELINE.md
+    // level 0 = full detail; 1 = compact (sweep endpoints only, no
+    // protocol constants — they're in BASELINE.md); 2 = minimal (also
+    // sheds cross-checkable derivatives: visited_ratio, the fused/gathered
+    // split, kernel_build_vps, n_queries — quality gates and headline
+    // throughputs always survive)
+    def annJson(level: Int): String = {
+      val compact = level >= 1
       val sweepKept = if (compact) sweep.filter(t => Set("oq1", "oq10", "k100oq2")(t._1))
                       else sweep
       s"""{"exact_knn_qps":${num(exactQps, 1)},"ann_qps":${num(annQps, 1)},""" +
         s""""ann_qps_pinned":${num(annQpsPinned, 1)},"ann_build_sec":${num(buildSec, 3)},""" +
-        s""""recall_at_10":${num(recall, 4)},"visited_ratio":${num(visitedRatio, 4)},""" +
-        s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""" +
+        s""""recall_at_10":${num(recall, 4)},""" +
+        (if (level >= 2) s""""pq_qps":${num(pqGatheredQps, 1)},"""
+         else s""""visited_ratio":${num(visitedRatio, 4)},""" +
+           s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""") +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
-        s""""kernel_qps":${num(kernelQps, 1)},"kernel_build_vps":${num(kernelBuildVps, 1)},""" +
+        s""""kernel_qps":${num(kernelQps, 1)},""" +
+        (if (level >= 2) "" else s""""kernel_build_vps":${num(kernelBuildVps, 1)},""") +
         // pinned-route p99 survives compaction (reference LatencyBenchmark's
         // headline number); the avg + kernel latencies are full-mode detail
         s""""ann_lat_p99_ms":${num(annLatP99Ms, 1)},""" +
@@ -284,9 +291,10 @@ object Bench {
           java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
             .filter(_.getType == java.lang.management.MemoryType.HEAP)
             .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-        },""" +
-        (if (compact) s""""n_queries":$actualNq}"""
-         else s""""n_queries":$actualNq,"top_k":$topK,""" +
+        }""" +
+        (if (level >= 2) "}"
+         else if (compact) s""","n_queries":$actualNq}"""
+         else s""","n_queries":$actualNq,"top_k":$topK,""" +
            s""""warmup_runs":$warmups,"test_runs":$runs}""")
     }
     def line(qs: String, ann: String): String =
@@ -296,11 +304,12 @@ object Bench {
     // its FRONT clipped and parses as nothing. Shed query-time precision,
     // then ann-block detail, until the line fits with margin.
     val out = Seq(
-      line(qsJson, annJson(false)),
-      line(qJson(2), annJson(false)),
-      line(qJson(1), annJson(false)),
-      line(qJson(1), annJson(true))).find(_.length <= 1950)
-      .getOrElse(line(qJson(1), annJson(true)))
+      line(qsJson, annJson(0)),
+      line(qJson(2), annJson(0)),
+      line(qJson(1), annJson(0)),
+      line(qJson(1), annJson(1)),
+      line(qJson(1), annJson(2))).find(_.length <= 1900)
+      .getOrElse(line(qJson(1), annJson(2)))
     println(out)
     // Nothing may reach stdout after the JSON line: the driver parses the
     // tail of stdout, and sbt's StdoutOutput forwards the forked JVM's log
