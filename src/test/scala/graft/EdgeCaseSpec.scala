@@ -82,4 +82,33 @@ class EdgeCaseSpec extends SparkSpec {
       "null vector row must yield null outputs, not a crash")
     assert(out(1L).getSeq[Int](2).length === 2)
   }
+
+  test("Tables.load normalizes every events ts physical form to TimestampType") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("evts").toString
+    // micros NTZ form (what the current driver generation writes)
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS event_id,
+        |  TIMESTAMP_NTZ '2026-01-01 00:00:00' AS ts,
+        |  CAST(1 AS BIGINT) AS user_id, 'click' AS event_type,
+        |  1.0 AS value, '{}' AS props""".stripMargin)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ntz = graft.Tables.events(spark, tmp)
+    assert(ntz.schema("ts").dataType === TimestampType)
+    assert(ntz.select(org.apache.spark.sql.functions.expr("unix_micros(ts)"))
+      .head().getLong(0) > 0L)
+    // nanos-as-long form (pre-r7 generations; nanosAsLong=true is set in
+    // the shared test session): simulate by writing the long column the
+    // reader produces
+    spark.sql(
+      """SELECT CAST(2 AS BIGINT) AS event_id,
+        |  CAST(1767225600000000000 AS BIGINT) AS ts,
+        |  CAST(1 AS BIGINT) AS user_id, 'click' AS event_type,
+        |  1.0 AS value, '{}' AS props""".stripMargin)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val lng = graft.Tables.events(spark, tmp)
+    assert(lng.schema("ts").dataType === TimestampType)
+    assert(lng.select(org.apache.spark.sql.functions.expr("unix_micros(ts)"))
+      .head().getLong(0) === 1767225600000000L)
+  }
 }

@@ -57,6 +57,35 @@ class HybridSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("rrf composes with the ANN index route (lexical + graph-index lists)") {
+    import graft.index.Ann
+    import graft.operators.{Bm25, Hybrid}
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("hybann").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(emb, s"$tmp/idx", params, "vec_id", "embedding")
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val annList = Ann.searchIndex(spark, s"$tmp/idx", qv, 20, ef = 64, params)
+      .select(col("qid"), col("nid").as("id"), col("rank"))
+    val lexList = Bm25.search(docs, "doc_id", "text", Seq("vector", "hash", "join"), topN = 20)
+      .select(lit(0L).as("qid"), col("id"), col("rank"))
+    val fused = Hybrid.rrf(Seq(lexList, annList), topN = 10).cache()
+    assert(fused.count() === 10)
+    val lexIds = lexList.select("id").as[Long].collect().toSet
+    val annIds = annList.select("id").as[Long].collect().toSet
+    val fusedIds = fused.select("id").as[Long].collect().toSet
+    assert(fusedIds.subsetOf(lexIds ++ annIds))
+    // any doc in BOTH top-20 lists outranks every single-list doc
+    // (worst dual 1/80 + 1/80 > best single 1/61), so with a non-empty
+    // intersection the fused rank 1 must be dual-present
+    val both = lexIds intersect annIds
+    assert(both.nonEmpty, "fixture drift: lists no longer overlap")
+    val top = fused.filter(col("rank") === 1).select("id").head().getLong(0)
+    assert(both.contains(top))
+  }
+
   test("hybrid_topk and mmr_rerank query entries run green on sf0.001") {
     val hybrid = queries.RetrievalQueries.queries("hybrid_topk")(spark, sfDir)
       .cache()
