@@ -1430,14 +1430,23 @@ object Ann {
                   val margin =
                     if (!p.thresholdAdcMargin.isNaN) p.thresholdAdcMargin
                     else {
+                      // sample MAX (not a quantile): the margin is a recall
+                      // bound, so it must cover the error tail, and 64
+                      // points estimate a max far better than a p95; the
+                      // 0.01 floor keeps slack when the sample happens to
+                      // see only overestimates (devs <= 0), the 0.25 cap
+                      // bounds rerank cost on a badly-fit model
                       val nSeg = ids.length
                       val sN = math.min(64, nSeg)
-                      val devs = Array.tabulate(sN) { j =>
+                      var maxDev = 0.0
+                      var j = 0
+                      while (j < sN) {
                         val i = (j.toLong * nSeg / sN).toInt
-                        exact(i) - approx(i)
-                      }.filter(_ > 0).sorted
-                      if (devs.isEmpty) 0.0
-                      else math.min(0.25, devs(((devs.length - 1) * 95) / 100))
+                        val d = exact(i) - approx(i)
+                        if (d > maxDev) maxDev = d
+                        j += 1
+                      }
+                      math.max(0.01, math.min(0.25, maxDev))
                     }
                   g.thresholdSearchScored(approx, threshold - margin, ef, i => live(i)).iterator
                     .map { case (l, _) => (l, exact(l)) }

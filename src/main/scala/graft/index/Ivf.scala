@@ -302,7 +302,17 @@ object Ivf {
           val scanSession =
             if (spark.conf.get(thrKey, "10").toInt >= chunk) spark
             else {
+              // newSession() starts from SparkConf defaults — carry over
+              // the caller's RUNTIME SQL confs first (a caller that e.g.
+              // disabled the vectorized reader to dodge a reader bug must
+              // see that honored on these scans too), THEN widen the one
+              // conf this scope exists for. Static/immutable entries
+              // reject the set — skip them.
               val s2 = spark.newSession()
+              spark.conf.getAll.foreach { case (key, v) =>
+                try if (s2.conf.get(key, null) != v) s2.conf.set(key, v)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
               s2.conf.set(thrKey, chunk)
               s2
             }

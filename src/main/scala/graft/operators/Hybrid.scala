@@ -105,7 +105,8 @@ object Hybrid {
     val maxSim = new Array[Double](n)
     val out = new Array[(Int, Long, Double)](take)
     var m = 0
-    while (m < take) {
+    var done = false
+    while (m < take && !done) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
@@ -116,18 +117,26 @@ object Hybrid {
         }
         i += 1
       }
-      used(best) = true
-      out(m) = (m + 1, cand(best)._1, bestScore)
-      var j = 0
-      while (j < n) {
-        if (!used(j)) {
-          val s = Vamana.similarity(metric, cand(j)._3, cand(best)._3)
-          if (s > maxSim(j)) maxSim(j) = s
+      // NaN-poisoned candidates (NaN relevance, or NaN similarity from a
+      // zero-norm vector under COSINE) never win the strict comparison; if
+      // only those remain, stop with fewer picks instead of crashing the
+      // task — same contract as every scoring path (NaN rows are
+      // unrankable), but a public operator shouldn't die on them
+      if (best < 0) done = true
+      else {
+        used(best) = true
+        out(m) = (m + 1, cand(best)._1, bestScore)
+        var j = 0
+        while (j < n) {
+          if (!used(j)) {
+            val s = Vamana.similarity(metric, cand(j)._3, cand(best)._3)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
         }
-        j += 1
+        m += 1
       }
-      m += 1
     }
-    out
+    if (m == take) out else out.take(m)
   }
 }

@@ -34,43 +34,43 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed[T](name: String)(body: => T): T = {
+    // stage wall = build + MATERIALIZE (count on the cached frame):
+    // DataFrame transforms are lazy, so timing the construction alone
+    // would measure plan building, not the stage
+    def stage(name: String)(body: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[pipeline] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-      r
-    }
-    def counted(name: String, df: DataFrame): DataFrame = {
+      val df = body
       val c = df.count()
-      System.err.println(f"[pipeline] $name%-28s rows=$c")
+      System.err.println(
+        f"[pipeline] $name%-28s rows=$c%-7d ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       df
     }
 
     val docs = Tables.documents(spark, sfDir).cache()
     val total = docs.count()
 
-    // 1. language ID + quality gate (codegen scalar columns; narrow)
-    val scored = timed("langid+quality") {
+    // 1. language ID + quality gate (codegen scalar columns; narrow).
+    // The en stopword list scores quality, so the language gate keeps the
+    // score meaningful for what survives.
+    val scored = stage("langid+quality") {
       docs.select(col("doc_id"), col("text"),
           TextFunctions.langId(col("text")).as("lang_pred"),
           TextFunctions.qualityScore(col("text"),
             TextFunctions.stopwordsByLang.toMap.apply("en")).as("q"),
           TextFunctions.tokenCount(col("text")).as("n_tok"))
-        .filter(col("n_tok") >= 5 && col("q") >= 0.2)
+        .filter(col("lang_pred") === "en" && col("n_tok") >= 5 && col("q") >= 0.2)
         .cache()
     }
-    counted("after quality gate", scored)
 
     // 2. exact dedup (fingerprint groupBy, one shuffle)
-    val exact = timed("exact dedup") {
+    val exact = stage("exact dedup") {
       val e = Dedup.exact(scored, "doc_id", "text")
       scored.join(e.filter(!col("is_dup")).select(col("id").as("doc_id")), "doc_id").cache()
     }
-    counted("after exact dedup", exact)
 
     // 3. MinHash-LSH near-dup pairs (banded join, hub-capped) ->
     //    connected components -> keep canonical per duplicate group
-    val nearDeduped = timed("lsh near-dup + grouping") {
+    val nearDeduped = stage("lsh near-dup + grouping") {
       val pairs = Dedup.minhashLsh(exact, "doc_id", "text",
         numHashes = 16, rowsPerBand = 4, threshold = 0.7, hubCap = 64)
       val groups = Dedup.duplicateGroups(exact.select("doc_id"), "doc_id",
@@ -78,18 +78,16 @@ object PipelineDemo {
       exact.join(groups.filter(col("is_canonical")).select(col("id").as("doc_id")),
         "doc_id").cache()
     }
-    counted("after near-dup", nearDeduped)
 
     // 4. repetition flagging (Gopher-style ratios; narrow)
-    val unflagged = timed("repetition filter") {
+    val unflagged = stage("repetition filter") {
       val rep = CorpusPrep.repetitionStats(nearDeduped, "doc_id", "text")
       nearDeduped.join(rep.filter(!col("flagged")).select("doc_id"), "doc_id").cache()
     }
-    counted("after repetition filter", unflagged)
 
     // 5. decontamination vs a held-out "benchmark" slice (inverted-index
     //    shingle join, eval side broadcast)
-    val clean = timed("decontamination") {
+    val clean = stage("decontamination") {
       val evalSet = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), col("text"))
       val hits = CorpusPrep.decontaminate(unflagged, evalSet, "doc_id", "text")
@@ -97,7 +95,6 @@ object PipelineDemo {
         .select(col("doc_id")).distinct()
       unflagged.join(hits, Seq("doc_id"), "left_anti").cache()
     }
-    counted("surviving corpus", clean)
 
     // 6. token accounting on the emitted corpus
     val toks = clean.agg(sum("n_tok").cast("long")).head().getLong(0)

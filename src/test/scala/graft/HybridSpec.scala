@@ -47,6 +47,21 @@ class HybridSpec extends SparkSpec {
     assert(plain === Seq(1L, 2L))
   }
 
+  test("mmr: NaN-scored candidates are unpickable, not task-killing") {
+    val cand = Seq(
+      (0L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (0L, 2L, Double.NaN, Array(0.0f, 1.0f)),
+      (0L, 3L, 0.5, Array(0.0f, 0.0f))) // zero-norm: NaN under COSINE
+      .toDF("qid", "nid", "score", "vec")
+    val got = Hybrid.mmr(cand, 0.5, 10).orderBy("rank")
+      .select("nid").as[Long].collect().toSeq
+    // 1 picks first (finite rel); 3 stays pickable on its finite relevance
+    // (its NaN similarity to picked never updates the penalty — strict
+    // compare); 2's NaN relevance is unpickable, so with only 2 left the
+    // loop stops cleanly at two picks instead of dying on used(-1)
+    assert(got === Seq(1L, 3L))
+  }
+
   test("mmr: k beyond candidate count returns all candidates, deterministic") {
     val cand = Seq(
       (0L, 5L, 0.9, Array(1.0f, 0.0f)), (0L, 6L, 0.7, Array(0.0f, 1.0f)))
