@@ -59,11 +59,94 @@ object Bm25 {
     // merged on the driver); a row_number window here would instead drag
     // every matching doc through a single partition. Ranks are assigned
     // after the limit, over topN rows only.
+    rankTop(scored, topN)
+  }
+
+  private def rankTop(scored: DataFrame, topN: Int): DataFrame = {
     val top = scored.groupBy("id").agg(sum("s").as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(topN)
     val w = Window.orderBy(col("score").desc, col("id").asc)
     top.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("id"), round(col("score"), 6).as("score"))
+  }
+
+  // ---- persisted inverted index (the 100 TB serving shape) ----
+  //
+  // [[search]] tokenizes and aggregates the CORPUS on every call — right
+  // for one-off analytical queries, wrong for serving: at scale the corpus
+  // pass must be paid once, at write time. [[buildIndex]] materializes the
+  // classic inverted layout as parquet:
+  //
+  //   path/postings/bucket=H/   (tok, id, tf, dl)  sorted by tok in-file
+  //   path/_df/bucket=H/        (tok, df)
+  //   path/_corpus/             (n_docs, avgdl)    one row
+  //
+  // partitioned by bucket = pmod(hash(tok), nBuckets). A query's terms map
+  // to <= |terms| buckets, so [[searchIndex]] reads only those directories
+  // (Catalyst partition pruning) and pushes `tok IN (...)` into the scan
+  // (page skipping via the in-file tok sort) — per-query cost is
+  // O(matching postings), corpus-pass-free. Buckets keep directory count
+  // bounded at any vocabulary size (millions of toks -> nBuckets dirs).
+
+  /** One-time inverted-index build; one corpus pass, one shuffle. */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nBuckets: Int = 64): Unit = {
+    val base = KnnExact.spreadSmall(
+        docs.select(col(idCol).cast("long").as("id"),
+          TextFunctions.tokens(col(textCol)).as("toks")))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val postings = base.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy("tok", "id")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+      .withColumn("bucket", pmod(hash(col("tok")), lit(nBuckets)))
+    postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("tok"), col("id"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    postings.groupBy("bucket", "tok").agg(count(lit(1)).cast("double").as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("tok"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/_df")
+    base.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      // n_buckets rides the stats row: the reader must use the WRITER's
+      // modulus — observed bucket= dirs undercount when a small vocabulary
+      // misses buckets
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_corpus")
+  }
+
+  /** Top-N over a [[buildIndex]] layout: reads ONLY the query terms'
+    * buckets. Same scores as [[search]] on the same corpus (gated). */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "searchIndex needs at least one term")
+    val corpus = spark.read.parquet(s"$path/_corpus").cache()
+    val nBuckets = corpus.select("n_buckets").head().getInt(0)
+    // bucket of each term via the SAME codegen hash the writer used —
+    // computed through a tiny local Dataset, not re-implemented driver-side
+    val termRows = terms.distinct.toDF("tok")
+      .withColumn("bucket", pmod(hash(col("tok")), lit(nBuckets)))
+    val buckets = termRows.select("bucket").as[Int].collect().toSeq.distinct
+    def pruned(sub: String): DataFrame = spark.read.parquet(s"$path/$sub")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(terms: _*))
+    val scored = pruned("postings")
+      .join(broadcast(pruned("_df").select("tok", "df")), "tok")
+      .crossJoin(broadcast(corpus.select("n_docs", "avgdl")))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    rankTop(scored, topN)
   }
 }

@@ -110,4 +110,30 @@ class DedupTextSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L))) // 2 is opposite; 3 is another block
   }
+
+  test("Bm25 inverted index: searchIndex equals the scan route; scan is bucket-pruned + tok-pushed") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("vector", "hash", "join")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Bm25.buildIndex(docs, "doc_id", "text", tmp, nBuckets = 16)
+    val idx = Bm25.searchIndex(spark, tmp, terms, topN = 20).cache()
+    val scan = Bm25.search(docs, "doc_id", "text", terms, topN = 20)
+    val got = idx.orderBy("rank").collect().map(_.toSeq).toSeq
+    val want = scan.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got === want, "indexed route must reproduce the scan route")
+
+    // serving plan: partition pruning on bucket, tok filter pushed to the
+    // postings scan (the per-query cost must be O(matching postings))
+    val lines = idx.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      i >= 0 && l.substring(i).contains("bucket")
+    }, s"no bucket partition pruning in plan:\n${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("PushedFilters") && l.contains("In(tok")),
+      s"no pushed tok filter in plan:\n${lines.mkString("\n")}")
+
+    // unknown terms: empty result, not an error
+    assert(Bm25.searchIndex(spark, tmp, Seq("zzz_not_a_token")).count() === 0)
+  }
 }
