@@ -149,4 +149,50 @@ object Bm25 {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     rankTop(scored, topN)
   }
+
+  /** Batch serving over a [[buildIndex]] layout: queries (qid, terms
+    * array<string>) share ONE bucket-pruned postings scan (union of all
+    * queries' buckets), each posting routed to the queries that asked for
+    * its term via a broadcast (qid, tok) probe join — the Ivf probed-search
+    * topology applied to text. Per-query results match [[searchIndex]]
+    * (spec-gated). Output: (qid, rank, id, score). */
+  def searchIndexBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$path/_corpus").cache()
+    val nBuckets = corpus.select("n_buckets").head().getInt(0)
+    val probes = queries
+      .select(col("qid").cast("long"), explode(col("terms")).as("tok")).distinct()
+      .withColumn("bucket", pmod(hash(col("tok")), lit(nBuckets)))
+      .cache()
+    // the probe set is a serving batch (queries x their terms) — small by
+    // construction; its toks/buckets drive the pruned scan, its pairs
+    // broadcast into the routing join
+    val toks = probes.select("tok").distinct().as[String].collect().toSeq
+    val buckets = probes.select("bucket").distinct().as[Int].collect().toSeq
+    if (toks.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0).as("rank"), lit(0L).as("id"), lit(0.0).as("score"))
+      .limit(0)
+    def pruned(sub: String): DataFrame = spark.read.parquet(s"$path/$sub")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(toks: _*))
+    val scored = pruned("postings")
+      .join(broadcast(probes.select("qid", "tok")), "tok")
+      .join(broadcast(pruned("_df").select("tok", "df")), "tok")
+      .crossJoin(broadcast(corpus.select("n_docs", "avgdl")))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val agg = TopK.udf(topN)
+    scored.groupBy("qid", "id").agg(sum("s").as("score"))
+      .groupBy("qid").agg(agg(col("id"), col("score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("id"), round(col("col._2"), 6).as("score"))
+  }
 }

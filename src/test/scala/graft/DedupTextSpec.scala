@@ -136,4 +136,25 @@ class DedupTextSpec extends SparkSpec {
     // unknown terms: empty result, not an error
     assert(Bm25.searchIndex(spark, tmp, Seq("zzz_not_a_token")).count() === 0)
   }
+
+  test("Bm25.searchIndexBatch matches per-query searchIndex") {
+    import graft.operators.Bm25
+    import org.apache.spark.sql.functions.{array, lit, col}
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25b").toString + "/idx"
+    Bm25.buildIndex(docs, "doc_id", "text", tmp, nBuckets = 16)
+    val qs = Seq(
+      (0L, Seq("vector", "hash", "join")),
+      (1L, Seq("the", "data")),
+      (2L, Seq("zzz_not_a_token"))).toDF("qid", "terms")
+    val batch = Bm25.searchIndexBatch(spark, tmp, qs, topN = 15)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val single = Seq(0L -> Seq("vector", "hash", "join"), 1L -> Seq("the", "data"))
+      .flatMap { case (qid, terms) =>
+        Bm25.searchIndex(spark, tmp, terms, topN = 15)
+          .withColumn("qid", lit(qid)).select("qid", "rank", "id", "score")
+          .collect().map(_.toSeq)
+      }
+    assert(batch === single, "batch route must equal the per-query route (qid 2 empty)")
+  }
 }
