@@ -180,6 +180,44 @@ case class NgramShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): NgramShinglesExpr = copy(child = c)
 }
 
+/** array<long> of POSITIONED n-gram window hashes: element i = the 60-bit
+  * md5 hash (same scheme as NgramShinglesExpr) of the n-token window
+  * starting at token i. NOT distinct — the array index IS the window start,
+  * which is what span-level dedup needs (`posexplode` recovers (pos, h)).
+  * Docs with fewer than n tokens yield an empty array (no full window).
+  * DuckDB twin: list_transform(range(0, len(toks)-n+1),
+  *   i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+n], ' ')),1,15))::BIGINT). */
+case class NgramWindowHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+    val nw = toks.length - n + 1
+    if (nw <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](nw)
+      var i = 0
+      while (i < nw) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = java.lang.Long.parseLong(
+          HashSupport.md5Hex(sb.toString).substring(0, 15), 16)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): NgramWindowHashesExpr = copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
   def minhashSignature(text: Column, numHashes: Int): Column =
@@ -188,4 +226,6 @@ object HashExpressions {
     column(SimHashBitsExpr(expression(text), nBits))
   def ngramShingles(text: Column, n: Int): Column =
     column(NgramShinglesExpr(expression(text), n))
+  def ngramWindowHashes(text: Column, n: Int): Column =
+    column(NgramWindowHashesExpr(expression(text), n))
 }

@@ -76,6 +76,157 @@ object CorpusPrep {
         (col("dup_ngram_ratio") > dupMax || col("top_tok_ratio") > topMax).as("flagged"))
   }
 
+  /** Cross-document shared-span detection — the distributed re-expression of
+    * exact-substring training-data dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": remove text spans that
+    * appear verbatim elsewhere in the corpus). Where the paper builds a
+    * suffix array, the scale-out form hash-groups every n-token window:
+    *
+    *   1. (doc_id, pos, h): positioned 60-bit window hashes — one narrow
+    *      pass (native expression, no UDF), corpus-tokens-sized. Exploded
+    *      with the OUTER generator + a cheap post-filter: the inner form
+    *      makes Catalyst infer `size(hashes) > 0` and evaluate the
+    *      md5-heavy expression three times per row (filter x2 + project).
+    *   2. flag duplicated windows entirely inside ONE h-partitioned window
+    *      pass (no groupBy + join-back: a self-join diamond would read and
+    *      hash the corpus twice): distinct-doc count = max over h of
+    *      dense_rank ordered by doc_id; canonical = min (doc_id, pos) over
+    *      h. A window is removable when its hash occurs in >= minDocs
+    *      distinct docs and (with `keepFirst`) it is not the canonical
+    *      occurrence — keeping one copy of every shared passage, the
+    *      paper's remove-all-but-one semantics. All three are streaming
+    *      sort-based aggregates sharing one exchange + one sort: a viral
+    *      passage duplicated across millions of docs costs one big sorted
+    *      partition, never memory.
+    *   3. islands per doc: overlapping/adjacent duplicated windows
+    *      (start gap <= n) merge into maximal spans via one doc-partitioned
+    *      window pass — per-doc state bounded by doc length.
+    *
+    * Two key-shuffles total (by h, by doc_id) over a single corpus read; no
+    * driver materialization; survives 100 TB because nothing is ever
+    * quadratic in docs or corpus size. False positives require a 60-bit md5
+    * collision AND island adjacency — negligible, and conservative only (a
+    * span is dropped, not invented, per Lee et al.'s own hash-dedup
+    * variant).
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — token positions,
+    * 0-based inclusive; span text = tokens[span_start .. span_end]. */
+  def sharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(n >= 1, s"window size n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc duplication), got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val w = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        HashExpressions.ngramWindowHashes(col(textCol), n).as("hs"))
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull) // outer rows of sub-n-token docs
+    val byH = Window.partitionBy("h")
+    val byHDoc = Window.partitionBy("h").orderBy("doc_id")
+    val removable = w
+      .withColumn("dr", dense_rank().over(byHDoc))
+      .withColumn("nd", max(col("dr")).over(byH))
+      .withColumn("frst", min(struct(col("doc_id"), col("pos"))).over(byH))
+      .filter(col("nd") >= minDocs &&
+        (if (keepFirst) !(struct(col("doc_id"), col("pos")) === col("frst"))
+         else lit(true)))
+      .select("doc_id", "pos")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    removable
+      .withColumn("prev", lag(col("pos"), 1).over(win))
+      .withColumn("newisl",
+        when(col("prev").isNull || col("pos") - col("prev") > n, 1).otherwise(0))
+      .withColumn("isl", sum(col("newisl")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Excise listed token spans from each document's text (the apply step of
+    * sharedSpans: pass its output here to materialize the deduplicated
+    * corpus). Spans are collected per doc (bounded by doc length) and the
+    * token stream filtered positionally — a broadcast-free equi-join plus
+    * narrow higher-order-function work; docs with no spans pass through
+    * unchanged. Output: (doc_id, clean_text, n_removed_tokens). */
+  def removeSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("keep",
+        when(col("spans").isNull, col("toks")).otherwise(
+          // positions are 0-based, matching sharedSpans' span indices
+          transform(
+            filter(
+              transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i")))
+                .cast("array<struct<t:string,i:int>>"),
+              s => !exists(col("spans"),
+                sp => s.getField("i").between(
+                  sp.getField("span_start"), sp.getField("span_end")))),
+            s => s.getField("t"))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("keep")).as("clean_text"),
+        (size(col("toks")) - size(col("keep"))).cast("int").as("n_removed_tokens"))
+  }
+
+  /** Deterministic domain-mixture sampling: select documents so each
+    * domain's token mass approaches `weight/sum(weights) * totalTokens` —
+    * the data-mixing step that turns a curated pool into a training mix
+    * with prescribed domain proportions. Selection is by deterministic
+    * per-doc uniform u = md5(doc_id)/2^60 < rate, where
+    * rate = domain budget / domain token total: fully parallel (no
+    * per-domain sequential prefix scan — THE property that matters when one
+    * domain holds billions of docs), shuffle cost = one tiny per-domain
+    * aggregate broadcast back. Budgets are hit in expectation with
+    * concentration ~ O(1/sqrt(docs per domain)); domains missing from
+    * `weights` get `defaultWeight` (0 = excluded, the exhaustive-mixture
+    * convention). Rates cap at 1.0 — a domain smaller than its budget is
+    * taken whole (callers wanting oversampling replicate upstream).
+    *
+    * Output: (doc_id, domain, n_toks) — the selected mix. */
+  def mixtureSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      defaultWeight: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
+    val sumW = weights.values.sum + (if (weights.values.sum == 0) 1.0 else 0.0)
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(domainCol).as("domain"),
+      TextFunctions.tokenCount(col(textCol)).as("n_toks"),
+      (conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976.0 /* 2^60 */)).as("u"))
+    val totals = base.groupBy("domain").agg(sum(col("n_toks")).as("domain_toks"))
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (d, wv)) =>
+      when(col("domain") === d, lit(wv)).otherwise(acc)
+    }
+    base.join(broadcast(totals), "domain")
+      .withColumn("rate",
+        least(lit(1.0),
+          wCol * lit(totalTokens.toDouble) / lit(sumW) /
+            col("domain_toks").cast("double")))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("domain"), col("n_toks"))
+  }
+
   /** Eval-set decontamination: training docs sharing >= 1 distinct n-gram
     * shingle with any benchmark doc, with the shared-shingle count. The
     * join is an inverted-index equi-join on the 60-bit shingle hash —

@@ -86,13 +86,79 @@ object CorpusPrepQueries {
        |SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
        |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id, ev.eval_id""".stripMargin
 
+  // ---------------- cross-document shared spans ----------------
+
+  private val spanN = 8 // window tokens; spans are maximal unions of windows
+
+  private def sharedSpans(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.sharedSpans(Tables.documents(s, dir), "doc_id", "text",
+      n = spanN, minDocs = 2, keepFirst = true)
+
+  /** Twin of sharedSpans: positioned window hashes -> cross-doc duplicated
+    * hashes (keeping the lexicographically first occurrence) -> per-doc
+    * gaps-and-islands merge. Same tokenization, same 60-bit md5 hash, same
+    * island rule (gap > n splits). */
+  private val sharedSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - ${spanN - 1}, 0))) AS pos FROM t),
+       |w AS (SELECT doc_id, pos,
+       |        CAST('0x' || substr(md5(array_to_string(toks[pos+1:pos+$spanN], ' ')), 1, 15) AS BIGINT) AS h
+       |      FROM w0),
+       |ds AS (SELECT h, min(row(doc_id, pos)) AS frst FROM w GROUP BY h
+       |       HAVING count(DISTINCT doc_id) >= 2),
+       |rm AS (SELECT w.doc_id, w.pos FROM w JOIN ds USING (h)
+       |       WHERE NOT (row(w.doc_id, w.pos) = ds.frst)),
+       |fl AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rm),
+       |i0 AS (SELECT doc_id, pos,
+       |         CASE WHEN prev IS NULL OR pos - prev > $spanN THEN 1 ELSE 0 END AS newisl FROM fl),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM i0)
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(pos) + ${spanN - 1} AS INT) AS span_end,
+       |       CAST(count(*) AS INT) AS n_windows
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+
+  // ---------------- domain-mixture sampling ----------------
+
+  private val mixTotalTokens = 15000L
+  private val mixWeights: Map[String, Double] =
+    Map("src0" -> 4.0, "src1" -> 2.0) ++
+      (2 until 20).map(i => s"src$i" -> 1.0).toMap
+  private val mixSumW = mixWeights.values.sum // 24.0 exactly
+
+  private def mixSample(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.mixtureSample(Tables.documents(s, dir), "doc_id", "text",
+      "source", mixWeights, mixTotalTokens)
+
+  /** Twin of mixtureSample: same md5-derived uniform, same weight CASE,
+    * same double arithmetic order for the rate. All corpus sources are
+    * src0..src19, so the ELSE branch equals the map's 1.0 entries. */
+  private val mixSampleSql: String =
+    s"""WITH b AS (SELECT doc_id, source AS domain,
+       |   CAST(len($toksSql) AS INT) AS n_toks,
+       |   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |     / 1152921504606846976.0 AS u,
+       |   CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
+       |        ELSE 1.0 END AS w
+       | FROM documents),
+       |tot AS (SELECT domain, sum(n_toks) AS domain_toks FROM b GROUP BY domain)
+       |SELECT doc_id, domain, n_toks
+       |FROM b JOIN tot USING (domain)
+       |WHERE u < least(1.0, w * ${mixTotalTokens.toDouble} / $mixSumW
+       |                     / CAST(domain_toks AS DOUBLE))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> (docChunks _),
     "doc_repetition" -> (docRepetition _),
-    "decontam_overlap" -> (decontamOverlap _))
+    "decontam_overlap" -> (decontamOverlap _),
+    "shared_spans" -> (sharedSpans _),
+    "mix_sample" -> (mixSample _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
     "doc_repetition" -> docRepetitionSql,
-    "decontam_overlap" -> decontamOverlapSql)
+    "decontam_overlap" -> decontamOverlapSql,
+    "shared_spans" -> sharedSpansSql,
+    "mix_sample" -> mixSampleSql)
 }

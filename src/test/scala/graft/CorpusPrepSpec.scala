@@ -45,6 +45,104 @@ class CorpusPrepSpec extends SparkSpec {
     assert(d3._2 === 0.0 && d3._3 === 0.0 && !d3._4)
   }
 
+  test("sharedSpans: cross-doc passage detected, canonical copy exempt, islands merge") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10" // 10-token shared passage
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3 u4"),      // canonical occurrence (lowest doc_id, pos)
+      (2L, s"v1 v2 v3 $shared v4"),      // duplicate occurrence -> one span
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),   // unique content -> no spans
+      (4L, "x y z"),                     // shorter than n -> no windows
+      (5L, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4") // within-doc repeat only -> no spans
+    ).toDF("doc_id", "text")
+    val n = 4
+    val got = CorpusPrep.sharedSpans(docs, "doc_id", "text", n = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // only doc 2 has removable windows: the shared run sits at positions 3..12,
+    // windows 3..9 (7 windows of 4 tokens) merge into one island
+    assert(got === Seq((2L, 3, 12, 7)))
+
+    // keepFirst=false: every occurrence flagged — doc 1's copy (positions 2..11) too
+    val all = CorpusPrep.sharedSpans(docs, "doc_id", "text", n = n, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(all === Seq((1L, 2, 11, 7), (2L, 3, 12, 7)))
+  }
+
+  test("sharedSpans: far-apart duplicated windows stay separate islands") {
+    import spark.implicits._
+    // two disjoint shared 4-grams separated by > n unique tokens in doc 2
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 zzz q1 q2 q3 q4"),
+      (2L, "p1 p2 p3 p4 m1 m2 m3 m4 m5 m6 q1 q2 q3 q4")).toDF("doc_id", "text")
+    val got = CorpusPrep.sharedSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    // doc 1 is canonical for both 4-grams; doc 2 gets two separate spans
+    assert(got === Seq((2L, 0, 3), (2L, 10, 13)))
+  }
+
+  test("removeSpans: spans excised positionally, unspanned docs unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "k l m n o"),
+      (3L, "")).toDF("doc_id", "text")
+    val spans = Seq((1L, 2, 4), (1L, 6, 6)).toDF("doc_id", "span_start", "span_end")
+    val got = CorpusPrep.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a b f h", 4), (2L, "k l m n o", 0), (3L, "", 0)))
+  }
+
+  test("sharedSpans + removeSpans: end-to-end leaves exactly one copy of the passage") {
+    import spark.implicits._
+    val shared = "d1 d2 d3 d4 d5 d6"
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"head1 $shared"),
+      (3L, s"head2 head3 $shared tail3")).toDF("doc_id", "text")
+    val spans = CorpusPrep.sharedSpans(docs, "doc_id", "text", n = 4)
+    val cleaned = CorpusPrep.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // doc 1 keeps the canonical copy; docs 2 and 3 lose theirs
+    assert(cleaned === Seq(
+      (1L, s"$shared tail1 tail2"), (2L, "head1"), (3L, "head2 head3 tail3")))
+  }
+
+  test("mixtureSample: deterministic, weight-proportional, exclusions honored") {
+    import spark.implicits._
+    // two identical domains of 200 x 10-token docs + one unweighted domain
+    val docs = (0 until 200).flatMap { i =>
+      Seq((i.toLong, "A", (1 to 10).mkString(" ")),
+        (1000L + i, "B", (1 to 10).mkString(" ")),
+        (2000L + i, "C", (1 to 10).mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+    val sel = CorpusPrep.mixtureSample(docs, "doc_id", "text", "source",
+      Map("A" -> 3.0, "B" -> 1.0), totalTokens = 2000L)
+    val byDom = sel.groupBy("domain").agg(sum("n_toks").as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // rates: A = (3/4)*2000/2000 = 0.75, B = 0.25, C excluded (defaultWeight 0)
+    assert(!byDom.contains("C"))
+    assert(byDom("A") > byDom("B"))
+    assert(math.abs(byDom("A") - 1500L) < 400, s"A tokens ${byDom("A")} far from 1500")
+    assert(math.abs(byDom("B") - 500L) < 400, s"B tokens ${byDom("B")} far from 500")
+    // deterministic: second run bit-identical
+    val again = CorpusPrep.mixtureSample(docs, "doc_id", "text", "source",
+      Map("A" -> 3.0, "B" -> 1.0), totalTokens = 2000L)
+      .collect().map(_.toSeq).toSet
+    assert(again === sel.collect().map(_.toSeq).toSet)
+  }
+
+  test("mixtureSample: domain smaller than its budget is taken whole (rate caps at 1)") {
+    import spark.implicits._
+    val docs = ((0 until 5).map(i => (i.toLong, "tiny", "a b c")) ++
+      (100 until 300).map(i => (i.toLong, "big", (1 to 20).mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val sel = CorpusPrep.mixtureSample(docs, "doc_id", "text", "source",
+      Map("tiny" -> 1.0, "big" -> 1.0), totalTokens = 2000L)
+    val tiny = sel.filter(col("domain") === "tiny").count()
+    assert(tiny === 5L) // budget 1000 tokens >> 15 available -> all 5 docs
+  }
+
   test("decontaminate: shared shingles counted, clean docs absent") {
     import spark.implicits._
     val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
