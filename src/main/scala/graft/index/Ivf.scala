@@ -364,6 +364,65 @@ object Ivf {
     search(assigned, queries, model, nprobe, topK, baseId, baseVec)
   }
 
+  /** Range (threshold) search over a [[writePartitioned]] layout — the
+    * FAISS `range_search` shape on the partition-pruned read path: per
+    * query, every row in its probed clusters whose similarity clears
+    * `threshold`. Same probe machinery and pruning economics as
+    * [[searchPartitioned]] (one `cluster_id IN (...)` scan over the union
+    * of probe lists, then the (qid, cluster) probe join fans rows out to
+    * probing queries); the bounded TopK aggregate is replaced by a plain
+    * predicate, so the plan is scan -> two broadcast joins -> filter, no
+    * per-query state at all. Result size is data-dependent (like any range
+    * query) but each row is emitted at most once per probing query — never
+    * quadratic in the corpus. Returns (qid, nid, score). */
+  def thresholdSearchPartitioned(
+      path: String,
+      queries: DataFrame,
+      model: IvfModel,
+      nprobe: Int,
+      threshold: Double,
+      baseId: String = "id",
+      baseVec: String = "vec"): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probedClusters = qRows.flatMap { case (_, qv) =>
+      model.nearestClusters(qv, nprobe)
+    }.distinct.sorted
+    val assigned = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
+    thresholdSearch(assigned, queries, model, nprobe, threshold, baseId, baseVec)
+  }
+
+  /** Probed range search core (see [[thresholdSearchPartitioned]]):
+    * every (query, row-in-probed-cluster) pair with similarity >=
+    * threshold. Returns (qid, nid, score). */
+  def thresholdSearch(
+      assigned: DataFrame,
+      queries: DataFrame,
+      model: IvfModel,
+      nprobe: Int,
+      threshold: Double,
+      baseId: String = "id",
+      baseVec: String = "vec",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = qRows.flatMap { case (qid, qv) =>
+      model.nearestClusters(qv, nprobe).map(c => (qid, c))
+    }.toSeq.toDF("qid", clusterCol)
+    val qdf = queries.select(col("qid").cast("long"), col("qvec"))
+    assigned
+      .join(broadcast(probes), clusterCol)
+      .join(broadcast(qdf), "qid")
+      .withColumn("score",
+        VectorFunctions.similarity(model.metric)(col(baseVec), col("qvec")))
+      .filter(col("score") >= threshold)
+      .select(col("qid"), col(baseId).cast("long").as("nid"), col("score"))
+  }
+
   /** Probed search: per query, pick nprobe nearest centroids (driver-side —
     * centroids are tiny), then score ONLY rows in those clusters via an
     * equi-join on cluster_id (shuffle-hash/broadcast join on a small pair

@@ -583,8 +583,73 @@ object AnnQueries {
     ("lifecycle_compact_rows_eq_live", 1.0),
     ("lifecycle_compact_recall_ge_0.9", 0.9)))
 
+  /** IVF range (threshold) search over the partitioned layout — the FAISS
+    * `range_search` shape on the 100 TB read path
+    * ([[Ivf.thresholdSearchPartitioned]]). Gates: (1) the scan prunes to
+    * probed cluster directories; (2) results EQUAL the independent exact
+    * threshold twin (cross-join scorer) restricted to probed (query,
+    * cluster) pairs — the probed-subset semantics are exact, not
+    * approximate; (3) recall vs the UNRESTRICTED exact threshold scan
+    * clears the floor (hits lie near the query, so their clusters are
+    * almost always probed); (4) the contract is non-vacuous (both sides
+    * non-empty at every sf). */
+  private def ivfThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val t = 0.6
+    val path = partitionedLayouts.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString + "/ivf"
+      Ivf.writePartitioned(emb, "embedding", model, p, idCol = "vec_id")
+      p
+    })
+    val res = Ivf.thresholdSearchPartitioned(path, queries0(s, dir), model, nprobe, t,
+      baseId = "vec_id", baseVec = "embedding").cache()
+    val nRes = res.count()
+    val prunes = res.queryExecution.executedPlan.toString.linesIterator.exists { l =>
+      val pf = l.indexOf("PartitionFilters: [")
+      pf >= 0 && {
+        val seg = l.substring(pf, math.min(l.length, pf + 400))
+        seg.contains("cluster_id") && (seg.contains("INSET") || seg.contains(" IN ("))
+      }
+    }
+    // independent exact twin (cross-join scorer), then restricted to pairs
+    // whose neighbor cluster the query probed
+    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
+      "vec_id", "embedding").cache()
+    val probePairs = queries0(s, dir)
+      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
+      .toSeq.toDF("qid", "cl")
+    val assigned = Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
+    val probedExact = exactAll.join(assigned, "nid")
+      .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
+      .select("qid", "nid").cache()
+    val miss = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
+    val total = exactAll.count()
+    val found = exactAll.select("qid", "nid")
+      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val rec = if (total == 0) 1.0 else found.toDouble / total
+    Gates.df(s, Seq(
+      ("ivf_threshold_partition_filters", 1.0, prunes),
+      ("ivf_threshold_matches_probed_exact", 0.0, miss == 0L && extra == 0L),
+      ("ivf_threshold_recall_ge_0.6", 0.6, rec >= 0.6),
+      ("ivf_threshold_nonvacuous", 1.0, total > 0L && nRes > 0L)))
+  }
+
+  private val ivfThresholdSql: String = Gates.sql(Seq(
+    ("ivf_threshold_partition_filters", 1.0),
+    ("ivf_threshold_matches_probed_exact", 0.0),
+    ("ivf_threshold_recall_ge_0.6", 0.6),
+    ("ivf_threshold_nonvacuous", 1.0)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dense_ids" -> (denseIds _),
+    "ivf_threshold" -> (ivfThreshold _),
     "ann_threshold" -> (annThreshold _),
     "ann_threshold_idx" -> (annThresholdIdx _),
     "ann_rescore" -> (annRescore _),
@@ -602,6 +667,7 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "dense_ids" -> denseIdsSql,
+    "ivf_threshold" -> ivfThresholdSql,
     "ann_threshold" -> annThresholdSql,
     "ann_threshold_idx" -> annThresholdIdxSql,
     "ann_rescore" -> annRescoreSql,

@@ -538,6 +538,35 @@ class AnnSpec extends SparkSpec {
       s"3/32 clusters should be a small fraction: $prunedRows of $total")
   }
 
+  test("IVF range search: probed-subset exact, full-probe equals global threshold scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_range").toString
+    val base = randVectors(5000, 16, seed = 51).toDF("id", "vec").cache()
+    val queries = randVectors(10, 16, seed = 52).toDF("qid", "qvec")
+    val model = Ivf.train(base, "vec", nlist = 16, metric = "COSINE")
+    Ivf.writePartitioned(base, "vec", model, s"$tmp/ivf")
+    val t = 0.5
+
+    // nprobe = nlist: probing everything must reproduce the global exact
+    // threshold scan row-for-row (same ids, same score column semantics)
+    val all = Ivf.thresholdSearchPartitioned(s"$tmp/ivf", queries, model,
+      nprobe = 16, threshold = t)
+    val exact = KnnExact.thresholdSearch(base, queries, t, "COSINE")
+    assert(all.select("qid", "nid").except(exact.select("qid", "nid")).count() === 0L)
+    assert(exact.select("qid", "nid").except(all.select("qid", "nid")).count() === 0L)
+    assert(exact.count() > 0L, "vacuous threshold test")
+
+    // fractional probe: subset of exact, every score clears t, and the
+    // partitioned plan prunes cluster directories
+    val part = Ivf.thresholdSearchPartitioned(s"$tmp/ivf", queries, model,
+      nprobe = 4, threshold = t).cache()
+    assert(part.select("qid", "nid").except(exact.select("qid", "nid")).count() === 0L,
+      "probed range results must be a subset of the global threshold scan")
+    assert(part.filter($"score" < t).count() === 0L)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"expected partition pruning on cluster_id in plan:\n$plan")
+  }
+
   test("IVF+PQ layout: full-probe full-rerank equals exact; bounded rerank holds recall; narrow scan") {
     import graft.operators.PQ
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
