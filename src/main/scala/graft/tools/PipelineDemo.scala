@@ -34,9 +34,14 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage wall = build + MATERIALIZE (count on the cached frame):
+    // stage wall = build + MATERIALIZE (eager localCheckpoint + count):
     // DataFrame transforms are lazy, so timing the construction alone
-    // would measure plan building, not the stage
+    // would measure plan building, not the stage. Checkpoint (not cache)
+    // between stages: cache keeps the full logical lineage, so by stage 7
+    // every count re-optimizes a 7-stage plan tree and Catalyst time
+    // swamps the work (measured: mixture stage 14.5s cached vs ~1s
+    // checkpointed on 569 docs). At 100 TB the same move is writing
+    // intermediate corpora to parquet between stages.
     def stage(name: String)(body: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val df = body
@@ -59,33 +64,52 @@ object PipelineDemo {
             TextFunctions.stopwordsByLang.toMap.apply("en")).as("q"),
           TextFunctions.tokenCount(col("text")).as("n_tok"))
         .filter(col("lang_pred") === "en" && col("n_tok") >= 5 && col("q") >= 0.2)
-        .cache()
+        .localCheckpoint()
     }
 
     // 2. exact dedup (fingerprint groupBy, one shuffle)
     val exact = stage("exact dedup") {
       val e = Dedup.exact(scored, "doc_id", "text")
-      scored.join(e.filter(!col("is_dup")).select(col("id").as("doc_id")), "doc_id").cache()
+      scored.join(e.filter(!col("is_dup")).select(col("id").as("doc_id")), "doc_id").localCheckpoint()
     }
 
-    // 3. MinHash-LSH near-dup pairs (banded join, hub-capped) ->
-    //    connected components -> keep canonical per duplicate group
+    // 3. cross-doc shared-span dedup (Lee et al. exact-substring pass,
+    //    FIRST of the two near-dup stages: it excises partial verbatim
+    //    overlap that whole-doc LSH cannot see, keeping one canonical copy)
+    var spanCleaned0: DataFrame = null
+    val spanDeduped = stage("shared-span dedup") {
+      val spans = CorpusPrep.sharedSpans(exact, "doc_id", "text", n = 8)
+      spanCleaned0 = CorpusPrep.removeSpans(exact, spans, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"),
+          TextFunctions.tokenCount(col("clean_text")).as("n_tok"),
+          col("n_removed_tokens"))
+        .localCheckpoint()
+      // spans can gut a doc below the quality floor — drop the husks
+      spanCleaned0.filter(col("n_tok") >= 5).localCheckpoint()
+    }
+    // excised-token accounting BEFORE the floor filter (whole-doc-shaped
+    // duplication removes the doc entirely; its tokens still count as excised)
+    val removedToks = spanCleaned0.agg(sum("n_removed_tokens").cast("long"))
+      .head().getLong(0)
+
+    // 4. MinHash-LSH near-dup pairs on the span-cleaned text (banded join,
+    //    hub-capped) -> connected components -> keep canonical per group
     val nearDeduped = stage("lsh near-dup + grouping") {
-      val pairs = Dedup.minhashLsh(exact, "doc_id", "text",
+      val pairs = Dedup.minhashLsh(spanDeduped, "doc_id", "text",
         numHashes = 16, rowsPerBand = 4, threshold = 0.7, hubCap = 64)
-      val groups = Dedup.duplicateGroups(exact.select("doc_id"), "doc_id",
+      val groups = Dedup.duplicateGroups(spanDeduped.select("doc_id"), "doc_id",
         pairs.select("id1", "id2"))
-      exact.join(groups.filter(col("is_canonical")).select(col("id").as("doc_id")),
-        "doc_id").cache()
+      spanDeduped.join(groups.filter(col("is_canonical")).select(col("id").as("doc_id")),
+        "doc_id").localCheckpoint()
     }
 
-    // 4. repetition flagging (Gopher-style ratios; narrow)
+    // 5. repetition flagging (Gopher-style ratios; narrow)
     val unflagged = stage("repetition filter") {
       val rep = CorpusPrep.repetitionStats(nearDeduped, "doc_id", "text")
-      nearDeduped.join(rep.filter(!col("flagged")).select("doc_id"), "doc_id").cache()
+      nearDeduped.join(rep.filter(!col("flagged")).select("doc_id"), "doc_id").localCheckpoint()
     }
 
-    // 5. decontamination vs a held-out "benchmark" slice (inverted-index
+    // 6. decontamination vs a held-out "benchmark" slice (inverted-index
     //    shingle join, eval side broadcast)
     val clean = stage("decontamination") {
       val evalSet = docs.filter(col("doc_id") % 97 === 0)
@@ -93,12 +117,24 @@ object PipelineDemo {
       val hits = CorpusPrep.decontaminate(unflagged, evalSet, "doc_id", "text")
         .filter(col("n_shared") >= 8)
         .select(col("doc_id")).distinct()
-      unflagged.join(hits, Seq("doc_id"), "left_anti").cache()
+      unflagged.join(hits, Seq("doc_id"), "left_anti").localCheckpoint()
     }
-
-    // 6. token accounting on the emitted corpus
     val toks = clean.agg(sum("n_tok").cast("long")).head().getLong(0)
-    System.err.println(s"[pipeline] docs $total -> ${clean.count()} surviving, $toks tokens")
+
+    // 7. domain-mixture sampling to a token budget (deterministic
+    //    hash-rate selection; sources src0-3 upweighted 2x)
+    val mixed = stage("mixture sample") {
+      val withSrc = clean.join(docs.select("doc_id", "source"), "doc_id")
+      CorpusPrep.mixtureSample(withSrc, "doc_id", "text", "source",
+        weights = (0 until 20).map(i => s"src$i" -> (if (i < 4) 2.0 else 1.0)).toMap,
+        totalTokens = toks / 2).localCheckpoint()
+    }
+    val mixToks = mixed.agg(sum("n_toks").cast("long")).head().getLong(0)
+
+    System.err.println(
+      s"[pipeline] docs $total -> ${clean.count()} surviving " +
+        s"($toks tokens, $removedToks span-excised); " +
+        s"mix ${mixed.count()} docs / $mixToks tokens (budget ${toks / 2})")
     spark.stop()
   }
 }
