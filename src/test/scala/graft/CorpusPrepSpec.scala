@@ -108,6 +108,59 @@ class CorpusPrepSpec extends SparkSpec {
       (1L, s"$shared tail1 tail2"), (2L, "head1"), (3L, "head2 head3 tail3")))
   }
 
+  test("sharedSpans: matches a from-scratch oracle on random small-vocab corpora") {
+    import spark.implicits._
+    val n = 3
+    val rnd = new scala.util.Random(20260814)
+    // 12 cases, each with its own token vocabulary (prefixed, so cases can
+    // never share windows) -> one global Spark run equals per-case runs
+    val docs = (0 until 12).flatMap { c =>
+      val nDocs = 6 + rnd.nextInt(7)
+      (0 until nDocs).map { i =>
+        val len = rnd.nextInt(26)
+        val toks = Seq.fill(len)(s"c${c}t${rnd.nextInt(8)}")
+        (c * 1000L + i, toks.mkString(" "))
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    // brute-force oracle: exact token-sequence keys instead of hashes,
+    // otherwise the definition verbatim
+    def oracle(keepFirst: Boolean): Set[(Long, Int, Int, Int)] = {
+      val wins = docs.flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase
+        val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        (0 to toks.length - n).map(p => (toks.slice(p, p + n).mkString(" "), id, p))
+      }
+      val removable = wins.groupBy(_._1).values.flatMap { occ =>
+        val docsIn = occ.map(_._2).distinct
+        if (docsIn.size < 2) Nil
+        else {
+          val sorted = occ.map(o => (o._2, o._3)).sortBy(identity)
+          if (keepFirst) sorted.tail else sorted
+        }
+      }.toSeq.distinct
+      removable.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).distinct.sorted
+        // islands: split where the start gap exceeds n
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= n =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(isl => (id, isl.min, isl.max + n - 1, isl.size))
+      }.toSet
+    }
+
+    for (keepFirst <- Seq(true, false)) {
+      val got = CorpusPrep.sharedSpans(df, "doc_id", "text", n = n,
+          keepFirst = keepFirst)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got === oracle(keepFirst), s"keepFirst=$keepFirst mismatch")
+      assert(got.nonEmpty, "vacuous oracle case — widen the generator")
+    }
+  }
+
   test("mixtureSample: deterministic, weight-proportional, exclusions honored") {
     import spark.implicits._
     // two identical domains of 200 x 10-token docs + one unweighted domain
