@@ -246,6 +246,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
     def qJson(p: Int): String =
       results.map { case (k, v) => s""""$k":${num(v, p)}""" }.mkString("{", ",", "}")
+    // near-zero entries render as a bare 0 (saves 2 chars each across the
+    // ~30 sub-50ms gates) while real timings keep one decimal
+    def qJsonAdaptive: String =
+      results.map { case (k, v) =>
+        s""""$k":${if (v < 0.05) "0" else num(v, 1)}"""
+      }.mkString("{", ",", "}")
     val qsJson = qJson(3)
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -313,6 +319,7 @@ object Bench {
       line(qJson(1), annJson(0)),
       line(qJson(1), annJson(1)),
       line(qJson(1), annJson(2)),
+      line(qJsonAdaptive, annJson(2)),
       // last resort as the query map grows: whole-second query times (the
       // ann block carries the headline numbers; per-query precision is in
       // the stderr table)

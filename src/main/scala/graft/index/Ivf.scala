@@ -2,7 +2,7 @@ package graft.index
 
 import graft.functions.VectorFunctions
 import graft.operators.{KnnExact, PQ, TopK}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN: k-means partitioning + probed-cluster scan.
@@ -268,12 +268,43 @@ object Ivf {
       .cache()
     val nCand = cands.count()
 
-    // phase 2: targeted full-res re-read of survivors only. The id filter
-    // goes on the RAW scan column (before the long cast) so it reaches
-    // parquet as a pushed In filter rather than dying under the Cast.
-    val vecs = {
-      val base =
-        if (nCand <= maxPushdownIds) {
+    // phase 2: targeted full-res re-read of survivors only
+    val vecs = survivorFullResScan(spark, path, probedClusters, keyCol,
+      cands, nCand, maxPushdownIds, baseId, baseVec)
+    val exact = cands.join(vecs, "__nid")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .withColumn("__score",
+        VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec")))
+    val fin = TopK.udf(topK)
+    exact.groupBy("qid")
+      .agg(fin(col("__uid"), col("__score")).as("t"))
+      .select(col("qid"), posexplode(col("t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), col("col._2").as("score"))
+  }
+
+  /** Shared phase-2 machinery of the PQ-layout searches: read the
+    * full-resolution rows of `cands`' survivor keys only — the survivor
+    * keys are sorted and pushed as chunked In filters that parquet's
+    * column index turns into page-level skips. The id filter goes on the
+    * RAW scan column (before the long cast) so it reaches parquet as a
+    * pushed In filter rather than dying under the Cast.
+    * Returns (__nid, __uid, __vec). */
+  private def survivorFullResScan(
+      spark: SparkSession,
+      path: String,
+      probedClusters: Array[Int],
+      keyCol: String,
+      cands: DataFrame,
+      nCand: Long,
+      maxPushdownIds: Int,
+      baseId: String,
+      baseVec: String): DataFrame = {
+    import spark.implicits._
+    def pruned(): DataFrame = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
+    val base =
+      if (nCand <= maxPushdownIds) {
           val ids = cands.select("__nid").distinct().as[Long].collect().sorted
           // Pushdown mechanics (measured, Spark 4.1 + parquet-mr): an In of
           // <= spark.sql.parquet.pushdown.inFilterThreshold values becomes
@@ -325,19 +356,96 @@ object Ivf {
               .filter(col(keyCol).isin(g.map(java.lang.Long.valueOf).toSeq: _*))
           }.reduce(_ union _)
         } else pruned() // huge batch: let the shuffled join do the filtering
-      base.select(col(keyCol).cast("long").as("__nid"),
-        col(baseId).cast("long").as("__uid"), col(baseVec).as("__vec"))
+    base.select(col(keyCol).cast("long").as("__nid"),
+      col(baseId).cast("long").as("__uid"), col(baseVec).as("__vec"))
+  }
+
+  /** Range (threshold) search over a [[writePartitionedPQ]] layout — the
+    * compressed analog of [[thresholdSearchPartitioned]], with the same
+    * two-phase IO economics as [[searchPartitionedPQ]]: phase 1 scans ONLY
+    * (key, cluster_id, pq_code) of the probed directories and keeps rows
+    * whose ADC score clears `threshold - margin`; phase 2 re-reads just the
+    * survivors at full resolution (chunked ordinal pushdown, page-level
+    * skips), re-scores exactly, and re-applies the threshold on the exact
+    * scale — so precision is exact BY CONSTRUCTION and the margin governs
+    * only recall (a true hit is lost only when quantization error exceeds
+    * the margin) and rerank cost (rows in [t - margin, t)).
+    *
+    * The margin defaults to per-query CALIBRATION (the same policy as the
+    * graph engine's compressed threshold route, `Ann.thresholdSearchIndex`):
+    * an evenly-strided ~64-row sample of the probed rows is scored BOTH
+    * ways with the exact phase-1 ADC arithmetic, and the margin is the
+    * sampled max positive (exact - adc) deviation, floored at 0.01 and
+    * capped at 0.25; queries whose probe set the sample misses fall back
+    * to the conservative cap. Pass `adcMargin` to pin it instead.
+    * Returns (qid, nid, score). */
+  def thresholdSearchPartitionedPQ(
+      path: String,
+      queries: DataFrame,
+      model: IvfModel,
+      pq: graft.operators.PQModel,
+      nprobe: Int,
+      threshold: Double,
+      adcMargin: Double = Double.NaN,
+      baseId: String = "id",
+      baseVec: String = "vec",
+      maxPushdownIds: Int = 65536): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probePairs = qRows.flatMap { case (qid, qv) =>
+      model.nearestClusters(qv, nprobe).map(c => (qid, c))
     }
-    val exact = cands.join(vecs, "__nid")
+    val probedClusters = probePairs.map(_._2).distinct.sorted
+    def pruned(): DataFrame = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
+    val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
+    val keyCol = if (spark.read.parquet(path).columns.contains("row_ord")) "row_ord" else baseId
+    val qFrame = PQ.adcQueryFrame(spark, qRows, pq)
+
+    val margins: DataFrame =
+      if (!adcMargin.isNaN) qRows.map(q => (q._1, adcMargin)).toSeq.toDF("qid", "__margin")
+      else {
+        val cnt = pruned().select(col(keyCol)).count()
+        val stride = math.max(1L, cnt / 64L)
+        pruned()
+          .filter(pmod(col(keyCol), lit(stride)) === 0)
+          .select(col("cluster_id"), col("pq_code"), col(baseVec).as("__vec"))
+          .join(broadcast(probesDf), "cluster_id")
+          // qFrame already carries the (double-cast) qvec — exact for the
+          // deviation estimate, no second queries join needed
+          .join(qFrame, "qid")
+          .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+          .withColumn("__dev",
+            VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec"))
+              - col("__approx"))
+          .groupBy("qid")
+          .agg(greatest(lit(0.01), least(lit(0.25), max(col("__dev")))).as("__margin"))
+      }
+
+    // phase 1: codes-only candidate scan at the widened approximate bar
+    val cands = pruned()
+      .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
+      .join(broadcast(probesDf), "cluster_id")
+      .join(qFrame, "qid")
+      .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+      .join(broadcast(margins), Seq("qid"), "left")
+      .filter(col("__approx") >=
+        lit(threshold) - coalesce(col("__margin"), lit(0.25)))
+      .select(col("qid"), col("__nid"))
+      .cache()
+    val nCand = cands.select("__nid").distinct().count()
+
+    // phase 2: exact re-score of survivors, threshold on the exact scale
+    val vecs = survivorFullResScan(spark, path, probedClusters, keyCol,
+      cands, nCand, maxPushdownIds, baseId, baseVec)
+    cands.join(vecs, "__nid")
       .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
-      .withColumn("__score",
+      .withColumn("score",
         VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec")))
-    val fin = TopK.udf(topK)
-    exact.groupBy("qid")
-      .agg(fin(col("__uid"), col("__score")).as("t"))
-      .select(col("qid"), posexplode(col("t")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col._1").as("nid"), col("col._2").as("score"))
+      .filter(col("score") >= threshold)
+      .select(col("qid"), col("__uid").as("nid"), col("score"))
   }
 
   /** Probed search over a [[writePartitioned]] layout: the union of all

@@ -316,6 +316,62 @@ object AnnQueries {
     ("ivfpq_vs_probed_exact@10_ge_0.9", 0.9),
     ("ivfpq_recall@10_ge_0.6", 0.6)))
 
+  /** Compressed range search over the IVF+PQ layout
+    * ([[Ivf.thresholdSearchPartitionedPQ]]): ADC candidate collection at a
+    * calibrated margin below the threshold, exact rerank + re-threshold.
+    * Gates: (1) the candidate scan reads codes, never the vec column;
+    * (2) results are a SUBSET of the probed exact threshold twin (exact
+    * precision by construction — zero extras allowed); (3) recall vs that
+    * twin clears 0.9 (the calibrated margin's contract); (4) non-vacuous. */
+  private def ivfPqThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val t = 0.6
+    val (path, pq) = ivfPqLayouts.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivfpq"
+      val pqm = graft.operators.PQ.train(emb, "embedding", m = 8)
+      Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p, idCol = "vec_id")
+      (p, pqm)
+    })
+    val res = Ivf.thresholdSearchPartitionedPQ(path, queries0(s, dir), model, pq,
+      nprobe, t, baseId = "vec_id", baseVec = "embedding").cache()
+    val nRes = res.count()
+    val codesOnlyScan = res.queryExecution.executedPlan.toString.linesIterator.exists { l =>
+      val rs = l.indexOf("ReadSchema: ")
+      rs >= 0 && l.substring(rs).contains("pq_code") &&
+        !l.substring(rs).contains("embedding")
+    }
+    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
+      "vec_id", "embedding").cache()
+    val probePairs = queries0(s, dir)
+      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
+      .toSeq.toDF("qid", "cl")
+    val assigned = Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
+    val probedExact = exactAll.join(assigned, "nid")
+      .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
+      .select("qid", "nid").cache()
+    val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
+    val nTwin = probedExact.count()
+    val found = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val rec = if (nTwin == 0) 1.0 else found.toDouble / nTwin
+    Gates.df(s, Seq(
+      ("ivfpq_threshold_codes_only_scan", 1.0, codesOnlyScan),
+      ("ivfpq_threshold_no_extras", 0.0, extra == 0L),
+      ("ivfpq_threshold_recall_ge_0.9", 0.9, rec >= 0.9),
+      ("ivfpq_threshold_nonvacuous", 1.0, nTwin > 0L && nRes > 0L)))
+  }
+
+  private val ivfPqThresholdSql: String = Gates.sql(Seq(
+    ("ivfpq_threshold_codes_only_scan", 1.0),
+    ("ivfpq_threshold_no_extras", 0.0),
+    ("ivfpq_threshold_recall_ge_0.9", 0.9),
+    ("ivfpq_threshold_nonvacuous", 1.0)))
+
   /** Distributed pagination (T6): two pages of k via per-(query, segment)
     * resumable cursors inside the segment tasks ([[Ann.searchPaged]]) — no
     * driver-side graph, no full-table collect. Gates: global pages are
@@ -650,6 +706,7 @@ object AnnQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dense_ids" -> (denseIds _),
     "ivf_threshold" -> (ivfThreshold _),
+    "ivfpq_threshold" -> (ivfPqThreshold _),
     "ann_threshold" -> (annThreshold _),
     "ann_threshold_idx" -> (annThresholdIdx _),
     "ann_rescore" -> (annRescore _),
@@ -668,6 +725,7 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "dense_ids" -> denseIdsSql,
     "ivf_threshold" -> ivfThresholdSql,
+    "ivfpq_threshold" -> ivfPqThresholdSql,
     "ann_threshold" -> annThresholdSql,
     "ann_threshold_idx" -> annThresholdIdxSql,
     "ann_rescore" -> annRescoreSql,

@@ -567,6 +567,35 @@ class AnnSpec extends SparkSpec {
       s"expected partition pruning on cluster_id in plan:\n$plan")
   }
 
+  test("IVF+PQ range search: wide margin equals exact scan; calibrated margin holds recall; exact precision") {
+    import graft.operators.PQ
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_range").toString
+    val base = randVectors(5000, 16, seed = 61).toDF("id", "vec").cache()
+    val queries = randVectors(10, 16, seed = 62).toDF("qid", "qvec")
+    val model = Ivf.train(base, "vec", nlist = 16, metric = "COSINE")
+    val pq = PQ.train(base, "vec", m = 4)
+    Ivf.writePartitionedPQ(base, "vec", model, pq, s"$tmp/ivfpq")
+    val t = 0.52
+    val exact = KnnExact.thresholdSearch(base, queries, t, "COSINE").cache()
+    assert(exact.count() > 0L, "vacuous threshold test")
+
+    // margin 1.0 floods phase 1 with every probed row, so full-probe must
+    // reproduce the global exact threshold scan row-for-row
+    val wide = Ivf.thresholdSearchPartitionedPQ(s"$tmp/ivfpq", queries, model, pq,
+      nprobe = 16, threshold = t, adcMargin = 1.0)
+    assert(wide.select("qid", "nid").except(exact.select("qid", "nid")).count() === 0L)
+    assert(exact.select("qid", "nid").except(wide.select("qid", "nid")).count() === 0L)
+
+    // calibrated margin: still a subset (phase-2 exact re-check), recall
+    // close to 1, every score clears t on the exact scale
+    val cal = Ivf.thresholdSearchPartitionedPQ(s"$tmp/ivfpq", queries, model, pq,
+      nprobe = 16, threshold = t).cache()
+    assert(cal.select("qid", "nid").except(exact.select("qid", "nid")).count() === 0L)
+    assert(cal.filter($"score" < t).count() === 0L)
+    val rec = cal.select("qid", "nid").distinct().count().toDouble / exact.count()
+    assert(rec >= 0.9, s"calibrated-margin range recall $rec < 0.9")
+  }
+
   test("IVF+PQ layout: full-probe full-rerank equals exact; bounded rerank holds recall; narrow scan") {
     import graft.operators.PQ
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
