@@ -323,7 +323,12 @@ object Bench {
       // last resort as the query map grows: whole-second query times (the
       // ann block carries the headline numbers; per-query precision is in
       // the stderr table)
-      line(qJson(0), annJson(2))).find(_.length <= 1900)
+      line(qJson(0), annJson(2)))
+      // budget: the driver tail keeps ~2000 chars including the 7-char
+      // "[info] " prefix (r6 measured a 1972-char line land ~20 chars
+      // inside it); 1935 keeps >50 chars of margin and lets the 82-key
+      // adaptive level (~1918) keep one-decimal timings
+      .find(_.length <= 1935)
       .getOrElse(line(qJson(0), annJson(2)))
     println(out)
     // Nothing may reach stdout after the JSON line: the driver parses the

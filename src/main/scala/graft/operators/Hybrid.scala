@@ -53,6 +53,49 @@ object Hybrid {
         round(col("__rrf"), 6).as("rrf_score"))
   }
 
+  /** Weighted score-level fusion — the convex-combination hybrid
+    * (`fused = sum_i w_i * norm_i(d)`, the other standard combiner next
+    * to [[rrf]]): each list's scores are min-max normalized PER QUERY to
+    * [0,1] (a degenerate list whose scores are all equal normalizes to
+    * 1.0), absent docs contribute 0. Unlike RRF this uses score
+    * MAGNITUDES — a doc barely inside one list but dominant in another
+    * ranks accordingly — at the cost of trusting each list's score shape;
+    * the per-query normalization removes the cross-scale calibration
+    * problem (BM25 sums vs cosine similarities).
+    *
+    * Inputs: scored lists with columns (qid, id, score) — bounded
+    * per-query candidate lists, same contract as [[rrf]]. Output:
+    * (qid, rank, id, fused_score), top `topN` per qid, ties by id.
+    * Contributions aggregate into per-list columns added in list order
+    * (see [[rrf]]'s determinism note). */
+  def linearFusion(lists: Seq[DataFrame], weights: Seq[Double], topN: Int): DataFrame = {
+    require(lists.nonEmpty && lists.size == weights.size,
+      s"need one weight per list: ${lists.size} lists, ${weights.size} weights")
+    val byQ = Window.partitionBy("qid")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"),
+          col("score").cast("double").as("__s"))
+        .withColumn("__mn", min(col("__s")).over(byQ))
+        .withColumn("__mx", max(col("__s")).over(byQ))
+        .withColumn("__norm",
+          when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn"))))
+        .select(col("qid"), col("id"), col("__norm"), lit(i).as("__src"))
+    }.reduce(_ unionByName _)
+    val contribs = lists.indices.map { i =>
+      (coalesce(max(when(col("__src") === i, col("__norm"))), lit(0.0))
+        * weights(i)).as(s"__c$i")
+    }
+    val fused = tagged.groupBy("qid", "id")
+      .agg(contribs.head, contribs.tail: _*)
+      .withColumn("__f", lists.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val rw = Window.partitionBy("qid").orderBy(col("__f").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("__f"), 6).as("fused_score"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick `k` results maximizing
     * `lambda * rel(d) - (1 - lambda) * max_{s in picked} sim(d, s)` —

@@ -86,6 +86,63 @@ object RetrievalQueries {
        |FROM fused QUALIFY "rank" <= $k""".stripMargin
   }
 
+  // ---- hybrid_linear: same candidates -> weighted normalized-score fusion ----
+
+  private val wLex = 0.4
+  private val wVec = 0.6
+
+  /** The convex-combination hybrid over the same candidate lists as
+    * `hybrid_topk`, exercising score-level (not rank-level) fusion:
+    * per-list per-query min-max normalization, then
+    * `0.4 * lex + 0.6 * vec`. */
+  private def hybridLinear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val lex = Bm25.search(docs, "doc_id", "text", terms, k1, b, topN = candN)
+      .select(lit(0L).as("qid"), col("id"), col("score"))
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val vec = KnnExact.knn(emb, qv, candN, "COSINE", "vec_id", "embedding")
+      .select(col("qid"), col("nid").as("id"), col("score"))
+    Hybrid.linearFusion(Seq(lex, vec), Seq(wLex, wVec), topN = k)
+      .select(col("rank"), col("id"), col("fused_score"))
+  }
+
+  private val hybridLinearSql: String = {
+    val termsIn = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH b2 AS (SELECT doc_id AS id, toks, CAST(len(toks) AS DOUBLE) AS dl
+       |   FROM (SELECT doc_id, ${TextDedupQueries.toksSql} AS toks FROM documents)),
+       |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2),
+       |tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+       |   FROM (SELECT id, dl, unnest(toks) AS tok FROM b2)
+       |   WHERE tok IN $termsIn GROUP BY id, tok),
+       |dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT tf.id,
+       |   ln(1.0 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf * ${k1 + 1.0}
+       |     / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / c.avgdl)) AS s
+       |   FROM tf JOIN dfq USING (tok) CROSS JOIN corpus c),
+       |lexagg AS (SELECT id, sum(s) AS score FROM sc GROUP BY id),
+       |lexT AS (SELECT id, round(score, 6) AS s,
+       |   row_number() OVER (ORDER BY score DESC, id ASC) AS r
+       |   FROM lexagg QUALIFY r <= $candN),
+       |lexN AS (SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS n
+       |   FROM (SELECT id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM lexT)),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+       |vsc AS (SELECT e.vec_id AS id, ${cosSql("e.embedding", "qv.q")} AS score
+       |   FROM embeddings e CROSS JOIN qv),
+       |vecT AS (SELECT id, score AS s,
+       |   row_number() OVER (ORDER BY score DESC, id ASC) AS r
+       |   FROM vsc QUALIFY r <= $candN),
+       |vecN AS (SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS n
+       |   FROM (SELECT id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM vecT)),
+       |fused AS (SELECT COALESCE(lexN.id, vecN.id) AS id,
+       |   COALESCE(lexN.n, 0.0) * $wLex + COALESCE(vecN.n, 0.0) * $wVec AS f
+       |   FROM lexN FULL OUTER JOIN vecN ON lexN.id = vecN.id)
+       |SELECT CAST(row_number() OVER (ORDER BY f DESC, id ASC) AS INT) AS "rank",
+       |       id, round(f, 6) AS fused_score
+       |FROM fused QUALIFY "rank" <= $k""".stripMargin
+  }
+
   // ---- mmr_rerank: greedy diversity re-rank over exact top-50 ----
 
   /** Gates: result shape, candidate containment, pure-relevance first
@@ -134,9 +191,11 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_topk" -> (hybridTopk _),
+    "hybrid_linear" -> (hybridLinear _),
     "mmr_rerank" -> (mmrRerank _))
 
   val oracles: Map[String, String] = Map(
     "hybrid_topk" -> hybridTopkSql,
+    "hybrid_linear" -> hybridLinearSql,
     "mmr_rerank" -> mmrRerankSql)
 }

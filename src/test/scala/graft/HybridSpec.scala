@@ -30,6 +30,33 @@ class HybridSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3)) === Set((1L, 10L), (2L, 98L)))
   }
 
+  test("linearFusion: hand-computed normalized weighted sum, degenerate list, absent = 0") {
+    // list A scores: 10->4.0, 20->2.0, 30->1.0 (norms 1, 1/3, 0)
+    // list B scores: 20->0.9, 40->0.9 (degenerate -> both norm 1.0)
+    val a = Seq((0L, 10L, 4.0), (0L, 20L, 2.0), (0L, 30L, 1.0)).toDF("qid", "id", "score")
+    val b = Seq((0L, 20L, 0.9), (0L, 40L, 0.9)).toDF("qid", "id", "score")
+    val got = Hybrid.linearFusion(Seq(a, b), Seq(0.4, 0.6), topN = 4)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 20: (1/3)*0.4 + 1*0.6; 40: 0.6; 10: 0.4; 30: 0
+    val want = Seq(
+      (0L, 1, 20L, r6(1.0 / 3 * 0.4 + 0.6)),
+      (0L, 2, 40L, 0.6),
+      (0L, 3, 10L, 0.4),
+      (0L, 4, 30L, 0.0))
+    assert(got.toSeq === want)
+  }
+
+  test("linearFusion: per-query normalization is independent across qids") {
+    // qid 1's scores are 10x qid 2's — normalization must erase the scale
+    val a = Seq((1L, 10L, 100.0), (1L, 11L, 50.0),
+      (2L, 10L, 10.0), (2L, 11L, 5.0)).toDF("qid", "id", "score")
+    val got = Hybrid.linearFusion(Seq(a), Seq(1.0), topN = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === Set((1L, 1, 10L, 1.0), (1L, 2, 11L, 0.0),
+      (2L, 1, 10L, 1.0), (2L, 2, 11L, 0.0)))
+  }
+
   test("mmr: demotes a near-duplicate of the top pick; lambda=1 is plain top-k") {
     // cand 1: the top hit; cand 2: its near-duplicate (slightly lower rel);
     // cand 3: diverse, lower rel. At lambda=0.5 MMR must pick 1 then 3.
