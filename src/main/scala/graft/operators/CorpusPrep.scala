@@ -227,6 +227,127 @@ object CorpusPrep {
       .select(col("doc_id"), col("domain"), col("n_toks"))
   }
 
+  /** Sequence packing: assign documents (or chunks) to fixed-capacity
+    * training examples so each example's token total stays <= capacity
+    * while wasting as little context as possible — the batch-prep step
+    * between chunking and tokenized training batches.
+    *
+    * Distribution shape: a GLOBAL optimal packing is a bin-packing
+    * instance (NP-hard, inherently sequential), so the scale-out form
+    * packs each partition independently with first-fit-decreasing — the
+    * classic 11/9·OPT+1 guarantee applies per partition, and because every
+    * partition leaves at most ONE bin under half capacity, the global
+    * overhead is bounded by `numPartitions` bins over optimal-halving.
+    * That per-partition independence is exactly what makes it run on
+    * 100 TB: no sequential scan, no shuffle beyond the initial spread, and
+    * the per-task state is one open-bin list bounded by capacity.
+    *
+    * Docs longer than `capacity` get a bin of their own, flagged
+    * `oversize` (callers chunk upstream — see [[chunk]] — so this is the
+    * escape hatch, not the plan).
+    *
+    * Output: (doc_id, n_toks, bin_id, oversize) — bin_id globally unique
+    * (partitionId << 20 | local bin index). */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Int,
+      partitions: Int = 0): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).as("n_toks"))
+    val base = if (partitions > 0) base0.repartition(partitions, col("doc_id")) else base0
+    base.as[(Long, Int)].mapPartitions { it =>
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val rows = it.toArray.sortBy { case (id, n) => (-n, id) } // FFD order
+      val binFill = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Boolean)](rows.length)
+      for ((id, n) <- rows) {
+        if (n > capacity) {
+          out += ((id, n, part.toLong << 20 | binFill.length, true))
+          binFill += capacity // closed: nothing else fits an oversize bin
+        } else {
+          var b = 0
+          while (b < binFill.length && binFill(b) + n > capacity) b += 1
+          if (b == binFill.length) binFill += 0
+          binFill(b) += n
+          out += ((id, n, part.toLong << 20 | b, false))
+        }
+      }
+      out.iterator
+    }.toDF("doc_id", "n_toks", "bin_id", "oversize")
+  }
+
+  /** Deterministic hash-based train/val/test split: u = md5(salt:id)/2^60
+    * lands each document in the bucket whose cumulative-fraction interval
+    * contains it. The hash (not random()) is what makes the split a
+    * DATASET PROPERTY rather than a run property: re-running over a grown
+    * corpus never moves an existing document between splits, so eval
+    * contamination cannot creep in across ingest batches. Shuffle-free and
+    * embarrassingly parallel; per-stratum proportions hold in expectation
+    * with concentration ~ O(1/sqrt(stratum size)), which at training-corpus
+    * scale is exact for every stratum that matters.
+    *
+    * The LAST split takes the residual interval (an `otherwise`), so
+    * fractions that sum to 1 in decimal need not sum to 1 in binary.
+    * Output: (doc_id, split). */
+  def hashSplit(
+      docs: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.forall(_._2 > 0), "fractions must be > 0")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = conv(substring(md5(concat_ws(":", lit(salt),
+        col(idCol).cast("long").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0 /* 2^60 */)
+    val bounds = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val chain = fractions.init.zip(bounds).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, ((name, _), b)) => Some(when(u < b, name))
+      case (Some(c), ((name, _), b)) => Some(c.when(u < b, name))
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      chain.get.otherwise(fractions.last._1).as("split"))
+  }
+
+  /** PII patterns shared by [[redactPii]] and its oracle twin: kept inside
+    * the Java-regex/RE2 common subset (char classes, bounded repetition,
+    * `\b`) so Spark and DuckDB compile them identically. Text is expected
+    * lowercased (the corpus convention); emails/IPs/phones in it are
+    * synthetic or already public by the time this runs — redaction is the
+    * C4/RefinedWeb-style hygiene pass, not a compliance guarantee. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and NANP-style phone numbers with
+    * typed placeholders, with per-pattern match counts (counted on the RAW
+    * text, independently per pattern). Pure narrow plan — three chained
+    * codegen'd `regexp_replace`s + three `regexp_count`s, no shuffle, no
+    * UDF: the shape that sweeps a 100 TB corpus at IO speed. Replacement
+    * order is email -> IP -> phone (an IP inside an email is redacted as
+    * part of the email).
+    *
+    * Output: (doc_id, clean_text, n_emails, n_ips, n_phones). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        phoneRe, "<PHONE>").as("clean_text"),
+      regexp_count(t, lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(t, lit(phoneRe)).cast("int").as("n_phones"))
+  }
+
   /** Eval-set decontamination: training docs sharing >= 1 distinct n-gram
     * shingle with any benchmark doc, with the shared-shingle count. The
     * join is an inverted-index equi-join on the 60-bit shingle hash —

@@ -270,6 +270,62 @@ object Dedup {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, find near-duplicate pairs only WITHIN each cluster
+    * (cosine >= threshold), group them transitively, and keep exactly one
+    * representative per group. `keep` policy: "far" keeps the member
+    * farthest from its cluster centroid (the paper's choice — retains the
+    * least prototypical example), "near" the closest, "min_id" the lowest
+    * id (deterministic baseline).
+    *
+    * Scale shape: clustering bounds the candidate generation — the
+    * pairwise stage is O(sum of cluster sizes squared), never corpus², and
+    * nClusters grows with the corpus (the paper runs 50k clusters on LAION)
+    * to keep clusters ~constant-sized; grouping is the O(log diameter)
+    * large-star/small-star CC; the keeper choice is one window pass over
+    * group members. Centroid assignment and centroid similarity ride the
+    * codegen expressions — the full-corpus passes stay narrow.
+    *
+    * Output: (id, cluster_id, c_sim, group_id, group_size, keep) for EVERY
+    * input id — singletons keep=true, group_size 1. */
+  def semantic(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      keep: String = "far",
+      metric: String = "COSINE",
+      seed: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Set("far", "near", "min_id")(keep), s"unknown keep policy: $keep")
+    val model = graft.index.Ivf.train(emb, vecCol, nClusters, metric, seed = seed)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cluster_id", "centroid")
+    val assigned = graft.index.Ivf
+      .assign(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+        "v", model, "cluster_id")
+      .join(broadcast(cents), "cluster_id")
+      .withColumn("c_sim", round(VectorFunctions.similarity(metric)(
+        col("v").cast("array<double>"), col("centroid")), 9))
+      .drop("centroid")
+    val pairs = embeddingNearDup(assigned, "id", "v", "cluster_id", threshold)
+    val groups = duplicateGroups(assigned.select("id"), "id", pairs)
+    val keepOrder = keep match {
+      case "far" => Seq(col("c_sim").asc, col("id").asc)
+      case "near" => Seq(col("c_sim").desc, col("id").asc)
+      case "min_id" => Seq(col("id").asc)
+    }
+    val w = Window.partitionBy("group_id").orderBy(keepOrder: _*)
+    assigned.select("id", "cluster_id", "c_sim")
+      .join(groups.select("id", "group_id", "group_size"), "id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("id", "cluster_id", "c_sim", "group_id", "group_size", "keep")
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (exact verify
     * path; the ANN module provides the LSH/IVF candidate path at scale).
     * Output: (id1, id2, sim) with sim = (1+cos)/2 >= threshold. */

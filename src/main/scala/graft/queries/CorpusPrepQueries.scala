@@ -148,17 +148,121 @@ object CorpusPrepQueries {
        |WHERE u < least(1.0, w * ${mixTotalTokens.toDouble} / $mixSumW
        |                     / CAST(domain_toks AS DOUBLE))""".stripMargin
 
+  // ---------------- deterministic hash split ----------------
+
+  // cumulative boundaries 0.75 and 0.875 are exact binary doubles, so the
+  // Scala-side scanLeft sums and the SQL literals compare identically
+  private val splitFractions = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+
+  private def splitStratified(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.hashSplit(Tables.documents(s, dir), "doc_id", splitFractions)
+
+  private val splitStratifiedSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |          / 1152921504606846976.0 AS u
+       |      FROM documents)""".stripMargin
+
+  // ---------------- PII redaction ----------------
+
+  /** The corpus text is synthetic and PII-free, so the gate plants one
+    * email, one IPv4, and one phone per document — derived from doc_id the
+    * same way in both engines — making the redaction non-vacuous. */
+  private def piiText = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"), lit("@example.com from 10."),
+    pmod(col("doc_id"), lit(256L)).cast("string"), lit(".0.1 call 555-"),
+    lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
+    lpad(pmod(col("doc_id") * 7, lit(10000L)).cast("string"), 4, "0"))
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.redactPii(
+      Tables.documents(s, dir).select(col("doc_id"), piiText.as("text")),
+      "doc_id", "text")
+
+  private val piiTextSql: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+      | || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-'
+      | || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      | || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')""".stripMargin.replace("\n", "")
+
+  private val piiRedactSql: String = {
+    val email = CorpusPrep.emailRe
+    val ip = CorpusPrep.ipv4Re
+    val phone = CorpusPrep.phoneRe
+    s"""WITH t AS (SELECT doc_id, $piiTextSql AS txt FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')
+       |    AS clean_text,
+       |  CAST(len(regexp_extract_all(txt, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(txt, '$ip')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(txt, '$phone')) AS INT) AS n_phones
+       |FROM t""".stripMargin
+  }
+
+  // ---------------- sequence packing ----------------
+
+  private val packCapacity = 256
+  private val packParts = 4
+
+  /** Packing is partition-order dependent (legitimately — it's a greedy
+    * heuristic), so it is gated on its defining invariants: every doc
+    * packed exactly once, token totals conserved, no bin over capacity,
+    * and the first-fit bound (at most one under-half-full bin per
+    * partition). */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val res = CorpusPrep.packSequences(docs, "doc_id", "text",
+      packCapacity, partitions = packParts).cache()
+    val nDocs = docs.count()
+    val rows = res.count()
+    val distinctIds = res.select("doc_id").distinct().count()
+    val tokTotal = docs.select(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head().getLong(0)
+    val packedTotal = res.select(sum(col("n_toks"))).head().getLong(0)
+    val fills = res.filter(!col("oversize"))
+      .groupBy("bin_id").agg(sum(col("n_toks")).as("fill"), count(lit(1)).as("members"))
+      .cache()
+    val overCap = fills.filter(col("fill") > packCapacity).count()
+    val underHalf = fills.filter(col("fill") < packCapacity / 2).count()
+    val maxMembers = fills.agg(max(col("members"))).head().getLong(0)
+    Gates.df(s, Seq(
+      ("pack_rows_complete", nDocs.toDouble, rows == nDocs && distinctIds == nDocs),
+      ("pack_tokens_conserved", 0.0, packedTotal == tokTotal),
+      ("pack_fill_within_capacity", 0.0, overCap == 0L),
+      ("pack_underhalf_at_most_per_partition", packParts.toDouble,
+        underHalf <= packParts.toLong),
+      ("pack_nonvacuous_multidoc_bins", 2.0, maxMembers >= 2L)))
+  }
+
+  private val packSequencesSql: String = Gates.sql(Seq(
+    ("pack_rows_complete", 500.0),
+    ("pack_tokens_conserved", 0.0),
+    ("pack_fill_within_capacity", 0.0),
+    ("pack_underhalf_at_most_per_partition", packParts.toDouble),
+    ("pack_nonvacuous_multidoc_bins", 2.0)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> (docChunks _),
     "doc_repetition" -> (docRepetition _),
     "decontam_overlap" -> (decontamOverlap _),
     "shared_spans" -> (sharedSpans _),
-    "mix_sample" -> (mixSample _))
+    "mix_sample" -> (mixSample _),
+    "split_stratified" -> (splitStratified _),
+    "pii_redact" -> (piiRedact _),
+    "pack_sequences" -> (packSequences _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
     "doc_repetition" -> docRepetitionSql,
     "decontam_overlap" -> decontamOverlapSql,
     "shared_spans" -> sharedSpansSql,
-    "mix_sample" -> mixSampleSql)
+    "mix_sample" -> mixSampleSql,
+    "split_stratified" -> splitStratifiedSql,
+    "pii_redact" -> piiRedactSql,
+    "pack_sequences" -> packSequencesSql)
 }

@@ -143,6 +143,41 @@ object RetrievalQueries {
        |FROM fused QUALIFY "rank" <= $k""".stripMargin
   }
 
+  // ---- maxsim_topk: ColBERT-style late-interaction top-10 ----
+
+  private val msVecsPerDoc = 4
+  private val msQueries = 3 // multi-vector qids 0,1,2 = vec_ids 0..11
+  private val msK = 10
+
+  /** Multi-vector docs derived from the embeddings table: vec_id div 4 is
+    * the doc, the 4 members are its token vectors; the first 3 such docs
+    * are the queries. MaxSim = sum over the query's 4 vectors of the max
+    * cosine against any doc vector. */
+  private def maxsimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val docVecs = emb.select(
+      expr(s"vec_id div $msVecsPerDoc").as("doc_id"), col("embedding").as("vec"))
+    val queryVecs = emb.filter(col("vec_id") < msQueries * msVecsPerDoc).select(
+      expr(s"vec_id div $msVecsPerDoc").as("qid"),
+      pmod(col("vec_id"), lit(msVecsPerDoc.toLong)).cast("int").as("q_idx"),
+      col("embedding").as("qvec"))
+    graft.operators.LateInteraction.maxSimTopK(docVecs, queryVecs, msK)
+  }
+
+  private val maxsimTopkSql: String =
+    s"""WITH dv AS (SELECT vec_id // $msVecsPerDoc AS doc_id, embedding AS v FROM embeddings),
+       |qv AS (SELECT vec_id // $msVecsPerDoc AS qid, vec_id % $msVecsPerDoc AS q_idx,
+       |         embedding AS q
+       |       FROM embeddings WHERE vec_id < ${msQueries * msVecsPerDoc}),
+       |mx AS (SELECT qid, q_idx, doc_id, max(${cosSql("dv.v", "qv.q")}) AS mx
+       |       FROM dv CROSS JOIN qv GROUP BY qid, q_idx, doc_id),
+       |sc AS (SELECT qid, doc_id,
+       |         list_reduce(list(mx ORDER BY q_idx), (a, x) -> a + x) AS score
+       |       FROM mx GROUP BY qid, doc_id)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INT) AS "rank",
+       |       doc_id, round(score, 6) AS score
+       |FROM sc QUALIFY "rank" <= $msK""".stripMargin
+
   // ---- mmr_rerank: greedy diversity re-rank over exact top-50 ----
 
   /** Gates: result shape, candidate containment, pure-relevance first
@@ -192,10 +227,12 @@ object RetrievalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_topk" -> (hybridTopk _),
     "hybrid_linear" -> (hybridLinear _),
+    "maxsim_topk" -> (maxsimTopk _),
     "mmr_rerank" -> (mmrRerank _))
 
   val oracles: Map[String, String] = Map(
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_linear" -> hybridLinearSql,
+    "maxsim_topk" -> maxsimTopkSql,
     "mmr_rerank" -> mmrRerankSql)
 }

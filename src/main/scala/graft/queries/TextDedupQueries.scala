@@ -274,6 +274,51 @@ object TextDedupQueries {
        |SELECT id1, id2, round(sim, 6) AS sim FROM p WHERE sim >= $nearDupThreshold""".stripMargin
   }
 
+  /** SemDeDup gate: cluster-then-within-cluster semantic dedup over the
+    * embeddings table. Seed-dependent (k-means) so gated on its defining
+    * invariants rather than hash-matched: complete output, exactly one
+    * keeper per duplicate group, NO kept pair within a cluster still at or
+    * above the threshold (checked exactly, end-to-end), the keeper is the
+    * farthest-from-centroid member (the paper's policy), and the run is
+    * non-vacuous (the corpus actually contains semantic duplicates). */
+  private val semClusters = 8
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(s, dir)
+    val res = Dedup.semantic(emb, "vec_id", "embedding", semClusters,
+      nearDupThreshold).cache()
+    val n = emb.count()
+    val rows = res.count()
+    val nGroups = res.select("group_id").distinct().count()
+    val nKeep = res.filter(col("keep")).count()
+    val kept = res.filter(col("keep"))
+      .join(emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")), "id")
+    val a = kept.select(col("cluster_id"), col("id").as("id1"), col("v").as("v1"))
+    val b = kept.select(col("cluster_id"), col("id").as("id2"), col("v").as("v2"))
+    val keptViol = a.join(b, "cluster_id").filter(col("id1") < col("id2"))
+      .filter(VectorFunctions.cosineSim(col("v1"), col("v2")) >= nearDupThreshold)
+      .count()
+    val farViol = res.filter(col("keep") && col("group_size") >= 2)
+      .join(res.groupBy("group_id").agg(min(col("c_sim")).as("mn")), "group_id")
+      .filter(col("c_sim") =!= col("mn")).count()
+    val dupGroups = res.filter(col("group_size") >= 2)
+      .select("group_id").distinct().count()
+    Gates.df(s, Seq(
+      ("sem_rows_complete", n.toDouble, rows == n),
+      ("sem_one_keeper_per_group", 0.0, nKeep == nGroups),
+      ("sem_kept_pairs_below_threshold", 0.0, keptViol == 0L),
+      ("sem_keep_farthest", 0.0, farViol == 0L),
+      ("sem_nonvacuous_dup_groups", 1.0, dupGroups >= 1L)))
+  }
+
+  private val semanticDedupSql: String = Gates.sql(Seq(
+    ("sem_rows_complete", 500.0),
+    ("sem_one_keeper_per_group", 0.0),
+    ("sem_kept_pairs_below_threshold", 0.0),
+    ("sem_keep_farthest", 0.0),
+    ("sem_nonvacuous_dup_groups", 1.0)))
+
   /** Deterministic stratified sample: n docs per language, selected by md5
     * rank (a seedless, engine-portable "random" order) — the balanced-
     * sampling step of a training-data pipeline. */
@@ -328,7 +373,8 @@ object TextDedupQueries {
     "minhash_pairs" -> (minhashPairs _),
     "simhash" -> (simhash _),
     "ngram_pairs" -> (ngramPairs _),
-    "embed_neardup" -> (embedNearDup _))
+    "embed_neardup" -> (embedNearDup _),
+    "semantic_dedup" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "stratified_sample" -> stratifiedSampleSql,
@@ -345,5 +391,6 @@ object TextDedupQueries {
     "minhash_pairs" -> minhashPairsSql,
     "simhash" -> simhashSql,
     "ngram_pairs" -> ngramPairsSql,
-    "embed_neardup" -> embedNearDupSql)
+    "embed_neardup" -> embedNearDupSql,
+    "semantic_dedup" -> semanticDedupSql)
 }

@@ -207,4 +207,79 @@ class CorpusPrepSpec extends SparkSpec {
     // doc 1 shares "the quick brown" and "quick brown fox"
     assert(got.toSeq === Seq((1L, 100L, 2L)))
   }
+
+  test("hashSplit: partition of ids, deterministic, proportions near fractions") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val got = CorpusPrep.hashSplit(docs, "doc_id", fr).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 2000)
+    assert(got.map(_._1).distinct.length === 2000) // every id exactly once
+    val byS = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    // expectation 1500/250/250; allow ~4 sigma (~39 for train)
+    assert(math.abs(byS("train") - 1500) < 80, s"train=${byS("train")}")
+    assert(math.abs(byS("val") - 250) < 60)
+    // deterministic: re-running yields the identical assignment
+    val again = CorpusPrep.hashSplit(docs, "doc_id", fr).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // growth stability: the same ids in a larger corpus keep their split
+    val grown = (0L until 4000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val g2 = CorpusPrep.hashSplit(grown, "doc_id", fr).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.forall { case (id, s) => g2(id) == s })
+  }
+
+  test("redactPii: emails/IPs/phones replaced and counted; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "host 192.168.001.5 and 10.0.0.1 up"),
+      (3L, "call 555-123-4567 today"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "combo a@b.io 1.2.3.4 555-000-1111")).toDF("doc_id", "text")
+    val got = CorpusPrep.redactPii(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1).toSeq
+    assert(got(0) === ((1L, "mail <EMAIL> now", 1, 0, 0)))
+    assert(got(1) === ((2L, "host <IP> and <IP> up", 0, 2, 0)))
+    assert(got(2) === ((3L, "call <PHONE> today", 0, 0, 1)))
+    assert(got(3) === ((4L, "nothing sensitive here at all", 0, 0, 0)))
+    assert(got(4) === ((5L, "combo <EMAIL> <IP> <PHONE>", 1, 1, 1)))
+  }
+
+  test("packSequences: invariants hold on random lengths; oversize isolated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cap = 100
+    for (trial <- 0 until 5) {
+      val n = 200 + rnd.nextInt(200)
+      val docs = (0 until n).map { i =>
+        // mix of tiny, mid, and some oversize docs
+        val len = rnd.nextInt(3) match {
+          case 0 => 1 + rnd.nextInt(20)
+          case 1 => 20 + rnd.nextInt(60)
+          case 2 => if (rnd.nextInt(10) == 0) cap + 1 + rnd.nextInt(50) else 40 + rnd.nextInt(55)
+        }
+        (i.toLong, (1 to len).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val parts = 3
+      val res = CorpusPrep.packSequences(docs, "doc_id", "text", cap, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      assert(res.length === n)
+      assert(res.map(_._1).distinct.length === n)
+      // oversize flag iff n_toks > cap; oversize bins are singletons
+      res.foreach { case (_, nt, _, ov) => assert(ov === (nt > cap)) }
+      val byBin = res.groupBy(_._3)
+      byBin.values.foreach { members =>
+        if (members.exists(_._4)) assert(members.length === 1)
+        else assert(members.map(_._2).sum <= cap)
+      }
+      // first-fit bound: at most one under-half bin per partition
+      val underHalf = byBin.values.filter(ms => !ms.exists(_._4) && ms.map(_._2).sum < cap / 2)
+      assert(underHalf.size <= parts, s"trial $trial: ${underHalf.size} under-half bins")
+    }
+  }
 }

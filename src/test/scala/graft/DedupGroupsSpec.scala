@@ -90,4 +90,50 @@ class DedupGroupsSpec extends SparkSpec {
     // doc 1 matches both terms -> highest score
     assert(got.head._2 === 1L)
   }
+
+  test("semantic: planted near-dup pairs collapse to one keeper, distinct points survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    // 4 well-separated base directions; each contributes 10 distinct points
+    // plus one planted near-duplicate pair (two nearly identical vectors)
+    def base(c: Int): Array[Float] = Array.tabulate(dim)(j => if (j == c * 2) 10f else 0f)
+    val rows = (for (c <- 0 until 4; i <- 0 until 10) yield {
+      val v = base(c).clone()
+      for (j <- 0 until dim) v(j) += rnd.nextFloat() * 3f - 1.5f // spread: not near-dups
+      ((c * 100 + i).toLong, v)
+    }) ++ (for (c <- 0 until 4) yield {
+      val v = base(c).clone(); v(1) += 0.01f
+      ((c * 100 + 50).toLong, v)
+    }) ++ (for (c <- 0 until 4) yield {
+      val v = base(c).clone(); v(1) += 0.02f
+      ((c * 100 + 51).toLong, v)
+    })
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = operators.Dedup.semantic(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999).cache()
+    assert(res.count() === rows.length.toLong)
+    // every id exactly once; exactly one keeper per group
+    assert(res.select("id").distinct().count() === rows.length.toLong)
+    val groups = res.groupBy("group_id")
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("int")).as("k"))
+      .collect()
+    assert(groups.forall(_.getLong(2) === 1L))
+    // the 4 planted pairs are the only multi-member groups
+    val multi = groups.filter(_.getLong(1) > 1L)
+    assert(multi.length === 4, s"expected 4 dup groups, got ${multi.length}")
+    // removed = one member of each planted pair
+    assert(res.filter(!col("keep")).count() === 4L)
+    val removed = res.filter(!col("keep")).select("id").as[Long].collect().toSet
+    assert(removed.subsetOf(Set(50L, 51L, 150L, 151L, 250L, 251L, 350L, 351L)))
+    // keep="far": within each pair the kept member has the smaller c_sim
+    val pairRows = res.filter(col("group_size") === 2)
+      .select("group_id", "c_sim", "keep").collect()
+      .groupBy(_.getLong(0))
+    pairRows.values.foreach { ms =>
+      val kept = ms.find(_.getBoolean(2)).get.getDouble(1)
+      val dropped = ms.find(!_.getBoolean(2)).get.getDouble(1)
+      assert(kept <= dropped)
+    }
+  }
 }

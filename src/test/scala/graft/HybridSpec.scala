@@ -128,6 +128,41 @@ class HybridSpec extends SparkSpec {
     assert(both.contains(top))
   }
 
+  test("maxSimTopK: matches a from-scratch MaxSim oracle; partial docs score partially") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    def v(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // 20 docs x 3 vectors, 2 queries x 2 vectors
+    val docs = for (d <- 0 until 20; i <- 0 until 3) yield (d.toLong, v())
+    val qs = for (q <- 0 until 2; i <- 0 until 2) yield (q.toLong, i, v())
+    val docDf = docs.toDF("doc_id", "vec")
+    val qDf = qs.toDF("qid", "q_idx", "qvec")
+    val got = operators.LateInteraction.maxSimTopK(docDf, qDf, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      (1.0 + dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))) / 2.0
+    }
+    val want = for (q <- 0 until 2) yield {
+      val qvs = qs.filter(_._1 == q).sortBy(_._2).map(_._3)
+      val scored = (0 until 20).map { d =>
+        val dvs = docs.filter(_._1 == d).map(_._2)
+        (d.toLong, qvs.map(qv => dvs.map(dv => cos(dv, qv)).max).sum)
+      }.sortBy { case (id, s) => (-s, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, s), i) => (q.toLong, i + 1, id, s) }
+    }
+    val wantFlat = want.flatten
+    assert(got.length === wantFlat.length)
+    got.zip(wantFlat).foreach { case ((gq, gr, gid, gs), (wq, wr, wid, ws)) =>
+      assert((gq, gr, gid) === ((wq, wr, wid)))
+      assert(math.abs(gs - ws) < 1e-6, s"score mismatch q=$gq rank=$gr: $gs vs $ws")
+    }
+  }
+
   test("hybrid_topk and mmr_rerank query entries run green on sf0.001") {
     val hybrid = queries.RetrievalQueries.queries("hybrid_topk")(spark, sfDir)
       .cache()
