@@ -348,6 +348,97 @@ object CorpusPrep {
       regexp_count(t, lit(phoneRe)).cast("int").as("n_phones"))
   }
 
+  /** Deterministic corpus shuffle into training shards: every document
+    * gets a pseudo-random but REPRODUCIBLE position — shard by hash,
+    * position by md5-key order within the shard — so the training data
+    * order is a pure function of (corpus, salt), not of cluster layout or
+    * run timing. This is the write-order step before materializing
+    * training shards: `.repartition(col("shard")).sortWithinPartitions`
+    * (or write partitioned by shard, pos-sorted) yields files a trainer
+    * streams in a fixed global order.
+    *
+    * Scale shape: one shuffle on `shard`; each shard sorts independently,
+    * so pick nShards to size shards to a task (the same knob that sizes
+    * output files). No global sort, no sequential pass.
+    *
+    * Output: (doc_id, shard, pos) — pos is 1-based within shard, ordered
+    * by (md5 key, doc_id). */
+  def shuffleShards(
+      docs: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(salt), col(idCol).cast("long").cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), key.as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
+          .cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Per-document cross-entropy under an add-k-smoothed bigram language
+    * model trained on `ref` — the distributed re-expression of the
+    * CCNet-style LM quality filter (Wenzek et al. 2020: score web docs
+    * with a KenLM n-gram model, keep the low-perplexity tail). Where
+    * CCNet queries an in-process KenLM binary, the scale-out form IS the
+    * corpus: bigram/context counts are DataFrames, scoring is an
+    * equi-join, and the per-doc log-prob sum is a FIXED-ORDER fold over
+    * token positions (never a float `sum()` — partial-aggregation order
+    * would make the score run-dependent).
+    *
+    *   P(w2 | w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)
+    *   xent(doc)  = -(1/n) · Σ ln P — lower = more like `ref`.
+    *
+    * Counts shuffle once each; the scoring join is a plain equi-join on
+    * the bigram (broadcast when the model is small, shuffled when it is
+    * vocabulary-scale). Docs with < 2 tokens carry n_bigrams = 0 and
+    * xent = 0. Output: (doc_id, n_bigrams, xent). */
+  def lmCrossEntropy(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be > 0, got $addK")
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2")))).as("bs"))
+      .select(col("doc_id"), posexplode_outer(col("bs")).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBi = bigramsOf(ref).filter(col("w1").isNotNull)
+    val cb = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = refBi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = ref
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val scored = bigramsOf(docs)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu, Seq("w1"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("cb"), lit(0L)) + addK) /
+          (coalesce(col("cu"), lit(0L)) + addK * vocab)))
+    scored
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ls"),
+        count(col("pos")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(round(
+          -aggregate(col("ls"), lit(0.0), (acc, x) => acc + x.getField("lp"))
+            / col("n_bigrams"), 6)).as("xent"))
+  }
+
   /** Eval-set decontamination: training docs sharing >= 1 distinct n-gram
     * shingle with any benchmark doc, with the shared-shingle count. The
     * join is an inverted-index equi-join on the 60-bit shingle hash —

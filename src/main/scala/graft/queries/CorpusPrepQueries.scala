@@ -204,6 +204,52 @@ object CorpusPrepQueries {
        |FROM t""".stripMargin
   }
 
+  // ---------------- deterministic shuffle into shards ----------------
+
+  private val shardN = 16
+
+  private def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    CorpusPrep.shuffleShards(Tables.documents(s, dir), "doc_id", shardN)
+
+  private val shuffleShardsSql: String =
+    s"""WITH t AS (SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+       |sh AS (SELECT doc_id, k,
+       |         CAST(CAST('0x' || substr(k, 1, 15) AS BIGINT) % $shardN AS INT) AS shard
+       |       FROM t)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+       |FROM sh""".stripMargin
+
+  // ---------------- bigram-LM cross-entropy (CCNet-style quality) ----------------
+
+  private val lmAddK = 0.5
+
+  /** Model trained on the corpus itself, each doc scored against it — the
+    * self-scoring quality signal (outlier docs score high). */
+  private def lmXent(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", lmAddK)
+  }
+
+  private val lmXentSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b2 AS (SELECT doc_id, pos, toks[pos+1] AS w1, toks[pos+2] AS w2
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t)),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+       |cu AS (SELECT w1, count(*) AS cu FROM b2 GROUP BY w1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |      FROM (SELECT unnest(toks) AS tok FROM t)),
+       |sc AS (SELECT b2.doc_id, b2.pos,
+       |         ln((cb.cb + $lmAddK) / (cu.cu + $lmAddK * v.v)) AS lp
+       |       FROM b2 JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+       |ag AS (SELECT doc_id, count(*) AS n,
+       |         list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS s
+       |       FROM sc GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(coalesce(ag.n, 0) AS INT) AS n_bigrams,
+       |       CASE WHEN ag.n IS NULL THEN 0.0 ELSE round(-s / ag.n, 6) END AS xent
+       |FROM t LEFT JOIN ag USING (doc_id)""".stripMargin
+
   // ---------------- sequence packing ----------------
 
   private val packCapacity = 256
@@ -254,7 +300,9 @@ object CorpusPrepQueries {
     "mix_sample" -> (mixSample _),
     "split_stratified" -> (splitStratified _),
     "pii_redact" -> (piiRedact _),
-    "pack_sequences" -> (packSequences _))
+    "pack_sequences" -> (packSequences _),
+    "shuffle_shards" -> (shuffleShards _),
+    "lm_xent" -> (lmXent _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
@@ -264,5 +312,7 @@ object CorpusPrepQueries {
     "mix_sample" -> mixSampleSql,
     "split_stratified" -> splitStratifiedSql,
     "pii_redact" -> piiRedactSql,
-    "pack_sequences" -> packSequencesSql)
+    "pack_sequences" -> packSequencesSql,
+    "shuffle_shards" -> shuffleShardsSql,
+    "lm_xent" -> lmXentSql)
 }

@@ -250,6 +250,59 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got(4) === ((5L, "combo <EMAIL> <IP> <PHONE>", 1, 1, 1)))
   }
 
+  test("shuffleShards: reproducible permutation, dense positions, salt varies order") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = CorpusPrep.shuffleShards(docs, "doc_id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length === 500)
+    assert(got.map(_._1).distinct.length === 500)
+    assert(got.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions dense 1..n within each shard
+    got.groupBy(_._2).values.foreach { ms =>
+      assert(ms.map(_._3).sorted.toSeq === (1 to ms.length).toSeq)
+    }
+    // deterministic across runs
+    val again = CorpusPrep.shuffleShards(docs, "doc_id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a different salt yields a different permutation
+    val other = CorpusPrep.shuffleShards(docs, "doc_id", nShards = 8, salt = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(other.sortBy(_._1).toSeq !== got.sortBy(_._1).toSeq)
+    // not the identity order: doc ids within a shard are scrambled vs pos
+    val shard0 = got.filter(_._2 == got.head._2).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq !== shard0.sorted.toSeq)
+  }
+
+  test("lmCrossEntropy: matches hand-computed bigram model; short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z")).toDF("doc_id", "text")
+    val got = CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", addK = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // counts: cb(a,b)=3 cb(b,a)=1 cb(b,c)=1; cu(a)=3 cu(b)=2; V=4 (a b c z)
+    val pAB = 3.5 / 5.0 // (3+0.5)/(3+0.5*4)
+    val pBA = 1.5 / 4.0 // (1+0.5)/(2+0.5*4)
+    val pBC = 1.5 / 4.0
+    val want1 = -(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3
+    val want2 = -(math.log(pAB) + math.log(pBC)) / 2
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 3), (2L, 2), (3L, 0)))
+    assert(math.abs(got(0)._3 - want1) < 1e-6)
+    assert(math.abs(got(1)._3 - want2) < 1e-6)
+    assert(got(2)._3 === 0.0)
+    // outlier detection: a doc full of unseen bigrams scores higher than
+    // one assembled from common ones
+    val ref = (0L until 50L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val probe = Seq((100L, "the cat sat"), (101L, "qq ww ee rr")).toDF("doc_id", "text")
+    val x = CorpusPrep.lmCrossEntropy(probe, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(x(101L) > x(100L))
+  }
+
   test("packSequences: invariants hold on random lengths; oversize isolated") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
