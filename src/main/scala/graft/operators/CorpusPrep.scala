@@ -420,15 +420,18 @@ object CorpusPrep {
     val refBi = bigramsOf(ref).filter(col("w1").isNotNull)
     val cb = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = refBi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // vocab size rides a broadcast 1-row aggregate — no driver action, the
+    // whole model stays one lazy plan the caller can cache/checkpoint
     val vocab = ref
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
+      .agg(countDistinct(col("t")).cast("double").as("vv"))
     val scored = bigramsOf(docs)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
       .withColumn("lp", log(
         (coalesce(col("cb"), lit(0L)) + addK) /
-          (coalesce(col("cu"), lit(0L)) + addK * vocab)))
+          (coalesce(col("cu"), lit(0L)) + lit(addK) * col("vv"))))
     scored
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ls"),

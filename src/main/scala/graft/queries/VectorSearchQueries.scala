@@ -142,6 +142,34 @@ object VectorSearchQueries {
        |       nid, round(score, 6) AS score
        |FROM sc QUALIFY "rank" <= 5""".stripMargin
 
+  // ---- contrastive pair mining (pos >= 0.65, hard negs < 0.6) ----
+
+  private val minePosT = 0.65
+  private val mineNegT = 0.6
+  private val mineKPos = 5
+  private val mineKNeg = 5
+
+  private def minePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ContrastiveMining.minePairs(
+      Tables.embeddings(s, dir), queryVectors(s, dir),
+      mineKPos, mineKNeg, minePosT, mineNegT)
+
+  private val minePairsSql: String = {
+    val sim = simSql("COSINE", "b.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |sc AS (SELECT q.qid, b.vec_id AS nid, $sim AS s
+       |       FROM embeddings b CROSS JOIN q WHERE b.vec_id <> q.qid),
+       |pos AS (SELECT qid, 'pos' AS kind,
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) AS INT) AS "rank",
+       |          nid, round(s, 6) AS score
+       |        FROM sc WHERE s >= $minePosT QUALIFY "rank" <= $mineKPos),
+       |neg AS (SELECT qid, 'neg' AS kind,
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) AS INT) AS "rank",
+       |          nid, round(s, 6) AS score
+       |        FROM sc WHERE s < $mineNegT QUALIFY "rank" <= $mineKNeg)
+       |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_self_join" -> (knnSelfJoin _),
     "knn_paged" -> (knnPaged _),
@@ -151,7 +179,8 @@ object VectorSearchQueries {
     "knn_filtered" -> knnQuery("COSINE", labelFilter = Some(3)) _,
     "threshold_search" -> (thresholdSearch _),
     "centroid_by_label" -> (centroidByLabel _),
-    "norm_stats" -> (normStats _))
+    "norm_stats" -> (normStats _),
+    "mine_pairs" -> (minePairs _))
 
   val oracles: Map[String, String] = Map(
     "knn_self_join" -> knnSelfJoinSql,
@@ -162,5 +191,6 @@ object VectorSearchQueries {
     "knn_filtered" -> knnSql("COSINE", labelFilter = Some(3)),
     "threshold_search" -> thresholdSearchSql,
     "centroid_by_label" -> centroidByLabelSql,
-    "norm_stats" -> normStatsSql)
+    "norm_stats" -> normStatsSql,
+    "mine_pairs" -> minePairsSql)
 }

@@ -58,4 +58,34 @@ class TopKKnnSpec extends SparkSpec {
     assert(got.count() === want)
     assert(got.agg(min("score")).head().getDouble(0) >= 0.6)
   }
+
+  test("contrastive mining: bands separated, self excluded, negatives are the hardest") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val posT = 0.62; val negT = 0.6
+    val got = operators.ContrastiveMining.minePairs(emb, anchors, 4, 4, posT, negT)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // no anchor paired with itself; bands respected
+    got.foreach { case (q, kind, _, n, s) =>
+      assert(n !== q)
+      if (kind == "pos") assert(s >= posT - 1e-9) else assert(s < negT + 1e-9)
+    }
+    // per (qid, kind) ranks dense from 1, scores non-increasing
+    got.groupBy(t => (t._1, t._2)).values.foreach { ms =>
+      val sorted = ms.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._5 >= p(1)._5))
+    }
+    // negatives are the HARDEST below negT: no unpicked item below negT
+    // scores above a picked negative (checked for anchor 0)
+    import graft.functions.VectorFunctions
+    val all0 = emb.crossJoin(broadcast(anchors.filter($"qid" === 0)))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("s", VectorFunctions.cosineSim($"embedding", $"qvec"))
+      .filter($"s" < negT).orderBy($"s".desc, $"vec_id".asc)
+      .select("vec_id").as[Long].take(4).toSeq
+    val neg0 = got.filter(t => t._1 == 0L && t._2 == "neg").sortBy(_._3).map(_._4).toSeq
+    assert(neg0 === all0)
+  }
 }
