@@ -43,16 +43,18 @@ object ContrastiveMining {
         col("qvec"))))
       .filter(col("nid") =!= col("qid"))
       .withColumn("s", VectorFunctions.cosineSim(col("v"), col("qvec")))
-    def band(df: DataFrame, kind: String, k: Int): DataFrame = {
-      val top = TopK.udf(k)
-      df.groupBy(col("qid"))
-        .agg(top(col("nid"), col("s")).as("t"))
-        .select(col("qid"), posexplode(col("t")))
-        .select(col("qid"), lit(kind).as("kind"),
-          (col("pos") + 1).cast("int").as("rank"),
-          col("col._1").as("nid"), round(col("col._2"), 6).as("score"))
-    }
-    band(scored.filter(col("s") >= posT), "pos", kPos)
-      .unionAll(band(scored.filter(col("s") < negT), "neg", kNeg))
+    // ONE corpus pass: tag the band inline and heap per (qid, kind) — a
+    // per-band union would score and scan the base twice
+    val top = TopK.udf(math.max(kPos, kNeg))
+    scored
+      .withColumn("kind",
+        when(col("s") >= posT, "pos").when(col("s") < negT, "neg"))
+      .filter(col("kind").isNotNull)
+      .groupBy(col("qid"), col("kind"))
+      .agg(top(col("nid"), col("s")).as("t"))
+      .select(col("qid"), col("kind"), posexplode(col("t")))
+      .select(col("qid"), col("kind"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("nid"), round(col("col._2"), 6).as("score"))
+      .filter(col("rank") <= when(col("kind") === "pos", kPos).otherwise(kNeg))
   }
 }

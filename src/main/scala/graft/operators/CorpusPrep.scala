@@ -419,7 +419,9 @@ object CorpusPrep {
         col("b.w1").as("w1"), col("b.w2").as("w2"))
     val refBi = bigramsOf(ref).filter(col("w1").isNotNull)
     val cb = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = refBi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // context counts derive from the bigram table (sum over w2) — same
+    // values as re-counting the corpus, one corpus pass + shuffle cheaper
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
     // vocab size rides a broadcast 1-row aggregate — no driver action, the
     // whole model stays one lazy plan the caller can cache/checkpoint
     val vocab = ref

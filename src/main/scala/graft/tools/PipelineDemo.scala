@@ -131,10 +131,35 @@ object PipelineDemo {
     }
     val mixToks = mixed.agg(sum("n_toks").cast("long")).head().getLong(0)
 
+    // 8. LM-quality tail cut: score the mix against a bigram model trained
+    //    on the full cleaned corpus, drop the worst-perplexity 10%
+    //    (CCNet-shaped: keep what looks like the reference distribution)
+    val mixedText = mixed.join(clean.select("doc_id", "text"), "doc_id")
+    val lmKept = stage("lm perplexity filter") {
+      val xent = CorpusPrep.lmCrossEntropy(mixedText, clean, "doc_id", "text")
+      val cut = xent.stat.approxQuantile("xent", Array(0.9), 0.001)(0)
+      mixedText.join(xent.filter(col("xent") <= cut).select("doc_id"), "doc_id")
+        .localCheckpoint()
+    }
+
+    // 9. train/val/test split (hash-deterministic, growth-stable) + pack
+    //    the train split into 512-token examples + shard for write-out
+    val split = stage("split+pack+shard") {
+      val s3 = CorpusPrep.hashSplit(lmKept, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val train = lmKept.join(s3.filter(col("split") === "train").select("doc_id"), "doc_id")
+      val packed = CorpusPrep.packSequences(train, "doc_id", "text", capacity = 512)
+      val shards = CorpusPrep.shuffleShards(train, "doc_id", nShards = 8)
+      packed.join(shards, "doc_id").localCheckpoint()
+    }
+    val nBins = split.select("bin_id").distinct().count()
+
     System.err.println(
       s"[pipeline] docs $total -> ${clean.count()} surviving " +
         s"($toks tokens, $removedToks span-excised); " +
-        s"mix ${mixed.count()} docs / $mixToks tokens (budget ${toks / 2})")
+        s"mix ${mixed.count()} docs / $mixToks tokens (budget ${toks / 2}); " +
+        s"lm-kept ${lmKept.count()}; train ${split.count()} docs -> " +
+        s"$nBins packed bins across 8 shards")
     spark.stop()
   }
 }
