@@ -289,9 +289,13 @@ object TextDedupQueries {
     val res = Dedup.semantic(emb, "vec_id", "embedding", semClusters,
       nearDupThreshold).cache()
     val n = emb.count()
-    val rows = res.count()
-    val nGroups = res.select("group_id").distinct().count()
-    val nKeep = res.filter(col("keep")).count()
+    // one job for all the scalar invariants over the result
+    val sc = res.agg(
+      count(lit(1)), countDistinct(col("group_id")),
+      sum(col("keep").cast("long")),
+      countDistinct(when(col("group_size") >= 2, col("group_id")))).head()
+    val (rows, nGroups, nKeep, dupGroups) =
+      (sc.getLong(0), sc.getLong(1), sc.getLong(2), sc.getLong(3))
     val kept = res.filter(col("keep"))
       .join(emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")), "id")
     val a = kept.select(col("cluster_id"), col("id").as("id1"), col("v").as("v1"))
@@ -302,8 +306,6 @@ object TextDedupQueries {
     val farViol = res.filter(col("keep") && col("group_size") >= 2)
       .join(res.groupBy("group_id").agg(min(col("c_sim")).as("mn")), "group_id")
       .filter(col("c_sim") =!= col("mn")).count()
-    val dupGroups = res.filter(col("group_size") >= 2)
-      .select("group_id").distinct().count()
     Gates.df(s, Seq(
       ("sem_rows_complete", n.toDouble, rows == n),
       ("sem_one_keeper_per_group", 0.0, nKeep == nGroups),
