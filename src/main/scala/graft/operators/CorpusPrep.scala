@@ -234,27 +234,33 @@ object CorpusPrep {
     *
     * Distribution shape: a GLOBAL optimal packing is a bin-packing
     * instance (NP-hard, inherently sequential), so the scale-out form
-    * packs each partition independently with first-fit-decreasing — the
-    * classic 11/9·OPT+1 guarantee applies per partition, and because every
-    * partition leaves at most ONE bin under half capacity, the global
-    * overhead is bounded by `numPartitions` bins over optimal-halving.
-    * That per-partition independence is exactly what makes it run on
-    * 100 TB: no sequential scan, no shuffle beyond the initial spread, and
-    * the per-task state is one open-bin list bounded by capacity.
+    * packs each partition independently with first-fit-decreasing over a
+    * BOUNDED open-bin window: when more than `openWindow` bins are open,
+    * the fullest one is closed. Closing never touches an under-half bin
+    * (at most one exists at any time — the first-fit property — and with
+    * `openWindow >= 2` the fullest of the others is >= half), so every
+    * partition still leaves at most ONE bin under half capacity and the
+    * global overhead stays bounded by `numPartitions` bins over
+    * optimal-halving; the window caps per-doc scan work at O(openWindow)
+    * and per-task state at O(openWindow), independent of partition size.
+    * No shuffle beyond the initial spread.
     *
     * Docs longer than `capacity` get a bin of their own, flagged
-    * `oversize` (callers chunk upstream — see [[chunk]] — so this is the
-    * escape hatch, not the plan).
+    * `oversize`, and that bin never enters the open list — nothing (not
+    * even a zero-token doc) can join it. Callers chunk upstream — see
+    * [[chunk]] — so oversize is the escape hatch, not the plan.
     *
     * Output: (doc_id, n_toks, bin_id, oversize) — bin_id globally unique
-    * (partitionId << 20 | local bin index). */
+    * (partitionId << 40 | local bin index: 8M partitions x 1T bins). */
   def packSequences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       capacity: Int,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      openWindow: Int = 256): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(openWindow >= 2, s"openWindow must be >= 2, got $openWindow")
     val spark = docs.sparkSession
     import spark.implicits._
     val base0 = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -262,19 +268,27 @@ object CorpusPrep {
     val base = if (partitions > 0) base0.repartition(partitions, col("doc_id")) else base0
     base.as[(Long, Int)].mapPartitions { it =>
       val part = org.apache.spark.TaskContext.getPartitionId()
+      def mkId(b: Int): Long = part.toLong << 40 | b.toLong
       val rows = it.toArray.sortBy { case (id, n) => (-n, id) } // FFD order
-      val binFill = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var nBins = 0
+      val open = scala.collection.mutable.ArrayBuffer.empty[Array[Int]] // [bin, fill]
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Boolean)](rows.length)
       for ((id, n) <- rows) {
         if (n > capacity) {
-          out += ((id, n, part.toLong << 20 | binFill.length, true))
-          binFill += capacity // closed: nothing else fits an oversize bin
+          out += ((id, n, mkId(nBins), true)) // own bin, never opened
+          nBins += 1
         } else {
-          var b = 0
-          while (b < binFill.length && binFill(b) + n > capacity) b += 1
-          if (b == binFill.length) binFill += 0
-          binFill(b) += n
-          out += ((id, n, part.toLong << 20 | b, false))
+          var i = 0
+          while (i < open.length && open(i)(1) + n > capacity) i += 1
+          if (i == open.length) { open += Array(nBins, 0); nBins += 1 }
+          open(i)(1) += n
+          out += ((id, n, mkId(open(i)(0)), false))
+          if (open.length > openWindow) {
+            var fi = 0
+            var j = 1
+            while (j < open.length) { if (open(j)(1) > open(fi)(1)) fi = j; j += 1 }
+            open.remove(fi) // fullest bin closes; never the under-half one
+          }
         }
       }
       out.iterator
@@ -303,9 +317,7 @@ object CorpusPrep {
     require(fractions.forall(_._2 > 0), "fractions must be > 0")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val u = conv(substring(md5(concat_ws(":", lit(salt),
-        col(idCol).cast("long").cast("string"))), 1, 15), 16, 10)
-      .cast("double") / lit(1152921504606846976.0 /* 2^60 */)
+    val u = u60(saltedKey(col(idCol), salt))
     val bounds = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val chain = fractions.init.zip(bounds).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (None, ((name, _), b)) => Some(when(u < b, name))
@@ -370,16 +382,28 @@ object CorpusPrep {
       salt: String = "shuffle"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val key = md5(concat_ws(":", lit(salt), col(idCol).cast("long").cast("string")))
     val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
     docs
-      .select(col(idCol).cast("long").as("doc_id"), key.as("k"))
+      .select(col(idCol).cast("long").as("doc_id"), saltedKey(col(idCol), salt).as("k"))
       .withColumn("shard",
-        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
-          .cast("int"))
+        pmod(key60(col("k")), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** The ONE canonical salted hash key: md5("salt:id"). Its DuckDB twin is
+    * `md5('salt:' || CAST(id AS VARCHAR))` — every oracle that consumes a
+    * derived value mirrors these helpers, so keep them in lockstep. */
+  private def saltedKey(id: org.apache.spark.sql.Column, salt: String) =
+    md5(concat_ws(":", lit(salt), id.cast("long").cast("string")))
+
+  /** First 60 bits of an md5 hex key as a non-negative long. */
+  private def key60(key: org.apache.spark.sql.Column) =
+    conv(substring(key, 1, 15), 16, 10).cast("long")
+
+  /** Deterministic uniform in [0, 1): key60 / 2^60. */
+  private def u60(key: org.apache.spark.sql.Column) =
+    key60(key).cast("double") / lit(1152921504606846976.0 /* 2^60 */)
 
   /** Per-document cross-entropy under an add-k-smoothed bigram language
     * model trained on `ref` — the distributed re-expression of the

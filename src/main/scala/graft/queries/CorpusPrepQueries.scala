@@ -277,7 +277,9 @@ object CorpusPrepQueries {
     val underHalf = fills.filter(col("fill") < packCapacity / 2).count()
     val maxMembers = fills.agg(max(col("members"))).head().getLong(0)
     Gates.df(s, Seq(
-      ("pack_rows_complete", nDocs.toDouble, rows == nDocs && distinctIds == nDocs),
+      // scale-free targets: the live corpus count rides the pass boolean,
+      // never the target column (the oracle twin is a constant relation)
+      ("pack_rows_complete", 0.0, rows == nDocs && distinctIds == nDocs),
       ("pack_tokens_conserved", 0.0, packedTotal == tokTotal),
       ("pack_fill_within_capacity", 0.0, overCap == 0L),
       ("pack_underhalf_at_most_per_partition", packParts.toDouble,
@@ -286,7 +288,7 @@ object CorpusPrepQueries {
   }
 
   private val packSequencesSql: String = Gates.sql(Seq(
-    ("pack_rows_complete", 500.0),
+    ("pack_rows_complete", 0.0),
     ("pack_tokens_conserved", 0.0),
     ("pack_fill_within_capacity", 0.0),
     ("pack_underhalf_at_most_per_partition", packParts.toDouble),

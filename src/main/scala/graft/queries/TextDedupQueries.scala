@@ -307,7 +307,8 @@ object TextDedupQueries {
       .join(res.groupBy("group_id").agg(min(col("c_sim")).as("mn")), "group_id")
       .filter(col("c_sim") =!= col("mn")).count()
     Gates.df(s, Seq(
-      ("sem_rows_complete", n.toDouble, rows == n),
+      // scale-free target: the live count rides the boolean, not the column
+      ("sem_rows_complete", 0.0, rows == n),
       ("sem_one_keeper_per_group", 0.0, nKeep == nGroups),
       ("sem_kept_pairs_below_threshold", 0.0, keptViol == 0L),
       ("sem_keep_farthest", 0.0, farViol == 0L),
@@ -315,7 +316,7 @@ object TextDedupQueries {
   }
 
   private val semanticDedupSql: String = Gates.sql(Seq(
-    ("sem_rows_complete", 500.0),
+    ("sem_rows_complete", 0.0),
     ("sem_one_keeper_per_group", 0.0),
     ("sem_kept_pairs_below_threshold", 0.0),
     ("sem_keep_farthest", 0.0),

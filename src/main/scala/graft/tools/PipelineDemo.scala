@@ -143,14 +143,18 @@ object PipelineDemo {
     }
 
     // 9. train/val/test split (hash-deterministic, growth-stable) + pack
-    //    the train split into 512-token examples + shard for write-out
+    //    the train split into 512-token examples + shard the EXAMPLES for
+    //    write-out (sharding by doc would scatter a bin's members across
+    //    shards and discard the packing)
     val split = stage("split+pack+shard") {
       val s3 = CorpusPrep.hashSplit(lmKept, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       val train = lmKept.join(s3.filter(col("split") === "train").select("doc_id"), "doc_id")
       val packed = CorpusPrep.packSequences(train, "doc_id", "text", capacity = 512)
-      val shards = CorpusPrep.shuffleShards(train, "doc_id", nShards = 8)
-      packed.join(shards, "doc_id").localCheckpoint()
+      val shards = CorpusPrep
+        .shuffleShards(packed.select("bin_id").distinct(), "bin_id", nShards = 8)
+        .withColumnRenamed("doc_id", "bin_id")
+      packed.join(shards, "bin_id").localCheckpoint()
     }
     val nBins = split.select("bin_id").distinct().count()
 

@@ -310,16 +310,20 @@ class CorpusPrepSpec extends SparkSpec {
     for (trial <- 0 until 5) {
       val n = 200 + rnd.nextInt(200)
       val docs = (0 until n).map { i =>
-        // mix of tiny, mid, and some oversize docs
-        val len = rnd.nextInt(3) match {
-          case 0 => 1 + rnd.nextInt(20)
+        // mix of blank, tiny, mid, and some oversize docs
+        val len = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(2) * (1 + rnd.nextInt(19)) // ~half blank
           case 1 => 20 + rnd.nextInt(60)
           case 2 => if (rnd.nextInt(10) == 0) cap + 1 + rnd.nextInt(50) else 40 + rnd.nextInt(55)
+          case 3 => 1 + rnd.nextInt(cap)
         }
         (i.toLong, (1 to len).map(j => s"t$j").mkString(" "))
       }.toDF("doc_id", "text")
       val parts = 3
-      val res = CorpusPrep.packSequences(docs, "doc_id", "text", cap, partitions = parts)
+      // tiny open window on some trials to exercise the bin-closing path
+      val window = if (trial % 2 == 0) 4 else 256
+      val res = CorpusPrep.packSequences(docs, "doc_id", "text", cap,
+        partitions = parts, openWindow = window)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
       assert(res.length === n)
       assert(res.map(_._1).distinct.length === n)
