@@ -36,14 +36,29 @@ object LateInteraction {
     * @return (qid, rank, doc_id, score), rank 1-based by
     *         (score desc, doc_id asc)
     */
+  /** @param candidates optional (qid, doc_id) pairs restricting which
+    *                    docs each query scores — the serving path: generate
+    *                    candidates first (ANN over pooled vectors), then
+    *                    late-interact only the survivors. With candidates
+    *                    the scoring is an equi-join on doc_id + qid (cost
+    *                    O(candidate pairs x vectors)), not a cross join. */
   def maxSimTopK(
       docVecs: DataFrame,
       queryVecs: DataFrame,
       k: Int,
-      metric: String = "COSINE"): DataFrame = {
+      metric: String = "COSINE",
+      candidates: Option[DataFrame] = None): DataFrame = {
     val sim = VectorFunctions.similarity(metric) _
-    val scored = docVecs.select(col("doc_id"), col("vec"))
-      .crossJoin(broadcast(queryVecs.select(col("qid"), col("q_idx"), col("qvec"))))
+    val q = queryVecs.select(col("qid"), col("q_idx"), col("qvec"))
+    val paired = candidates match {
+      case Some(c) =>
+        docVecs.select(col("doc_id"), col("vec"))
+          .join(c.select(col("qid"), col("doc_id")), "doc_id")
+          .join(broadcast(q), "qid")
+      case None =>
+        docVecs.select(col("doc_id"), col("vec")).crossJoin(broadcast(q))
+    }
+    val scored = paired
       .select(col("qid"), col("q_idx"), col("doc_id"),
         sim(col("vec"), col("qvec")).as("s"))
     val perQvec = scored

@@ -178,6 +178,61 @@ object RetrievalQueries {
        |       doc_id, round(score, 6) AS score
        |FROM sc QUALIFY "rank" <= $msK""".stripMargin
 
+  // ---- maxsim_indexed: ANN candidates (pooled vectors) -> MaxSim rerank ----
+
+  private val msCandN = 50
+
+  /** The late-interaction SERVING path: mean-pool each multi-vector doc to
+    * one vector, ANN-index the pooled vectors, retrieve candidates per
+    * query, MaxSim-rerank only the survivors. Seed-dependent (graph
+    * build), so gated: result shape, candidate containment, and recall
+    * vs the exact full-corpus MaxSim (the maxsim_topk oracle surface). */
+  private def maxsimIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.Ann
+    import graft.operators.LateInteraction
+    val emb = Tables.embeddings(s, dir)
+    val docVecs = emb.select(
+      expr(s"vec_id div $msVecsPerDoc").as("doc_id"), col("embedding").as("vec"))
+    val queryVecs = emb.filter(col("vec_id") < msQueries * msVecsPerDoc).select(
+      expr(s"vec_id div $msVecsPerDoc").as("qid"),
+      pmod(col("vec_id"), lit(msVecsPerDoc.toLong)).cast("int").as("q_idx"),
+      col("embedding").as("qvec"))
+    def pool(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.select(col(idc), posexplode(col(vc)))
+        .groupBy(col(idc), col("pos")).agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col(idc))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v").cast("float")).as(vc))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndex(pool(docVecs, "doc_id", "vec"), s"$tmp/idx", params, "doc_id", "vec")
+    val cands = Ann.searchIndex(s, s"$tmp/idx",
+        pool(queryVecs.withColumnRenamed("qvec", "vec"), "qid", "vec")
+          .withColumnRenamed("vec", "qvec"),
+        msCandN, ef = 64, params)
+      .select(col("qid"), col("nid").as("doc_id")).cache()
+    val rer = LateInteraction.maxSimTopK(docVecs, queryVecs, msK,
+      candidates = Some(cands)).cache()
+    val exact = maxsimTopk(s, dir).cache()
+
+    val rows = rer.count()
+    val outside = rer.select("qid", "doc_id")
+      .join(cands, Seq("qid", "doc_id"), "left_anti").count()
+    val hits = rer.select("qid", "doc_id")
+      .join(exact.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_semi").count()
+    val recall = hits.toDouble / (msQueries * msK)
+    Gates.df(s, Seq(
+      ("maxsim_idx_rows_complete", (msQueries * msK).toDouble,
+        rows == msQueries.toLong * msK),
+      ("maxsim_idx_subset_of_candidates", 0.0, outside == 0L),
+      ("maxsim_idx_recall_vs_exact", 0.9, recall >= 0.9)))
+  }
+
+  private val maxsimIndexedSql: String = Gates.sql(Seq(
+    ("maxsim_idx_rows_complete", (msQueries * msK).toDouble),
+    ("maxsim_idx_subset_of_candidates", 0.0),
+    ("maxsim_idx_recall_vs_exact", 0.9)))
+
   // ---- mmr_rerank: greedy diversity re-rank over exact top-50 ----
 
   /** Gates: result shape, candidate containment, pure-relevance first
@@ -228,11 +283,13 @@ object RetrievalQueries {
     "hybrid_topk" -> (hybridTopk _),
     "hybrid_linear" -> (hybridLinear _),
     "maxsim_topk" -> (maxsimTopk _),
+    "maxsim_indexed" -> (maxsimIndexed _),
     "mmr_rerank" -> (mmrRerank _))
 
   val oracles: Map[String, String] = Map(
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_linear" -> hybridLinearSql,
     "maxsim_topk" -> maxsimTopkSql,
+    "maxsim_indexed" -> maxsimIndexedSql,
     "mmr_rerank" -> mmrRerankSql)
 }

@@ -163,6 +163,32 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("maxSimTopK: all-pairs candidate restriction equals the cross-join path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = for (d <- 0 until 15; i <- 0 until 2)
+      yield (d.toLong, Array.fill(5)(rnd.nextFloat()))
+    val qs = for (q <- 0 until 2; i <- 0 until 2)
+      yield (q.toLong, i, Array.fill(5)(rnd.nextFloat()))
+    val docDf = docs.toDF("doc_id", "vec")
+    val qDf = qs.toDF("qid", "q_idx", "qvec")
+    val allPairs = (for (q <- 0 until 2; d <- 0 until 15) yield (q.toLong, d.toLong))
+      .toDF("qid", "doc_id")
+    val full = operators.LateInteraction.maxSimTopK(docDf, qDf, 5)
+      .collect().map(_.toSeq).toSet
+    val cand = operators.LateInteraction.maxSimTopK(docDf, qDf, 5,
+        candidates = Some(allPairs))
+      .collect().map(_.toSeq).toSet
+    assert(full === cand)
+    // a restricted candidate set: results contained in it, 5 rows per query
+    val some = allPairs.filter($"doc_id" < 8)
+    val restr = operators.LateInteraction.maxSimTopK(docDf, qDf, 5,
+        candidates = Some(some))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(restr.length === 10)
+    assert(restr.forall(_._2 < 8))
+  }
+
   test("hybrid_topk and mmr_rerank query entries run green on sf0.001") {
     val hybrid = queries.RetrievalQueries.queries("hybrid_topk")(spark, sfDir)
       .cache()
