@@ -1,0 +1,111 @@
+package graft.tools
+
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale demo for the corpus last-mile operators added in round 7
+  * session 3: deterministic hash split, shuffle-to-shards, FFD sequence
+  * packing, and bigram-LM scoring over a synthetic 1M-doc corpus
+  * (~60M tokens). Each stage reports wall-clock plus the invariant that
+  * proves it still behaves at scale:
+  *
+  * - hashSplit: split sizes within 4 sigma of expectation.
+  * - shuffleShards: dense per-shard positions, shard sizes balanced.
+  * - packSequences: zero over-capacity bins, under-half bins <= the
+  *   partition count (the bounded-open-window close policy preserves the
+  *   first-fit property), utilization reported.
+  * - lmCrossEntropy: scores finite, planted-gibberish outliers rank in
+  *   the worst tail.
+  *
+  * Run: sbt "runMain graft.tools.CorpusScaleBench [nDocs] [threads]"
+  * (defaults 1000000 16)
+  */
+object CorpusScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 1000000
+    val threads = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-corpus-scale")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ~60 tokens/doc from a 4k-word zipf-ish vocab; every 1000th doc is
+    // gibberish (unique tokens — unseen bigrams) for the LM outlier check
+    val vocab = 4000
+    val tokensPerDoc = 60
+    val docs = spark.range(nDocs)
+      .withColumn("text",
+        when(col("id") % 1000 === 0,
+          concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+            i => concat(lit("zz"), col("id"), lit("_"), i))))
+          .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(vocab.toLong)))))))
+      .select(col("id").as("doc_id"), col("text"))
+      .localCheckpoint()
+
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[corpus-scale] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    // 1. split
+    val splitCounts = timed("hashSplit") {
+      CorpusPrep.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val sigma = math.sqrt(nDocs * 0.75 * 0.25)
+    assert(math.abs(splitCounts("train") - nDocs * 0.75) < 4 * sigma,
+      s"train count off: $splitCounts")
+    System.err.println(s"[corpus-scale]   splits: $splitCounts")
+
+    // 2. shards
+    val shardStats = timed("shuffleShards") {
+      CorpusPrep.shuffleShards(docs, "doc_id", nShards = 64)
+        .groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("mx"))
+        .collect().map(r => (r.getLong(1), r.getInt(2)))
+    }
+    assert(shardStats.forall { case (n, mx) => mx.toLong == n },
+      "positions not dense")
+    val (mn, mx) = (shardStats.map(_._1).min, shardStats.map(_._1).max)
+    System.err.println(s"[corpus-scale]   64 shards, sizes $mn..$mx")
+
+    // 3. packing (8 task partitions of ~125k docs each — the open-window
+    //    close policy is what keeps this linear)
+    val cap = 512
+    val packed = timed("pack") {
+      CorpusPrep.packSequences(docs, "doc_id", "text", cap, partitions = 8)
+        .localCheckpoint()
+    }
+    val fills = packed.filter(!col("oversize"))
+      .groupBy("bin_id").agg(sum("n_toks").as("fill"))
+      .agg(count(lit(1)), sum(when(col("fill") > cap, 1).otherwise(0)),
+        sum(when(col("fill") < cap / 2, 1).otherwise(0)), avg("fill")).head()
+    val (nBins, over, under, avgFill) =
+      (fills.getLong(0), fills.getLong(1), fills.getLong(2), fills.getDouble(3))
+    assert(over == 0L, s"$over over-capacity bins")
+    assert(under <= 8L, s"$under under-half bins > 8 partitions")
+    System.err.println(
+      f"[corpus-scale]   $nBins bins, avg fill $avgFill%.1f/$cap (${100 * avgFill / cap}%.1f%%), $under under-half")
+
+    // 4. LM scoring (self-trained; gibberish docs must land in the worst tail)
+    val xent = timed("lmXent") {
+      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text").localCheckpoint()
+    }
+    val cut = xent.stat.approxQuantile("xent", Array(0.998), 0.0001)(0)
+    val gibberish = nDocs / 1000
+    val caught = xent.filter(col("doc_id") % 1000 === 0 && col("xent") >= cut).count()
+    System.err.println(
+      s"[corpus-scale]   worst-0.2% cut $cut: catches $caught/$gibberish planted gibberish docs")
+    assert(caught >= gibberish * 9L / 10, s"only $caught/$gibberish gibberish docs in tail")
+    spark.stop()
+  }
+}
