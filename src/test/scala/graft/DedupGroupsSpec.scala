@@ -135,5 +135,24 @@ class DedupGroupsSpec extends SparkSpec {
       val dropped = ms.find(!_.getBoolean(2)).get.getDouble(1)
       assert(kept <= dropped)
     }
+
+    // alternative keep policies on the same corpus: "near" inverts the
+    // pair choice, "min_id" keeps the lower id
+    val near = operators.Dedup.semantic(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999, keep = "near")
+      .filter(col("group_size") === 2).select("group_id", "c_sim", "keep")
+      .collect().groupBy(_.getLong(0))
+    near.values.foreach { ms =>
+      assert(ms.find(_.getBoolean(2)).get.getDouble(1)
+        >= ms.find(!_.getBoolean(2)).get.getDouble(1))
+    }
+    val minId = operators.Dedup.semantic(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999, keep = "min_id")
+      .filter(col("group_size") === 2).select("group_id", "id", "keep")
+      .collect().groupBy(_.getLong(0))
+    minId.values.foreach { ms =>
+      assert(ms.find(_.getBoolean(2)).get.getLong(1)
+        < ms.find(!_.getBoolean(2)).get.getLong(1))
+    }
   }
 }
