@@ -429,6 +429,11 @@ object CorpusPrep {
       textCol: String,
       addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"addK must be > 0, got $addK")
+    // bigram identity travels as 60-bit md5 keys (the repo's hashed-
+    // shingle convention): the count tables and the scoring join carry one
+    // long per key instead of two strings — the shuffle/compare shape that
+    // matters when the model is vocabulary-scale. The oracle mirrors the
+    // same md5, so even collisions (≈ |bigrams|²/2^61) are consistent.
     def bigramsOf(df: DataFrame): DataFrame = df
       .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -440,20 +445,24 @@ object CorpusPrep {
               element_at(col("toks"), i + 2).as("w2")))).as("bs"))
       .select(col("doc_id"), posexplode_outer(col("bs")).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val refBi = bigramsOf(ref).filter(col("w1").isNotNull)
-    val cb = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    // context counts derive from the bigram table (sum over w2) — same
+        key60(md5(col("b.w1"))).as("h1"),
+        key60(md5(concat_ws(" ", col("b.w1"), col("b.w2")))).as("h2"))
+    val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
+    val cb = refBi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
+    // context counts derive from the bigram table (sum over h2) — same
     // values as re-counting the corpus, one corpus pass + shuffle cheaper
-    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val cu = cb.groupBy("h1").agg(sum(col("cb")).as("cu"))
     // vocab size rides a broadcast 1-row aggregate — no driver action, the
     // whole model stays one lazy plan the caller can cache/checkpoint
     val vocab = ref
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vv"))
+    // hash-join hint: the count tables are model-sized (bounded by distinct
+    // bigrams); building their hash maps beats sorting the corpus-sized
+    // scored stream, which is what SMJ would do
     val scored = bigramsOf(docs)
-      .join(cb, Seq("w1", "w2"), "left")
-      .join(cu, Seq("w1"), "left")
+      .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+      .join(cu.hint("shuffle_hash"), Seq("h1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log(
         (coalesce(col("cb"), lit(0L)) + addK) /

@@ -233,16 +233,18 @@ object CorpusPrepQueries {
 
   private val lmXentSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |b2 AS (SELECT doc_id, pos, toks[pos+1] AS w1, toks[pos+2] AS w2
+       |b2 AS (SELECT doc_id, pos,
+       |         CAST('0x' || substr(md5(toks[pos+1]), 1, 15) AS BIGINT) AS h1,
+       |         CAST('0x' || substr(md5(toks[pos+1] || ' ' || toks[pos+2]), 1, 15) AS BIGINT) AS h2
        |       FROM (SELECT doc_id, toks,
        |               unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t)),
-       |cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
-       |cu AS (SELECT w1, count(*) AS cu FROM b2 GROUP BY w1),
+       |cb AS (SELECT h1, h2, count(*) AS cb FROM b2 GROUP BY h1, h2),
+       |cu AS (SELECT h1, sum(cb) AS cu FROM cb GROUP BY h1),
        |v AS (SELECT count(DISTINCT tok) AS v
        |      FROM (SELECT unnest(toks) AS tok FROM t)),
        |sc AS (SELECT b2.doc_id, b2.pos,
        |         ln((cb.cb + $lmAddK) / (cu.cu + $lmAddK * v.v)) AS lp
-       |       FROM b2 JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+       |       FROM b2 JOIN cb USING (h1, h2) JOIN cu USING (h1) CROSS JOIN v),
        |ag AS (SELECT doc_id, count(*) AS n,
        |         list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS s
        |       FROM sc GROUP BY doc_id)
