@@ -322,6 +322,54 @@ object TextDedupQueries {
     ("sem_keep_farthest", 0.0),
     ("sem_nonvacuous_dup_groups", 1.0)))
 
+  /** Bounded-memory sketch gate: Misra-Gries heavy hitters + HLL distinct
+    * count over the corpus token stream. Sketch contents depend on
+    * partition/merge order (inherent to streaming summaries), so the gate
+    * checks the MATHEMATICAL guarantees against exact counts — every
+    * reported count is a lower bound with deficit <= n/(k+1), every item
+    * with true frequency above that bound is present, the summary really
+    * compressed (size <= k < distinct tokens), and HLL lands within 5% of
+    * the exact distinct count. The sharp presence case (a planted skewed
+    * stream) lives in the spec. */
+  private val mgK = 8
+
+  private def sketchStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok")).cache()
+    val n = toks.count()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
+    val nDistinct = exact.count()
+    val sk = toks.agg(Sketches.misraGries(mgK)(col("tok")).as("t"))
+      .select(explode(col("t")))
+      .select(col("col._1").as("tok"), col("col._2").as("est"))
+      .cache()
+    val bound = n.toDouble / (mgK + 1)
+    val joined = sk.join(exact, "tok").cache()
+    val skCount = sk.count()
+    val lbViol = joined.filter(col("est") > col("c")).count()
+    val defViol = joined.filter(col("c") - col("est") > bound).count()
+    val orphan = skCount - joined.count() // sketch item not in corpus = bug
+    val missing = exact.filter(col("c") > bound)
+      .join(sk, Seq("tok"), "left_anti").count()
+    val approx = toks.agg(approx_count_distinct(col("tok"))).head().getLong(0)
+    val hllOk = math.abs(approx - nDistinct).toDouble / nDistinct <= 0.05
+    Gates.df(s, Seq(
+      ("mg_heavy_hitters_present", 0.0, missing == 0L),
+      ("mg_counts_lower_bound", 0.0, lbViol == 0L && orphan == 0L),
+      ("mg_deficit_within_bound", 0.0, defViol == 0L),
+      ("mg_nonvacuous_compression", mgK.toDouble,
+        skCount <= mgK.toLong && skCount >= 1L && nDistinct > mgK.toLong),
+      ("hll_distinct_within_5pct", 0.05, hllOk)))
+  }
+
+  private val sketchStatsSql: String = Gates.sql(Seq(
+    ("mg_heavy_hitters_present", 0.0),
+    ("mg_counts_lower_bound", 0.0),
+    ("mg_deficit_within_bound", 0.0),
+    ("mg_nonvacuous_compression", mgK.toDouble),
+    ("hll_distinct_within_5pct", 0.05)))
+
   /** Deterministic stratified sample: n docs per language, selected by md5
     * rank (a seedless, engine-portable "random" order) — the balanced-
     * sampling step of a training-data pipeline. */
@@ -377,7 +425,8 @@ object TextDedupQueries {
     "simhash" -> (simhash _),
     "ngram_pairs" -> (ngramPairs _),
     "embed_neardup" -> (embedNearDup _),
-    "semantic_dedup" -> (semanticDedup _))
+    "semantic_dedup" -> (semanticDedup _),
+    "sketch_stats" -> (sketchStats _))
 
   val oracles: Map[String, String] = Map(
     "stratified_sample" -> stratifiedSampleSql,
@@ -395,5 +444,6 @@ object TextDedupQueries {
     "simhash" -> simhashSql,
     "ngram_pairs" -> ngramPairsSql,
     "embed_neardup" -> embedNearDupSql,
-    "semantic_dedup" -> semanticDedupSql)
+    "semantic_dedup" -> semanticDedupSql,
+    "sketch_stats" -> sketchStatsSql)
 }

@@ -91,6 +91,37 @@ class DedupGroupsSpec extends SparkSpec {
     assert(got.head._2 === 1L)
   }
 
+  test("misraGries: guarantees hold on a planted-skew stream; exact when vocab fits") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // planted skew: "hot" 40%, "warm" 20%, 1000 singleton tails
+    val stream = (Seq.fill(800)("hot") ++ Seq.fill(400)("warm") ++
+      (0 until 800).map(i => s"tail$i"))
+    val n = stream.length
+    val k = 8
+    val df = spark.sparkContext.parallelize(stream, 4).toDF("tok")
+    val sk = df.agg(Sketches.misraGries(k)($"tok").as("t"))
+      .select(explode($"t")).select($"col._1".as("tok"), $"col._2".as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bound = n.toDouble / (k + 1)
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // guarantee 1: items above n/(k+1) present ("hot" 800 > 222, "warm" 400 > 222)
+    assert(sk.contains("hot") && sk.contains("warm"))
+    // guarantee 2+3: lower bound with bounded deficit
+    sk.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overcounted")
+      assert(exact(t) - est <= bound, s"$t deficit too large")
+    }
+    assert(sk.size <= k)
+    // exact mode: vocab <= k -> no decrements, counts exact
+    val small = spark.sparkContext.parallelize(
+      Seq("a", "a", "b", "c", "a", "b"), 3).toDF("tok")
+    val sk2 = small.agg(Sketches.misraGries(8)($"tok").as("t"))
+      .select(explode($"t")).select($"col._1", $"col._2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sk2.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("semantic: planted near-dup pairs collapse to one keeper, distinct points survive") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
