@@ -87,4 +87,21 @@ object TextFunctions {
   /** Rolling-hash document fingerprint: md5 of the normalized token stream.
     * (Content-defined exact-dup fingerprint; whitespace-insensitive.) */
   def fingerprint(text: Column): Column = md5(array_join(tokens(text), " "))
+
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * punctuation runs split apart (the GPT-2 pre-tokenizer shape, minus
+    * its contraction list and space-prefix lookahead — those need
+    * constructs outside the Java-regex/RE2 common subset the oracles
+    * require). Unicode categories, so non-ASCII text splits sanely. */
+  val bpeishPattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  /** BPE-ish pre-tokens of the text, in order. `3.14 isn't x2` ->
+    * [3, ., 14, isn, ', t, x, 2] — the unit stream a BPE tokenizer would
+    * merge; counting these approximates subword token counts far better
+    * than whitespace splitting on punctuation/number-heavy text. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
+
+  /** BPE-ish pre-token count. */
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast("int")
 }

@@ -252,6 +252,39 @@ object CorpusPrepQueries {
        |       CASE WHEN ag.n IS NULL THEN 0.0 ELSE round(-s / ag.n, 6) END AS xent
        |FROM t LEFT JOIN ag USING (doc_id)""".stripMargin
 
+  // ---------------- BPE-ish pre-tokenization ----------------
+
+  /** Whitespace vs BPE-ish pre-token accounting, over the PII-augmented
+    * text (the plain corpus is pure lowercase words where the two
+    * tokenizers agree; the planted emails/IPs/phones make punctuation and
+    * digit runs split — non-vacuous by construction). */
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), piiText.as("t"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("t")).as("n_ws"),
+        graft.functions.TextFunctions.bpeishTokenCount(col("t")).as("n_bpeish"))
+      .withColumn("ratio",
+        round(col("n_bpeish").cast("double") /
+          greatest(col("n_ws"), lit(1)).cast("double"), 6))
+
+  private val bpeTokensSql: String = {
+    // the runtime pattern string already has single backslashes — exactly
+    // what DuckDB's quoted literal needs (its strings don't escape-process)
+    val pat = graft.functions.TextFunctions.bpeishPattern
+    s"""WITH t AS (SELECT doc_id, $piiTextSql AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |   CAST(len($toksSql2) AS INT) AS n_ws,
+       |   CAST(len(regexp_extract_all(lower(t), '$pat')) AS INT) AS n_bpeish
+       | FROM t)
+       |SELECT doc_id, n_ws, n_bpeish,
+       |       round(CAST(n_bpeish AS DOUBLE) / greatest(n_ws, 1), 6) AS ratio
+       |FROM c""".stripMargin
+  }
+
+  /** toksSql over column `t` instead of `text`. */
+  private def toksSql2: String = toksSql.replace("text", "t")
+
   // ---------------- sequence packing ----------------
 
   private val packCapacity = 256
@@ -306,7 +339,8 @@ object CorpusPrepQueries {
     "pii_redact" -> (piiRedact _),
     "pack_sequences" -> (packSequences _),
     "shuffle_shards" -> (shuffleShards _),
-    "lm_xent" -> (lmXent _))
+    "lm_xent" -> (lmXent _),
+    "bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" -> docChunksSql,
@@ -318,5 +352,6 @@ object CorpusPrepQueries {
     "pii_redact" -> piiRedactSql,
     "pack_sequences" -> packSequencesSql,
     "shuffle_shards" -> shuffleShardsSql,
-    "lm_xent" -> lmXentSql)
+    "lm_xent" -> lmXentSql,
+    "bpe_tokens" -> bpeTokensSql)
 }

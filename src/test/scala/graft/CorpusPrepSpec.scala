@@ -303,6 +303,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(x(101L) > x(100L))
   }
 
+  test("bpeishTokens: letter/digit/punct runs split; whitespace dropped") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val got = Seq(("3.14 isn't x2 hello-world", 0))
+      .toDF("text", "z")
+      .select(TextFunctions.bpeishTokens(col("text")).as("t"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n"))
+      .head()
+    assert(got.getSeq[String](0) ===
+      Seq("3", ".", "14", "isn", "'", "t", "x", "2", "hello", "-", "world"))
+    assert(got.getInt(1) === 11)
+    // pure lowercase words: agrees with whitespace tokenization
+    val plain = Seq(("the quick brown fox", 0)).toDF("text", "z")
+      .select(TextFunctions.bpeishTokenCount(col("text")).as("n"),
+        TextFunctions.tokenCount(col("text")).as("w")).head()
+    assert(plain.getInt(0) === plain.getInt(1))
+  }
+
   test("packSequences: invariants hold on random lengths; oversize isolated") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
