@@ -15,7 +15,7 @@ import org.apache.spark.sql.GraftColumnBridge
 object GraftFunctions {
 
   import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression, Literal}
-  import graft.functions.{CosineExpr, DotExpr, JaccardExpr, L2SqExpr, MinHashSignatureExpr, SimHashBitsExpr}
+  import graft.functions.{CosineExpr, DotExpr, JaccardExpr, L2SqExpr, MinHashSignatureExpr, NgramShinglesExpr, NgramWindowHashesExpr, SimHashBitsExpr}
 
   // SQL registration needs pure catalyst trees (Column-built trees stay
   // unresolved through the registry), so the similarity formulas are
@@ -32,7 +32,19 @@ object GraftFunctions {
       Divide(Literal(1.0), Add(Literal(1.0), L2SqExpr(e(0), e(1))))),
     "graft_jaccard" -> (e => JaccardExpr(e(0), e(1))),
     "graft_simhash" -> (e => SimHashBitsExpr(e.head)),
-    "graft_minhash16" -> (e => MinHashSignatureExpr(e.head, 16)))
+    "graft_minhash16" -> (e => MinHashSignatureExpr(e.head, 16)),
+    // n is a plan-time constant in these kernels, so the SQL form takes a
+    // foldable int literal as the second argument
+    "graft_shingles" -> (e => NgramShinglesExpr(e(0), intLit(e(1), "graft_shingles"))),
+    "graft_window_hashes" -> (e =>
+      NgramWindowHashesExpr(e(0), intLit(e(1), "graft_window_hashes"))))
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int n, got $other")
+  }
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

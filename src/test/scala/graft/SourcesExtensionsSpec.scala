@@ -128,6 +128,17 @@ class SourcesExtensionsSpec extends SparkSpec {
     val j = spark.sql(
       "SELECT graft_jaccard(array('a','b'), array('b','c')) j").head().getDouble(0)
     assert(j === 1.0 / 3.0)
+    // n-gram kernels take a literal n; values match the Column surface
+    val sg = spark.sql("SELECT graft_shingles('a b c d', 2) s").head().getSeq[Long](0)
+    val sgCol = Seq(("a b c d", 0)).toDF("t", "z")
+      .select(graft.functions.HashExpressions.ngramShingles(col("t"), 2))
+      .head().getSeq[Long](0)
+    assert(sg === sgCol)
+    val wh = spark.sql("SELECT graft_window_hashes('a b c d', 2) w").head().getSeq[Long](0)
+    assert(wh.length === 3) // positioned: one per window start
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', length('xx')) s").collect()
+    }
   }
 
   test("multimodal: batched feature extraction emits normalized histograms") {
