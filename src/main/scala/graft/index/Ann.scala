@@ -250,7 +250,10 @@ object Ann {
         }
         i += 1
       }
-      s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}"
+      // buildThreads is part of the identity: the parallel build's
+      // prefix-doubling + chunked-Jacobi refine produces a different
+      // (equally valid) graph than the sequential Gauss-Seidel path
+      s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}|${p.buildThreads}"
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
       while (m.size > maxEntries) { // single-entry eviction, not wholesale
@@ -635,13 +638,7 @@ object Ann {
     // at 100 TB this is what keeps per-query work sublinear in segment
     // count. Centroids are one tiny row per segment.
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
-    val withDel = deletes match {
-      case Some(d) =>
-        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
-          raw("node_id") === col("__del"), "left")
-          .withColumn("__live", col("__del").isNull).drop("__del")
-      case None => raw.withColumn("__live", lit(true))
-    }
+    val withDel = withLiveCol(raw, deletes)
     val withLive = accepts match {
       case Some(a) =>
         withDel.join(
@@ -663,16 +660,8 @@ object Ann {
       case None => withLive
     }
 
-    val withCode =
-      if (pruned.columns.contains("pq_code")) pruned
-      else pruned.withColumn("pq_code", lit(null).cast("array<int>"))
-    // trees written before hierarchy persistence lack the column — they
-    // assemble with empty upper layers and keep the cold-entry behavior
-    val withUpper =
-      if (withCode.columns.contains("upper_nbrs")) withCode
-      else withCode.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
-
-    // Query fan-out: tasks parallelize across SEGMENTS, so an index with
+    // shared nine-column projection (segmentSelect) + the route-specific
+    // query fan-out: tasks parallelize across SEGMENTS, so an index with
     // fewer segments than cores would search its query batch serially in
     // one task per segment. Replicate each segment's rows across
     // cores/numSegments chunk-tasks, each searching a modulo-slice of the
@@ -682,15 +671,12 @@ object Ann {
     // over one shared index — "one searcher per thread", DiskIntro.java —
     // this is the same shape with tasks as threads.)
     val chunks: Int = chunkFanout(spark, raw, path, tok, qArr.length, segQueriesB)
-    val fanned =
-      if (chunks <= 1) withUpper.withColumn("__chunk", lit(0))
-      else withUpper.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
-
-    val selected = fanned
-      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
-        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
-        col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
-        col("upper_nbrs").cast("array<array<int>>"), col("__chunk").cast("int"))
+    val sel9 = segmentSelect(pruned)
+    // both branches emit an int __chunk (lit(0) is int; the exploded array
+    // element is int), appended after segmentSelect's nine columns
+    val selected =
+      if (chunks <= 1) sel9.withColumn("__chunk", lit(0))
+      else sel9.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
     // pinned + no chunk fan-out: the cached rows are already partitioned by
     // seg and everything since the pin is narrow (broadcast joins, filters,
     // projections), so the batch runs WITHOUT a shuffle — the whole point
@@ -722,18 +708,11 @@ object Ann {
             val live = sorted.map(_._7)
             // warm-serving path: immutable segments cache per executor;
             // the content token makes rebuilds-in-place change the key.
-            // Key + assembly are shared with the paged/threshold routes.
+            // Key + assembly are shared with the paged/threshold routes
+            // (assembleSegment — the by-name arg evaluates on miss only).
             val cacheKey = segmentCacheKey(path, tok, segId, p)
-            val entry = SegmentCache.getOrCompute(cacheKey, {
-              val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
-              sorted.foreach { r =>
-                g0.neighbors(r._2) ++= r._5
-                if (r._6) g0.entryNode = r._2
-                if (r._9 != null) g0.restoreUpperAdjacency(r._2, r._9)
-              }
-              SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
-            })
+            val entry = SegmentCache.getOrCompute(cacheKey, assembleSegment(
+              sorted.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)), p))
             val g = entry.graph
             val ids = entry.ids
             val codes = entry.codes
@@ -1029,13 +1008,7 @@ object Ann {
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
-    val withLive = deletes match {
-      case Some(d) =>
-        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
-          raw("node_id") === col("__del"), "left")
-          .withColumn("__live", col("__del").isNull).drop("__del")
-      case None => raw.withColumn("__live", lit(true))
-    }
+    val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
@@ -1173,13 +1146,7 @@ object Ann {
     }
 
     val raw = pinnedIndexes.get(pinKey(path)).getOrElse(readIndex(spark, path))
-    val withLive = deletes match {
-      case Some(d) =>
-        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
-          raw("node_id") === col("__del"), "left")
-          .withColumn("__live", col("__del").isNull).drop("__del")
-      case None => raw.withColumn("__live", lit(true))
-    }
+    val withLive = withLiveCol(raw, deletes)
     // index rows and cursor rows tagged into ONE dataset so each segment
     // task sees its graph rows AND its queries' cursors after one
     // repartition — no driver-side collect of the (large) cursor blobs
@@ -1272,7 +1239,17 @@ object Ann {
     val poolDf =
       if (fs.exists(poolPath)) spark.read.parquet(poolPath.toString)
       else spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "score")
-    val candidates = producedScored.unionByName(poolDf).localCheckpoint(true)
+    // pooled candidates were scored on an EARLIER page: re-filter against
+    // the CURRENT tombstones (the fresh rows were live-filtered in-task,
+    // but the pool predates deletes added between pages). The rewritten
+    // pool below inherits the filter, so the state self-heals.
+    val merged = producedScored.unionByName(poolDf)
+    val candidates = (deletes match {
+      case Some(d) => merged.join(
+        broadcast(d.select(col("id").cast("long").as("nid")).distinct()),
+        Seq("nid"), "left_anti")
+      case None => merged
+    }).localCheckpoint(true)
 
     val agg = TopK.udf(k)
     val page = candidates.groupBy("qid")
@@ -1365,13 +1342,7 @@ object Ann {
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
-    val withLive = deletes match {
-      case Some(d) =>
-        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
-          raw("node_id") === col("__del"), "left")
-          .withColumn("__live", col("__del").isNull).drop("__del")
-      case None => raw.withColumn("__live", lit(true))
-    }
+    val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
@@ -1757,18 +1728,25 @@ object Ann {
     // null vec, so the output tree stays compressed.
     val raw = readIndex(spark, inPath)
     val hasNvq = raw.columns.contains("nvq_code")
-    val withNvq =
+    val withNvq0 =
       if (hasNvq) raw
       else raw.withColumn("nvq_code", lit(null).cast("array<int>"))
         .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
         .withColumn("nvq_bits", lit(0))
+    // the persisted hierarchy survives a rescore untouched: upper layers
+    // are adjacency SETS over the same nodes, and only edge order (a
+    // score-space artifact) is being rewritten at layer 0
+    val withNvq =
+      if (withNvq0.columns.contains("upper_nbrs")) withNvq0
+      else withNvq0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
     val rescored0 = withNvq
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("nvq_code").cast("array<int>"),
-        col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"))
+        col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"),
+        col("upper_nbrs").cast("array<array<int>>"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Array[Double]], Int)]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Array[Double]], Int, Array[Array[Int]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
           val sorted = rows.sortBy(_._2)
@@ -1801,17 +1779,30 @@ object Ann {
               .sortBy { case (id, s) => (-s, id) }
               .map(_._1)
             (segId, r._2, r._3, if (nvq) null else r._4, rescored, r._2 == bestE,
-              if (r._2 == 0) centroid else null, r._7, r._8, r._9)
+              if (r._2 == 0) centroid else null, r._7, r._8, r._9, r._10)
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "seg_centroid", "nvq_code", "nvq_params", "nvq_bits")
+        "seg_centroid", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
     // nvq columns always written (uniform tree schema — see buildIndex)
     rescored0.write.mode("overwrite").partitionBy("seg").parquet(outPath)
     writeBuildToken(spark, outPath)
     unpin(outPath)
   }
+
+  /** Tombstone merge-on-read, shared by every index search route: left-
+    * join the (broadcast, deduped) delete ids onto the tree and derive
+    * `__live`. Keeping this in ONE place is what keeps the four routes'
+    * tombstone semantics in lockstep. */
+  private def withLiveCol(raw: DataFrame, deletes: Option[DataFrame]): DataFrame =
+    deletes match {
+      case Some(d) =>
+        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+          raw("node_id") === col("__del"), "left")
+          .withColumn("__live", col("__del").isNull).drop("__del")
+      case None => raw.withColumn("__live", lit(true))
+    }
 
   /** First loadable PQ sidecar under an index root or batch tree (the
     * reference takes base PQ parameters from the first source,

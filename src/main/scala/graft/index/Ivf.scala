@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Bounded candidate caching for the PQ-layout searches: `cache()` keeps
+    * the phase-1 plan visible (the codes-only-scan gates assert on the
+    * REAL executed plan, so lineage must survive) but CacheManager holds
+    * cached plans until unpersist — a serving loop would leak one per
+    * batch. One slot: caching a new candidate frame unpersists the
+    * previous call's. A concurrent in-flight query whose cands get
+    * unpersisted recomputes them — correct, just uncached. */
+  private val lastCands =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def cacheBounded(df: DataFrame): DataFrame = {
+    val prev = lastCands.getAndSet(df)
+    if (prev != null && (prev ne df)) {
+      try prev.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    df.cache()
+  }
+
   case class IvfModel(metric: String, centroids: Array[Array[Double]]) {
     // resolved once — simTo runs per (row, centroid) in the assign UDF
     @transient private lazy val metricCode: Int = metric.toUpperCase match {
@@ -245,7 +263,10 @@ object Ivf {
       model.nearestClusters(qv, nprobe).map(c => (qid, c))
     }
     val probedClusters = probePairs.map(_._2).distinct.sorted
-    def pruned(): DataFrame = spark.read.parquet(path)
+    // ONE schema resolution per call: the reader result is immutable and
+    // reusable; a fresh spark.read per probe re-ran footer reads
+    val layoutDf = spark.read.parquet(path)
+    def pruned(): DataFrame = layoutDf
       .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
     val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
 
@@ -253,7 +274,7 @@ object Ivf {
     // ordinal; candidates are keyed by it so the phase-2 In pushdown hits
     // tight contiguous page ranges. Pre-row_ord layouts fall back to the
     // user id key (correct, but page stats can't skip — see write path).
-    val keyCol = if (spark.read.parquet(path).columns.contains("row_ord")) "row_ord" else baseId
+    val keyCol = if (layoutDf.columns.contains("row_ord")) "row_ord" else baseId
 
     // phase 1: narrow scan — the vec column is never materialized here
     val approx = pruned()
@@ -262,11 +283,12 @@ object Ivf {
       .join(PQ.adcQueryFrame(spark, qRows, pq), "qid")
       .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
     val candAgg = TopK.udf(rerankK)
-    val cands = approx.groupBy("qid")
+    val cands = cacheBounded(approx.groupBy("qid")
       .agg(candAgg(col("__nid"), col("__approx")).as("t"))
-      .select(col("qid"), explode(col("t._1")).as("__nid"))
-      .cache()
-    val nCand = cands.count()
+      .select(col("qid"), explode(col("t._1")).as("__nid")))
+    // gate the pushdown on what is actually pushed: DISTINCT survivor
+    // keys (overlapping per-query survivor sets collapse)
+    val nCand = cands.select("__nid").distinct().count()
 
     // phase 2: targeted full-res re-read of survivors only
     val vecs = survivorFullResScan(spark, path, probedClusters, keyCol,
@@ -398,10 +420,11 @@ object Ivf {
       model.nearestClusters(qv, nprobe).map(c => (qid, c))
     }
     val probedClusters = probePairs.map(_._2).distinct.sorted
-    def pruned(): DataFrame = spark.read.parquet(path)
+    val layoutDf = spark.read.parquet(path) // one schema resolution per call
+    def pruned(): DataFrame = layoutDf
       .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
     val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
-    val keyCol = if (spark.read.parquet(path).columns.contains("row_ord")) "row_ord" else baseId
+    val keyCol = if (layoutDf.columns.contains("row_ord")) "row_ord" else baseId
     val qFrame = PQ.adcQueryFrame(spark, qRows, pq)
 
     val margins: DataFrame =
@@ -425,7 +448,7 @@ object Ivf {
       }
 
     // phase 1: codes-only candidate scan at the widened approximate bar
-    val cands = pruned()
+    val cands = cacheBounded(pruned()
       .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
       .join(broadcast(probesDf), "cluster_id")
       .join(qFrame, "qid")
@@ -433,8 +456,7 @@ object Ivf {
       .join(broadcast(margins), Seq("qid"), "left")
       .filter(col("__approx") >=
         lit(threshold) - coalesce(col("__margin"), lit(0.25)))
-      .select(col("qid"), col("__nid"))
-      .cache()
+      .select(col("qid"), col("__nid")))
     val nCand = cands.select("__nid").distinct().count()
 
     // phase 2: exact re-score of survivors, threshold on the exact scale

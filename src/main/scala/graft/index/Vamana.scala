@@ -641,12 +641,15 @@ final class Vamana(
     val res = new LongHeap(ef + 1, min = true)
     // re-admit evicted candidates (scored in an earlier phase, not
     // returned); overflow stays in the pool for LATER pages — dropping it
-    // would lose already-paid scoring work
+    // would lose already-paid scoring work. accept is RE-CHECKED here:
+    // on a persisted session the predicate can change between pages
+    // (tombstones added after the cursor was exported), and a node that
+    // stops being accepted must not surface from the pool.
     val overflow = mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i < state.evicted.length) {
       val p = state.evicted(i)
-      if (!state.returned.get(LongHeap.id(p))) {
+      if (!state.returned.get(LongHeap.id(p)) && state.accept(LongHeap.id(p))) {
         res.push(p)
         if (res.size > ef) overflow += res.pop()
       }

@@ -397,6 +397,35 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot survive a rebuild"))
   }
 
+  test("persisted session honors tombstones added between pages (pool + evicted buffers)") {
+    val tmp = java.nio.file.Files.createTempDirectory("annsessdel").toString
+    val base = randVectors(4000, 16, seed = 71).toDF("id", "vec").repartition(2)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(8, 16, seed = 72).toDF("qid", "qvec")
+    val k = 10
+    val statePath = s"$tmp/session"
+    val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params)
+      .cache()
+    // find what page 2 WOULD return, then tombstone some of those ids
+    // before asking for page 2 — the deleted ids came from cursor pools
+    // and evicted buffers scored on page 1
+    val probeState = s"$tmp/probe"
+    Ann.openPagedSession(spark, s"$tmp/idx", probeState, queries, k, ef = 64, params).count()
+    val wouldBe = Ann.nextSessionPage(spark, s"$tmp/idx", probeState, k, ef = 64, params)
+      .select("nid").distinct().as[Long].take(5)
+    assert(wouldBe.nonEmpty)
+    val dels = wouldBe.toSeq.toDF("id")
+    val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params,
+      deletes = Some(dels)).cache()
+    val leaked = p2.select("nid").as[Long].collect().toSet intersect wouldBe.toSet
+    assert(leaked.isEmpty, s"tombstoned ids surfaced from persisted state: $leaked")
+    // pages stay disjoint and complete
+    assert(p2.count() === 8L * k)
+    assert(p1.select("qid", "nid").union(p2.select("qid", "nid")).distinct().count() === 8L * 2 * k)
+  }
+
   test("two-phase over a multi-batch tree falls back to the exact beam (no merged-sidecar scoring)") {
     val tmp = java.nio.file.Files.createTempDirectory("annmb").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64, pqM = 4, pqK = 16)
