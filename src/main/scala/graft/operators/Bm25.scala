@@ -100,10 +100,17 @@ object Bm25 {
         docs.select(col(idCol).cast("long").as("id"),
           TextFunctions.tokens(col(textCol)).as("toks")))
       .withColumn("dl", size(col("toks")).cast("double"))
+    // materialize the tokenized postings ONCE: three lazy write actions
+    // would re-scan and re-tokenize the corpus per action (and re-run the
+    // groupBy shuffle twice) — the build really is one corpus pass + one
+    // shuffle only with the intermediate pinned
     val postings = base.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy("tok", "id")
       .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
       .withColumn("bucket", pmod(hash(col("tok")), lit(nBuckets)))
+      .localCheckpoint(true)
+    val corpusStats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl")).localCheckpoint(true)
     postings
       .repartition(col("bucket"))
       .sortWithinPartitions(col("tok"), col("id"))
@@ -112,7 +119,7 @@ object Bm25 {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("tok"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/_df")
-    base.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    corpusStats
       // n_buckets rides the stats row: the reader must use the WRITER's
       // modulus — observed bucket= dirs undercount when a small vocabulary
       // misses buckets

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * Output: (qid, kind, rank, nid, score) — kind 'pos' | 'neg', rank
   * 1-based by (score desc, nid asc) within its kind. Anchors with no
   * items in a band simply emit no rows of that kind.
+  *
+  * `excludeSelf` (default true) drops nid == qid pairs and therefore
+  * PRESUPPOSES anchors are drawn from the base id space (an anchor is its
+  * own perfect positive). Anchors numbered independently of the corpus
+  * must pass excludeSelf = false, or an unrelated base item that happens
+  * to share the anchor's id is silently lost.
   */
 object ContrastiveMining {
 
@@ -34,14 +40,15 @@ object ContrastiveMining {
       posT: Double,
       negT: Double,
       baseId: String = "vec_id",
-      baseVec: String = "embedding"): DataFrame = {
+      baseVec: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     require(negT <= posT, s"negT $negT must be <= posT $posT")
     val b = KnnExact.spreadSmall(
       base.select(col(baseId).cast("long").as("nid"), col(baseVec).as("v")))
-    val scored = b
+    val paired = b
       .crossJoin(broadcast(anchors.select(col("qid").cast("long").as("qid"),
         col("qvec"))))
-      .filter(col("nid") =!= col("qid"))
+    val scored = (if (excludeSelf) paired.filter(col("nid") =!= col("qid")) else paired)
       .withColumn("s", VectorFunctions.cosineSim(col("v"), col("qvec")))
     // ONE corpus pass: tag the band inline and heap per (qid, kind) — a
     // per-band union would score and scan the base twice

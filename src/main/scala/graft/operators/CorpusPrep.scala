@@ -19,6 +19,12 @@ object CorpusPrep {
     * tokenize, explode the window starts, slice. An empty doc yields one
     * empty chunk so every input id stays represented downstream.
     *
+    * A window only starts while unseen tokens remain (start < size -
+    * overlap): a start inside the previous chunk's tail would emit a chunk
+    * that is a strict SUBSET of its predecessor — verbatim duplication
+    * manufactured by the chunker itself, exactly what the dedup stages
+    * downstream exist to remove.
+    *
     * Output: (doc_id, chunk_idx, n_tokens, chunk_text). */
   def chunk(
       docs: DataFrame,
@@ -32,7 +38,8 @@ object CorpusPrep {
       .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - overlap - 1, lit(0)), lit(stride)))
           .as("start"))
       .select(
         col("doc_id"),
@@ -207,22 +214,30 @@ object CorpusPrep {
       totalTokens: Long,
       defaultWeight: Double = 0.0): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
-    val sumW = weights.values.sum + (if (weights.values.sum == 0) 1.0 else 0.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       col(domainCol).as("domain"),
       TextFunctions.tokenCount(col(textCol)).as("n_toks"),
       (conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 15), 16, 10)
         .cast("double") / lit(1152921504606846976.0 /* 2^60 */)).as("u"))
+    // the weight normalizer sums over domains PRESENT in the data —
+    // including defaultWeight once per unlisted present domain, and
+    // excluding listed-but-absent ones — so the selected token mass
+    // approaches totalTokens, not a multiple of it. Per-domain totals are
+    // broadcast-sized by assumption (they were already), so the rate table
+    // is computed exactly on the driver with the same double-op order the
+    // oracle uses: w * T / sumW / domain_toks.
     val totals = base.groupBy("domain").agg(sum(col("n_toks")).as("domain_toks"))
-    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (d, wv)) =>
-      when(col("domain") === d, lit(wv)).otherwise(acc)
-    }
-    base.join(broadcast(totals), "domain")
-      .withColumn("rate",
-        least(lit(1.0),
-          wCol * lit(totalTokens.toDouble) / lit(sumW) /
-            col("domain_toks").cast("double")))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+    val sumW0 = totals.map { case (d, _) => weights.getOrElse(d, defaultWeight) }.sum
+    val sumW = if (sumW0 == 0) 1.0 else sumW0
+    val rates = totals.map { case (d, toks) =>
+      val w = weights.getOrElse(d, defaultWeight)
+      (d, math.min(1.0, w * totalTokens.toDouble / sumW / toks.toDouble))
+    }.toSeq.toDF("domain", "rate")
+    base.join(broadcast(rates), "domain")
       .filter(col("u") < col("rate"))
       .select(col("doc_id"), col("domain"), col("n_toks"))
   }

@@ -44,6 +44,9 @@ object Dedup {
     * band instead of (band_idx, 32-char digest). DuckDB twin:
     * `CAST('0x' || substr(md5(j || '|' || ...), 1, 15) AS BIGINT)`. */
   def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand) — " +
+        "trailing signature slots would be silently discarded")
     val bands = numHashes / rowsPerBand
     transform(sequence(lit(0), lit(bands - 1)),
       j => conv(substring(md5(concat_ws("|",

@@ -145,7 +145,12 @@ object Hybrid {
     val n = cand.length
     val take = math.min(k, n)
     val used = new Array[Boolean](n)
-    val maxSim = new Array[Double](n)
+    // -inf sentinel, NOT 0: similarities leave [0,1] under DOT_PRODUCT on
+    // unnormalized vectors, and a 0 floor would erase negative penalties
+    // (anti-correlated candidates deserve a BONUS under the MMR formula).
+    // The first pick takes no penalty term (S is empty), so the sentinel
+    // never reaches the arithmetic.
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val out = new Array[(Int, Long, Double)](take)
     var m = 0
     var done = false
@@ -155,7 +160,8 @@ object Hybrid {
       var i = 0
       while (i < n) {
         if (!used(i)) {
-          val s = lambda * cand(i)._2 - (1.0 - lambda) * maxSim(i)
+          val penalty = if (m == 0) 0.0 else maxSim(i)
+          val s = lambda * cand(i)._2 - (1.0 - lambda) * penalty
           if (s > bestScore) { best = i; bestScore = s }
         }
         i += 1

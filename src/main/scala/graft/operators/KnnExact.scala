@@ -82,8 +82,9 @@ object KnnExact {
 
   /** Threshold search: all base rows with similarity >= threshold, per query.
     * Exact analogue of jvector's threshold search contract
-    * (`GraphSearcher.java:298-303`): result ordered score desc, id asc.
-    * Returns (qid, nid, score). */
+    * (`GraphSearcher.java:298-303`). Returns (qid, nid, score) UNORDERED
+    * (set semantics — a threshold result has no rank; callers wanting the
+    * reference's score-desc presentation sort the bounded result). */
   def thresholdSearch(
       base: DataFrame,
       queries: DataFrame,

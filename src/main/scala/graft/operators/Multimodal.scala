@@ -206,17 +206,21 @@ object Multimodal {
     * cross-verify the block/stride plumbing end-to-end. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val frames = udf { bytes: Array[Byte] =>
+      // null payloads (nullable binary columns) frame like empty ones
+      val bs = if (bytes == null) Array.emptyByteArray else bytes
       val block = 1024
-      (0 until (bytes.length + block - 1) / block by stride).map { b =>
+      (0 until (bs.length + block - 1) / block by stride).map { b =>
         val from = b * block
-        val until = math.min(bytes.length, from + block)
+        val until = math.min(bs.length, from + block)
         var h = 0L
         var i = from
-        while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        while (i < until) { h = (h * 31 + (bs(i) & 0xff)) % 1000000007L; i += 1 }
         h
       }
     }
-    media.select(col("media_id"), posexplode(frames(col("bytes"))))
+    // OUTER explode + null frame_idx: zero-byte/null media stay represented
+    // (one row, null frame) instead of vanishing — the chunk() convention
+    media.select(col("media_id"), posexplode_outer(frames(col("bytes"))))
       .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame_hash")
   }
 

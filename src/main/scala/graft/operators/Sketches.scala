@@ -45,7 +45,9 @@ case class MisraGriesAgg(k: Int)
     }
 
   override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
-    shrink(m.updated(x, m.getOrElse(x, 0L) + 1L))
+    // nulls are skipped, not counted: a null Map key would fail the buffer
+    // encoder, and "null" is not an item of any stream we summarize
+    if (x == null) m else shrink(m.updated(x, m.getOrElse(x, 0L) + 1L))
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
     shrink(b.foldLeft(a) { case (acc, (key, c)) =>

@@ -20,39 +20,79 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   * Ordering contract (must match the reference for deterministic results):
   * score DESC, id ASC (jvector `graph/SearchResult.java:100-106`).
   */
+/** Mutable flat buffer for [[TopKAgg]]: parallel primitive arrays + fill
+  * count. `reduce` runs once per SCORED ROW of every exact-kNN / merge
+  * query, so the buffer is mutated in place — the previous immutable
+  * `Array[(Long, Double)] :+ x` copied the whole buffer (and boxed a
+  * tuple) per input row. */
+case class TopKBuf(var ids: Array[Long], var scores: Array[Double], var n: Int)
+
 case class TopKAgg(k: Int)
-    extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {
+    extends Aggregator[(Long, Double), TopKBuf, Array[(Long, Double)]] {
 
   private val cap = math.max(k * 4, 64)
 
-  private def compact(buf: Array[(Long, Double)]): Array[(Long, Double)] = {
-    // dedupe ids keeping the best score — makes multi-segment merges
-    // idempotent when the same id appears in more than one segment (e.g.
-    // re-ingested batches); first occurrence after the sort is the best.
-    val sorted = buf.sortBy { case (id, s) => (-s, id) }
+  /** Sort by (score desc, id asc), dedupe ids keeping the best score —
+    * makes multi-segment merges idempotent when the same id appears in
+    * more than one segment (e.g. re-ingested batches) — and keep k. */
+  private def compacted(ids: Array[Long], scores: Array[Double], n: Int)
+      : (Array[Long], Array[Double], Int) = {
+    val idx = Array.range(0, n).sortBy(i => (-scores(i), ids(i)))
     val seen = new java.util.HashSet[Long]()
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](math.min(k, sorted.length))
+    val lim = math.min(k, n)
+    val oi = new Array[Long](lim)
+    val os = new Array[Double](lim)
+    var m = 0
     var i = 0
-    while (i < sorted.length && out.length < k) {
-      if (seen.add(sorted(i)._1)) out += sorted(i)
+    while (i < n && m < k) {
+      val j = idx(i)
+      if (seen.add(ids(j))) { oi(m) = ids(j); os(m) = scores(j); m += 1 }
       i += 1
     }
-    out.toArray
+    (oi, os, m)
   }
 
-  override def zero: Array[(Long, Double)] = Array.empty
+  override def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray, 0)
 
-  override def reduce(buf: Array[(Long, Double)], x: (Long, Double)): Array[(Long, Double)] = {
-    val appended = buf :+ x
-    if (appended.length >= cap) compact(appended) else appended
+  override def reduce(b: TopKBuf, x: (Long, Double)): TopKBuf = {
+    if (b.ids.length < cap) { // grow once (fresh zero / deserialized buffer)
+      val ni = new Array[Long](cap)
+      val ns = new Array[Double](cap)
+      System.arraycopy(b.ids, 0, ni, 0, b.n)
+      System.arraycopy(b.scores, 0, ns, 0, b.n)
+      b.ids = ni
+      b.scores = ns
+    }
+    b.ids(b.n) = x._1
+    b.scores(b.n) = x._2
+    b.n += 1
+    if (b.n == cap) { // same compaction trigger as the immutable form
+      val (oi, os, m) = compacted(b.ids, b.scores, b.n)
+      System.arraycopy(oi, 0, b.ids, 0, m)
+      System.arraycopy(os, 0, b.scores, 0, m)
+      b.n = m
+    }
+    b
   }
 
-  override def merge(a: Array[(Long, Double)], b: Array[(Long, Double)]): Array[(Long, Double)] =
-    compact(a ++ b)
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    val n = a.n + b.n
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    System.arraycopy(a.ids, 0, ids, 0, a.n)
+    System.arraycopy(b.ids, 0, ids, a.n, b.n)
+    System.arraycopy(a.scores, 0, scores, 0, a.n)
+    System.arraycopy(b.scores, 0, scores, a.n, b.n)
+    val (oi, os, m) = compacted(ids, scores, n)
+    TopKBuf(oi, os, m)
+  }
 
-  override def finish(buf: Array[(Long, Double)]): Array[(Long, Double)] = compact(buf)
+  override def finish(b: TopKBuf): Array[(Long, Double)] = {
+    val (oi, os, m) = compacted(b.ids, b.scores, b.n)
+    Array.tabulate(m)(i => (oi(i), os(i)))
+  }
 
-  override def bufferEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder()
 }
 

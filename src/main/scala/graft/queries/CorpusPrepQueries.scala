@@ -33,7 +33,7 @@ object CorpusPrepQueries {
 
   private val docChunksSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), $chunkStride)) AS st0 FROM t)
+       |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - $chunkOverlap, 1), $chunkStride)) AS st0 FROM t)
        |SELECT doc_id, CAST(st0 // $chunkStride AS INT) AS chunk_idx,
        |       CAST(least($chunkSize, greatest(len(toks) - st0, 0)) AS INT) AS n_tokens,
        |       array_to_string(toks[st0+1:st0+$chunkSize], ' ') AS chunk_text

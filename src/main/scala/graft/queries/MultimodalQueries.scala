@@ -85,7 +85,11 @@ object MultimodalQueries {
       |      p -> CAST((strpos('0123456789ABCDEF', substring(hx, 2*p+1, 1)) - 1) * 16
       |         + (strpos('0123456789ABCDEF', substring(hx, 2*p+2, 1)) - 1) AS BIGINT)),
       |    (a, x) -> (a * 31 + x) % 1000000007) AS frame_hash
-      |FROM fr""".stripMargin
+      |FROM fr
+      |UNION ALL
+      |SELECT media_id, CAST(NULL AS INT) AS frame_idx,
+      |       CAST(NULL AS BIGINT) AS frame_hash
+      |FROM m WHERE n = 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_stats" -> (mediaStats _),

@@ -14,13 +14,17 @@ class CorpusPrepSpec extends SparkSpec {
     val got = CorpusPrep.chunk(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
       .sortBy(t => (t._1, t._2))
-    // doc 1: starts 0,3,6,9 -> 4 chunks; last has 1 token
+    // doc 1: starts 0,3,6 -> 3 chunks (a start at 9 would emit "t10",
+    // a strict subset of chunk 2 — the no-subset-tail rule stops it)
     val d1 = got.filter(_._1 == 1L)
-    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
-    assert(d1.map(_._3).toSeq === Seq(4, 4, 4, 1))
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(d1.map(_._3).toSeq === Seq(4, 4, 4))
     assert(d1.head._4 === "t1 t2 t3 t4")
     assert(d1(1)._4 === "t4 t5 t6 t7") // overlap of 1 token
-    assert(d1.last._4 === "t10")
+    assert(d1.last._4 === "t7 t8 t9 t10")
+    // every chunk ends strictly later than its predecessor: no subsets
+    val ends = d1.map(t => t._2 * 3 + t._3)
+    assert(ends.sliding(2).forall(p => p.length < 2 || p(1) > p(0)))
     // doc 2: single chunk of 2; doc 3: one empty chunk
     assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 2, "a b")))
     assert(got.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0, "")))
