@@ -69,7 +69,7 @@ private[graft] object HashSupport {
   /** Tokens: whitespace-split of lowercased trimmed text (matches
     * TextFunctions.tokens); distinct, first-occurrence order. */
   def distinctTokens(text: String): Array[String] = {
-    val t = text.trim.toLowerCase
+    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
     if (t.isEmpty) Array.empty
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -151,7 +151,7 @@ case class NgramShinglesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
     val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     def hash(s: String): java.lang.Long =
@@ -193,7 +193,7 @@ case class NgramWindowHashesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val t = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
     val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
     val nw = toks.length - n + 1
     if (nw <= 0) new GenericArrayData(Array.empty[Any])

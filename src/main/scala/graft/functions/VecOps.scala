@@ -105,4 +105,21 @@ object VecOps {
     val union = sa.size + sb.size - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  /** L2-normalized copy: norm computed ONCE (sequential x*x fold, same
+    * order as dot(a,a)), then one divide per element — O(d). A HOF
+    * formulation re-evaluates the norm fold inside the per-element lambda
+    * (O(d^2) per row). Zero vectors normalize to NaN elements (0/0), the
+    * same contract as the HOF form. */
+  def l2normalize(x: ArrayData, xf: Boolean): Array[Double] = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = get(x, i, xf); acc += v * v; i += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = get(x, i, xf) / nrm; i += 1 }
+    out
+  }
 }

@@ -64,6 +64,33 @@ case class CosineExpr(left: Expression, right: Expression) extends VectorBinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr = copy(l, r)
 }
 
+/** L2 normalization as a native expression: the norm is computed ONCE per
+  * row and each element divided — O(d). The HOF formulation
+  * (`transform(d, x => x / sqrt(aggregate(...)))`) embeds the norm fold in
+  * the per-element lambda and Catalyst evaluates it per element: O(d²)
+  * per row, a ~d× slowdown on a corpus-scale normalization pass. */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType)
+  private lazy val childFloat: Boolean = VecEval.elemIsFloat(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VecOps.l2normalize(v.asInstanceOf[ArrayData], childFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecOps.l2normalize($v, $childFloat));")
+
+  override protected def withNewChildInternal(c: Expression): L2NormalizeExpr = copy(child = c)
+}
+
 /** Set Jaccard over two string or integral arrays (distinct semantics,
   * like array_intersect/array_union sizes): |A n B| / |A u B|. */
 case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -74,6 +101,17 @@ case class JaccardExpr(left: Expression, right: Expression) extends BinaryExpres
     case ArrayType(LongType, _) => 1
     case ArrayType(IntegerType, _) => 2
     case other => throw new IllegalArgumentException(s"jaccard over $other unsupported")
+  }
+
+  // the element accessor is chosen from the LEFT side, so mismatched
+  // element types must fail ANALYSIS: reading an int-backed array with
+  // getLong returns packed garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if lt == rt && (lt == StringType || lt == LongType || lt == IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"jaccard expects two arrays of the SAME string/long/int element type, got $l vs $r")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -210,6 +248,7 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def l2Sq(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
+  def l2Normalize(a: Column): Column = column(L2NormalizeExpr(expression(a)))
   def jaccard(a: Column, b: Column): Column = column(JaccardExpr(expression(a), expression(b)))
   def adcLookupSum(table: Column, codes: Column, kk: Int): Column =
     column(AdcLookupSumExpr(expression(table), expression(codes), kk))

@@ -44,11 +44,9 @@ object VectorFunctions {
   /** Raw cosine in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
-  /** L2-normalized copy of the vector. */
-  def l2Normalize(a: Column): Column = {
-    val d = asDouble(a)
-    transform(d, x => x / sqrt(aggregate(d, lit(0.0), (acc, y) => acc + y * y)))
-  }
+  /** L2-normalized copy of the vector (native expression — the norm is
+    * computed once per row, not once per element as a HOF lambda would). */
+  def l2Normalize(a: Column): Column = VectorExpressions.l2Normalize(a)
 
   /** Similarity score in (0, 1], higher = more similar — reference formulas. */
   def euclideanSim(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l2Sq(a, b))
@@ -64,9 +62,16 @@ object VectorFunctions {
   }
 
   /** Hamming distance between two array<long> bit-packed code columns
-    * (reference: `VectorUtil.hammingDistance`, BQ scoring). */
+    * (reference: `VectorUtil.hammingDistance`, BQ scoring). Mismatched
+    * code lengths ERROR like the float kernels do — zip_with would pad
+    * with null and the sum would come out null, silently dropping the row
+    * from a `hamming <= k` filter as a plausible non-match. */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0L), (acc, x) => acc + x)
+    when(size(a) =!= size(b),
+      raise_error(format_string(
+        "hamming: code lengths differ: %d vs %d", size(a), size(b))).cast("long"))
+      .otherwise(
+        aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0L), (acc, x) => acc + x))
 
   /** Elementwise sum of two vectors. */
   def add(a: Column, b: Column): Column = zip_with(asDouble(a), asDouble(b), (x, y) => x + y)

@@ -106,18 +106,41 @@ class VectorService(spark: SparkSession, root: String) {
       .write.mode("append").parquet(dir(name, "deletes"))
   }
 
-  /** Content token of the current `pending/` payload (file names + sizes):
-    * a flushed batch records the token it ingested, making the flush
-    * idempotent — a crash between batch commit and pending/ cleanup must
-    * NOT re-ingest the same rows as a second batch (duplicate ids). */
-  private def pendingToken(name: String): Option[String] = {
-    val files = Option(fs.globStatus(new HPath(s"${dir(name, "pending")}/*.parquet")))
+  /** The pending parquet files at a point in time. Flushes operate on a
+    * SNAPSHOT of this list (never "the directory"): rows written
+    * concurrently with an OPTIMIZE land as new files outside the snapshot
+    * and flush on the next OPTIMIZE instead of being deleted unseen. */
+  private def pendingFiles(name: String): Array[org.apache.hadoop.fs.FileStatus] =
+    Option(fs.globStatus(new HPath(s"${dir(name, "pending")}/*.parquet")))
       .getOrElse(Array.empty)
-    if (files.isEmpty) None
-    else Some(java.util.UUID.nameUUIDFromBytes(
-      files.map(f => s"${f.getPath.getName}:${f.getLen}").sorted
-        .mkString("|").getBytes("UTF-8")).toString)
+
+  /** Identity of one pending file (name + length) as recorded in a
+    * batch's `_flushed_files` — the per-FILE idempotency unit: a crash
+    * between batch commit and pending cleanup re-runs as cleanup of
+    * exactly the recorded files, and files that arrived after the
+    * snapshot are never mistaken for flushed ones. */
+  private def fileKey(f: org.apache.hadoop.fs.FileStatus): String =
+    s"${f.getPath.getName}:${f.getLen}"
+
+  /** Remove a snapshot-cleaned directory once only commit markers
+    * (_SUCCESS, .crc) remain. Anything else — a concurrent write's data
+    * file or in-flight `_temporary/` — keeps the directory alive; the
+    * next OPTIMIZE retries. */
+  private def dropIfOnlyMarkers(path: String): Unit = {
+    val p = new HPath(path)
+    if (!fs.exists(p)) return
+    val remaining = Option(fs.listStatus(p)).getOrElse(Array.empty)
+    def isMarker(n: String) = n == "_SUCCESS" || n.endsWith(".crc")
+    if (remaining.forall(st => st.isFile && isMarker(st.getPath.getName)))
+      fs.delete(p, true)
   }
+
+  private def flushedFileKeys(genDir: String): Set[String] =
+    Option(fs.globStatus(new HPath(s"$genDir/batch=*/_flushed_files")))
+      .getOrElse(Array.empty)
+      .flatMap(st => readSmall(st.getPath.toString).toSeq
+        .flatMap(_.split("\n")).filter(_.nonEmpty))
+      .toSet
 
   /** Exclusive OPTIMIZE lease via atomic create-if-absent of a lock file.
     * A crashed writer's lock is broken once older than `leaseMs`. This is
@@ -155,12 +178,18 @@ class VectorService(spark: SparkSession, root: String) {
     * the serving generation); with `compactNow`, fold all batches and
     * tombstones into a fresh generation and flip the pointer.
     *
-    * Crash-safety: the batch is built in a `_staging/` dir and committed
-    * with one atomic rename; the staged batch records the pending token it
-    * ingested, so a crash anywhere between commit and `pending/` cleanup
-    * re-runs as a no-op flush instead of duplicating ids. Compaction's
-    * commit point is the `_current` flip — un-flipped next-generation
-    * leftovers from a crash are deleted and rebuilt. Single-writer via
+    * Crash-safety + concurrency: the flush operates on a SNAPSHOT of the
+    * pending file list — built in `_staging/`, committed with one atomic
+    * rename, the batch recording the exact files it ingested
+    * (`_flushed_files`), and cleanup deleting only those files. So a
+    * crash anywhere between commit and cleanup re-runs as cleanup (never
+    * duplicate ids), rows written concurrently with the OPTIMIZE are
+    * untouched and flush next time, and `_current` is written before
+    * cleanup so a committed first batch is always discoverable.
+    * Compaction snapshots the tombstone FILES the same way (concurrent
+    * DELETEs stay active and fold into the next compaction); its commit
+    * point is the `_current` flip — un-flipped next-generation leftovers
+    * from a crash are deleted and rebuilt. Single-writer via
     * [[acquireOptimizeLock]]. */
   def optimize(name: String, compactNow: Boolean = false,
       lockLeaseMs: Long = 10 * 60 * 1000L): Unit = {
@@ -174,15 +203,17 @@ class VectorService(spark: SparkSession, root: String) {
       // batch never got renamed in) — safe to GC under the lock
       fs.delete(new HPath(dir(name, "_staging")), true)
 
-      pendingToken(name).foreach { tok =>
-        val alreadyLanded = Option(fs.globStatus(new HPath(s"$genDir/batch=*/_flushed_token")))
-          .getOrElse(Array.empty)
-          .exists(st => readSmall(st.getPath.toString).contains(tok))
-        if (!alreadyLanded) {
+      val snapshot = pendingFiles(name)
+      if (snapshot.nonEmpty) {
+        val flushed = flushedFileKeys(genDir)
+        val leftovers = snapshot.filter(f => flushed.contains(fileKey(f)))
+        val fresh = snapshot.filterNot(f => flushed.contains(fileKey(f)))
+        if (fresh.nonEmpty) {
           val staging = dir(name, s"_staging/${java.util.UUID.randomUUID()}")
-          Ann.buildIndex(spark.read.parquet(dir(name, "pending")), staging,
-            params, "id", "vec")
-          writeSmall(s"$staging/_flushed_token", tok)
+          Ann.buildIndex(
+            spark.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*),
+            staging, params, "id", "vec")
+          writeSmall(s"$staging/_flushed_files", fresh.map(fileKey).sorted.mkString("\n"))
           val nextBatch = Option(fs.globStatus(new HPath(s"$genDir/batch=*")))
             .map(_.length).getOrElse(0)
           fs.mkdirs(new HPath(genDir))
@@ -190,8 +221,16 @@ class VectorService(spark: SparkSession, root: String) {
           if (!fs.rename(new HPath(staging), target))
             throw new IllegalStateException(s"batch commit failed: $staging -> $target")
         }
-        fs.delete(new HPath(dir(name, "pending")), true)
+        // _current BEFORE cleanup: a crash between them leaves flushed
+        // leftovers (cleaned next run) — never a committed batch that no
+        // re-run would ever make searchable
         if (currentGen(name).isEmpty) writeSmall(dir(name, "_current"), gen)
+        // delete exactly the snapshot (fresh now flushed, leftovers were):
+        // files a concurrent write() added since are NOT touched. The
+        // now-empty dir goes too — via NON-recursive delete, which fails
+        // harmlessly if a concurrent write landed a file in the meantime
+        (leftovers ++ fresh).foreach(f => fs.delete(f.getPath, false))
+        dropIfOnlyMarkers(dir(name, "pending"))
         Ann.invalidateSegmentCounts(s"$genDir/*")
       }
 
@@ -199,8 +238,16 @@ class VectorService(spark: SparkSession, root: String) {
         val cur = currentGen(name).get
         val curN = cur.stripPrefix("gen=").toInt
         val nextGen = s"gen=${curN + 1}"
+        // tombstones are snapshotted as a FILE LIST: ids deleted while the
+        // (long) compact job runs land as new files outside the snapshot,
+        // stay merge-on-read active, and fold into the NEXT compaction —
+        // deleting the whole directory would silently resurrect them
+        val delFiles = Option(fs.globStatus(
+            new HPath(s"${dir(name, "deletes")}/*.parquet")))
+          .getOrElse(Array.empty).map(_.getPath)
         val deletes =
-          if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
+          if (delFiles.nonEmpty)
+            Some(spark.read.parquet(delFiles.map(_.toString).toIndexedSeq: _*))
           else None
         // a crashed compaction's un-flipped generation is garbage: the
         // pointer never moved, so rebuild it from scratch
@@ -208,7 +255,8 @@ class VectorService(spark: SparkSession, root: String) {
         Ann.compact(spark, s"${dir(name, cur)}/*", s"${dir(name, nextGen)}/batch=0",
           params, deletes)
         writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
-        fs.delete(new HPath(dir(name, "deletes")), true)
+        delFiles.foreach(p => fs.delete(p, false))
+        dropIfOnlyMarkers(dir(name, "deletes"))
         // read-grace GC: a reader that resolved `_current` just before the
         // flip may still be scanning gen=K, so K survives one compaction and
         // is reclaimed at the K+1 -> K+2 flip (generations are immutable, so

@@ -238,8 +238,24 @@ private[sources] class VecsScan(
     parts.result()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new VecsReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VecsReaderFactory(new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
   override def readSchema(): StructType = readSchema
+}
+
+/** Java-serializable Hadoop conf (via its Writable form): the SESSION conf
+  * — `spark.hadoop.*` overrides, object-store credentials/endpoints — must
+  * reach executor-side file opens; a bare `new Configuration()` there
+  * silently drops them (parquet reads in the same session would work,
+  * making the failure look path-specific). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = value.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 private[sources] case class VecsInputPartition(
@@ -252,20 +268,21 @@ private[sources] case class VecsInputPartition(
     wantId: Boolean,
     wantVec: Boolean) extends InputPartition
 
-private[sources] class VecsReaderFactory extends PartitionReaderFactory {
+private[sources] class VecsReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VecsPartitionReader(partition.asInstanceOf[VecsInputPartition])
+    new VecsPartitionReader(partition.asInstanceOf[VecsInputPartition], conf)
 }
 
-private[sources] class VecsPartitionReader(p: VecsInputPartition)
+private[sources] class VecsPartitionReader(p: VecsInputPartition, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val recLen = 4 + 4 * p.dim
-  // executor-side Configuration: resolves the default FS from the
-  // executor's classpath (core-site.xml on a real cluster; local FS here)
+  // executor-side open uses the propagated SESSION Hadoop conf (see
+  // SerializableHadoopConf) — never a bare new Configuration()
   private lazy val in = {
     val hp = new HPath(p.path)
-    val stream = hp.getFileSystem(new Configuration()).open(hp)
+    val stream = hp.getFileSystem(conf.value).open(hp)
     if (p.wantVec) stream.seek(p.startOffset)
     stream
   }

@@ -87,32 +87,53 @@ object StreamingIngest {
 
   /** Stateful sessionization via flatMapGroupsWithState (KeyValueGrouped
     * custom state, SURVEY §2.10): emits a session row whenever a gap >
-    * `gapMinutes` closes the previous session. Batch twin:
-    * RelationalQueries.eventsSessions (DuckDB-oracled). Assumes in-order
-    * arrival ACROSS micro-batches (within a batch it sorts); for
+    * `gapMinutes` closes the previous session, and — on streams — closes
+    * the TRAILING session through an event-time timeout once the
+    * watermark passes its gap (a user who goes quiet still gets their
+    * last session emitted, and their state entry is REMOVED — without the
+    * timeout, per-user state grows forever on continuous ingest). Batch
+    * twin: RelationalQueries.eventsSessions (DuckDB-oracled). Assumes
+    * in-order arrival ACROSS micro-batches (within a batch it sorts); for
     * out-of-order sources use [[sessionizeWindowed]]. */
-  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30)
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermark: String = "2 hours")
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout)(
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0.0))
-          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            val us = e.ts.getTime * 1000L
-            if (st.n > 0 && us - st.lastUs > gapUs) {
-              out += SessionOut(user, st.sessionId, st.n, st.total)
-              st = SessionState(st.sessionId + 1, us, 1, e.value)
-            } else {
-              st = SessionState(st.sessionId, us, st.n + 1, st.total + e.value)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed lastEvent + gap with no new events: the
+            // trailing session is closed — emit it and drop the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.sessionId, st.n, st.total))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0.0))
+            for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val us = e.ts.getTime * 1000L
+              if (st.n > 0 && us - st.lastUs > gapUs) {
+                out += SessionOut(user, st.sessionId, st.n, st.total)
+                st = SessionState(st.sessionId + 1, us, 1, e.value)
+              } else {
+                st = SessionState(st.sessionId, us, st.n + 1, st.total + e.value)
+              }
             }
+            state.update(st)
+            if (streaming && st.n > 0) {
+              val closeMs = st.lastUs / 1000L + gapMinutes * 60L * 1000L
+              // timeouts must sit above the current watermark
+              state.setTimeoutTimestamp(math.max(closeMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 }

@@ -83,6 +83,33 @@ class StreamingMaintenanceSpec extends SparkSpec {
     for ((k, n) <- streamed) assert(batch.get(k).contains(n), s"session $k count mismatch")
   }
 
+  test("stateful sessionization closes the trailing session by event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+      .as[StreamingIngest.SessionEvent]
+    val q = StreamingIngest.sessionize(events, gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_to").start()
+    // user 1's only session (timestamps clear of the epoch-0 initial
+    // watermark); user 2 keeps the stream alive later
+    mem.addData((1L, 1L, ts(100), 1.0), (1L, 2L, ts(105), 2.0))
+    q.processAllAvailable()
+    // nothing closed yet: no gap observed, watermark still at min 5
+    assert(spark.sql("SELECT * FROM sess_to WHERE user_id = 1").count() === 0)
+    // advance the watermark far past user 1's gap via another user's event
+    mem.addData((2L, 3L, ts(500), 1.0))
+    q.processAllAvailable()
+    mem.addData((2L, 4L, ts(501), 1.0)) // one more batch so timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.sql("SELECT session_id, n, total FROM sess_to WHERE user_id = 1")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(u1.toSeq === Seq((0, 2, 3.0)),
+      s"user 1's trailing session must close by timeout, got ${u1.toSeq}")
+  }
+
   test("session_window sessionization is out-of-order-safe: late event bridges two sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -109,6 +109,18 @@ class VectorServiceSpec extends SparkSpec {
     svc.write("c", randVectors(100, 8, seed = 12, idFrom = 500).toDF("id", "vec"))
     svc.optimize("c")
     assert(batches() === 2)
+
+    // the MIXED window: already-flushed files reappear (crash replay)
+    // ALONGSIDE a fresh write in the same pending/ — only the fresh files
+    // may ingest; the replayed ones are recognized per-file and cleaned
+    org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, pending, false, conf)
+    svc.write("c", randVectors(50, 8, seed = 13, idFrom = 600).toDF("id", "vec"))
+    svc.optimize("c")
+    assert(batches() === 3, "exactly one new batch from the fresh files")
+    assert(!fs.exists(pending))
+    val res2 = svc.search("c", randVectors(3, 8, seed = 10).toDF("qid", "qvec"), limit = 50)
+    assert(res2.groupBy("qid", "nid").count().filter($"count" > 1).count() === 0,
+      "replayed files must not re-ingest duplicate ids")
   }
 
   test("OPTIMIZE is single-writer: a live lock rejects a second run, a stale one is broken") {
