@@ -36,13 +36,20 @@ object AnnCatalog {
     * strategy on the session. */
   def register(spark: SparkSession, tablePath: String, info: IndexInfo): Unit = {
     registry.put(normalize(tablePath), info)
-    if (!spark.experimental.extraOptimizations.contains(AnnRewriteRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ AnnRewriteRule
-    if (!spark.experimental.extraStrategies.contains(KnnIndexStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ KnnIndexStrategy
+    // the rule/strategy install is check-then-set on shared session state:
+    // serialize it, or two concurrent register() calls can lose an append
+    // (a plan with KnnIndexScan and no matching strategy fails planning)
+    installLock.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(AnnRewriteRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AnnRewriteRule
+      if (!spark.experimental.extraStrategies.contains(KnnIndexStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ KnnIndexStrategy
+    }
   }
+
+  private val installLock = new Object
 
   def clear(): Unit = registry.clear()
 
@@ -134,7 +141,11 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
       val base = filterCond.map(c => markGenerated(Filter(c, rel))).getOrElse(rel)
       // the scan side is tiny (<= queries * k rows) — hint it broadcast so
       // the base table never shuffles for the join-back
-      val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
+      // idAttr cast to long explicitly: this rule runs AFTER analysis, so
+      // no implicit coercion would repair an int/string id column and the
+      // join condition would be ill-typed instead of falling back
+      val joined = Join(base, scan, Inner,
+        Some(EqualTo(Cast(idAttr, org.apache.spark.sql.types.LongType), nidAttr)),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
       // re-apply the hard LIMIT: the join can exceed k if base ids repeat;
       // nid-asc tiebreak preserves the deterministic result order contract
@@ -188,7 +199,8 @@ object AnnRewriteRule extends Rule[LogicalPlan] {
       val base = residual.reduceOption(And)
         .map(c => markGenerated(Filter(c, rel))).getOrElse(rel)
       // hits are a small fraction of the base — broadcast the scan side
-      val joined = Join(base, scan, Inner, Some(EqualTo(idAttr, nidAttr)),
+      val joined = Join(base, scan, Inner,
+        Some(EqualTo(Cast(idAttr, org.apache.spark.sql.types.LongType), nidAttr)),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
       // exact-precision gate: recheck sim >= t on the base side's full-res
       // vec (Generated-tagged so this rule never threshold-rewrites its own

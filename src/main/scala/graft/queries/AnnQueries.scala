@@ -267,16 +267,47 @@ object AnnQueries {
   private val ivfPqLayouts =
     new scala.collection.concurrent.TrieMap[String, (String, graft.operators.PQModel)]()
 
-  private def ivfPqKnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val model = ivfModel(s, dir, 32)
-    val nprobe = 16
-    val (path, pq) = ivfPqLayouts.getOrElseUpdate(dir, {
+  /** ONE IVF+PQ layout per scale dir, shared by the knn and threshold
+    * gates (a single build lambda: two verbatim copies racing the same
+    * memo could silently test different layouts if one copy drifted). */
+  private def ivfPqLayout(s: SparkSession, dir: String,
+      model: Ivf.IvfModel): (String, graft.operators.PQModel) =
+    ivfPqLayouts.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir)
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivfpq"
       val pqm = graft.operators.PQ.train(emb, "embedding", m = 8)
       Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p, idCol = "vec_id")
       (p, pqm)
     })
+
+  /** Shared exact-threshold twin restricted to probed (query, cluster)
+    * pairs — the correctness bar for both partitioned range searches.
+    * Returns (full exact threshold result, probed-restricted pair set). */
+  private def probedExactThreshold(s: SparkSession, dir: String,
+      model: Ivf.IvfModel, nprobe: Int, t: Double)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
+      "vec_id", "embedding").cache()
+    val probePairs = queries0(s, dir)
+      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
+      .toSeq.toDF("qid", "cl")
+    val assigned = Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
+    val probedExact = exactAll.join(assigned, "nid")
+      .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
+      .select("qid", "nid").cache()
+    (exactAll, probedExact)
+  }
+
+  private def ivfPqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = ivfModel(s, dir, 32)
+    val nprobe = 16
+    val (path, pq) = ivfPqLayout(s, dir, model)
     val res = Ivf.searchPartitionedPQ(path, queries0(s, dir), model, pq, nprobe,
       topK = k, rerankK = 8 * k, baseId = "vec_id", baseVec = "embedding").cache()
     res.count()
@@ -329,12 +360,7 @@ object AnnQueries {
     val model = ivfModel(s, dir, 32)
     val nprobe = 16
     val t = 0.6
-    val (path, pq) = ivfPqLayouts.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivfpq"
-      val pqm = graft.operators.PQ.train(emb, "embedding", m = 8)
-      Ivf.writePartitionedPQ(emb, "embedding", model, pqm, p, idCol = "vec_id")
-      (p, pqm)
-    })
+    val (path, pq) = ivfPqLayout(s, dir, model)
     val res = Ivf.thresholdSearchPartitionedPQ(path, queries0(s, dir), model, pq,
       nprobe, t, baseId = "vec_id", baseVec = "embedding").cache()
     val nRes = res.count()
@@ -343,18 +369,7 @@ object AnnQueries {
       rs >= 0 && l.substring(rs).contains("pq_code") &&
         !l.substring(rs).contains("embedding")
     }
-    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
-      "vec_id", "embedding").cache()
-    val probePairs = queries0(s, dir)
-      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
-      .toSeq.toDF("qid", "cl")
-    val assigned = Ivf.assign(emb, "embedding", model)
-      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
-    val probedExact = exactAll.join(assigned, "nid")
-      .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
-      .select("qid", "nid").cache()
+    val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
     val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
     val nTwin = probedExact.count()
     val found = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
@@ -672,18 +687,7 @@ object AnnQueries {
     }
     // independent exact twin (cross-join scorer), then restricted to pairs
     // whose neighbor cluster the query probed
-    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
-      "vec_id", "embedding").cache()
-    val probePairs = queries0(s, dir)
-      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
-      .toSeq.toDF("qid", "cl")
-    val assigned = Ivf.assign(emb, "embedding", model)
-      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
-    val probedExact = exactAll.join(assigned, "nid")
-      .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
-      .select("qid", "nid").cache()
+    val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
     val miss = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
     val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
     val total = exactAll.count()

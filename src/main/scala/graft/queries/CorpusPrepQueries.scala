@@ -125,15 +125,15 @@ object CorpusPrepQueries {
   private val mixWeights: Map[String, Double] =
     Map("src0" -> 4.0, "src1" -> 2.0) ++
       (2 until 20).map(i => s"src$i" -> 1.0).toMap
-  private val mixSumW = mixWeights.values.sum // 24.0 exactly
-
   private def mixSample(s: SparkSession, dir: String): DataFrame =
     CorpusPrep.mixtureSample(Tables.documents(s, dir), "doc_id", "text",
       "source", mixWeights, mixTotalTokens)
 
   /** Twin of mixtureSample: same md5-derived uniform, same weight CASE,
-    * same double arithmetic order for the rate. All corpus sources are
-    * src0..src19, so the ELSE branch equals the map's 1.0 entries. */
+    * same double arithmetic order for the rate. The normalizer sums the
+    * weights over domains PRESENT in the data (mirroring the operator) —
+    * weights are small exact integers, so the sum is order-independent
+    * and bit-equal across engines. */
   private val mixSampleSql: String =
     s"""WITH b AS (SELECT doc_id, source AS domain,
        |   CAST(len($toksSql) AS INT) AS n_toks,
@@ -142,10 +142,13 @@ object CorpusPrepQueries {
        |   CASE WHEN source = 'src0' THEN 4.0 WHEN source = 'src1' THEN 2.0
        |        ELSE 1.0 END AS w
        | FROM documents),
+       |sw AS (SELECT sum(CASE WHEN domain = 'src0' THEN 4.0
+       |                       WHEN domain = 'src1' THEN 2.0 ELSE 1.0 END) AS sumw
+       |       FROM (SELECT DISTINCT domain FROM b)),
        |tot AS (SELECT domain, sum(n_toks) AS domain_toks FROM b GROUP BY domain)
        |SELECT doc_id, domain, n_toks
-       |FROM b JOIN tot USING (domain)
-       |WHERE u < least(1.0, w * ${mixTotalTokens.toDouble} / $mixSumW
+       |FROM b JOIN tot USING (domain) CROSS JOIN sw
+       |WHERE u < least(1.0, w * ${mixTotalTokens.toDouble} / sw.sumw
        |                     / CAST(domain_toks AS DOUBLE))""".stripMargin
 
   // ---------------- deterministic hash split ----------------

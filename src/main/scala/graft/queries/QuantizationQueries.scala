@@ -75,12 +75,17 @@ object QuantizationQueries {
     * reference benchmark's compressor cache, `Grid.java:612` / SURVEY O10).
     * Training also exports the codebook sidecar the DuckDB oracle reads. */
   private val pqModels = new scala.collection.concurrent.TrieMap[String, graft.operators.PQModel]()
-  private def pqModel(s: SparkSession, dir: String): graft.operators.PQModel =
-    pqModels.getOrElseUpdate(dir, {
-      val m = PQ.train(Tables.embeddings(s, dir), "embedding", pqM, pqK)
-      OracleExports.saveCodebook(s, m)
-      m
-    })
+  // the sidecar path is FIXED (oracle SQL embeds it at authoring time), so
+  // the export must track the dir being verified: re-export on every
+  // lookup, not only on the training miss — a memo hit after a different
+  // dir's run would otherwise leave the other dir's codebook in place and
+  // fail pq_encode/pq_recon_error with a stale-model mismatch
+  private def pqModel(s: SparkSession, dir: String): graft.operators.PQModel = {
+    val m = pqModels.getOrElseUpdate(dir,
+      PQ.train(Tables.embeddings(s, dir), "embedding", pqM, pqK))
+    OracleExports.saveCodebook(s, m)
+    m
+  }
   private val nvqModels = new scala.collection.concurrent.TrieMap[String, NVQ.Model]()
   private def nvqModel(s: SparkSession, dir: String): NVQ.Model =
     nvqModels.getOrElseUpdate(dir, NVQ.train(Tables.embeddings(s, dir), "embedding"))

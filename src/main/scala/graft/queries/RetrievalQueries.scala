@@ -181,6 +181,7 @@ object RetrievalQueries {
   // ---- maxsim_indexed: ANN candidates (pooled vectors) -> MaxSim rerank ----
 
   private val msCandN = 50
+  private val maxsimIdxMemo = new scala.collection.concurrent.TrieMap[String, String]()
 
   /** The late-interaction SERVING path: mean-pool each multi-vector doc to
     * one vector, ANN-index the pooled vectors, retrieve candidates per
@@ -203,10 +204,16 @@ object RetrievalQueries {
         .groupBy(col(idc))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v").cast("float")).as(vc))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
     val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
-    Ann.buildIndex(pool(docVecs, "doc_id", "vec"), s"$tmp/idx", params, "doc_id", "vec")
-    val cands = Ann.searchIndex(s, s"$tmp/idx",
+    // one pooled-vector index per scale dir (the persistedIndex pattern):
+    // rebuilding per invocation would redo the most expensive step and
+    // leak a temp tree per call
+    val idxPath = maxsimIdxMemo.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
+      Ann.buildIndex(pool(docVecs, "doc_id", "vec"), s"$tmp/idx", params, "doc_id", "vec")
+      s"$tmp/idx"
+    })
+    val cands = Ann.searchIndex(s, idxPath,
         pool(queryVecs.withColumnRenamed("qvec", "vec"), "qid", "vec")
           .withColumnRenamed("vec", "qvec"),
         msCandN, ef = 64, params)
