@@ -159,6 +159,7 @@ object Bench {
     Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params,
       metrics = Some(m)).count()
     val visitedRatio = m.visitedRatioPerQuery(actualNq)
+    val expandedRatio = m.expandedRatioPerQuery(actualNq)
 
     // ---- two-phase (PQ-ADC beam + exact rerank) on a compressed index:
     // the reference's default configuration. Measured twice — fused
@@ -282,9 +283,11 @@ object Bench {
       (if (level >= 2) s"""{"ann_qps":${num(annQps, 1)},"""
        else s"""{"exact_knn_qps":${num(exactQps, 1)},"ann_qps":${num(annQps, 1)},""") +
         s""""ann_qps_pinned":${num(annQpsPinned, 1)},"ann_build_sec":${num(buildSec, 3)},""" +
-        s""""recall_at_10":${num(recall, 4)},""" +
+        // visited_ratio survives EVERY shed level — it is the driver-visible
+        // search-effort signal (the reference's visitedCount contract)
+        s""""recall_at_10":${num(recall, 4)},"visited_ratio":${num(visitedRatio, 4)},""" +
         (if (level >= 2) s""""pq_qps":${num(pqGatheredQps, 1)},"""
-         else s""""visited_ratio":${num(visitedRatio, 4)},""" +
+         else s""""expanded_ratio":${num(expandedRatio, 4)},""" +
            s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""") +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
         s""""kernel_qps":${num(kernelQps, 1)},""" +

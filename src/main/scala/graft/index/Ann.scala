@@ -353,11 +353,19 @@ object Ann {
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
+  /** Per-search effort accumulators, the reference's per-query metric set
+    * (`graph/SearchResult.java:26-31`): `visited` = nodes scored (its
+    * `visitedCount`), `expanded` = frontier pops whose neighbor lists were
+    * iterated (its `expandedCount`; always <= visited). `scanned` = rows
+    * per segment, the ratio denominator. */
   case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator,
-      reranked: LongAccumulator = null) {
+      reranked: LongAccumulator = null, expanded: LongAccumulator = null) {
     def visitedRatioPerQuery(nQueries: Long): Double =
       if (scanned.value == 0 || nQueries == 0) 0.0
       else visited.value.toDouble / (scanned.value.toDouble * nQueries)
+    def expandedRatioPerQuery(nQueries: Long): Double =
+      if (expanded == null || scanned.value == 0 || nQueries == 0) 0.0
+      else expanded.value.toDouble / (scanned.value.toDouble * nQueries)
   }
 
   /** One-pass transient search: build per-partition segments and search the
@@ -387,7 +395,8 @@ object Ann {
 
     val visitedAcc = spark.sparkContext.longAccumulator("ann.visited")
     val scannedAcc = spark.sparkContext.longAccumulator("ann.segment.rows")
-    val metrics = SearchMetrics(visitedAcc, scannedAcc)
+    val expandedAcc = spark.sparkContext.longAccumulator("ann.expanded")
+    val metrics = SearchMetrics(visitedAcc, scannedAcc, expanded = expandedAcc)
 
     val p = params
     val withAccept = segmented(acceptCol match {
@@ -420,6 +429,7 @@ object Ann {
               .iterator.map { case (local, s) => (qid, ids(local), s) }
           }.toArray
           visitedAcc.add(vc.n)
+          expandedAcc.add(vc.expanded)
           out.iterator
         }
       }
@@ -457,7 +467,11 @@ object Ann {
       baseVec: String = "vec",
       /** Pre-trained codebook to reuse instead of training fresh (the
         * compaction retrain path hands in a balanced-sample model). */
-      pqModelIn: Option[graft.operators.PQModel] = None): Unit = {
+      pqModelIn: Option[graft.operators.PQModel] = None,
+      /** Optional sink for construction effort (beam-visited nodes per
+        * segment build) — the compaction-economics gate compares this
+        * against the merge path's measured counters. */
+      buildVisitedAcc: Option[LongAccumulator] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
@@ -506,6 +520,7 @@ object Ann {
               val sc = new graft.operators.PQPairScorer(mm, flat, p.metric)
               shell.buildApprox(sc.score, sc.entryNode(), p.buildThreads)
             } else shell.build(p.buildThreads)
+          buildVisitedAcc.foreach(_.add(g.lastBuildVisited))
           // per-segment centroid for search-time routing (IVF over
           // segments) — stored ONLY on the local_id=0 row, so it costs one
           // vector per segment, not one per row
@@ -756,6 +771,7 @@ object Ann {
               found.map { case (local, s) => (qid, ids(local), s) }
             }
             metrics.foreach(_.visited.add(vc.n))
+            metrics.foreach(m => if (m.expanded != null) m.expanded.add(vc.expanded))
             metrics.foreach(m => if (m.reranked != null) m.reranked.add(rc.n))
             out.iterator.flatten
           }
@@ -1467,7 +1483,8 @@ object Ann {
     SearchMetrics(
       spark.sparkContext.longAccumulator("ann.visited"),
       spark.sparkContext.longAccumulator("ann.segment.rows"),
-      spark.sparkContext.longAccumulator("ann.reranked"))
+      spark.sparkContext.longAccumulator("ann.reranked"),
+      spark.sparkContext.longAccumulator("ann.expanded"))
 
   /** Dense-ordinal remap (jvector `RemappedRandomAccessVectorValues` /
     * `OrdinalMapper`, S5): assign contiguous 0..n-1 ordinals in a
@@ -1669,17 +1686,53 @@ object Ann {
     if (wasPinned) pin(spark, path)
   }
 
+  /** Work counters from a [[compact]] run — the merge-vs-rebuild economics
+    * gate's evidence. `visited` = beam-visited nodes in construction
+    * searches (cross-source candidate searches for merge mode; every
+    * insert/refine beam for rebuild mode). `reusedEdges` = same-source
+    * adjacency candidates gathered WITHOUT any search (merge mode only).
+    * `carriedSegments` = source segments whose graphs transferred wholesale
+    * (single-source bin, no tombstones) with zero construction work. */
+  case class CompactStats(mode: String, visited: Long, reusedEdges: Long,
+      carriedSegments: Long)
+
   /** Segment compaction (jvector `OnDiskGraphIndexCompactor`, B10 +
-    * FreshDiskANN-style delete resolution, B6): union the live rows of all
-    * segments under `inPath` (glob ok), drop tombstones FOR REAL, and
-    * rebuild fresh right-sized segments at `outPath`. Run periodically
-    * after streaming ingest has accumulated small batch segments. */
+    * FreshDiskANN-style delete resolution, B6): fold the live rows of all
+    * segments under `inPath` (glob ok) into right-sized segments at
+    * `outPath`, dropping tombstones FOR REAL. Run periodically after
+    * streaming ingest has accumulated small batch segments.
+    *
+    * `mode = "merge"` (default) is the reference compactor's economics
+    * (`graph/disk/OnDiskGraphIndexCompactor.java:1160-1210`): each merged
+    * node's neighbor candidates come from its SAME-SOURCE adjacency with no
+    * search at all (`gatherFromSameSource`, `:1181-1201`), and only
+    * cross-source candidates are found by beam search over the other source
+    * graphs (`gatherFromOtherSource`, `:1203+`); robust-prune then packs the
+    * merged adjacency. Source segments that land alone in a size bin with no
+    * tombstones are carried through byte-for-byte (zero graph work) — under
+    * continuous streaming ingest at scale, compaction cost is proportional
+    * to the SMALL new batches, not the whole corpus. `mode = "rebuild"` is
+    * the previous behavior (union live rows, full `buildIndex`), kept as the
+    * economics comparison arm and recall floor. */
   def compact(
       spark: SparkSession,
       inPath: String,
       outPath: String,
       params: Params = Params(),
-      deletes: Option[DataFrame] = None): Unit = {
+      deletes: Option[DataFrame] = None,
+      mode: String = "merge"): CompactStats = mode match {
+    case "merge" => compactMerge(spark, inPath, outPath, params, deletes)
+    case "rebuild" => compactRebuild(spark, inPath, outPath, params, deletes)
+    case other => throw new IllegalArgumentException(
+      s"compact mode must be 'merge' or 'rebuild', got '$other'")
+  }
+
+  private def compactRebuild(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      params: Params,
+      deletes: Option[DataFrame]): CompactStats = {
     val rows = readIndex(spark, inPath).select(col("seg"), col("node_id"), col("vec"))
     val live = deletes match {
       case Some(d) => rows.join(
@@ -1696,8 +1749,236 @@ object Ann {
       if (params.pqM > 0) loadAnySidecar(spark, inPath).map { base =>
         graft.operators.PQ.retrain(live, "vec", "seg", base)
       } else None
+    val visitedAcc = spark.sparkContext.longAccumulator("ann.compact.rebuild.visited")
     buildIndex(live.drop("seg"), outPath, params, baseId = "node_id", baseVec = "vec",
-      pqModelIn = retrained)
+      pqModelIn = retrained, buildVisitedAcc = Some(visitedAcc))
+    CompactStats("rebuild", visitedAcc.value, 0L, 0L)
+  }
+
+  /** First-fit-decreasing bin pack of source segments into output groups of
+    * ~`target` live rows. Oversize segments get their own bin. */
+  private def binPackSegments(
+      liveCounts: Array[(String, Long)], target: Long): Map[String, Int] = {
+    val sorted = liveCounts.filter(_._2 > 0).sortBy { case (s, c) => (-c, s) }
+    val binSegs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+    val binLoad = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.foreach { case (seg, c) =>
+      var i = 0
+      while (i < binLoad.length && binLoad(i) + c > target) i += 1
+      if (i == binLoad.length) { binSegs += List(seg); binLoad += c }
+      else { binSegs(i) = seg :: binSegs(i); binLoad(i) += c }
+    }
+    binSegs.iterator.zipWithIndex
+      .flatMap { case (segs, i) => segs.map(_ -> i) }.toMap
+  }
+
+  private def compactMerge(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      params: Params,
+      deletes: Option[DataFrame]): CompactStats = {
+    import spark.implicits._
+    val p = params
+    val raw = readIndex(spark, inPath)
+    val delDf = deletes match {
+      case Some(d) => d.select(col(d.columns.head).cast("long").as("__del")).distinct()
+      case None => spark.emptyDataset[Long].toDF("__del")
+    }
+    val delB = spark.sparkContext.broadcast(delDf.as[Long].collect().toSet)
+    // live rows per source segment (small: one row per segment)
+    val liveCounts: Array[(String, Long)] = raw
+      .join(broadcast(delDf), raw("node_id") === col("__del"), "left_anti")
+      .groupBy("seg").count().as[(String, Long)].collect()
+    val target = if (p.segmentRows > 0) p.segmentRows.toLong
+                 else math.max(1L, liveCounts.map(_._2).sum)
+    val groupOf = binPackSegments(liveCounts, target)
+    if (groupOf.isEmpty) {
+      // nothing alive: write an empty tree footprint (token only)
+      writeBuildToken(spark, outPath)
+      return CompactStats("merge", 0L, 0L, 0L)
+    }
+    // PQ retrain (same contract as rebuild mode): fresh codebook over the
+    // merged live distribution; ALL output rows re-encode under it.
+    val liveRows = raw.join(broadcast(delDf), raw("node_id") === col("__del"), "left_anti")
+    val retrained: Option[graft.operators.PQModel] =
+      if (p.pqM > 0) loadAnySidecar(spark, inPath).map { base =>
+        graft.operators.PQ.retrain(liveRows, "vec", "seg", base)
+      } else None
+    val retB = spark.sparkContext.broadcast(retrained)
+    val visitedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.visited")
+    val reusedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.reusedEdges")
+    val carriedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.carried")
+    // normalize optional columns so legacy trees share one row shape
+    val hasNvqIn = raw.columns.contains("nvq_code")
+    val c0 = if (raw.columns.contains("pq_code")) raw
+             else raw.withColumn("pq_code", lit(null).cast("array<int>"))
+    val c1 = if (c0.columns.contains("upper_nbrs")) c0
+             else c0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
+    val c2 = if (c1.columns.contains("seg_centroid")) c1
+             else c1.withColumn("seg_centroid", lit(null).cast("array<float>"))
+    val norm = if (hasNvqIn) c2
+               else c2.withColumn("nvq_code", lit(null).cast("array<int>"))
+                 .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
+                 .withColumn("nvq_bits", lit(0))
+    val grpDf = groupOf.toSeq.toDF("seg", "__grp")
+    val merged = norm
+      .join(broadcast(grpDf), "seg") // inner: fully-dead segments drop here
+      .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+        col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+        col("is_entry"), col("seg_centroid").cast("array<float>"),
+        col("pq_code").cast("array<int>"), col("nvq_code").cast("array<int>"),
+        col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"),
+        col("upper_nbrs").cast("array<array<int>>"), col("__grp").cast("int"))
+      .repartition(col("__grp"))
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Float],
+        Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Int)]
+      .mapPartitions { it =>
+        val dels = delB.value
+        val ret = retB.value
+        // codes from the per-source codebooks cannot mix in one tree: with a
+        // retrained model every row re-encodes; without one, codes drop
+        // (rebuild-mode parity)
+        val encode: Array[Float] => Array[Int] = v => ret match {
+          case Some(m) => m.encodeOne(v.map(_.toDouble))
+          case None => null
+        }
+        it.toArray.groupBy(_._13).iterator.flatMap { case (_, grpRows) =>
+          val bySrc = grpRows.groupBy(_._1).toArray.sortBy(_._1)
+          val anyDead = grpRows.exists(r => dels.contains(r._3))
+          if (bySrc.length == 1 && !anyDead) {
+            // carried wholesale: the graph is already right-sized and clean —
+            // zero construction work (the streaming-scale economics)
+            carriedAcc.add(1)
+            grpRows.iterator.map { r =>
+              (r._1, r._2, r._3, if (r._9 != null) null else r._4, r._5, r._6,
+                r._7, encode(r._4), r._9, r._10, r._11, r._12)
+            }
+          } else {
+            // per-source graph assembly (adjacency restore, no rebuild)
+            val srcs = bySrc.map { case (_, rows) =>
+              val sorted = rows.sortBy(_._2)
+              val g = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+              sorted.foreach { r =>
+                g.neighbors(r._2) ++= r._5
+                if (r._6) g.entryNode = r._2
+                if (r._12 != null) g.restoreUpperAdjacency(r._2, r._12)
+              }
+              val alive = sorted.map(r => !dels.contains(r._3))
+              (sorted, g, alive)
+            }
+            // merged id space: live nodes, source-sorted then local-id order
+            val mergedOf = srcs.map { case (sorted, _, _) => new Array[Int](sorted.length) }
+            var m = 0
+            var si = 0
+            while (si < srcs.length) {
+              val (sorted, _, alive) = srcs(si)
+              var l = 0
+              while (l < sorted.length) {
+                if (alive(l)) { mergedOf(si)(l) = m; m += 1 } else mergedOf(si)(l) = -1
+                l += 1
+              }
+              si += 1
+            }
+            val nLive = m
+            if (nLive == 0) Iterator.empty
+            else {
+              val mergedVecs = new Array[Array[Float]](nLive)
+              val liveRef = new Array[(Int, Int)](nLive) // (srcIdx, localId)
+              si = 0
+              while (si < srcs.length) {
+                val (sorted, _, alive) = srcs(si)
+                var l = 0
+                while (l < sorted.length) {
+                  if (alive(l)) {
+                    mergedVecs(mergedOf(si)(l)) = sorted(l)._4
+                    liveRef(mergedOf(si)(l)) = (si, l)
+                  }
+                  l += 1
+                }
+                si += 1
+              }
+              val g = new Vamana(mergedVecs, p.metric, p.maxDegree,
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+              val vc = new Vamana.VisitCounter
+              var reused = 0L
+              // cross-source search sizing = the reference's formula
+              // (OnDiskGraphIndexCompactor.java:60-64,873-874): per-source
+              // topK shrinks as source count grows — the merged candidate
+              // pool stays ~4x degree TOTAL, not 4x degree PER source
+              val nSrcs = srcs.length
+              val xTopK = math.max(2, ((p.maxDegree + nSrcs - 1) / nSrcs) * 4)
+              val xBeam = math.max(p.maxDegree, xTopK) * 2
+              val cands = new Array[Array[Long]](nLive)
+              var u = 0
+              while (u < nLive) {
+                val (sSrc, sLoc) = liveRef(u)
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                // same-source: existing adjacency, scored but never searched
+                val sc = g.exactScorer(mergedVecs(u))
+                val (sorted, sg, alive) = srcs(sSrc)
+                val nbrs = sg.neighbors(sLoc)
+                var i = 0
+                while (i < nbrs.length) {
+                  val nb = nbrs(i)
+                  if (alive(nb)) {
+                    buf += LongHeap.pack(sc(mergedOf(sSrc)(nb)), mergedOf(sSrc)(nb))
+                    reused += 1
+                  }
+                  i += 1
+                }
+                // cross-source: beam search each OTHER source graph
+                var tj = 0
+                while (tj < srcs.length) {
+                  if (tj != sSrc) {
+                    val (_, tg, tAlive) = srcs(tj)
+                    val found = tg.search(mergedVecs(u), xTopK, xBeam,
+                      l2 => tAlive(l2), vc)
+                    var fi = 0
+                    while (fi < found.length) {
+                      buf += LongHeap.pack(found(fi)._2, mergedOf(tj)(found(fi)._1))
+                      fi += 1
+                    }
+                  }
+                  tj += 1
+                }
+                cands(u) = buf.toArray
+                u += 1
+              }
+              g.buildFromCandidates(cands)
+              visitedAcc.add(vc.n)
+              reusedAcc.add(reused)
+              val newSeg = java.util.UUID.nameUUIDFromBytes(
+                (0 until nLive).map(i => srcs(liveRef(i)._1)._1(liveRef(i)._2)._3)
+                  .mkString(",").getBytes).toString
+              val dim = mergedVecs(0).length
+              val centroid = new Array[Float](dim)
+              var ci = 0
+              while (ci < nLive) {
+                var j = 0
+                while (j < dim) { centroid(j) += mergedVecs(ci)(j) / nLive; j += 1 }
+                ci += 1
+              }
+              (0 until nLive).iterator.map { w =>
+                val (wSrc, wLoc) = liveRef(w)
+                val r = srcs(wSrc)._1(wLoc)
+                (newSeg, w, r._3, if (r._9 != null) null else r._4,
+                  g.neighbors(w).toArray, w == g.entryNode,
+                  if (w == 0) centroid else null, encode(r._4),
+                  r._9, r._10, r._11, g.upperAdjacencyOf(w))
+              }
+            }
+          }
+        }
+      }
+      .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
+    merged.write.mode("overwrite").partitionBy("seg").parquet(outPath)
+    retrained.foreach(mm => graft.operators.PQ.save(spark, mm, s"$outPath/_pq_model"))
+    writeBuildToken(spark, outPath)
+    unpin(outPath)
+    CompactStats("merge", visitedAcc.value, reusedAcc.value, carriedAcc.value)
   }
 
   /** Rescore rebuild (jvector `GraphIndexBuilder.rescore`,

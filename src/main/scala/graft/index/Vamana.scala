@@ -47,10 +47,16 @@ object Vamana {
     }
   }
 
-  /** Per-call visit counter: task/thread-local, so concurrent searches over
-    * one shared (cached) graph report exact per-call effort without racing
-    * on the graph's cumulative `visitedCount`. */
-  final class VisitCounter { var n: Long = 0L }
+  /** Per-call effort counters: task/thread-local, so concurrent searches
+    * over one shared (cached) graph report exact per-call effort without
+    * racing on the graph's cumulative `visitedCount`. Mirrors the
+    * reference's per-search metrics (`graph/SearchResult.java:26-31`):
+    * `n` = visited (nodes SCORED, the reference's `visitedCount`);
+    * `expanded` = nodes popped from the frontier whose neighbor lists were
+    * iterated (the reference's `expandedCount`). expanded <= n always —
+    * a beam scores every frontier candidate but expands only the ones that
+    * survive the "best frontier < worst result" cut. */
+  final class VisitCounter { var n: Long = 0L; var expanded: Long = 0L }
 
   /** Saved cursor for resumable search (jvector `GraphSearcher.resume`,
     * `GraphSearcher.java:509-547`): the live beam frontier, the visited set,
@@ -240,6 +246,7 @@ final class Vamana(
       while (improved) {
         improved = false
         var best = scorer(cur)
+        if (vc != null) vc.expanded += 1
         for (nb <- layer.getOrElse(cur, Array.empty[Int])) {
           val s = scorer(nb)
           visits += 1
@@ -361,6 +368,7 @@ final class Vamana(
           res.push(packed)
           if (res.size > ef) res.pop()
         }
+        if (vc != null) vc.expanded += 1
         val nbrs = neighbors(c)
         var i = 0
         while (i < nbrs.length) {
@@ -514,6 +522,7 @@ final class Vamana(
           res.push(packed)
           if (res.size > ef) res.pop()
         }
+        if (vc != null) vc.expanded += 1
         val nbrs = neighbors(c)
         val deg = nbrs.length
         if (deg > 0) {
@@ -876,7 +885,91 @@ final class Vamana(
       }
     } else buildParallel(nodes, overflowDeg, nbrSims, threads)
     buildHierarchy()
+    lastBuildVisited = visitedAdder.sum()
     visitedAdder.reset() // build traffic doesn't count as search effort
+    this
+  }
+
+  /** Beam-visited nodes during the last batch [[build]]/[[buildApprox]] —
+    * the measured construction-effort counter the compaction-economics gate
+    * compares against the merge path. [[buildFromCandidates]] sets it to 0:
+    * merge construction runs no internal searches (its cross-source beam
+    * effort is counted by the caller's own `VisitCounter`). */
+  var lastBuildVisited: Long = 0L
+
+  /** Merge-mode construction (the reference compactor's shape,
+    * `graph/disk/OnDiskGraphIndexCompactor.java:1160-1210`): the caller
+    * supplies each node's candidate edge set — same-source adjacency
+    * gathered WITHOUT any search, plus cross-source beam results — as
+    * packed (score, id) longs in this graph's id space. Each set is
+    * robust-pruned into forward edges, backlinks are added with overflow
+    * re-prune (pruned forward sets alone need not be symmetric), the entry
+    * is re-elected as the medoid approximation, and the hierarchy is built.
+    * No layer-0 beam searches run here — reusing same-source structure
+    * instead of re-searching the merged corpus is the whole economics of
+    * merge compaction vs a full rebuild. */
+  def buildFromCandidates(cands: Array[Array[Long]]): this.type = {
+    require(cands.length == n, s"candidate sets ${cands.length} != n $n")
+    if (n == 0) return this
+    val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
+    val nbrSims: Array[mutable.ArrayBuffer[Double]] =
+      Array.fill(n)(mutable.ArrayBuffer.empty[Double])
+    var u = 0
+    while (u < n) {
+      val scoresOut = mutable.ArrayBuffer.empty[Double]
+      neighbors(u) = robustPrune(u, cands(u), maxDegree, scoresOut)
+      nbrSims(u) = scoresOut
+      u += 1
+    }
+    // reverse-edge phase (same contract as insertOne's backlinks): every
+    // forward edge u->v becomes visible from v, overflow re-pruned. Scores
+    // reuse the forward score (sim is symmetric) — zero fresh evaluations.
+    u = 0
+    while (u < n) {
+      val lst = neighbors(u)
+      val sims = nbrSims(u)
+      var ci = 0
+      while (ci < lst.length) {
+        val nb = lst(ci)
+        val back = neighbors(nb)
+        if (!back.contains(u)) {
+          back += u
+          nbrSims(nb) += sims(ci)
+          if (back.length > overflowDeg) {
+            val bs = nbrSims(nb)
+            val packed = new Array[Long](back.length)
+            var i2 = 0
+            while (i2 < back.length) { packed(i2) = LongHeap.pack(bs(i2), back(i2)); i2 += 1 }
+            val outScores = mutable.ArrayBuffer.empty[Double]
+            neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
+            nbrSims(nb) = outScores
+          }
+        }
+        ci += 1
+      }
+      u += 1
+    }
+    // entry = node nearest the merged centroid (medoid approximation, as in
+    // build()); buildHierarchy may then promote a higher-level node.
+    val dim = vectors(0).length
+    val centroid = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < dim) { centroid(j) += vectors(i)(j) / n; j += 1 }
+      i += 1
+    }
+    var best = 0; var bestS = Double.MinValue
+    i = 0
+    while (i < n) {
+      val s = sim(centroid, vectors(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    entryNode = best
+    buildHierarchy()
+    lastBuildVisited = 0L
+    visitedAdder.reset()
     this
   }
 
@@ -1142,6 +1235,7 @@ final class Vamana(
     var stop = false
     while (!stop && cand.nonEmpty) {
       val c = LongHeap.id(cand.pop())
+      if (vc != null) vc.expanded += 1
       val nbrs = neighbors(c)
       var i = 0
       while (i < nbrs.length) {
