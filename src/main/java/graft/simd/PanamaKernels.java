@@ -147,6 +147,40 @@ public final class PanamaKernels implements VectorKernels {
   }
 
   @Override
+  public void adcBlockF(float[] dots, float[] mags, int kk,
+                        int[] block, int deg, int m,
+                        float[] dAcc, float[] mAcc) {
+    final int L = S.length();
+    int j = 0;
+    final int upper = deg - (deg % L);
+    // column strip of L neighbors: both accumulators live in registers
+    // across ALL m subspaces (one float gather per table per subspace),
+    // stored once per strip — the assembleAndSum shape
+    for (; j < upper; j += L) {
+      FloatVector accD = FloatVector.zero(S);
+      FloatVector accM = FloatVector.zero(S);
+      for (int s = 0; s < m; s++) {
+        final int tOff = s * kk;
+        final int bOff = s * deg + j;
+        accD = accD.add(FloatVector.fromArray(S, dots, tOff, block, bOff));
+        accM = accM.add(FloatVector.fromArray(S, mags, tOff, block, bOff));
+      }
+      accD.intoArray(dAcc, j);
+      accM.intoArray(mAcc, j);
+    }
+    for (; j < deg; j++) {
+      float d = 0f, mg = 0f;
+      for (int s = 0; s < m; s++) {
+        int c = s * kk + block[s * deg + j];
+        d += dots[c];
+        mg += mags[c];
+      }
+      dAcc[j] = d;
+      mAcc[j] = mg;
+    }
+  }
+
+  @Override
   public String name() {
     return "panama-" + S.length() + "f";
   }

@@ -45,6 +45,27 @@ public interface VectorKernels extends java.io.Serializable {
                      int[] codes, int off, int n,
                      double[] dAcc, double[] mAcc);
 
+  /**
+   * Whole-block float ADC accumulate over a fused neighbor-code block (the
+   * reference's {@code assembleAndSum} family,
+   * {@code jvector-twenty/.../PanamaVectorUtilSupport.java:691-771}, which
+   * likewise gathers FLOAT partials by byte code): {@code block} holds the
+   * owner's neighbor codes subspace-major ({@code block[s*deg + j]} = code
+   * of neighbor j in subspace s); for each neighbor column j in [0, deg):
+   * {@code dAcc[j] = sum_s dots[s*kk + block[s*deg+j]]} and likewise
+   * {@code mAcc[j]} over {@code mags}. Accumulators are OVERWRITTEN, not
+   * added to. Float lanes double the gather width vs the double kernel and
+   * keep per-column accumulators in registers across all m subspaces —
+   * accumulator memory traffic drops from 2*m round-trips per column strip
+   * to one store. Float accumulation order is column-parallel, so results
+   * may differ from a scalar double loop in low-order bits; the fused
+   * search contract is candidate-set equality after exact rerank, not
+   * approx-score bit equality.
+   */
+  void adcBlockF(float[] dots, float[] mags, int kk,
+                 int[] block, int deg, int m,
+                 float[] dAcc, float[] mAcc);
+
   /** Implementation tag for logs/specs (e.g. "scalar", "panama-16f"). */
   String name();
 }

@@ -31,7 +31,7 @@ object Ann {
     * search a resident index; cold parquet decode + adjacency assembly
     * otherwise dominates repeated query batches. Bounded; cleared wholesale
     * when over capacity (segments reload lazily). */
-  private[index] object SegmentCache {
+  private[graft] object SegmentCache {
     /** Cached segment assembly. `codesFlat` is the per-node PQ codes as ONE
       * primitive array (node i's code at [i*m, (i+1)*m)) — the approx-scorer
       * hot loop reads it without a per-neighbor object hop. `fused` is the
@@ -41,6 +41,26 @@ object Ann {
       * so memory is only paid when a caller opts in. */
     final class Entry(val ids: Array[Long], val graph: Vamana,
         val codes: Array[Array[Int]]) {
+      /** Approximate resident size: ids + vectors + adjacency + norm cache
+        * + codes. Computed at insert so eviction can run a BYTE budget —
+        * entry-count eviction would let 256 x 1M-row segments pin hundreds
+        * of GB. The lazy fused layout (opt-in) adds roughly the codes share
+        * again when materialized; the budget deliberately over-reserves by
+        * counting codes fully rather than tracking lazy growth. */
+      val approxBytes: Long = {
+        var b = 64L + (if (ids != null) ids.length * 8L else 0L)
+        if (graph != null) {
+          var edges = 0L
+          var i = 0
+          while (i < graph.neighbors.length) { edges += graph.neighbors(i).length; i += 1 }
+          val dim = if (graph.vectors.nonEmpty && graph.vectors(0) != null)
+            graph.vectors(0).length else 0
+          b += graph.vectors.length.toLong * (dim * 4L + 40L) + edges * 4L
+        }
+        if (codes != null && codes.length > 0 && codes(0) != null)
+          b += codes.length.toLong * (codes(0).length * 4L + 16L)
+        b
+      }
       lazy val codesFlat: Array[Int] = {
         if (codes == null || codes.length == 0 || codes(0) == null) null
         else {
@@ -60,22 +80,36 @@ object Ann {
       def apply(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]]): Entry =
         new Entry(ids, graph, codes)
     }
-    private val maxEntries = 256
+    /** Byte budget for resident segment graphs (default 4 GiB per
+      * executor JVM). With 1M-row segments an entry-count cap would admit
+      * hundreds of GB; bytes are what the executor actually runs out of. */
+    @volatile private[graft] var maxBytes: Long = 4L << 30
+    private val totalBytes = new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def currentBytes: Long = totalBytes.get()
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     def getOrCompute(key: String, f: => Entry): Entry = {
-      // evict single entries over capacity (iteration order is effectively
-      // arbitrary ~ random eviction) — wholesale clear() would cold-start
-      // EVERY warm segment because one new one arrived
-      while (m.size > maxEntries) {
-        val it = m.keys()
-        if (it.hasMoreElements) m.remove(it.nextElement()) else m.clear()
-      }
       // computeIfAbsent: per-key locking — concurrent chunk tasks of the
       // same segment must NOT each assemble a full graph copy (a ~chunks-x
       // transient memory spike at 1M-row segments)
-      m.computeIfAbsent(key, _ => f)
+      var created: Entry = null
+      val e = m.computeIfAbsent(key, _ => { created = f; created })
+      if (e eq created) {
+        totalBytes.addAndGet(e.approxBytes)
+        // evict single OTHER entries while over budget (iteration order is
+        // effectively arbitrary ~ random eviction) — wholesale clear()
+        // would cold-start EVERY warm segment because one new one arrived.
+        // The just-inserted entry never evicts itself: a single segment
+        // larger than the whole budget must still be servable.
+        val it = m.entrySet().iterator()
+        while (totalBytes.get() > maxBytes && it.hasNext) {
+          val ent = it.next()
+          if ((ent.getValue ne e) && m.remove(ent.getKey, ent.getValue))
+            totalBytes.addAndGet(-ent.getValue.approxBytes)
+        }
+      }
+      e
     }
-    def clear(): Unit = m.clear()
+    def clear(): Unit = { m.clear(); totalBytes.set(0L) }
   }
 
   /** Task-visible query batch: small batches ride the task closure

@@ -454,10 +454,12 @@ final class Vamana(
     * TRANSPOSED block of its neighbors' codes — expanding a node scores all
     * its neighbors in one subspace-major pass (sequential reads of the
     * block and of each subspace's table row), instead of gathering one
-    * per-node code object per neighbor. Same scores as the gathered path
-    * (identical summation order per neighbor), so results are identical —
-    * this is purely a memory-layout/locality optimization, which is exactly
-    * what the reference's fused feature is.
+    * per-node code object per neighbor. The traversal runs on FLOAT table
+    * partials (the reference's fused kernels likewise gather float —
+    * `PanamaVectorUtilSupport.assembleAndSum`), so approx scores differ
+    * from the gathered double path in low-order bits; survivors rerank
+    * EXACTLY, so the final top-k is candidate-set-stable (gated equal to
+    * the gathered path on the fixtures).
     *
     * `fused(u)` holds the code of u's j-th neighbor in subspace s at index
     * s*deg(u)+j; `codesFlat` holds node i's own code at [i*m, (i+1)*m)
@@ -486,12 +488,23 @@ final class Vamana(
       m: Int, kk: Int, adcMetric: Int, ef: Int,
       accept: Int => Boolean, vc: Vamana.VisitCounter): Array[(Int, Double)] = {
     if (n == 0) return Array.empty
+    // FLOAT copies of the per-query ADC tables (the reference's fused path
+    // gathers FLOAT partials — assembleAndSum family,
+    // `jvector-twenty/.../PanamaVectorUtilSupport.java:691-771` — which is
+    // where the fused layout pays: double the gather lanes, half the table
+    // bytes). One m*k cast per query; approx scores therefore differ from
+    // the gathered double path in low-order bits — the contract is
+    // candidate-set parity through exact rerank, not approx-bit equality.
+    val dotsF = new Array[Float](dots.length)
+    val magsF = new Array[Float](mags.length)
+    var ti = 0
+    while (ti < dots.length) { dotsF(ti) = dots(ti).toFloat; magsF(ti) = mags(ti).toFloat; ti += 1 }
     def scoreOne(node: Int): Double = {
       val base = node * m
-      var dot = 0.0; var mag = 0.0; var s = 0
+      var dot = 0.0f; var mag = 0.0f; var s = 0
       while (s < m) {
         val code = codesFlat(base + s)
-        dot += dots(s * kk + code); mag += mags(s * kk + code); s += 1
+        dot += dotsF(s * kk + code); mag += magsF(s * kk + code); s += 1
       }
       adcCombine(adcMetric, dot, mag, qNormSq)
     }
@@ -499,13 +512,8 @@ final class Vamana(
     val cand = new LongHeap(64, min = false)
     val res = new LongHeap(ef + 1, min = true)
     // scratch accumulators sized to the max degree seen (reused per expansion)
-    var dAcc = new Array[Double](maxDegree * 2)
-    var mAcc = new Array[Double](maxDegree * 2)
-    var cols = new Array[Int](maxDegree * 2)
-    var colCodes = new Array[Int](maxDegree * 2)
-    // hierarchy descent on the SAME per-node ADC score the gathered path
-    // descends on (scoreOne == the gathered approx for any node) — keeps
-    // the fused/gathered bit-identity contract through the descent
+    var dAcc = new Array[Float](maxDegree * 2)
+    var mAcc = new Array[Float](maxDegree * 2)
     val entry = descendScored(scoreOne, vc)
     cand.push(LongHeap.pack(scoreOne(entry), entry))
     visited.set(entry)
@@ -527,54 +535,31 @@ final class Vamana(
         val deg = nbrs.length
         if (deg > 0) {
           if (dAcc.length < deg) {
-            dAcc = new Array[Double](deg); mAcc = new Array[Double](deg)
-            cols = new Array[Int](deg); colCodes = new Array[Int](deg)
+            dAcc = new Array[Float](deg); mAcc = new Array[Float](deg)
           }
-          // select the unvisited columns first: mid-beam most neighbors are
-          // already visited, and batch-scoring them anyway would do strictly
-          // more table lookups than the gathered path (the reference can
-          // afford that — SIMD scores the whole block in one shuffle pass;
-          // scalar accumulation cannot)
-          var nCols = 0
+          // whole-block accumulate, visited columns included — exactly the
+          // reference's fused traversal (SIMD scores the entire neighbor
+          // block in one pass; per-column register accumulators across all
+          // m subspaces). Column selection happens AFTER scoring: with the
+          // float gather at 2x lanes the whole block costs less than the
+          // old per-subspace double gather over survivors did. Mid-beam
+          // many blocks are FULLY visited — detect that first and skip the
+          // gather entirely.
+          var any = false
           var j = 0
-          while (j < deg) {
-            val nb = nbrs(j)
-            if (!visited.get(nb)) {
-              visited.set(nb)
-              cols(nCols) = j
-              dAcc(nCols) = 0.0
-              mAcc(nCols) = 0.0
-              nCols += 1
-            }
-            j += 1
-          }
-          visits += nCols
-          if (nCols > 0) {
-            val block = fused(c)
-            // subspace-major accumulation over the selected columns via the
-            // SIMD gather kernel (Quicker-ADC's in-register lookup,
-            // re-expressed — graft.simd adcAccumulate; elementwise adds, so
-            // bit-identical to the scalar loop and the gathered path). When
-            // every column survived the visited filter the block slice is
-            // already contiguous; otherwise pack the survivors' codes first.
-            var s = 0
-            while (s < m) {
-              val off = s * deg
-              val tOff = s * kk
-              if (nCols == deg) {
-                kernels.adcAccumulate(dots, mags, tOff, block, off, deg, dAcc, mAcc)
-              } else {
-                j = 0
-                while (j < nCols) { colCodes(j) = block(off + cols(j)); j += 1 }
-                kernels.adcAccumulate(dots, mags, tOff, colCodes, 0, nCols, dAcc, mAcc)
-              }
-              s += 1
-            }
+          while (j < deg && !any) { if (!visited.get(nbrs(j))) any = true; j += 1 }
+          if (any) {
+            kernels.adcBlockF(dotsF, magsF, kk, fused(c), deg, m, dAcc, mAcc)
             j = 0
-            while (j < nCols) {
-              val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
-              if (res.size < ef || sc > LongHeap.score(res.top))
-                cand.push(LongHeap.pack(sc, nbrs(cols(j))))
+            while (j < deg) {
+              val nb = nbrs(j)
+              if (!visited.get(nb)) {
+                visited.set(nb)
+                visits += 1
+                val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
+                if (res.size < ef || sc > LongHeap.score(res.top))
+                  cand.push(LongHeap.pack(sc, nb))
+              }
               j += 1
             }
           }

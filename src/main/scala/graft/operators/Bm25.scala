@@ -102,8 +102,10 @@ object Bm25 {
       .withColumn("dl", size(col("toks")).cast("double"))
     // materialize the tokenized postings ONCE: three lazy write actions
     // would re-scan and re-tokenize the corpus per action (and re-run the
-    // groupBy shuffle twice) — the build really is one corpus pass + one
-    // shuffle only with the intermediate pinned
+    // groupBy shuffle twice). With the intermediate pinned the build is
+    // TWO corpus passes + one shuffle: this one, plus corpusStats' separate
+    // aggregate over `base` below — kept separate on purpose, because
+    // n_docs must count docs with zero tokens, which never reach a posting
     val postings = base.select(col("id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy("tok", "id")
       .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))

@@ -256,8 +256,11 @@ object CorpusPrep {
     * `openWindow >= 2` the fullest of the others is >= half), so every
     * partition still leaves at most ONE bin under half capacity and the
     * global overhead stays bounded by `numPartitions` bins over
-    * optimal-halving; the window caps per-doc scan work at O(openWindow)
-    * and per-task state at O(openWindow), independent of partition size.
+    * optimal-halving; the window caps per-doc scan work at O(openWindow).
+    * Per-task MEMORY is O(partition rows), not O(openWindow): the FFD sort
+    * materializes the partition's (id, n_toks) pairs plus a same-sized
+    * output buffer — the window bounds only the open-bin scan. Size
+    * partitions via the `partitions` knob so row counts fit task memory.
     * No shuffle beyond the initial spread.
     *
     * Docs longer than `capacity` get a bin of their own, flagged
@@ -433,16 +436,33 @@ object CorpusPrep {
     *   P(w2 | w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)
     *   xent(doc)  = -(1/n) · Σ ln P — lower = more like `ref`.
     *
-    * Counts shuffle once each; the scoring join is a plain equi-join on
-    * the bigram (broadcast when the model is small, shuffled when it is
-    * vocabulary-scale). Docs with < 2 tokens carry n_bigrams = 0 and
-    * xent = 0. Output: (doc_id, n_bigrams, xent). */
+    * Counts shuffle once each. Scoring routes each occurrence through a
+    * BROADCAST lookup when it can — the `headBigrams` most frequent
+    * bigrams (most of the token mass on Zipfian text) and the vocab-sized
+    * context table — so only rare-tail/unseen occurrences pay the
+    * corpus-scale shuffled join. Results are exact regardless of routing.
+    * Docs with < 2 tokens carry n_bigrams = 0 and xent = 0.
+    * Output: (doc_id, n_bigrams, xent). */
   def lmCrossEntropy(
       docs: DataFrame,
       ref: DataFrame,
       idCol: String,
       textCol: String,
-      addK: Double = 0.5): DataFrame = {
+      addK: Double = 0.5,
+      /** Broadcast the `headBigrams` most frequent bigrams of the model and
+        * score their occurrences map-side; only occurrences OUTSIDE the
+        * head go through the shuffled join. On a Zipfian corpus the head
+        * covers most of the token mass, so the shuffle shrinks from
+        * corpus-scale to the rare tail (the numbers are EXACT either way —
+        * the split is pure routing). 0 disables the split (one shuffled
+        * join over the full stream). */
+      headBigrams: Int = 1 << 18,
+      /** Broadcast the context-count table (one row per distinct first
+        * token, i.e. vocab-sized — tens of MB even for multi-million-token
+        * vocabularies), turning the second corpus-scale shuffled join into
+        * a map-side lookup. Disable for degenerate corpora whose vocabulary
+        * is corpus-sized (e.g. unique-token ids). */
+      broadcastContexts: Boolean = true): DataFrame = {
     require(addK > 0, s"addK must be > 0, got $addK")
     // bigram identity travels as 60-bit md5 keys (the repo's hashed-
     // shingle convention): the count tables and the scoring join carry one
@@ -463,7 +483,12 @@ object CorpusPrep {
         key60(md5(col("b.w1"))).as("h1"),
         key60(md5(concat_ws(" ", col("b.w1"), col("b.w2")))).as("h2"))
     val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
+    // the count model materializes ONCE (localCheckpoint: executor-resident,
+    // lineage truncated): it feeds the scoring join, the context derivation,
+    // AND the head-coverage probe — without it each consumer re-tokenizes
+    // the whole reference corpus
     val cb = refBi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     // context counts derive from the bigram table (sum over h2) — same
     // values as re-counting the corpus, one corpus pass + shuffle cheaper
     val cu = cb.groupBy("h1").agg(sum(col("cb")).as("cu"))
@@ -475,9 +500,42 @@ object CorpusPrep {
     // hash-join hint: the count tables are model-sized (bounded by distinct
     // bigrams); building their hash maps beats sorting the corpus-sized
     // scored stream, which is what SMJ would do
-    val scored = bigramsOf(docs)
-      .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
-      .join(cu.hint("shuffle_hash"), Seq("h1"), "left")
+    val docBi = bigramsOf(docs)
+    // bigram-count lookup, head/tail split: the head rides a broadcast and
+    // resolves map-side; misses (rare tail + unseen) are the only rows that
+    // shuffle. Head selection is deterministic (count desc, key tiebreak).
+    // ADAPTIVE: the split only pays when the head actually concentrates
+    // occurrence mass (Zipfian text: a few 100k bigrams cover most
+    // occurrences). On flat distributions the hit branch would be near
+    // empty while the plan still evaluates the doc stream twice — so the
+    // operator PROBES coverage on the (checkpointed, model-sized) count
+    // table and falls back to the single shuffled join below 50%.
+    val headCoverage: Double =
+      if (headBigrams <= 0) 0.0
+      else {
+        val total = cb.agg(sum(col("cb"))).head().getLong(0)
+        if (total == 0L) 0.0
+        else {
+          val headMass = cb.orderBy(col("cb").desc, col("h1"), col("h2"))
+            .limit(headBigrams).agg(sum(col("cb"))).head().getLong(0)
+          headMass.toDouble / total
+        }
+      }
+    val withCb =
+      if (headCoverage >= 0.5) {
+        val head = cb.orderBy(col("cb").desc, col("h1"), col("h2"))
+          .limit(headBigrams).withColumnRenamed("cb", "cb_head")
+        val tagged = docBi.join(broadcast(head), Seq("h1", "h2"), "left")
+        val hit = tagged.filter(col("cb_head").isNotNull)
+          .withColumn("cb", col("cb_head")).drop("cb_head")
+        val miss = tagged.filter(col("cb_head").isNull).drop("cb_head")
+          .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+        hit.unionByName(miss)
+      } else docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+    val withCu =
+      if (broadcastContexts) withCb.join(broadcast(cu), Seq("h1"), "left")
+      else withCb.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
+    val scored = withCu
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log(
         (coalesce(col("cb"), lit(0L)) + addK) /

@@ -275,9 +275,14 @@ object Dedup {
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
-    * embedding space, find near-duplicate pairs only WITHIN each cluster
-    * (cosine >= threshold), group them transitively, and keep exactly one
-    * representative per group. `keep` policy: "far" keeps the member
+    * embedding space, find near-duplicate pairs only WITHIN each cluster,
+    * group them transitively, and keep exactly one representative per
+    * group. Pair similarity is ALWAYS mapped cosine on the engine's
+    * [0, 1] scale — `(1 + cos) / 2 >= threshold`, via
+    * [[embeddingNearDup]] — regardless of `metric`, which affects only the
+    * clustering and the centroid-similarity keep ordering. To apply the
+    * paper's raw-cosine cutoff c, pass `threshold = (1 + c) / 2` (e.g.
+    * cosine 0.95 -> 0.975). `keep` policy: "far" keeps the member
     * farthest from its cluster centroid (the paper's choice — retains the
     * least prototypical example), "near" the closest, "min_id" the lowest
     * id (deterministic baseline).
@@ -285,9 +290,10 @@ object Dedup {
     * Scale shape: clustering bounds the candidate generation — the
     * pairwise stage is O(sum of cluster sizes squared), never corpus², and
     * nClusters grows with the corpus (the paper runs 50k clusters on LAION)
-    * to keep clusters ~constant-sized; grouping is the O(log diameter)
-    * large-star/small-star CC; the keeper choice is one window pass over
-    * group members. Centroid assignment and centroid similarity ride the
+    * to keep clusters ~constant-sized; `hubCap` bounds the residual risk of
+    * one mega-cluster going quadratic (star edges past the cap); grouping
+    * is the O(log diameter) large-star/small-star CC; the keeper choice is
+    * one window pass over group members. Centroid assignment and centroid similarity ride the
     * codegen expressions — the full-corpus passes stay narrow.
     *
     * Output: (id, cluster_id, c_sim, group_id, group_size, keep) for EVERY
@@ -300,7 +306,11 @@ object Dedup {
       threshold: Double,
       keep: String = "far",
       metric: String = "COSINE",
-      seed: Long = 1L): DataFrame = {
+      seed: Long = 1L,
+      /** Skew guard passed through to [[embeddingNearDup]]: clusters larger
+        * than this emit verified star edges instead of all pairs, so one
+        * mega-cluster cannot go quadratic. Default off (oracle-exact). */
+      hubCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(Set("far", "near", "min_id")(keep), s"unknown keep policy: $keep")
     val model = graft.index.Ivf.train(emb, vecCol, nClusters, metric, seed = seed)
@@ -315,7 +325,7 @@ object Dedup {
       .withColumn("c_sim", round(VectorFunctions.similarity(metric)(
         col("v").cast("array<double>"), col("centroid")), 9))
       .drop("centroid")
-    val pairs = embeddingNearDup(assigned, "id", "v", "cluster_id", threshold)
+    val pairs = embeddingNearDup(assigned, "id", "v", "cluster_id", threshold, hubCap)
     val groups = duplicateGroups(assigned.select("id"), "id", pairs)
     val keepOrder = keep match {
       case "far" => Seq(col("c_sim").asc, col("id").asc)
@@ -331,20 +341,50 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs within a blocking key (exact verify
     * path; the ANN module provides the LSH/IVF candidate path at scale).
-    * Output: (id1, id2, sim) with sim = (1+cos)/2 >= threshold. */
+    * Output: (id1, id2, sim) with sim = (1+cos)/2 >= threshold.
+    *
+    * `hubCap`: blocks larger than this switch from all-pairs (O(block²))
+    * to verified STAR edges (block-min id -> member, each still passing the
+    * similarity cutoff) — the same skew guard as [[minhashLsh]]'s, so one
+    * mega-block (a dense semantic cluster of boilerplate) cannot go
+    * quadratic. Star edges keep the block connected for
+    * [[duplicateGroups]]; members similar to each other but NOT to the hub
+    * can lose edges — the standard capped-blocking recall trade. Default
+    * off so the uncapped semantics stay oracle-exact. */
   def embeddingNearDup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      hubCap: Int = Int.MaxValue): DataFrame = {
 
     val base = emb.select(col(idCol).cast("long").as("id"), col(blockCol).as("blk"),
       col(vecCol).as("v"))
-    val l = base.select(col("blk"), col("id").as("id1"), col("v").as("v1"))
-    val r = base.select(col("blk"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, "blk")
-      .filter(col("id1") < col("id2"))
+    def allPairs(df: DataFrame): DataFrame = {
+      val l = df.select(col("blk"), col("id").as("id1"), col("v").as("v1"))
+      val r = df.select(col("blk"), col("id").as("id2"), col("v").as("v2"))
+      l.join(r, "blk").filter(col("id1") < col("id2"))
+    }
+    val joined =
+      if (hubCap == Int.MaxValue) allPairs(base)
+      else {
+        // block sizes aggregate on the SAME key as the join, so the
+        // exchange is reused — no extra shuffle of the embedding stream
+        val sizes = base.groupBy("blk")
+          .agg(count(lit(1)).as("__n"), min("id").as("__hub"))
+        val tagged = base.join(sizes, Seq("blk"))
+        val small = allPairs(tagged.filter(col("__n") <= hubCap).drop("__n", "__hub"))
+        val big = tagged.filter(col("__n") > hubCap)
+        // one hub row per oversize block: tiny — broadcast to the members
+        val hubs = big.filter(col("id") === col("__hub"))
+          .select(col("blk"), col("id").as("id1"), col("v").as("v1"))
+        val star = big.filter(col("id") =!= col("__hub"))
+          .select(col("blk"), col("id").as("id2"), col("v").as("v2"))
+          .join(broadcast(hubs), Seq("blk"))
+        small.unionByName(star)
+      }
+    joined
       .withColumn("sim", VectorFunctions.cosineSim(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))

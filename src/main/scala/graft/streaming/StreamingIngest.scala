@@ -64,8 +64,14 @@ object StreamingIngest {
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(sessionId: Int, lastUs: Long, n: Int, total: Double)
-  case class SessionOut(user_id: Long, session_id: Int, n: Int, total: Double)
+  case class SessionState(sessionId: Int, startUs: Long, lastUs: Long, n: Int, total: Double)
+  /** `session_id` is a per-user counter that is only unique within one
+    * state lifetime: after an event-time timeout evicts a quiet user's
+    * state, their next session restarts at 0. The collision-proof output
+    * key is `(user_id, session_start)` — the session's first event time,
+    * carried in state precisely so eviction cannot reset it. */
+  case class SessionOut(user_id: Long, session_id: Int,
+      session_start: java.sql.Timestamp, n: Int, total: Double)
 
   /** Watermark-correct sessionization via the built-in `session_window`
     * (dynamic-gap event-time sessions): late events within the watermark
@@ -91,7 +97,10 @@ object StreamingIngest {
     * the TRAILING session through an event-time timeout once the
     * watermark passes its gap (a user who goes quiet still gets their
     * last session emitted, and their state entry is REMOVED — without the
-    * timeout, per-user state grows forever on continuous ingest). Batch
+    * timeout, per-user state grows forever on continuous ingest). Because
+    * eviction resets the per-user counter, `session_id` alone is NOT a
+    * stable key on streams — join on `(user_id, session_start)` (see
+    * [[SessionOut]]). Batch
     * twin: RelationalQueries.eventsSessions (DuckDB-oracled). Assumes
     * in-order arrival ACROSS micro-batches (within a batch it sorts); for
     * out-of-order sources use [[sessionizeWindowed]]. */
@@ -113,17 +122,21 @@ object StreamingIngest {
             // trailing session is closed — emit it and drop the state
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(user, st.sessionId, st.n, st.total))
+            Iterator.single(SessionOut(user, st.sessionId,
+              new java.sql.Timestamp(st.startUs / 1000L), st.n, st.total))
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0.0))
+            var st = state.getOption.getOrElse(
+              SessionState(0, Long.MinValue, Long.MinValue, 0, 0.0))
             for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
               val us = e.ts.getTime * 1000L
               if (st.n > 0 && us - st.lastUs > gapUs) {
-                out += SessionOut(user, st.sessionId, st.n, st.total)
-                st = SessionState(st.sessionId + 1, us, 1, e.value)
+                out += SessionOut(user, st.sessionId,
+                  new java.sql.Timestamp(st.startUs / 1000L), st.n, st.total)
+                st = SessionState(st.sessionId + 1, us, us, 1, e.value)
               } else {
-                st = SessionState(st.sessionId, us, st.n + 1, st.total + e.value)
+                st = SessionState(st.sessionId,
+                  if (st.n == 0) us else st.startUs, us, st.n + 1, st.total + e.value)
               }
             }
             state.update(st)

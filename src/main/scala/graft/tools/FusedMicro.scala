@@ -6,9 +6,12 @@ import graft.index.Vamana
   * gathered flat-code path against the fused transposed neighbor-code
   * traversal ([[Vamana.searchTwoPhaseFused]]). Codebooks here are fake
   * (random centroids) - the measurement is about memory access patterns,
-  * not recall. Measured Aug 2026 on local[32]/Java 17: statistical tie at
-  * m=16, fused ~5% slower at m=8 - hence searchIndex defaults fusedAdc=off.
-  * args: [n] [dim] [m]. */
+  * not recall. Measured Aug 2026 on local[32]/Java 17, float-table Panama
+  * block kernel (adcBlockF, assembleAndSum shape): fused ~1.10-1.15x FASTER
+  * than gathered at m=8 and m=16 (previously ~5% slower with the
+  * double-gather kernel). Below the 1.3x bar for flipping the default, so
+  * searchIndex keeps fusedAdc=off; the bench line records
+  * pq_fused_qps/pq_gathered_qps each round. args: [n] [dim] [m]. */
 object FusedMicro {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 50000; val dim = if (args.length>1) args(1).toInt else 64; val m = if (args.length>2) args(2).toInt else 8; val kk = 256

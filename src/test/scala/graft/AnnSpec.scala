@@ -46,10 +46,21 @@ class AnnSpec extends SparkSpec {
     val want = KnnExact.knn(base, queries, 10, "COSINE")
     val r = recallOf(got, want)
     assert(r >= 0.95, s"recall@10 $r < 0.95")
-    // reference visited contract is <5.5% on its filtered workload; our
-    // unfiltered 10k single graph lands ~6-10%; assert a sane bound.
+    // Search effort: visited (nodes scored) scales ~linearly with the beam,
+    // so the contract must name its beam. The reference's effort contract
+    // (TestLowCardinalityFiltering.java:104-106, <5.5% visited) runs its
+    // beam AT topK (`search(ssp, topK, 0, bits)`); ef=64 is a 6.4x larger
+    // beam whose intrinsic work on 10k x 16d measures ~11%. Assert both:
+    // the production-beam bound at measured+margin, and the reference's own
+    // 5.5% at beam parity (also driver-gated via ann_effort).
     val visitedRatio = metrics.visitedRatioPerQuery(100)
-    assert(visitedRatio < 0.15, s"visited ratio $visitedRatio too high for a graph index")
+    assert(visitedRatio < 0.125, s"visited ratio $visitedRatio too high at ef=64")
+    assert(metrics.expanded.value <= metrics.visited.value,
+      "expanded (frontier pops) can never exceed visited (nodes scored)")
+    val (gotK, mK) = Ann.searchWithMetrics(base, queries, topK = 10, ef = 10, params)
+    val vK = mK.visitedRatioPerQuery(100)
+    assert(vK < 0.055, s"visited ratio $vK at beam=topK breaks the reference contract")
+    assert(recallOf(gotK, want) >= 0.9, "beam=topK recall floor")
   }
 
   test("multi-segment ANN (parallel build): recall@10 >= 0.95 on 10k x 16d") {
@@ -76,11 +87,19 @@ class AnnSpec extends SparkSpec {
     val want = KnnExact.knn(base.filter($"cls"), queries, 10, "COSINE")
     val r = recallOf(got, want)
     assert(r >= 0.95, s"filtered recall@10 $r < 0.95")
-    // search effort must stay index-like, not scan-like. The beam expands
-    // until ef ACCEPTED results are found, so at ~50% selectivity visited
-    // is ~2x the unfiltered bound (reference's 5.5% uses different graphs).
+    // Effort, both beams (see the unfiltered test for the scaling argument):
+    // at ef=64 the accept filter costs ~1.6x the unfiltered beam (the result
+    // heap only fills with accepted nodes, so expansion runs longer) —
+    // measured ~18%; at the reference's contract beam (= topK) the SAME
+    // filtered workload meets the reference's own <5.5% bound
+    // (TestLowCardinalityFiltering.java:104-106).
     val visitedRatio = metrics.visitedRatioPerQuery(50)
-    assert(visitedRatio < 0.25, s"filtered visited ratio $visitedRatio too high")
+    assert(visitedRatio < 0.20, s"filtered visited ratio $visitedRatio too high at ef=64")
+    val (gotK, mK) = Ann.searchWithMetrics(base.coalesce(1), queries, topK = 10, ef = 10,
+      params, acceptCol = Some("cls"))
+    val vK = mK.visitedRatioPerQuery(50)
+    assert(vK < 0.055, s"filtered visited ratio $vK at beam=topK breaks the reference contract")
+    assert(recallOf(gotK, want) >= 0.9, "beam=topK filtered recall floor")
   }
 
   test("two-phase in-graph search: PQ-ADC beam + exact rerank, recall >= 0.9") {
@@ -147,8 +166,11 @@ class AnnSpec extends SparkSpec {
     }
     val fused = run(true)
     val gathered = run(false)
-    // the fused block accumulates each neighbor's subspaces in the same
-    // order as the gathered loop, so scores — and results — are bit-equal
+    // the fused traversal runs on FLOAT table partials (reference
+    // assembleAndSum shape), so approx scores differ from the gathered
+    // double path in low-order bits — but the rerankK=60 candidate margin
+    // absorbs that and survivors rerank EXACTLY, so the emitted rows
+    // (ids AND scores) still match bit-for-bit on this fixture
     assert(fused === gathered, "fused and gathered two-phase paths must be identical")
     assert(fused.nonEmpty)
     // identity must hold under merge-on-read tombstones too (the live
@@ -1020,5 +1042,33 @@ class AnnSpec extends SparkSpec {
     assert(top.length === 2)
     assert(top(0)._2 === 5L && top(0)._3 > 0.999, s"full-res batch miss: ${top(0)}")
     assert(top(1)._2 === 1005L && top(1)._3 > 0.99, s"NVQ batch miss: ${top(1)}")
+  }
+
+  test("SegmentCache evicts by BYTES: large segments stay under a configured budget") {
+    val tmp = java.nio.file.Files.createTempDirectory("annbudget").toString
+    // 8 segments x 1000 rows x 64d floats: ~0.3 MB resident each
+    val base = randVectors(8000, 64, seed = 77).toDF("id", "vec").repartition(8)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 8, beamWidth = 32,
+      segmentRows = 0)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(4, 64, seed = 78).toDF("qid", "qvec")
+    val prevBudget = Ann.SegmentCache.maxBytes
+    try {
+      Ann.clearSegmentCache()
+      Ann.SegmentCache.maxBytes = 600 * 1024 // fits ~2 segments, not 8
+      val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 5, 32, params)
+      assert(got.groupBy("qid").count().count() === 4L, "results unaffected by eviction")
+      val resident = Ann.SegmentCache.currentBytes
+      assert(resident > 0L, "cache must hold something after a search")
+      // bound: budget + in-flight slack (an insert never evicts itself, and
+      // local[4] can be mid-insert on up to 4 entries concurrently)
+      assert(resident <= Ann.SegmentCache.maxBytes + 4L * 400L * 1024L,
+        s"resident $resident exceeds budget ${Ann.SegmentCache.maxBytes} + slack")
+      // the full tree (~2.4 MB) must NOT be resident — eviction really ran
+      assert(resident < 8L * 300L * 1024L, s"no eviction happened: $resident bytes resident")
+    } finally {
+      Ann.SegmentCache.maxBytes = prevBudget
+      Ann.clearSegmentCache()
+    }
   }
 }

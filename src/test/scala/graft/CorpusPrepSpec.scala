@@ -307,6 +307,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(x(101L) > x(100L))
   }
 
+  test("lmCrossEntropy: head-broadcast split is exact vs the unsplit join on Zipfian text") {
+    import spark.implicits._
+    // Zipf-ish: token w_k drawn with weight ~ 1/(k+1); a small head of
+    // bigrams carries most of the occurrence mass, so the split activates
+    val rnd = new scala.util.Random(11)
+    def tok(): String = "w" + math.min((1.0 / math.max(rnd.nextDouble(), 1e-6) - 1).toInt, 40)
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill(30)(tok()).mkString(" "))).toDF("doc_id", "text")
+    def run(head: Int) =
+      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", headBigrams = head)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    // head smaller than the distinct-bigram count but covering most mass:
+    // the split activates (coverage >= 0.5) AND the miss branch carries
+    // real tail traffic
+    val split = run(1024)
+    val plain = run(0)
+    assert(split === plain, "head/tail routing must not change any score")
+  }
+
   test("bpeishTokens: letter/digit/punct runs split; whitespace dropped") {
     import spark.implicits._
     import graft.functions.TextFunctions

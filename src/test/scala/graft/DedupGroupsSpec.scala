@@ -186,4 +186,35 @@ class DedupGroupsSpec extends SparkSpec {
         < ms.find(!_.getBoolean(2)).get.getLong(1))
     }
   }
+
+  test("semantic/embeddingNearDup hubCap: a planted mega-cluster emits O(n) star pairs, still one keeper") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // one mega-cluster of 600 near-identical vectors + 50 scattered points
+    val hub = Array.fill(8)(rnd.nextFloat())
+    val mega = (0L until 600L).map { i =>
+      (i, hub.map(x => x + rnd.nextFloat() * 1e-4f).toSeq)
+    }
+    val scatter = (1000L until 1050L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 10 - 5).toSeq)
+    }
+    val emb = (mega ++ scatter).toDF("id", "vec")
+    // uncapped would emit ~600*599/2 = 179k pairs for the mega-cluster;
+    // the cap bounds it to star edges (<= members - 1 per oversize block)
+    val capped = operators.Dedup.semantic(emb, "id", "vec",
+      nClusters = 8, threshold = 0.999, hubCap = 64)
+    val megaRows = capped.filter(col("id") < 600L).collect()
+    assert(megaRows.map(_.getAs[Long]("group_id")).distinct.length === 1,
+      "star edges must keep the mega-cluster one connected group")
+    assert(megaRows.count(_.getAs[Boolean]("keep")) === 1, "exactly one keeper survives")
+    // the pair relation itself is provably linear in the block size
+    val assigned = emb.select(col("id"), col("vec").as("v"), lit(0).as("blk"))
+    val pairs = operators.Dedup.embeddingNearDup(
+      assigned.filter(col("id") < 600L), "id", "v", "blk", 0.999, hubCap = 64)
+    assert(pairs.count() === 599L, "oversize block must emit exactly (members - 1) star pairs")
+    // and uncapped semantics are unchanged for blocks under the cap
+    val smallPairs = operators.Dedup.embeddingNearDup(
+      assigned.filter(col("id") >= 1000L), "id", "v", "blk", 0.0, hubCap = 64)
+    assert(smallPairs.count() === 50L * 49 / 2, "under-cap blocks keep all-pairs semantics")
+  }
 }

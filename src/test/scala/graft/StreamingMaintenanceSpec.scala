@@ -103,11 +103,24 @@ class StreamingMaintenanceSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData((2L, 4L, ts(501), 1.0)) // one more batch so timeouts fire
     q.processAllAvailable()
+    mem.addData((1L, 5L, ts(600), 4.0)) // user 1 RETURNS after eviction
+    q.processAllAvailable()
+    mem.addData((2L, 6L, ts(1200), 1.0)) // advance watermark past the gap
+    q.processAllAvailable()
+    mem.addData((2L, 7L, ts(1201), 1.0)) // one more batch so timeouts fire
+    q.processAllAvailable()
     q.stop()
-    val u1 = spark.sql("SELECT session_id, n, total FROM sess_to WHERE user_id = 1")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    assert(u1.toSeq === Seq((0, 2, 3.0)),
+    val u1 = spark.sql(
+      "SELECT session_id, session_start, n, total FROM sess_to WHERE user_id = 1 ORDER BY session_start")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getInt(2), r.getDouble(3)))
+    assert(u1.length === 2, s"expected the original + the post-eviction session, got ${u1.toSeq}")
+    assert((u1(0)._1, u1(0)._3, u1(0)._4) === ((0, 2, 3.0)),
       s"user 1's trailing session must close by timeout, got ${u1.toSeq}")
+    // state eviction RESET the counter — both sessions carry session_id 0;
+    // the collision-proof key is (user_id, session_start), which differs
+    assert(u1(1)._1 === 0 && u1(1)._3 === 1 && u1(1)._4 === 4.0)
+    assert(u1(0)._2.getTime === ts(100).getTime && u1(1)._2.getTime === ts(600).getTime,
+      "session_start must carry each session's first event time across evictions")
   }
 
   test("session_window sessionization is out-of-order-safe: late event bridges two sessions") {
