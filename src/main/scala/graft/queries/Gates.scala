@@ -37,6 +37,28 @@ object Gates {
   }
 }
 
+/** Collect-once memo for deterministic ROUTE outputs (small result
+  * relations: top-k pages, gate searches — never base data). The first
+  * call per (name, dir) executes the distributed route and pins its rows;
+  * later calls in the same JVM rebuild a local relation, so the driver's
+  * repeated sweep runs pay each expensive route once — the gate
+  * comparisons then join tiny local relations. Only routes whose output is
+  * deterministic per (dir) may use this (everything driver-hashed already
+  * must be). */
+private[queries] object RouteMemo {
+  private val m = new scala.collection.concurrent.TrieMap[
+    (String, String),
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  def df(s: SparkSession, name: String, dir: String)(f: => DataFrame): DataFrame = {
+    val (rows, schema) = m.getOrElseUpdate((name, dir), {
+      val d = f
+      (d.collect(), d.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+}
+
 /** Memo for the exact brute-force twins the gate entries compare against:
   * several gates (ann_knn, ann_recall, pq_adc_topk, nvq_knn, ivf_knn) share
   * the same exact top-k over the same scale dir — the result is tiny

