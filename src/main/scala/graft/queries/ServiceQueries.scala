@@ -130,6 +130,101 @@ object ServiceQueries {
     * ivecs file. Bounded driver work: <= 2000 rows x 64 floats. */
   private val vecsFixtures = new TrieMap[String, (String, Long)]()
 
+  // ------------------------------------------------------------- IPC wire
+
+  private val ipcGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
+
+  /** The reference's WIRE protocol (`IPCService.java` — newline-delimited
+    * verbs over a unix socket, OK/ERROR/RESULT responses) run end-to-end
+    * against [[graft.service.IpcServer]]: a real socket client CREATEs a
+    * session index, WRITEs the first 120 embedding vectors as text
+    * literals, OPTIMIZEs, SEARCHes the gate queries, and reads MEMORY.
+    * Result ids are insertion ordinals (the reference's contract), mapped
+    * back to vec_ids driver-side for the exact-twin compare. */
+  private def ipcLifecycle(s: SparkSession, dir: String): DataFrame =
+    Gates.df(s, ipcGateMemo.getOrElseUpdate(dir, ipcLifecycleGates(s, dir)))
+
+  private def ipcLifecycleGates(s: SparkSession, dir: String): Seq[(String, Double, Boolean)] = {
+    import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets
+    val emb = Tables.embeddings(s, dir)
+    val rows = emb.orderBy("vec_id")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .limit(120)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ordToId = rows.map(_._1) // insertion ordinal -> vec_id
+    val root = java.nio.file.Files.createTempDirectory("graft_ipcg").toString
+    val sock = s"/tmp/graft_ipcg_${System.nanoTime() % 1000000}.sock"
+    val srv = new graft.service.IpcServer(s, root, sock)
+    try {
+      val ch = java.nio.channels.SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sock))
+      val pendingIn = new StringBuilder
+      val buf = ByteBuffer.allocate(1 << 16)
+      def send(line: String): String = {
+        val out = ByteBuffer.wrap((line + "\n").getBytes(StandardCharsets.UTF_8))
+        while (out.hasRemaining) ch.write(out)
+        var nl = pendingIn.indexOf("\n")
+        while (nl < 0 && ch.read(buf) != -1) {
+          buf.flip(); pendingIn.append(StandardCharsets.UTF_8.decode(buf)); buf.clear()
+          nl = pendingIn.indexOf("\n")
+        }
+        val resp = pendingIn.substring(0, nl)
+        pendingIn.delete(0, nl + 1)
+        resp
+      }
+      val dim = rows(0)._2.length
+      val createdOk = send(s"CREATE $dim COSINE 32 100") == "OK"
+      // Float.toString round-trips exactly through parseFloat
+      val writeOk = rows.grouped(16).forall { g =>
+        send("WRITE " + g.map(_._2.mkString("[", ",", "]")).mkString(" ")) == "OK"
+      }
+      val earlySearchErrs = send("SEARCH 64 1 " + rows(0)._2.mkString("[", ",", "]"))
+        .startsWith("ERROR")
+      val optimizeOk = send("OPTIMIZE") == "OK"
+      val qs = queries0(s, dir)
+        .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val resp = send(s"SEARCH 64 $k " + qs.map(_._2.mkString("[", ",", "]")).mkString(" "))
+      val searched = resp.startsWith("RESULT ")
+      val got: Map[Long, Set[Long]] =
+        if (!searched) Map.empty
+        else resp.stripPrefix("RESULT ").split(" ").zipWithIndex.map { case (l, i) =>
+          val ids = l.stripPrefix("[").stripSuffix("]").split(",").filter(_.nonEmpty)
+            .map(o => ordToId(o.toInt)).toSet
+          qs(i)._1 -> ids
+        }.toMap
+      import s.implicits._
+      val subset = rows.map { case (id, v) => (id, v.toSeq) }.toSeq.toDF("vec_id", "embedding")
+      val exact = KnnExact.knn(subset, queries0(s, dir), k, "COSINE", "vec_id", "embedding")
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val hits = exact.map { case (q, want) =>
+        got.get(q).map(_.intersect(want).size).getOrElse(0) }.sum
+      val rec = hits.toDouble / math.max(1, exact.map(_._2.size).sum)
+      val memOk = send("MEMORY") match {
+        case m if m.startsWith("RESULT ") => m.stripPrefix("RESULT ").toLong > 0L
+        case _ => false
+      }
+      val badVerbErrs = send("NOPE x").startsWith("ERROR")
+      ch.close()
+      Seq(
+        ("ipc_lifecycle_verbs_ok", 1.0, createdOk && writeOk && optimizeOk && searched),
+        ("ipc_search_before_optimize_errors", 1.0, earlySearchErrs),
+        ("ipc_search_recall_ge_0.9", 0.9, rec >= 0.9),
+        ("ipc_memory_positive", 1.0, memOk),
+        ("ipc_bad_verb_errors_conn_survives", 1.0, badVerbErrs))
+    } finally srv.close()
+  }
+
+  private val ipcLifecycleSql: String = Gates.sql(Seq(
+    ("ipc_lifecycle_verbs_ok", 1.0),
+    ("ipc_search_before_optimize_errors", 1.0),
+    ("ipc_search_recall_ge_0.9", 0.9),
+    ("ipc_memory_positive", 1.0),
+    ("ipc_bad_verb_errors_conn_survives", 1.0)))
+
   private val vecsGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
 
   private def vecsSource(s: SparkSession, dir: String): DataFrame = {
@@ -262,11 +357,13 @@ object ServiceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "service_lifecycle" -> (serviceLifecycle _),
+    "ipc_lifecycle" -> (ipcLifecycle _),
     "vecs_source" -> (vecsSource _),
     "stream_dedup" -> (streamDedup _))
 
   def oracles: Map[String, String] = Map(
     "service_lifecycle" -> serviceLifecycleSql,
+    "ipc_lifecycle" -> ipcLifecycleSql,
     "vecs_source" -> vecsSourceSql,
     "stream_dedup" -> streamDedupSql)
 }
