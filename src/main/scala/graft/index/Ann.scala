@@ -1820,10 +1820,17 @@ object Ann {
       case None => spark.emptyDataset[Long].toDF("__del")
     }
     val delB = spark.sparkContext.broadcast(delDf.as[Long].collect().toSet)
-    // live rows per source segment (small: one row per segment)
-    val liveCounts: Array[(String, Long)] = raw
-      .join(broadcast(delDf), raw("node_id") === col("__del"), "left_anti")
-      .groupBy("seg").count().as[(String, Long)].collect()
+    // ONE metadata-light pass computes every per-segment statistic the
+    // planner needs: total rows, dead rows (-> live counts for bin packing,
+    // dirty flags for carried eligibility)
+    val segStats: Array[(String, Long, Long)] = raw
+      .select(col("seg"), col("node_id"))
+      .join(broadcast(delDf), col("node_id") === col("__del"), "left")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("total"), count(col("__del")).as("dead"))
+      .as[(String, Long, Long)].collect()
+    val liveCounts: Array[(String, Long)] =
+      segStats.map { case (s, t, d) => (s, t - d) }
     val target = if (p.segmentRows > 0) p.segmentRows.toLong
                  else math.max(1L, liveCounts.map(_._2).sum)
     val groupOf = binPackSegments(liveCounts, target)
@@ -1832,17 +1839,37 @@ object Ann {
       writeBuildToken(spark, outPath)
       return CompactStats("merge", 0L, 0L, 0L)
     }
-    // PQ retrain (same contract as rebuild mode): fresh codebook over the
-    // merged live distribution; ALL output rows re-encode under it.
+    // PQ model (same contract as rebuild mode, where buildIndex trains when
+    // no sidecar exists): retrain the source codebook at its (m, k) over
+    // the merged live distribution, or train FRESH at (p.pqM, p.pqK) for a
+    // codeless source tree; ALL output rows re-encode under it.
     val liveRows = raw.join(broadcast(delDf), raw("node_id") === col("__del"), "left_anti")
     val retrained: Option[graft.operators.PQModel] =
-      if (p.pqM > 0) loadAnySidecar(spark, inPath).map { base =>
-        graft.operators.PQ.retrain(liveRows, "vec", "seg", base)
-      } else None
+      if (p.pqM > 0) Some(loadAnySidecar(spark, inPath)
+        .map(base => graft.operators.PQ.retrain(liveRows, "vec", "seg", base))
+        .getOrElse(graft.operators.PQ.train(liveRows, "vec", p.pqM, p.pqK)))
+      else None
     val retB = spark.sparkContext.broadcast(retrained)
     val visitedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.visited")
     val reusedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.reusedEdges")
-    val carriedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.carried")
+    // carried segments resolve DRIVER-SIDE (single-source bin, no
+    // tombstones): their rows take a NARROW copy path below — no shuffle —
+    // while only the dirty/small data pays the repartition. At scale the
+    // clean bulk of the tree is most of the bytes, so skipping its shuffle
+    // is most of the compaction wall time.
+    val deadSegs: Set[String] =
+      segStats.collect { case (s, _, d) if d > 0 => s }.toSet
+    val carriedSegs: Set[String] = groupOf.toSeq.groupBy(_._2).values
+      .collect { case Seq((seg, _)) if !deadSegs(seg) => seg }.toSet
+    // partition-pruning seg filters: with a hive `seg=` layout an In-list
+    // on the partition column prunes whole directories at plan time, so
+    // the carried branch reads ONLY carried dirs and the merge branch ONLY
+    // dirty dirs — together one read of the tree, not two. Very large seg
+    // lists fall back to a broadcast semi-join (no pruning, plan stays
+    // bounded).
+    def segFilter(df: DataFrame, segs: Set[String]): DataFrame =
+      if (segs.size <= 4096) df.filter(col("seg").isin(segs.toSeq.sorted: _*))
+      else df.join(broadcast(segs.toSeq.toDF("seg")), Seq("seg"), "left_semi")
     // normalize optional columns so legacy trees share one row shape
     val hasNvqIn = raw.columns.contains("nvq_code")
     val c0 = if (raw.columns.contains("pq_code")) raw
@@ -1855,9 +1882,12 @@ object Ann {
                else c2.withColumn("nvq_code", lit(null).cast("array<int>"))
                  .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
                  .withColumn("nvq_bits", lit(0))
-    val grpDf = groupOf.toSeq.toDF("seg", "__grp")
-    val merged = norm
-      .join(broadcast(grpDf), "seg") // inner: fully-dead segments drop here
+    // only the DIRTY/small bins route through the grouped shuffle; the seg
+    // filter prunes the scan to exactly their directories
+    val mergeSegs = groupOf.keySet.diff(carriedSegs)
+    val grpDf = groupOf.view.filterKeys(mergeSegs).toSeq.toDF("seg", "__grp")
+    val merged = segFilter(norm, mergeSegs)
+      .join(broadcast(grpDf), "seg")
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("seg_centroid").cast("array<float>"),
@@ -1879,16 +1909,7 @@ object Ann {
         }
         it.toArray.groupBy(_._13).iterator.flatMap { case (_, grpRows) =>
           val bySrc = grpRows.groupBy(_._1).toArray.sortBy(_._1)
-          val anyDead = grpRows.exists(r => dels.contains(r._3))
-          if (bySrc.length == 1 && !anyDead) {
-            // carried wholesale: the graph is already right-sized and clean —
-            // zero construction work (the streaming-scale economics)
-            carriedAcc.add(1)
-            grpRows.iterator.map { r =>
-              (r._1, r._2, r._3, if (r._9 != null) null else r._4, r._5, r._6,
-                r._7, encode(r._4), r._9, r._10, r._11, r._12)
-            }
-          } else {
+          locally {
             // per-source graph assembly (adjacency restore, no rebuild)
             val srcs = bySrc.map { case (_, rows) =>
               val sorted = rows.sortBy(_._2)
@@ -1935,8 +1956,6 @@ object Ann {
               }
               val g = new Vamana(mergedVecs, p.metric, p.maxDegree,
                 p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
-              val vc = new Vamana.VisitCounter
-              var reused = 0L
               // cross-source search sizing = the reference's formula
               // (OnDiskGraphIndexCompactor.java:60-64,873-874): per-source
               // topK shrinks as source count grows — the merged candidate
@@ -1945,44 +1964,73 @@ object Ann {
               val xTopK = math.max(2, ((p.maxDegree + nSrcs - 1) / nSrcs) * 4)
               val xBeam = math.max(p.maxDegree, xTopK) * 2
               val cands = new Array[Array[Long]](nLive)
-              var u = 0
-              while (u < nLive) {
-                val (sSrc, sLoc) = liveRef(u)
-                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-                // same-source: existing adjacency, scored but never searched
-                val sc = g.exactScorer(mergedVecs(u))
-                val (sorted, sg, alive) = srcs(sSrc)
-                val nbrs = sg.neighbors(sLoc)
-                var i = 0
-                while (i < nbrs.length) {
-                  val nb = nbrs(i)
-                  if (alive(nb)) {
-                    buf += LongHeap.pack(sc(mergedOf(sSrc)(nb)), mergedOf(sSrc)(nb))
-                    reused += 1
-                  }
-                  i += 1
-                }
-                // cross-source: beam search each OTHER source graph
-                var tj = 0
-                while (tj < srcs.length) {
-                  if (tj != sSrc) {
-                    val (_, tg, tAlive) = srcs(tj)
-                    val found = tg.search(mergedVecs(u), xTopK, xBeam,
-                      l2 => tAlive(l2), vc)
-                    var fi = 0
-                    while (fi < found.length) {
-                      buf += LongHeap.pack(found(fi)._2, mergedOf(tj)(found(fi)._1))
-                      fi += 1
+              // candidate gathering is read-only on the source graphs and
+              // per-node independent — the one compaction phase that
+              // parallelizes trivially, so buildThreads applies here just
+              // as it does to buildIndex (the reference compactor likewise
+              // gathers on a thread pool, OnDiskGraphIndexCompactor's
+              // per-node Scratch workers). Per-worker counters, summed.
+              def gatherRange(lo: Int, hi: Int): (Long, Long) = {
+                val vc = new Vamana.VisitCounter
+                var reused = 0L
+                var u = lo
+                while (u < hi) {
+                  val (sSrc, sLoc) = liveRef(u)
+                  val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                  // same-source: existing adjacency, scored but never searched
+                  val sc = g.exactScorer(mergedVecs(u))
+                  val (_, sg, alive) = srcs(sSrc)
+                  val nbrs = sg.neighbors(sLoc)
+                  var i = 0
+                  while (i < nbrs.length) {
+                    val nb = nbrs(i)
+                    if (alive(nb)) {
+                      buf += LongHeap.pack(sc(mergedOf(sSrc)(nb)), mergedOf(sSrc)(nb))
+                      reused += 1
                     }
+                    i += 1
                   }
-                  tj += 1
+                  // cross-source: beam search each OTHER source graph
+                  var tj = 0
+                  while (tj < srcs.length) {
+                    if (tj != sSrc) {
+                      val (_, tg, tAlive) = srcs(tj)
+                      val found = tg.search(mergedVecs(u), xTopK, xBeam,
+                        l2 => tAlive(l2), vc)
+                      var fi = 0
+                      while (fi < found.length) {
+                        buf += LongHeap.pack(found(fi)._2, mergedOf(tj)(found(fi)._1))
+                        fi += 1
+                      }
+                    }
+                    tj += 1
+                  }
+                  cands(u) = buf.toArray
+                  u += 1
                 }
-                cands(u) = buf.toArray
-                u += 1
+                (vc.n, reused)
               }
+              val threads = math.max(1, p.buildThreads)
+              val (gVisited, gReused) =
+                if (threads <= 1 || nLive < 4096) gatherRange(0, nLive)
+                else {
+                  val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+                  try {
+                    val chunk = (nLive + threads - 1) / threads
+                    val futs = (0 until threads).map { t =>
+                      pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+                        def call(): (Long, Long) =
+                          gatherRange(t * chunk, math.min(nLive, (t + 1) * chunk))
+                      })
+                    }
+                    futs.map(_.get()).foldLeft((0L, 0L)) {
+                      case ((a, b), (c, d)) => (a + c, b + d)
+                    }
+                  } finally pool.shutdown()
+                }
               g.buildFromCandidates(cands)
-              visitedAcc.add(vc.n)
-              reusedAcc.add(reused)
+              visitedAcc.add(gVisited)
+              reusedAcc.add(gReused)
               val newSeg = java.util.UUID.nameUUIDFromBytes(
                 (0 until nLive).map(i => srcs(liveRef(i)._1)._1(liveRef(i)._2)._3)
                   .mkString(",").getBytes).toString
@@ -2009,10 +2057,39 @@ object Ann {
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
         "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
     merged.write.mode("overwrite").partitionBy("seg").parquet(outPath)
+    // carried segments: NARROW copy (scan -> map -> write, no shuffle) —
+    // graphs, local ids, hierarchy, centroids all transfer unchanged; only
+    // PQ codes re-encode when a retrained codebook exists (codes from the
+    // old codebooks cannot mix with the merged bins' fresh codes)
+    if (carriedSegs.nonEmpty) {
+      val carried = segFilter(norm, carriedSegs)
+        .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+          col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
+          col("is_entry"), col("seg_centroid").cast("array<float>"),
+          col("pq_code").cast("array<int>"), col("nvq_code").cast("array<int>"),
+          col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"),
+          col("upper_nbrs").cast("array<array<int>>"))
+        .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Float],
+          Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]])]
+        .mapPartitions { it =>
+          val ret = retB.value
+          val encode: Array[Float] => Array[Int] = v => ret match {
+            case Some(m) => m.encodeOne(v.map(_.toDouble))
+            case None => null
+          }
+          it.map { r =>
+            (r._1, r._2, r._3, if (r._9 != null) null else r._4, r._5, r._6,
+              r._7, encode(r._4), r._9, r._10, r._11, r._12)
+          }
+        }
+        .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
+          "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
+      carried.write.mode("append").partitionBy("seg").parquet(outPath)
+    }
     retrained.foreach(mm => graft.operators.PQ.save(spark, mm, s"$outPath/_pq_model"))
     writeBuildToken(spark, outPath)
     unpin(outPath)
-    CompactStats("merge", visitedAcc.value, reusedAcc.value, carriedAcc.value)
+    CompactStats("merge", visitedAcc.value, reusedAcc.value, carriedSegs.size.toLong)
   }
 
   /** Rescore rebuild (jvector `GraphIndexBuilder.rescore`,

@@ -130,6 +130,20 @@ class CompactMergeSpec extends SparkSpec {
     assert(got.groupBy("qid").count().select(min("count")).head().getLong(0) === 10L)
   }
 
+  test("merge with pqM > 0 on a CODELESS source trains a fresh codebook (rebuild parity)") {
+    val dir = tmpDir()
+    val plain = params.copy(segmentRows = 10000) // no PQ in the source tree
+    twoBatches(dir, plain)
+    val p = plain.copy(pqM = 4, pqK = 16)
+    Ann.compact(spark, s"$dir/idx/*", s"$dir/out", p)
+    val m = graft.operators.PQ.load(spark, s"$dir/out/_pq_model")
+    assert(m.m === 4, "fresh codebook trained at the requested (m, k)")
+    assert(Ann.readIndex(spark, s"$dir/out").filter(col("pq_code").isNull).count() === 0L)
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Ann.searchIndex(spark, s"$dir/out", queries, 10, 64, p, rerankK = 40)
+    assert(got.groupBy("qid").count().select(min("count")).head().getLong(0) === 10L)
+  }
+
   test("mixed compaction: clean big batch carries, dirty small batches merge") {
     val dir = tmpDir()
     val p = params.copy(segmentRows = 10000)
