@@ -181,6 +181,11 @@ public final class PanamaKernels implements VectorKernels {
   }
 
   @Override
+  public boolean wideGather() {
+    return true;
+  }
+
+  @Override
   public String name() {
     return "panama-" + S.length() + "f";
   }

@@ -66,6 +66,14 @@ public interface VectorKernels extends java.io.Serializable {
                  int[] block, int deg, int m,
                  float[] dAcc, float[] mAcc);
 
+  /**
+   * True when {@link #adcBlockF} gathers with wide SIMD lanes, making
+   * whole-block scoring (visited columns included) cheaper than packing the
+   * unvisited survivors first. The scalar fallback returns false: for it,
+   * whole-block is strictly more lookups, so callers should pack survivors.
+   */
+  default boolean wideGather() { return false; }
+
   /** Implementation tag for logs/specs (e.g. "scalar", "panama-16f"). */
   String name();
 }

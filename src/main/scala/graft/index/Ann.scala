@@ -109,7 +109,16 @@ object Ann {
       }
       e
     }
-    def clear(): Unit = { m.clear(); totalBytes.set(0L) }
+    def clear(): Unit = {
+      // entry-by-entry removal keeps the byte accounting consistent with
+      // concurrent inserts (a wholesale m.clear() + set(0) pair would lose
+      // or double-count entries landing between the two operations)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (m.remove(e.getKey, e.getValue)) totalBytes.addAndGet(-e.getValue.approxBytes)
+      }
+    }
   }
 
   /** Task-visible query batch: small batches ride the task closure
@@ -1835,8 +1844,11 @@ object Ann {
                  else math.max(1L, liveCounts.map(_._2).sum)
     val groupOf = binPackSegments(liveCounts, target)
     if (groupOf.isEmpty) {
-      // nothing alive: write an empty tree footprint (token only)
+      // nothing alive: write an empty tree footprint (token only) — and
+      // drop any pinned materialization of outPath, like every other
+      // mutation path, so a warm serving pin cannot resurrect old rows
       writeBuildToken(spark, outPath)
+      unpin(outPath)
       return CompactStats("merge", 0L, 0L, 0L)
     }
     // PQ model (same contract as rebuild mode, where buildIndex trains when

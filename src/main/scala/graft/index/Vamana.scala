@@ -246,11 +246,17 @@ final class Vamana(
       while (improved) {
         improved = false
         var best = scorer(cur)
-        if (vc != null) vc.expanded += 1
-        for (nb <- layer.getOrElse(cur, Array.empty[Int])) {
-          val s = scorer(nb)
-          visits += 1
-          if (s > best) { best = s; cur = nb; improved = true }
+        val lst = layer.getOrElse(cur, Array.empty[Int])
+        // empty adjacency = nothing iterated = not an expansion: keeps the
+        // expanded <= visited invariant (every real expansion here scores
+        // its whole list, so it contributes >= 1 visit)
+        if (lst.nonEmpty) {
+          if (vc != null) vc.expanded += 1
+          for (nb <- lst) {
+            val s = scorer(nb)
+            visits += 1
+            if (s > best) { best = s; cur = nb; improved = true }
+          }
         }
       }
       l -= 1
@@ -514,6 +520,9 @@ final class Vamana(
     // scratch accumulators sized to the max degree seen (reused per expansion)
     var dAcc = new Array[Float](maxDegree * 2)
     var mAcc = new Array[Float](maxDegree * 2)
+    var colIdx = new Array[Int](maxDegree * 2)
+    var packedCodes = new Array[Int](maxDegree * 2 * m)
+    val wide = kernels.wideGather()
     val entry = descendScored(scoreOne, vc)
     cand.push(LongHeap.pack(scoreOne(entry), entry))
     visited.set(entry)
@@ -536,31 +545,69 @@ final class Vamana(
         if (deg > 0) {
           if (dAcc.length < deg) {
             dAcc = new Array[Float](deg); mAcc = new Array[Float](deg)
+            colIdx = new Array[Int](deg); packedCodes = new Array[Int](deg * m)
           }
-          // whole-block accumulate, visited columns included — exactly the
-          // reference's fused traversal (SIMD scores the entire neighbor
-          // block in one pass; per-column register accumulators across all
-          // m subspaces). Column selection happens AFTER scoring: with the
-          // float gather at 2x lanes the whole block costs less than the
-          // old per-subspace double gather over survivors did. Mid-beam
-          // many blocks are FULLY visited — detect that first and skip the
-          // gather entirely.
-          var any = false
-          var j = 0
-          while (j < deg && !any) { if (!visited.get(nbrs(j))) any = true; j += 1 }
-          if (any) {
-            kernels.adcBlockF(dotsF, magsF, kk, fused(c), deg, m, dAcc, mAcc)
-            j = 0
+          if (wide) {
+            // whole-block accumulate, visited columns included — exactly
+            // the reference's fused traversal (SIMD scores the entire
+            // neighbor block in one pass; per-column register accumulators
+            // across all m subspaces). Column selection happens AFTER
+            // scoring: at 2x gather lanes the whole block costs less than
+            // packing survivors first. Mid-beam many blocks are FULLY
+            // visited — detect that and skip the gather entirely.
+            var any = false
+            var j = 0
+            while (j < deg && !any) { if (!visited.get(nbrs(j))) any = true; j += 1 }
+            if (any) {
+              kernels.adcBlockF(dotsF, magsF, kk, fused(c), deg, m, dAcc, mAcc)
+              j = 0
+              while (j < deg) {
+                val nb = nbrs(j)
+                if (!visited.get(nb)) {
+                  visited.set(nb)
+                  visits += 1
+                  val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
+                  if (res.size < ef || sc > LongHeap.score(res.top))
+                    cand.push(LongHeap.pack(sc, nb))
+                }
+                j += 1
+              }
+            }
+          } else {
+            // scalar fallback: whole-block scoring is strictly more
+            // lookups, so pack the UNVISITED survivors' codes (stride
+            // nCols, subspace-major) and score only those — the pre-SIMD
+            // economics this path always had
+            var nCols = 0
+            var j = 0
             while (j < deg) {
               val nb = nbrs(j)
               if (!visited.get(nb)) {
                 visited.set(nb)
-                visits += 1
-                val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
-                if (res.size < ef || sc > LongHeap.score(res.top))
-                  cand.push(LongHeap.pack(sc, nb))
+                colIdx(nCols) = j
+                nCols += 1
               }
               j += 1
+            }
+            visits += nCols
+            if (nCols > 0) {
+              val block = fused(c)
+              var s = 0
+              while (s < m) {
+                var jj = 0
+                while (jj < nCols) {
+                  packedCodes(s * nCols + jj) = block(s * deg + colIdx(jj)); jj += 1
+                }
+                s += 1
+              }
+              kernels.adcBlockF(dotsF, magsF, kk, packedCodes, nCols, m, dAcc, mAcc)
+              j = 0
+              while (j < nCols) {
+                val sc = adcCombine(adcMetric, dAcc(j), mAcc(j), qNormSq)
+                if (res.size < ef || sc > LongHeap.score(res.top))
+                  cand.push(LongHeap.pack(sc, nbrs(colIdx(j))))
+                j += 1
+              }
             }
           }
         }

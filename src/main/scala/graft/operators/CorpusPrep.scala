@@ -492,8 +492,8 @@ object CorpusPrep {
     // context counts derive from the bigram table (sum over h2) — same
     // values as re-counting the corpus, one corpus pass + shuffle cheaper
     val cu = cb.groupBy("h1").agg(sum(col("cb")).as("cu"))
-    // vocab size rides a broadcast 1-row aggregate — no driver action, the
-    // whole model stays one lazy plan the caller can cache/checkpoint
+    // vocab size rides a broadcast 1-row aggregate (the count model itself
+    // materialized above; scoring stays one lazy plan over it)
     val vocab = ref
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vv"))
@@ -509,23 +509,27 @@ object CorpusPrep {
     // occurrences). On flat distributions the hit branch would be near
     // empty while the plan still evaluates the doc stream twice — so the
     // operator PROBES coverage on the (checkpointed, model-sized) count
-    // table and falls back to the single shuffled join below 50%.
+    // table and falls back to the single shuffled join below 50%. The
+    // probe (and the checkpoint) make this method EAGER over the reference
+    // corpus at call time; the returned scoring plan itself stays lazy.
+    val head =
+      if (headBigrams <= 0) null
+      else cb.orderBy(col("cb").desc, col("h1"), col("h2"))
+        .limit(headBigrams).localCheckpoint() // selected once: probe + join
+    def sumCb(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cb"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null sum: zero-bigram corpus
+    }
     val headCoverage: Double =
-      if (headBigrams <= 0) 0.0
+      if (head == null) 0.0
       else {
-        val total = cb.agg(sum(col("cb"))).head().getLong(0)
-        if (total == 0L) 0.0
-        else {
-          val headMass = cb.orderBy(col("cb").desc, col("h1"), col("h2"))
-            .limit(headBigrams).agg(sum(col("cb"))).head().getLong(0)
-          headMass.toDouble / total
-        }
+        val total = sumCb(cb)
+        if (total == 0L) 0.0 else sumCb(head).toDouble / total
       }
     val withCb =
       if (headCoverage >= 0.5) {
-        val head = cb.orderBy(col("cb").desc, col("h1"), col("h2"))
-          .limit(headBigrams).withColumnRenamed("cb", "cb_head")
-        val tagged = docBi.join(broadcast(head), Seq("h1", "h2"), "left")
+        val tagged = docBi.join(
+          broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
         val hit = tagged.filter(col("cb_head").isNotNull)
           .withColumn("cb", col("cb_head")).drop("cb_head")
         val miss = tagged.filter(col("cb_head").isNull).drop("cb_head")

@@ -166,7 +166,9 @@ object ServiceQueries {
         val out = ByteBuffer.wrap((line + "\n").getBytes(StandardCharsets.UTF_8))
         while (out.hasRemaining) ch.write(out)
         var nl = pendingIn.indexOf("\n")
-        while (nl < 0 && ch.read(buf) != -1) {
+        while (nl < 0) {
+          // surface a dropped connection as a diagnostic, not a substring OOB
+          require(ch.read(buf) != -1, s"IPC server closed the connection during: $line")
           buf.flip(); pendingIn.append(StandardCharsets.UTF_8.decode(buf)); buf.clear()
           nl = pendingIn.indexOf("\n")
         }
