@@ -1898,6 +1898,12 @@ object Ann {
     // filter prunes the scan to exactly their directories
     val mergeSegs = groupOf.keySet.diff(carriedSegs)
     val grpDf = groupOf.view.filterKeys(mergeSegs).toSeq.toDF("seg", "__grp")
+    // shuffle sized to the BIN count, not the session default: with the
+    // default shuffle-partition count several ~segmentRows-sized bins can
+    // hash-collide into one task; with nBins partitions collisions are
+    // rare, and sortWithinPartitions + the streaming group iterator below
+    // bound the task heap to ONE bin even when they do collide.
+    val nBins = math.max(1, groupOf.view.filterKeys(mergeSegs).values.toSet.size)
     val merged = segFilter(norm, mergeSegs)
       .join(broadcast(grpDf), "seg")
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
@@ -1906,7 +1912,8 @@ object Ann {
         col("pq_code").cast("array<int>"), col("nvq_code").cast("array<int>"),
         col("nvq_params").cast("array<array<double>>"), col("nvq_bits").cast("int"),
         col("upper_nbrs").cast("array<array<int>>"), col("__grp").cast("int"))
-      .repartition(col("__grp"))
+      .repartition(nBins, col("__grp"))
+      .sortWithinPartitions(col("__grp"), col("seg"), col("local_id"))
       .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Float],
         Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Int)]
       .mapPartitions { it =>
@@ -1919,7 +1926,25 @@ object Ann {
           case Some(m) => m.encodeOne(v.map(_.toDouble))
           case None => null
         }
-        it.toArray.groupBy(_._13).iterator.flatMap { case (_, grpRows) =>
+        // rows arrive sorted by __grp (sortWithinPartitions above): stream
+        // one bin at a time so the task heap never holds more than a single
+        // bin's vectors+adjacency+codes, even if bins hash-collide
+        type R = (String, Int, Long, Array[Float], Array[Int], Boolean, Array[Float],
+          Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Int)
+        // NOTE: named rowsIt, not `buffered` — inside the anonymous
+        // Iterator subclass an outer val named `buffered` would be shadowed
+        // by the inherited Iterator.buffered method
+        val rowsIt: scala.collection.BufferedIterator[R] = it.buffered
+        val binIter: Iterator[Array[R]] = new scala.collection.AbstractIterator[Array[R]] {
+          def hasNext: Boolean = rowsIt.hasNext
+          def next(): Array[R] = {
+            val grp = rowsIt.head._13
+            val buf = scala.collection.mutable.ArrayBuffer.empty[R]
+            while (rowsIt.hasNext && rowsIt.head._13 == grp) buf += rowsIt.next()
+            buf.toArray
+          }
+        }
+        binIter.flatMap { grpRows =>
           val bySrc = grpRows.groupBy(_._1).toArray.sortBy(_._1)
           locally {
             // per-source graph assembly (adjacency restore, no rebuild)

@@ -462,7 +462,15 @@ object CorpusPrep {
         * vocabularies), turning the second corpus-scale shuffled join into
         * a map-side lookup. Disable for degenerate corpora whose vocabulary
         * is corpus-sized (e.g. unique-token ids). */
-      broadcastContexts: Boolean = true): DataFrame = {
+      broadcastContexts: Boolean = true,
+      /** Known head occurrence-coverage of the reference corpus. When
+        * supplied, the call-time coverage PROBE is skipped and constructing
+        * the scoring plan triggers NO Spark jobs (API hygiene: the method
+        * is fully lazy — the model tables are `persist()`ed, so they still
+        * materialize once, at the first action). When None, the operator
+        * probes coverage eagerly at call time (documented below) to decide
+        * the routing adaptively. Routing never changes the numbers. */
+      headCoverage: Option[Double] = None): DataFrame = {
     require(addK > 0, s"addK must be > 0, got $addK")
     // bigram identity travels as 60-bit md5 keys (the repo's hashed-
     // shingle convention): the count tables and the scoring join carry one
@@ -483,12 +491,14 @@ object CorpusPrep {
         key60(md5(col("b.w1"))).as("h1"),
         key60(md5(concat_ws(" ", col("b.w1"), col("b.w2")))).as("h2"))
     val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
-    // the count model materializes ONCE (localCheckpoint: executor-resident,
-    // lineage truncated): it feeds the scoring join, the context derivation,
-    // AND the head-coverage probe — without it each consumer re-tokenizes
-    // the whole reference corpus
+    // the count model materializes ONCE (persist: executor-resident, model-
+    // sized): it feeds the scoring join, the context derivation, AND the
+    // head-coverage probe — without it each consumer re-tokenizes the whole
+    // reference corpus. persist() (not localCheckpoint) keeps the call LAZY
+    // when `headCoverage` is supplied: materialization rides the first
+    // action instead of plan construction.
     val cb = refBi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // context counts derive from the bigram table (sum over h2) — same
     // values as re-counting the corpus, one corpus pass + shuffle cheaper
     val cu = cb.groupBy("h1").agg(sum(col("cb")).as("cu"))
@@ -503,51 +513,79 @@ object CorpusPrep {
     val docBi = bigramsOf(docs)
     // bigram-count lookup, head/tail split: the head rides a broadcast and
     // resolves map-side; misses (rare tail + unseen) are the only rows that
-    // shuffle. Head selection is deterministic (count desc, key tiebreak).
-    // ADAPTIVE: the split only pays when the head actually concentrates
-    // occurrence mass (Zipfian text: a few 100k bigrams cover most
-    // occurrences). On flat distributions the hit branch would be near
-    // empty while the plan still evaluates the doc stream twice — so the
-    // operator PROBES coverage on the (checkpointed, model-sized) count
-    // table and falls back to the single shuffled join below 50%. The
-    // probe (and the checkpoint) make this method EAGER over the reference
-    // corpus at call time; the returned scoring plan itself stays lazy.
+    // shuffle on the bigram key. Head selection is deterministic (count
+    // desc, key tiebreak). ADAPTIVE: the split only pays when the head
+    // actually concentrates occurrence mass (Zipfian text: a few 100k
+    // bigrams cover most occurrences) — below 50% coverage the single
+    // shuffled join wins. Coverage comes from the `headCoverage` parameter
+    // when supplied (fully lazy call), else from a call-time PROBE over the
+    // (persisted, model-sized) count table — the one eager path, flagged in
+    // the param scaladoc.
     val head =
       if (headBigrams <= 0) null
       else cb.orderBy(col("cb").desc, col("h1"), col("h2"))
-        .limit(headBigrams).localCheckpoint() // selected once: probe + join
+        .limit(headBigrams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sumCb(df: DataFrame): Long = {
       val r = df.agg(sum(col("cb"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null sum: zero-bigram corpus
     }
-    val headCoverage: Double =
+    val coverage: Double = headCoverage.getOrElse {
       if (head == null) 0.0
       else {
         val total = sumCb(cb)
         if (total == 0L) 0.0 else sumCb(head).toDouble / total
       }
-    val withCb =
-      if (headCoverage >= 0.5) {
-        val tagged = docBi.join(
-          broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
-        val hit = tagged.filter(col("cb_head").isNotNull)
-          .withColumn("cb", col("cb_head")).drop("cb_head")
-        val miss = tagged.filter(col("cb_head").isNull).drop("cb_head")
-          .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
-        hit.unionByName(miss)
-      } else docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
-    val withCu =
-      if (broadcastContexts) withCb.join(broadcast(cu), Seq("h1"), "left")
-      else withCb.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
-    val scored = withCu
+    }
+    // scoring pieces shared by both routes
+    def withCuOf(df: DataFrame): DataFrame =
+      if (broadcastContexts) df.join(broadcast(cu), Seq("h1"), "left")
+      else df.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
+    def lpOf(df: DataFrame): DataFrame = withCuOf(df)
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log(
         (coalesce(col("cb"), lit(0L)) + addK) /
           (coalesce(col("cu"), lit(0L)) + lit(addK) * col("vv"))))
-    scored
+    // per-doc partial: the (pos, lp) list + non-null-pos count. Lists merge
+    // across routes by concat + sort_array, so the final fixed-order fold
+    // is IDENTICAL to the single-route plan (bit-equal scores).
+    def partialOf(df: DataFrame): DataFrame = lpOf(df)
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ls"),
-        count(col("pos")).as("n_bigrams"))
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("ls"),
+        count(col("pos")).as("nb"))
+    val perDoc =
+      if (head != null && coverage >= 0.5) {
+        // tokenize-ONCE routing: tag head membership map-side, then funnel
+        // both branches through a single doc_id exchange. The hit and miss
+        // branches filter the SAME repartitioned frame, so the exchange
+        // subtree (scan + tokenize + md5 + broadcast head join) is planned
+        // twice but EXECUTED once (ReusedExchange) — the doc stream pays
+        // one tokenization pass, and the hit branch's groupBy(doc_id)
+        // rides the same exchange with no further shuffle.
+        val tagged = docBi.join(
+          broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
+          .repartition(col("doc_id"))
+        val hit = tagged.filter(col("cb_head").isNotNull)
+          .withColumn("cb", col("cb_head")).drop("cb_head")
+        // only the rare tail + unseen shuffle on the bigram key; their
+        // per-doc partial is small and joins back on doc_id
+        val miss = tagged.filter(col("cb_head").isNull).drop("cb_head")
+          .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+        val emptyLs = array().cast("array<struct<pos:int,lp:double>>")
+        partialOf(hit).withColumnsRenamed(Map("ls" -> "ls_h", "nb" -> "nb_h"))
+          .join(partialOf(miss).withColumnsRenamed(Map("ls" -> "ls_m", "nb" -> "nb_m")),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            sort_array(concat(coalesce(col("ls_h"), emptyLs),
+              coalesce(col("ls_m"), emptyLs))).as("ls"),
+            (coalesce(col("nb_h"), lit(0L)) + coalesce(col("nb_m"), lit(0L)))
+              .as("n_bigrams"))
+      } else {
+        partialOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
+          .select(col("doc_id"), sort_array(col("ls")).as("ls"),
+            col("nb").as("n_bigrams"))
+      }
+    perDoc
       .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
         when(col("n_bigrams") === 0, lit(0.0)).otherwise(round(
           -aggregate(col("ls"), lit(0.0), (acc, x) => acc + x.getField("lp"))

@@ -41,7 +41,7 @@ object AnnQueries {
     val res = RouteMemo.df(s, "ann_knn", dir) {
       Ann.search(Tables.embeddings(s, dir), queries0(s, dir), k, ef = 64,
         annParams, baseId = "vec_id", baseVec = "embedding")
-    }.cache()
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy("rank")
     val badShape = res.withColumn("prev", lag(col("score"), 1).over(w))
       .groupBy("qid").agg(
@@ -68,7 +68,7 @@ object AnnQueries {
       Ann.search(emb.withColumn("accept", col("label") === 3), queries0(s, dir), k,
         ef = 64, annParams, baseId = "vec_id", baseVec = "embedding",
         acceptCol = Some("accept"))
-    }.cache()
+    }
     val violations = res.join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
       .filter(col("label") =!= 3).count()
     val rec = recallOf(res, exactKnn(s, dir, k, labelFilter = Some(3)))
@@ -180,7 +180,7 @@ object AnnQueries {
         leftId = "vec_id", leftVec = "embedding",
         rightId = "vec_id", rightVec = "embedding", excludeSelf = true,
         saltBuckets = 8)
-    }.cache()
+    }
     val twinRows = selfJoinTwins.getOrElseUpdate(dir, {
       // exact twin: brute-force self-join top-5 excluding self
       val b = KnnExact.spreadSmall(
@@ -591,8 +591,8 @@ object AnnQueries {
         rerankK = 60, shareRerankFloor = false, fusedAdc = fused)
         .select("qid", "rank", "nid", "score")
     }
-    val f = run(true).cache()
-    val g = run(false).cache()
+    val f = run(true)
+    val g = run(false)
     val identical = f.count() == g.count() &&
       f.join(g, Seq("qid", "rank", "nid", "score"), "left_anti").count() == 0
     val rec = recallOf(f, exactKnn(s, dir))
@@ -679,7 +679,7 @@ object AnnQueries {
     def gatesFor(tag: String, tree: String): (Long, Double, Long) = {
       val res = RouteMemo.df(s, s"lifecycle_$tag", dir) {
         Ann.searchIndex(s, tree, queries0(s, dir), k, 64, annParams)
-      }.cache()
+      }
       val resurrected = res.filter(col("nid").isin(dels: _*)).count()
       val rec = recallOf(res, exact)
       val rows = lifecycleRowCounts.getOrElseUpdate((dir, tag),

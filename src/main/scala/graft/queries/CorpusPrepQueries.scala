@@ -29,7 +29,9 @@ object CorpusPrepQueries {
   private val chunkStride = chunkSize - chunkOverlap
 
   private def docChunks(s: SparkSession, dir: String): DataFrame =
-    CorpusPrep.chunk(Tables.documents(s, dir), "doc_id", "text", chunkSize, chunkOverlap)
+    RouteMemo.df(s, "doc_chunks", dir) {
+      CorpusPrep.chunk(Tables.documents(s, dir), "doc_id", "text", chunkSize, chunkOverlap)
+    }
 
   private val docChunksSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -229,10 +231,14 @@ object CorpusPrepQueries {
 
   /** Model trained on the corpus itself, each doc scored against it — the
     * self-scoring quality signal (outlier docs score high). */
-  private def lmXent(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", lmAddK)
-  }
+  private def lmXent(s: SparkSession, dir: String): DataFrame =
+    RouteMemo.df(s, "lm_xent", dir) {
+      // the model build + coverage probe are eager and model-sized — the
+      // memo pins the (doc-count-sized) result so repeated sweep runs pay
+      // the train/probe once per scale dir
+      val docs = Tables.documents(s, dir)
+      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", lmAddK)
+    }
 
   private val lmXentSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -53,7 +53,15 @@ private[queries] object RouteMemo {
   def df(s: SparkSession, name: String, dir: String)(f: => DataFrame): DataFrame = {
     val (rows, schema) = m.getOrElseUpdate((name, dir), {
       val d = f
-      (d.collect(), d.schema)
+      val out = (d.collect(), d.schema)
+      // routes that .cache() inside the thunk (plan-capture double actions)
+      // are scoped to this one memo fill — release the block-manager entry
+      // now that the rows are pinned driver-side (no-op when uncached).
+      // Callers must NOT re-cache the returned relation: it is rebuilt from
+      // local rows per call, so caching it just leaks one block-manager
+      // entry per sweep iteration.
+      d.unpersist()
+      out
     })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }

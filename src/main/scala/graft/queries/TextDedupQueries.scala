@@ -97,7 +97,9 @@ object TextDedupQueries {
   // ---------------- dedup ----------------
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    RouteMemo.df(s, "dedup_exact", dir) {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    }
 
   private val dedupExactSql: String =
     s"""WITH fp AS (SELECT doc_id AS id, md5(array_to_string($toksSql, ' ')) AS fp FROM documents),

@@ -52,16 +52,39 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
     val buffered = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[IpcServer])
+
   private val thread = new Thread(() => {
+    // consecutive ACCEPT failures (connection-level errors reset it):
+    // a persistent server.accept() failure — deleted socket file, FD
+    // exhaustion — must back off, not busy-spin at 100% CPU
+    var acceptFailures = 0
     while (running) {
       var conn: SocketChannel = null
-      try {
-        conn = server.accept()
-        serveConnection(conn)
-      } catch {
-        case _: Throwable if !running => // closed during shutdown
-        case _: Throwable => // connection-level failure; keep serving
-      } finally if (conn != null) conn.close()
+      val accepted =
+        try { conn = server.accept(); acceptFailures = 0; true }
+        catch {
+          case _: Throwable if !running => false // closed during shutdown
+          case e: java.nio.channels.ClosedChannelException =>
+            // unplanned channel close: the loop can never accept again
+            log.error("IPC server channel closed unexpectedly; stopping", e)
+            running = false; false
+          case e: Throwable =>
+            acceptFailures += 1
+            log.warn(s"IPC accept failed ($acceptFailures consecutive)", e)
+            if (acceptFailures >= 3)
+              try Thread.sleep(math.min(1000L << math.min(acceptFailures - 3, 4), 5000L))
+              catch { case _: InterruptedException => running = false }
+            false
+        }
+      if (accepted) {
+        try serveConnection(conn)
+        catch {
+          case _: Throwable if !running => // closed during shutdown
+          case e: Throwable =>
+            log.warn("IPC connection terminated with error; continuing to serve", e)
+        } finally if (conn != null) conn.close()
+      }
     }
   }, "graft-ipc-accept")
   thread.setDaemon(true)
@@ -120,8 +143,13 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
         "OK"
       case "WRITE" =>
         require(ctx.created, "CREATE first")
-        args.trim.split("\\s+").filter(_.nonEmpty).foreach { v =>
-          ctx.buffered += ((ctx.nextId, parseVec(v, ctx.dim)))
+        // parse the WHOLE line before mutating session state: a malformed
+        // vector mid-line must leave buffered/nextId untouched, or the
+        // insertion-ordinal id contract SEARCH results rely on silently
+        // shifts under the earlier vectors of the rejected line
+        val parsed = args.trim.split("\\s+").filter(_.nonEmpty).map(parseVec(_, ctx.dim))
+        parsed.foreach { v =>
+          ctx.buffered += ((ctx.nextId, v))
           ctx.nextId += 1
         }
         "OK"

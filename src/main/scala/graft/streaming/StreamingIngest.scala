@@ -103,7 +103,14 @@ object StreamingIngest {
     * [[SessionOut]]). Batch
     * twin: RelationalQueries.eventsSessions (DuckDB-oracled). Assumes
     * in-order arrival ACROSS micro-batches (within a batch it sorts); for
-    * out-of-order sources use [[sessionizeWindowed]]. */
+    * out-of-order sources use [[sessionizeWindowed]].
+    *
+    * STATE-COMPATIBILITY NOTE: [[SessionState]] gained `startUs` (and
+    * [[SessionOut]] `session_start`) when the collision-proof key landed —
+    * the flatMapGroupsWithState state encoding changed, so a stream
+    * resuming from a checkpoint written BEFORE that change fails to
+    * deserialize its state (and downstream consumers see the new output
+    * schema). Restart such streams from a FRESH checkpoint location. */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int = 30,
       watermark: String = "2 hours")
       : org.apache.spark.sql.Dataset[SessionOut] = {

@@ -97,7 +97,7 @@ object CorpusScaleBench {
       f"[corpus-scale]   $nBins bins, avg fill $avgFill%.1f/$cap (${100 * avgFill / cap}%.1f%%), $under under-half")
 
     // 4. LM scoring (self-trained; gibberish docs must land in the worst tail)
-    val xent = timed("lmXent") {
+    val xent = timed("lmXent-flat") {
       CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text").localCheckpoint()
     }
     val cut = xent.stat.approxQuantile("xent", Array(0.998), 0.0001)(0)
@@ -106,6 +106,32 @@ object CorpusScaleBench {
     System.err.println(
       s"[corpus-scale]   worst-0.2% cut $cut: catches $caught/$gibberish planted gibberish docs")
     assert(caught >= gibberish * 9L / 10, s"only $caught/$gibberish gibberish docs in tail")
+
+    // 5. LM scoring on a ZIPFIAN corpus — the distribution the head split
+    // targets (real text; the flat corpus above is its worst case, where
+    // the adaptive probe falls back to the single shuffled join). Token
+    // rank ~ floor(V * u^6): the top-2^18 bigram head covers ~70-80% of
+    // occurrence mass at this shape, so the split activates. Measured both
+    // ways so the head path's benefit is a recorded number, plus a route-
+    // exactness check at full scale.
+    val zdocs = spark.range(nDocs)
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+          i => concat(lit("z"), floor(lit(vocab.toDouble) * pow(
+            pmod(xxhash64(col("id"), i, lit(7)), lit(1L << 40)).cast("double")
+              / lit((1L << 40).toDouble), lit(6.0))).cast("long")))))
+      .select(col("id").as("doc_id"), col("text"))
+      .localCheckpoint()
+    val zSplit = timed("lmXent-zipf") {
+      CorpusPrep.lmCrossEntropy(zdocs, zdocs, "doc_id", "text").localCheckpoint()
+    }
+    val zPlain = timed("lmXent-zipf-unsplit") {
+      CorpusPrep.lmCrossEntropy(zdocs, zdocs, "doc_id", "text", headBigrams = 0)
+        .localCheckpoint()
+    }
+    val routeDiff = zSplit.join(zPlain, Seq("doc_id", "n_bigrams", "xent"), "left_anti").count()
+    assert(routeDiff == 0L, s"$routeDiff docs differ between split and unsplit routes")
+    System.err.println(s"[corpus-scale]   zipf routes agree on all $nDocs docs")
     spark.stop()
   }
 }
