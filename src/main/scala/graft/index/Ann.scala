@@ -637,6 +637,14 @@ object Ann {
       .repartitionByRange(nlist, col("cluster_id"), col(baseId))
       .drop("cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
+    // routable marker: segment centroids are informative, so [[AutoProbe]]
+    // (the searchIndex default) may engage centroid routing on this tree
+    val spark = base.sparkSession
+    val root = path.stripSuffix("/*").stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_clustered"), true)
+    try out.write("clustered".getBytes("UTF-8")) finally out.close()
   }
 
   /** Search a persisted index: co-locate each segment's rows, rebuild the
@@ -650,7 +658,10 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
-      probeSegments: Int = 0,
+      /** Segments probed per query: >0 explicit, 0 exhaustive, [[AutoProbe]]
+        * (default) = ~sqrt(segments) on clustered trees / exhaustive
+        * otherwise — the scale-safe serving default. */
+      probeSegments: Int = AutoProbe,
       metrics: Option[SearchMetrics] = None,
       /** >0 runs the two-phase search: beam on PQ-ADC approx scores (needs
         * an index built with pqM > 0), exact rerank of rerankK survivors. */
@@ -695,7 +706,7 @@ object Ann {
     // query searches only its probeSegments nearest segment centroids —
     // at 100 TB this is what keeps per-query work sublinear in segment
     // count. Centroids are one tiny row per segment.
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
     val withDel = withLiveCol(raw, deletes)
     val withLive = accepts match {
       case Some(a) =>
@@ -1048,7 +1059,9 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Option[DataFrame] = None,
-      probeSegments: Int = 0,
+      /** See [[searchIndex]]: [[AutoProbe]] default routes on clustered
+        * trees, exhaustive otherwise. */
+      probeSegments: Int = AutoProbe,
       /** >0 pages on PQ-ADC approx scores (needs a pqM > 0 tree) with exact
         * rerank of each segment's page survivors. 0 = exact traversal. */
       rerankK: Int = 0): DataFrame = {
@@ -1066,7 +1079,7 @@ object Ann {
     // exactly like the top-k route
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
@@ -1400,7 +1413,7 @@ object Ann {
     // warm-serving via pin, exactly like the paged/top-k routes
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
@@ -1503,23 +1516,61 @@ object Ann {
       raw: DataFrame,
       qArr: Array[(Long, Array[Float])],
       p: Params,
-      probeSegments: Int): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] =
-    if (probeSegments > 0 && raw.columns.contains("seg_centroid")) {
-      val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
-        .select(col("seg"), col("seg_centroid"))
-        .collect()
-        .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
-      val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-      qArr.indices.foreach { qi =>
-        cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
-          .sortBy { case (s, sc) => (-sc, s) }
-          .take(math.min(probeSegments, cents.length))
-          .foreach { case (s, _) =>
-            m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
+      probeSegments: Int,
+      path: String): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] = {
+    val auto = probeSegments == AutoProbe
+    if ((probeSegments > 0 || auto) && raw.columns.contains("seg_centroid")) {
+      // AUTO engages only on trees built locality-aligned
+      // ([[buildIndexClustered]]'s `_clustered` marker): on hash/arrival-
+      // partitioned segments every centroid sits near the global mean, so
+      // centroid routing would prune near-arbitrary segments and silently
+      // drop recall. Unmarked trees stay exhaustive under AUTO.
+      if (auto && !isClusteredTree(spark, path)) None
+      else {
+        val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
+          .select(col("seg"), col("seg_centroid"))
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+        // calibrated default: probe ~ sqrt(segments) keeps per-query work
+        // sublinear in segment count while recall stays gated >= 0.95 on
+        // clustered corpora (the `ann_routed` gate); when probing would
+        // cover every segment anyway, skip the routing machinery entirely
+        val eff =
+          if (auto) math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+          else probeSegments
+        if (eff >= cents.length) None
+        else {
+          val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          qArr.indices.foreach { qi =>
+            cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
+              .sortBy { case (s, sc) => (-sc, s) }
+              .take(eff)
+              .foreach { case (s, _) =>
+                m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
+              }
           }
+          Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
+        }
       }
-      Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
     } else None
+  }
+
+  /** Sentinel for `probeSegments`: route each query to ~sqrt(segments)
+    * nearest segment centroids WHEN the tree is locality-aligned (built by
+    * [[buildIndexClustered]]); exhaustive otherwise. The serving default —
+    * a 100 TB tree must not default to scanning every segment, and a
+    * randomly-segmented tree must not default to recall-lossy routing. */
+  val AutoProbe: Int = -1
+
+  /** True iff `path` carries the `_clustered` marker written by
+    * [[buildIndexClustered]] — segments are cluster-aligned and their
+    * centroids are informative for routing. */
+  private def isClusteredTree(spark: SparkSession, path: String): Boolean =
+    try {
+      val base = path.stripSuffix("/*").stripSuffix("/")
+      val mp = new org.apache.hadoop.fs.Path(s"$base/_clustered")
+      mp.getFileSystem(spark.sessionState.newHadoopConf()).exists(mp)
+    } catch { case _: Exception => false }
 
   /** Fresh accumulators for searchIndex's optional metrics. */
   def newMetrics(spark: SparkSession): SearchMetrics =
@@ -1592,7 +1643,7 @@ object Ann {
       ef: Int,
       params: Params = Params(),
       deletes: Array[Long] = Array.empty,
-      probeSegments: Int = 0,
+      probeSegments: Int = AutoProbe,
       rerankK: Int = 0): DataFrame = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(graft.plans.KnnIndexStrategy))

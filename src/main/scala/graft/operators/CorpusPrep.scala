@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashExpressions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators: chunking documents into
@@ -429,9 +429,12 @@ object CorpusPrep {
     * with a KenLM n-gram model, keep the low-perplexity tail). Where
     * CCNet queries an in-process KenLM binary, the scale-out form IS the
     * corpus: bigram/context counts are DataFrames, scoring is an
-    * equi-join, and the per-doc log-prob sum is a FIXED-ORDER fold over
-    * token positions (never a float `sum()` — partial-aggregation order
-    * would make the score run-dependent).
+    * equi-join, and the per-doc log-prob sum is a FIXED-POINT integer sum
+    * (each ln P rounds to a 1e-12-granular long; long addition is
+    * associative, so the aggregation is partial/map-side AND bit-
+    * deterministic under any partitioning — never a float `sum()`, whose
+    * combine order would make the score run-dependent). The 5e-13 absolute
+    * quantization on the mean is invisible at the 6-decimal output.
     *
     *   P(w2 | w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)
     *   xent(doc)  = -(1/n) · Σ ln P — lower = more like `ref`.
@@ -449,13 +452,12 @@ object CorpusPrep {
       idCol: String,
       textCol: String,
       addK: Double = 0.5,
-      /** Broadcast the `headBigrams` most frequent bigrams of the model and
-        * score their occurrences map-side; only occurrences OUTSIDE the
-        * head go through the shuffled join. On a Zipfian corpus the head
-        * covers most of the token mass, so the shuffle shrinks from
-        * corpus-scale to the rare tail (the numbers are EXACT either way —
-        * the split is pure routing). 0 disables the split (one shuffled
-        * join over the full stream). */
+      /** Head size target for the OPT-IN broadcast-head split (see
+        * `headCoverage`): bigrams above a count threshold T (chosen from
+        * the count histogram so the head stays <= this many rows) score
+        * map-side; only tail occurrences travel through the shuffled model
+        * join. The numbers are EXACT either way — routing only. 0 disables
+        * the split regardless of `headCoverage`. */
       headBigrams: Int = 1 << 18,
       /** Broadcast the context-count table (one row per distinct first
         * token, i.e. vocab-sized — tens of MB even for multi-million-token
@@ -463,14 +465,24 @@ object CorpusPrep {
         * a map-side lookup. Disable for degenerate corpora whose vocabulary
         * is corpus-sized (e.g. unique-token ids). */
       broadcastContexts: Boolean = true,
-      /** Known head occurrence-coverage of the reference corpus. When
-        * supplied, the call-time coverage PROBE is skipped and constructing
-        * the scoring plan triggers NO Spark jobs (API hygiene: the method
-        * is fully lazy — the model tables are `persist()`ed, so they still
-        * materialize once, at the first action). When None, the operator
-        * probes coverage eagerly at call time (documented below) to decide
-        * the routing adaptively. Routing never changes the numbers. */
-      headCoverage: Option[Double] = None): DataFrame = {
+      /** OPT-IN switch for the broadcast-head split: supply the corpus's
+        * known head occurrence-coverage; >= 0.5 engages the split. The
+        * DEFAULT (None) is the single shuffled join, and the call is then
+        * FULLY LAZY — constructing the scoring plan triggers no Spark jobs
+        * (the model tables `persist()` and materialize at the first
+        * action). Measured at 1M docs x 60 tokens on local[32] (zipf-ish,
+        * head coverage 0.73): plain join 34s, head-split fork 75s — the
+        * fork's second evaluation of the doc stream plus broadcast-probe
+        * cost exceeds the join shuffle it avoids on a single node, so the
+        * split is for network-bound clusters where shuffle bytes dominate,
+        * and the caller must assert it. Routing never changes the
+        * numbers (spec-gated bit-equality between routes). */
+      headCoverage: Option[Double] = None,
+      /** Explicit head threshold: bigrams with count >= this are the
+        * broadcast head. Supplied together with `headCoverage` it makes the
+        * split route fully lazy; when None the threshold derives from the
+        * count histogram (targeting <= `headBigrams` head rows). */
+      headMinCount: Option[Long] = None): DataFrame = {
     require(addK > 0, s"addK must be > 0, got $addK")
     // bigram identity travels as 60-bit md5 keys (the repo's hashed-
     // shingle convention): the count tables and the scoring join carry one
@@ -486,10 +498,14 @@ object CorpusPrep {
           .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
             i => struct(element_at(col("toks"), i + 1).as("w1"),
               element_at(col("toks"), i + 2).as("w2")))).as("bs"))
-      .select(col("doc_id"), posexplode_outer(col("bs")).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), explode_outer(col("bs")).as("b"))
+      .select(col("doc_id"),
         key60(md5(col("b.w1"))).as("h1"),
-        key60(md5(concat_ws(" ", col("b.w1"), col("b.w2")))).as("h2"))
+        // concat_ws SKIPS nulls (returning "", not null), so the sub-2-token
+        // docs' outer row must null h2 explicitly — h2 is the bigram-count
+        // key AND the per-doc bigram counter
+        key60(md5(when(col("b").isNotNull,
+          concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
     val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
     // the count model materializes ONCE (persist: executor-resident, model-
     // sized): it feeds the scoring join, the context derivation, AND the
@@ -507,89 +523,100 @@ object CorpusPrep {
     val vocab = ref
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).cast("double").as("vv"))
-    // hash-join hint: the count tables are model-sized (bounded by distinct
-    // bigrams); building their hash maps beats sorting the corpus-sized
-    // scored stream, which is what SMJ would do
     val docBi = bigramsOf(docs)
+    // ln P quantized to a 1e-12 fixed-point long: integer sums are
+    // associative, so per-doc aggregation is map-side partial AND exactly
+    // deterministic; |lp| <= ~50, so |lpf| <= 5e13 and a doc needs > 1.8e5
+    // tokens per-row average to approach Long overflow (docs that long
+    // should be chunked far upstream). The DuckDB twin applies the
+    // IDENTICAL round(ln(..) * 1e12) expression.
+    val SCALE = 1e12
+    // floor(x + 0.5), NOT round(x, 0): Spark's Round on doubles goes
+    // through BigDecimal per row (~500ns) — at 60M bigrams that alone is
+    // ~30s; floor stays inside whole-stage codegen. The DuckDB twin uses
+    // the IDENTICAL floor(x + 0.5) expression, so ties (measure-zero on
+    // md5-derived data) agree too.
+    def lpFixed(cbCol: Column, cuCol: Column): Column =
+      floor(log((coalesce(cbCol, lit(0L)) + addK) /
+        (coalesce(cuCol, lit(0L)) + lit(addK) * col("vv"))) * SCALE + lit(0.5))
+        .cast("long")
+    def finish(perDoc: DataFrame): DataFrame = perDoc
+      .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(round(
+          -(col("s").cast("double") / SCALE) / col("n_bigrams"), 6)).as("xent"))
     // bigram-count lookup, head/tail split: the head rides a broadcast and
-    // resolves map-side; misses (rare tail + unseen) are the only rows that
-    // shuffle on the bigram key. Head selection is deterministic (count
-    // desc, key tiebreak). ADAPTIVE: the split only pays when the head
-    // actually concentrates occurrence mass (Zipfian text: a few 100k
-    // bigrams cover most occurrences) — below 50% coverage the single
-    // shuffled join wins. Coverage comes from the `headCoverage` parameter
-    // when supplied (fully lazy call), else from a call-time PROBE over the
-    // (persisted, model-sized) count table — the one eager path, flagged in
-    // the param scaladoc.
-    val head =
-      if (headBigrams <= 0) null
-      else cb.orderBy(col("cb").desc, col("h1"), col("h2"))
-        .limit(headBigrams)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def sumCb(df: DataFrame): Long = {
-      val r = df.agg(sum(col("cb"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null sum: zero-bigram corpus
-    }
-    val coverage: Double = headCoverage.getOrElse {
-      if (head == null) 0.0
-      else {
-        val total = sumCb(cb)
-        if (total == 0L) 0.0 else sumCb(head).toDouble / total
+    // resolves map-side; misses (rare tail + unseen) are the only
+    // occurrences that travel through the shuffled model join. Head
+    // selection is THRESHOLD-based — every bigram with count >= T — not
+    // top-K: orderBy+limit(262144) plans a TakeOrdered that funnels every
+    // partition's top-K to the driver (~tens of seconds at a multi-million-
+    // row model), while the count HISTOGRAM is tiny (distinct count
+    // values) and one collect of it yields both T and the exact occurrence
+    // coverage. ADAPTIVE: the split pays when the head concentrates
+    // occurrence mass (Zipfian text); below 50% coverage the single
+    // shuffled join wins. Supplying headCoverage (+ headMinCount) skips the
+    // probe for a fully lazy plan.
+    val wantSplit = headBigrams > 0 && broadcastContexts &&
+      headCoverage.exists(_ >= 0.5)
+    val headThreshold: Option[Long] =
+      if (!wantSplit) None
+      else headMinCount.orElse {
+        // derive T from the count histogram (tiny: one row per distinct
+        // count value) so the head stays <= headBigrams rows; the one
+        // call-time job on the split path — pass headMinCount to avoid it
+        val hist = cb.groupBy("cb").agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+        var kept = 0L; var t = Long.MaxValue; var i = 0
+        while (i < hist.length && kept + hist(i)._2 <= headBigrams) {
+          kept += hist(i)._2; t = hist(i)._1; i += 1
+        }
+        if (t == Long.MaxValue) None else Some(t)
       }
-    }
-    // scoring pieces shared by both routes
+    val headOpt: Option[DataFrame] =
+      // <= headBigrams rows by construction of T; deterministic (pure
+      // count predicate, no tiebreak needed)
+      headThreshold.map(t => cb.filter(col("cb") >= t))
     def withCuOf(df: DataFrame): DataFrame =
       if (broadcastContexts) df.join(broadcast(cu), Seq("h1"), "left")
       else df.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
-    def lpOf(df: DataFrame): DataFrame = withCuOf(df)
-      .crossJoin(broadcast(vocab))
-      .withColumn("lp", log(
-        (coalesce(col("cb"), lit(0L)) + addK) /
-          (coalesce(col("cu"), lit(0L)) + lit(addK) * col("vv"))))
-    // per-doc partial: the (pos, lp) list + non-null-pos count. Lists merge
-    // across routes by concat + sort_array, so the final fixed-order fold
-    // is IDENTICAL to the single-route plan (bit-equal scores).
-    def partialOf(df: DataFrame): DataFrame = lpOf(df)
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("pos"), col("lp"))).as("ls"),
-        count(col("pos")).as("nb"))
-    val perDoc =
-      if (head != null && coverage >= 0.5) {
-        // tokenize-ONCE routing: tag head membership map-side, then funnel
-        // both branches through a single doc_id exchange. The hit and miss
-        // branches filter the SAME repartitioned frame, so the exchange
-        // subtree (scan + tokenize + md5 + broadcast head join) is planned
-        // twice but EXECUTED once (ReusedExchange) — the doc stream pays
-        // one tokenization pass, and the hit branch's groupBy(doc_id)
-        // rides the same exchange with no further shuffle.
-        val tagged = docBi.join(
-          broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
-          .repartition(col("doc_id"))
-        val hit = tagged.filter(col("cb_head").isNotNull)
-          .withColumn("cb", col("cb_head")).drop("cb_head")
-        // only the rare tail + unseen shuffle on the bigram key; their
-        // per-doc partial is small and joins back on doc_id
-        val miss = tagged.filter(col("cb_head").isNull).drop("cb_head")
-          .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
-        val emptyLs = array().cast("array<struct<pos:int,lp:double>>")
-        partialOf(hit).withColumnsRenamed(Map("ls" -> "ls_h", "nb" -> "nb_h"))
-          .join(partialOf(miss).withColumnsRenamed(Map("ls" -> "ls_m", "nb" -> "nb_m")),
-            Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            sort_array(concat(coalesce(col("ls_h"), emptyLs),
-              coalesce(col("ls_m"), emptyLs))).as("ls"),
-            (coalesce(col("nb_h"), lit(0L)) + coalesce(col("nb_m"), lit(0L)))
-              .as("n_bigrams"))
-      } else {
-        partialOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
-          .select(col("doc_id"), sort_array(col("ls")).as("ls"),
-            col("nb").as("n_bigrams"))
-      }
-    perDoc
-      .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
-        when(col("n_bigrams") === 0, lit(0.0)).otherwise(round(
-          -aggregate(col("ls"), lit(0.0), (acc, x) => acc + x.getField("lp"))
-            / col("n_bigrams"), 6)).as("xent"))
+    if (headOpt.isDefined) {
+      val head = headOpt.get
+      val tagged = docBi
+        .join(broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
+        .join(broadcast(cu), Seq("h1"), "left")
+        .crossJoin(broadcast(vocab))
+      // fork: each branch is a pure sum/count HashAggregate with map-side
+      // partials (the doc stream evaluates once per branch — two tokenize
+      // passes). Carrying per-doc miss-key LISTS through one linear plan
+      // was measured 10x worse: collect_list rides ObjectHashAggregate,
+      // whose sort-based fallback (>128 groups) re-sorts the whole stream.
+      // Head hits never touch the shuffled model join — only the rare tail
+      // does, which is the point of the split at cluster scale.
+      val hits = tagged.filter(col("cb_head").isNotNull)
+        .groupBy("doc_id").agg(
+          sum(lpFixed(col("cb_head"), col("cu"))).as("s_hit"),
+          count(lit(1)).as("n_hit"))
+      val misses = tagged.filter(col("cb_head").isNull)
+        .drop("cb_head")
+        .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+        .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))
+        .groupBy("doc_id").agg(
+          coalesce(sum(col("lpf")), lit(0L)).as("s_miss"),
+          count(col("h2")).as("n_miss"))
+      val perDoc = hits.join(misses, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(col("s_hit"), lit(0L)) + coalesce(col("s_miss"), lit(0L))).as("s"),
+          (coalesce(col("n_hit"), lit(0L)) + coalesce(col("n_miss"), lit(0L)))
+            .as("n_bigrams"))
+      finish(perDoc)
+    } else {
+      val scored = withCuOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))
+      finish(scored.groupBy("doc_id").agg(
+        coalesce(sum(col("lpf")), lit(0L)).as("s"),
+        count(col("h2")).as("n_bigrams")))
+    }
   }
 
   /** Eval-set decontamination: training docs sharing >= 1 distinct n-gram

@@ -836,6 +836,78 @@ object AnnQueries {
       ("effort_visited_ratio_lt_0.055", 0.055, visRatio < 0.055)))
   }
 
+  /** AUTO segment-routing default (P/S serving policy, [[Ann.AutoProbe]]):
+    * the 100 TB default must neither scan every segment of a clustered tree
+    * nor route a randomly-segmented one. Corpus: 16 planted gaussian
+    * clusters, built BOTH ways from the same rows. Gates:
+    * (1) clustered tree + DEFAULT probe: recall >= 0.95 vs the exhaustive
+    *     search of the same tree (ceil(sqrt(16)) = 4 probes);
+    * (2) the routed plan prunes seg partitions (PartitionFilters INSET on
+    *     the hive layout — I/O sublinear in segment count, not just CPU);
+    * (3) routed beam work < 60% of exhaustive (visited counters);
+    * (4) hash-segmented tree + DEFAULT probe stays EXHAUSTIVE: results
+    *     identical to probeSegments = 0 (no recall-lossy routing on
+    *     uninformative centroids). */
+  private val routedMemo =
+    new scala.collection.concurrent.TrieMap[String, (Double, Boolean, Double, Boolean)]()
+
+  private def annRouted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rec, prunes, workFrac, unclusteredExact) = routedMemo.getOrElseUpdate("run", {
+      val nClusters = 16; val d = 32; val perCluster = 500; val topK = 10
+      val rnd = new java.util.Random(7)
+      val centers = Array.fill(nClusters)(Array.fill(d)(rnd.nextGaussian().toFloat * 2))
+      val rows = (0 until nClusters * perCluster).map { i =>
+        val r = new java.util.Random(i)
+        val c = centers(i % nClusters)
+        (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
+      }
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val p = annParams.copy(maxDegree = 16, beamWidth = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_routed").toString
+      Ann.buildIndexClustered(base, s"$root/clu", p, nlist = nClusters)
+      Ann.buildIndex(base, s"$root/plain", p.copy(segmentRows = 500))
+      val queries = rows.take(40).map { case (i, _) =>
+        (i, rows(i.toInt)._2) }.toDF("qid", "qvec")
+      // (1)+(2)+(3): default (AutoProbe) vs exhaustive on the clustered tree
+      val mR = Ann.newMetrics(s); val mE = Ann.newMetrics(s)
+      val routed = Ann.searchIndex(s, s"$root/clu", queries, topK, 64, p,
+        metrics = Some(mR))
+      routed.count()
+      val prunes0 = routed.queryExecution.executedPlan.toString.linesIterator.exists { l =>
+        val pf = l.indexOf("PartitionFilters: [")
+        pf >= 0 && {
+          val seg = l.substring(pf, math.min(l.length, pf + 400))
+          seg.contains("seg") && (seg.contains("INSET") || seg.contains(" IN ("))
+        }
+      }
+      val exh = Ann.searchIndex(s, s"$root/clu", queries, topK, 64, p,
+        probeSegments = 0, metrics = Some(mE))
+      val hit = routed.select("qid", "nid")
+        .join(exh.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+      val rec0 = hit.toDouble / exh.count()
+      val work0 = mR.visited.value.toDouble / math.max(1L, mE.visited.value)
+      // (4): unmarked tree — default must EQUAL exhaustive
+      val dflt = Ann.searchIndex(s, s"$root/plain", queries, topK, 64, p)
+      val exh2 = Ann.searchIndex(s, s"$root/plain", queries, topK, 64, p,
+        probeSegments = 0)
+      val same = dflt.count() == exh2.count() &&
+        dflt.join(exh2, Seq("qid", "rank", "nid"), "left_anti").count() == 0
+      (rec0, prunes0, work0, same)
+    })
+    Gates.df(s, Seq(
+      ("routed_default_recall_ge_0.95", 0.95, rec >= 0.95),
+      ("routed_plan_prunes_segments", 1.0, prunes),
+      ("routed_work_lt_0.6_of_exhaustive", 0.6, workFrac < 0.6),
+      ("routed_unclustered_stays_exhaustive", 1.0, unclusteredExact)))
+  }
+
+  private val annRoutedSql: String = Gates.sql(Seq(
+    ("routed_default_recall_ge_0.95", 0.95),
+    ("routed_plan_prunes_segments", 1.0),
+    ("routed_work_lt_0.6_of_exhaustive", 0.6),
+    ("routed_unclustered_stays_exhaustive", 1.0)))
+
   private val annEffortSql: String = Gates.sql(Seq(
     ("effort_expanded_counted", 1.0),
     ("effort_expanded_le_visited", 1.0),
@@ -917,6 +989,7 @@ object AnnQueries {
     "ann_lifecycle" -> (annLifecycle _),
     "ann_compact_merge" -> (annCompactMerge _),
     "ann_effort" -> (annEffort _),
+    "ann_routed" -> (annRouted _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ivf_pruned" -> (ivfPruned _),
     "ivfpq_knn" -> (ivfPqKnn _),
@@ -938,6 +1011,7 @@ object AnnQueries {
     "ann_lifecycle" -> annLifecycleSql,
     "ann_compact_merge" -> annCompactMergeSql,
     "ann_effort" -> annEffortSql,
+    "ann_routed" -> annRoutedSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ivf_pruned" -> ivfPrunedSql,
     "ivfpq_knn" -> ivfPqKnnSql,

@@ -251,14 +251,13 @@ object CorpusPrepQueries {
        |cu AS (SELECT h1, sum(cb) AS cu FROM cb GROUP BY h1),
        |v AS (SELECT count(DISTINCT tok) AS v
        |      FROM (SELECT unnest(toks) AS tok FROM t)),
-       |sc AS (SELECT b2.doc_id, b2.pos,
-       |         ln((cb.cb + $lmAddK) / (cu.cu + $lmAddK * v.v)) AS lp
+       |sc AS (SELECT b2.doc_id,
+       |         CAST(floor(ln((cb.cb + $lmAddK) / (cu.cu + $lmAddK * v.v)) * 1e12 + 0.5) AS BIGINT) AS lpf
        |       FROM b2 JOIN cb USING (h1, h2) JOIN cu USING (h1) CROSS JOIN v),
-       |ag AS (SELECT doc_id, count(*) AS n,
-       |         list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS s
-       |       FROM sc GROUP BY doc_id)
+       |ag AS (SELECT doc_id, count(*) AS n, sum(lpf) AS s FROM sc GROUP BY doc_id)
        |SELECT t.doc_id, CAST(coalesce(ag.n, 0) AS INT) AS n_bigrams,
-       |       CASE WHEN ag.n IS NULL THEN 0.0 ELSE round(-s / ag.n, 6) END AS xent
+       |       CASE WHEN ag.n IS NULL THEN 0.0
+       |            ELSE round(-(CAST(s AS DOUBLE) / 1e12) / ag.n, 6) END AS xent
        |FROM t LEFT JOIN ag USING (doc_id)""".stripMargin
 
   // ---------------- BPE-ish pre-tokenization ----------------

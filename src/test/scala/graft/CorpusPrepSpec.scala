@@ -315,14 +315,14 @@ class CorpusPrepSpec extends SparkSpec {
     def tok(): String = "w" + math.min((1.0 / math.max(rnd.nextDouble(), 1e-6) - 1).toInt, 40)
     val docs = (0L until 300L)
       .map(i => (i, Seq.fill(30)(tok()).mkString(" "))).toDF("doc_id", "text")
-    def run(head: Int) =
-      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", headBigrams = head)
+    def run(split: Boolean) =
+      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", headBigrams = 1024,
+        headCoverage = if (split) Some(0.9) else None)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
     // head smaller than the distinct-bigram count but covering most mass:
-    // the split activates (coverage >= 0.5) AND the miss branch carries
-    // real tail traffic
-    val split = run(1024)
-    val plain = run(0)
+    // the opt-in split engages AND the miss branch carries real tail traffic
+    val split = run(true)
+    val plain = run(false)
     assert(split === plain, "head/tail routing must not change any score")
   }
 
