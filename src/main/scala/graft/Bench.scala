@@ -202,6 +202,86 @@ object Bench {
         (if (tk == topK) s"oq$oq" else s"k${tk}oq$oq", q, rec)
     }
 
+    // ---- multi-segment serving at scale shape: a seeded 131k x 64d
+    // clustered corpus over 32 segments — the 2k embeddings table above
+    // measures per-batch fixed overhead, not scale behavior (the reference
+    // benches 100k-10M-vector datasets, yaml-configs/datasets.yml). Both
+    // serving policies measured on the SAME pinned tree: exhaustive
+    // (probeSegments = 0) vs the AutoProbe default (ceil(sqrt(32)) = 6
+    // centroid-routed probes on this clustered build), each reporting QPS,
+    // visited_ratio, p99, plus routed recall vs the exhaustive result. ----
+    val msegN = 1 << 17
+    val msegDim = 64
+    val msegClusters = 32
+    val msegParams = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val msegRnd = new java.util.Random(9)
+    val msegCenters = Array.fill(msegClusters)(
+      Array.fill(msegDim)(msegRnd.nextGaussian().toFloat * 2f))
+    val msegRows: Seq[(Long, Seq[Float])] = (0 until msegN).map { i =>
+      val r = new java.util.Random(i * 2654435761L)
+      val c = msegCenters(i % msegClusters)
+      (i.toLong, Seq.tabulate(msegDim)(j => c(j) + r.nextGaussian().toFloat))
+    }
+    val msegDf = {
+      import spark.implicits._
+      msegRows.toDF("id", "vec").repartition(cpus.toInt)
+    }
+    val msegPath = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
+    val (_, msegBuildSec) = time(
+      Ann.buildIndexClustered(msegDf, msegPath, msegParams, nlist = msegClusters))
+    val msegSegs = Ann.readIndex(spark, msegPath).select("seg").distinct().count()
+    val msegQueries = {
+      import spark.implicits._
+      // one query near every other cluster: routing must pay off across the
+      // whole space, not on one lucky centroid
+      (0 until 50).map(i => msegRows(i * (msegN / 50) + 7))
+        .map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    }
+    Ann.pin(spark, msegPath)
+    def msegQps(probe: Int): Double = {
+      def run(): Unit = Ann.searchIndex(spark, msegPath, msegQueries, topK,
+        ef = 64, msegParams, probeSegments = probe).count()
+      (1 to 2).foreach(_ => run())
+      val ts = (1 to runs).map(_ => time(run())._2)
+      50.0 / ts.min
+    }
+    def msegVr(probe: Int): Double = {
+      val mm = Ann.newMetrics(spark)
+      Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64, msegParams,
+        probeSegments = probe, metrics = Some(mm)).count()
+      mm.visitedRatioPerQuery(50)
+    }
+    def msegP99(probe: Int): Double = {
+      import spark.implicits._
+      val singles = (0 until 25).map { i =>
+        val (id, v) = msegRows(i * (msegN / 25) + 7)
+        Seq((id, v)).toDF("qid", "qvec")
+      }
+      singles.foreach(q => Ann.searchIndex(spark, msegPath, q, topK, ef = 64,
+        msegParams, probeSegments = probe).count()) // plan warmup
+      val passes = (1 to 4).map(_ => singles.map(q =>
+        time(Ann.searchIndex(spark, msegPath, q, topK, ef = 64, msegParams,
+          probeSegments = probe).count())._2 * 1e3))
+      val lat = passes.sortBy(_.sum).take(2).flatten.sorted
+      lat((lat.length * 99 / 100).min(lat.length - 1))
+    }
+    val msegQpsExh = msegQps(0)
+    val msegQpsRouted = msegQps(Ann.AutoProbe)
+    val msegVrExh = msegVr(0)
+    val msegVrRouted = msegVr(Ann.AutoProbe)
+    val msegP99Exh = msegP99(0)
+    val msegP99Routed = msegP99(Ann.AutoProbe)
+    val msegExhRes = Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64,
+      msegParams, probeSegments = 0)
+    val msegRoutedRes = Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64,
+      msegParams, probeSegments = Ann.AutoProbe)
+    val msegRecRouted = Metrics.recallAtK(msegRoutedRes, msegExhRes, topK).head().getDouble(0)
+    Ann.unpin(msegPath)
+    System.err.println(f"[mseg] n=$msegN segs=$msegSegs build=${msegBuildSec}%.1fs " +
+      f"qps exh=${msegQpsExh}%.1f routed=${msegQpsRouted}%.1f " +
+      f"vr exh=${msegVrExh}%.4f routed=${msegVrRouted}%.4f " +
+      f"p99 exh=${msegP99Exh}%.1f routed=${msegP99Routed}%.1f rec=${msegRecRouted}%.3f")
+
     // ---- engine-kernel throughput: the reference's measurement basis is an
     // in-process searcher over a resident index (jvector Bench /
     // ThroughputBenchmark run zero scheduling layers). ann_qps above charges
@@ -261,6 +341,29 @@ object Bench {
                    else if (v < thresh) num(v, 0)
                    else num(v, 1)}"""
       }.mkString("{", ",", "}")
+    // deepest shed: sub-50ms entries are OMITTED and counted in "_zeros"
+    // (explicitly "N more entries ran at ~0s", not "not run") — the query
+    // map grew past what whole-second precision alone can fit in the
+    // driver's ~2000-char stdout tail window
+    def qJsonDropZeros: String = {
+      val kept = results.filter { case (_, v) => v < 0 || v >= 0.05 }
+      val nz = results.length - kept.length
+      (kept.map { case (k, v) => s""""$k":${num(v, 1)}""" } :+ s""""_zeros":$nz""")
+        .mkString("{", ",", "}")
+    }
+    // deepest possible shed: only the n SLOWEST entries by name (the ones
+    // a regression would surface in) + failures; the rest aggregate into
+    // "_fast_n"/"_fast_total" — explicit "M more entries ran, T seconds
+    // combined", never "not run"
+    def qJsonTop(n: Int): String = {
+      val kept = (results.sortBy { case (_, v) => -v }.take(n) ++
+        results.filter(_._2 < 0)).distinct.sortBy(_._1)
+      val rest = results.filterNot(kept.contains)
+      (kept.map { case (k, v) => s""""$k":${num(v, 1)}""" } :+
+        s""""_fast_n":${rest.length}""" :+
+        s""""_fast_total":${num(rest.map(_._2).filter(_ >= 0).sum, 1)}""")
+        .mkString("{", ",", "}")
+    }
     val qsJson = qJson(3)
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -286,7 +389,18 @@ object Bench {
         // visited_ratio survives EVERY shed level — it is the driver-visible
         // search-effort signal (the reference's visitedCount contract)
         s""""recall_at_10":${num(recall, 4)},"visited_ratio":${num(visitedRatio, 4)},""" +
-        (if (level >= 2) s""""pq_qps":${num(pqGatheredQps, 1)},"""
+        // multi-segment serving block survives EVERY shed level — it is the
+        // scale evidence (131k x 64d x 32 segments; arrays = [exhaustive,
+        // routed-AutoProbe]; recall = routed vs exhaustive)
+        s""""mseg":{"n":$msegN,"segs":$msegSegs,"build_sec":${num(msegBuildSec, 1)},""" +
+        s""""qps":[${num(msegQpsExh, 1)},${num(msegQpsRouted, 1)}],""" +
+        s""""vr":[${num(msegVrExh, 4)},${num(msegVrRouted, 4)}],""" +
+        s""""p99_ms":[${num(msegP99Exh, 1)},${num(msegP99Routed, 1)}],""" +
+        s""""recall":${num(msegRecRouted, 3)}},""" +
+        // the fused/gathered split survives EVERY shed level (the Q7
+        // layout decision is re-measured per round from these two keys)
+        (if (level >= 2)
+           s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},"""
          else s""""expanded_ratio":${num(expandedRatio, 4)},""" +
            s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""") +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
@@ -338,16 +452,19 @@ object Bench {
       line(qJsonAdaptive, annJson(2)),
       line(qJsonAdaptiveAt(1.0), annJson(2)),
       line(qJsonAdaptiveAt(3.0), annJson(2)),
-      // last resort as the query map grows: whole-second query times (the
-      // ann block carries the headline numbers; per-query precision is in
-      // the stderr table)
-      line(qJson(0), annJson(2)))
+      line(qJson(0), annJson(2)),
+      // as the query map grows: omit ~0s entries (counted in "_zeros"),
+      // then keep only the slowest entries (per-query precision is in the
+      // stderr table either way)
+      line(qJsonDropZeros, annJson(2)),
+      line(qJsonTop(48), annJson(2)))
       // budget: the driver tail keeps ~2000 chars including the 7-char
       // "[info] " prefix (r6 measured a 1972-char line land ~20 chars
       // inside it); 1935 keeps >50 chars of margin and lets the 82-key
       // adaptive level (~1918) keep one-decimal timings
       .find(_.length <= 1935)
-      .getOrElse(line(qJson(0), annJson(2)))
+      .getOrElse(line(qJsonTop(24), annJson(2)))
+    System.err.println(s"[bench] json line ${out.length} chars (budget 1935)")
     println(out)
     // Nothing may reach stdout after the JSON line: the driver parses the
     // tail of stdout, and sbt's StdoutOutput forwards the forked JVM's log

@@ -154,7 +154,8 @@ object Ann {
 
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit =
-    { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear() }
+    { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
+      CentroidCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
     * call this after every write; search cache keys embed the token, so a
@@ -678,14 +679,16 @@ object Ann {
       shareRerankFloor: Boolean = true,
       /** Two-phase only: traverse on the fused transposed neighbor-code
         * layout (Q7, jvector FusedPQ) instead of the gathered flat-code
-        * path. Results are identical (spec-asserted). Default OFF: the
-        * reference's fused layout pays for itself through SIMD in-register
-        * table shuffles (Quicker-ADC) and disk locality; on a scalar JVM
-        * with in-memory segments it measures a tie to ~5% slower than the
-        * gathered path over flat codes (kernel micro `tools.FusedMicro`,
-        * 50k x 64d, m in {8,16}), while costing degree-times the code
-        * memory. Bench reports `pq_fused_qps` vs `pq_gathered_qps` so the
-        * trade is re-measured every round. */
+        * path. Results are identical (spec-asserted). Default OFF — the
+        * data (kernel micro `tools.FusedMicro`, 50k x 64d, AVX-512 box,
+        * Panama strip-gather `adcBlockF` active, re-measured r9 2026-08):
+        * m=8 fused 66ms vs gathered 76ms (1.15x), m=16 fused 78ms vs
+        * gathered 89-117ms (1.15-1.30x, gathered-side variance) — real but
+        * under the 1.3x flip bar at the m=8 the gates serve, while the
+        * fused layout costs degree-times the code memory; end-to-end on
+        * the 2k bench corpus the Spark-side overhead inverts it
+        * (pq_fused_qps < pq_gathered_qps). Bench reports both QPS keys at
+        * EVERY shed level so the trade stays re-measured every round. */
       fusedAdc: Boolean = false): DataFrame = {
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
@@ -706,7 +709,7 @@ object Ann {
     // query searches only its probeSegments nearest segment centroids —
     // at 100 TB this is what keeps per-query work sublinear in segment
     // count. Centroids are one tiny row per segment.
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withDel = withLiveCol(raw, deletes)
     val withLive = accepts match {
       case Some(a) =>
@@ -1079,7 +1082,7 @@ object Ann {
     // exactly like the top-k route
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
@@ -1413,7 +1416,7 @@ object Ann {
     // warm-serving via pin, exactly like the paged/top-k routes
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path)
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
@@ -1511,13 +1514,26 @@ object Ann {
     * nearest segment centroids; unrouted segments are pruned before the
     * read/shuffle. Centroids live only on local_id=0 rows (one per
     * segment). */
+  /** Segment-centroid memo per (path, content token): routing is a hot
+    * serving-path step, and re-collecting one row per segment on every
+    * query batch shows up at high QPS. The content token keys rebuilds
+    * out, exactly like [[SegmentCache]]. */
+  private object CentroidCache {
+    private val m = new scala.collection.concurrent.TrieMap[
+      (String, String), Array[(String, Array[Float])]]()
+    def getOrCompute(k: (String, String), f: => Array[(String, Array[Float])])
+        : Array[(String, Array[Float])] = m.getOrElseUpdate(k, f)
+    def clear(): Unit = m.clear()
+  }
+
   private def routeQueries(
       spark: SparkSession,
       raw: DataFrame,
       qArr: Array[(Long, Array[Float])],
       p: Params,
       probeSegments: Int,
-      path: String): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] = {
+      path: String,
+      tok: String): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] = {
     val auto = probeSegments == AutoProbe
     if ((probeSegments > 0 || auto) && raw.columns.contains("seg_centroid")) {
       // AUTO engages only on trees built locality-aligned
@@ -1527,10 +1543,11 @@ object Ann {
       // drop recall. Unmarked trees stay exhaustive under AUTO.
       if (auto && !isClusteredTree(spark, path)) None
       else {
-        val cents = raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
-          .select(col("seg"), col("seg_centroid"))
-          .collect()
-          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+        val cents = CentroidCache.getOrCompute((path, tok),
+          raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
+            .select(col("seg"), col("seg_centroid"))
+            .collect()
+            .map(r => (r.getString(0), r.getSeq[Float](1).toArray)))
         // calibrated default: probe ~ sqrt(segments) keeps per-query work
         // sublinear in segment count while recall stays gated >= 0.95 on
         // clustered corpora (the `ann_routed` gate); when probing would

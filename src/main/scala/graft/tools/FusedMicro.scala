@@ -6,12 +6,13 @@ import graft.index.Vamana
   * gathered flat-code path against the fused transposed neighbor-code
   * traversal ([[Vamana.searchTwoPhaseFused]]). Codebooks here are fake
   * (random centroids) - the measurement is about memory access patterns,
-  * not recall. Measured Aug 2026 on local[32]/Java 17, float-table Panama
-  * block kernel (adcBlockF, assembleAndSum shape): fused ~1.10-1.15x FASTER
-  * than gathered at m=8 and m=16 (previously ~5% slower with the
-  * double-gather kernel). Below the 1.3x bar for flipping the default, so
-  * searchIndex keeps fusedAdc=off; the bench line records
-  * pq_fused_qps/pq_gathered_qps each round. args: [n] [dim] [m]. */
+  * not recall. Measured r9 (2026-08-14) on this AVX-512 box/Java 17,
+  * float-table Panama block kernel (adcBlockF, assembleAndSum shape):
+  * m=8 fused 64.5-69.2ms vs gathered 73.3-78.4ms (~1.15x); m=16 fused
+  * 76.8-79.5ms vs gathered 88.6-117.5ms (1.15-1.30x, variance on the
+  * gathered side). Real but below the 1.3x bar at the m=8 the gates
+  * serve, so searchIndex keeps fusedAdc=off; the bench line records
+  * pq_fused_qps/pq_gathered_qps at every shed level. args: [n] [dim] [m]. */
 object FusedMicro {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 50000; val dim = if (args.length>1) args(1).toInt else 64; val m = if (args.length>2) args(2).toInt else 8; val kk = 256
