@@ -394,7 +394,16 @@ object Ann {
     val n = df.count()
     val want = math.max(1, math.min((n / p.segmentRows + 1).toInt,
       df.sparkSession.sparkContext.defaultParallelism * 4))
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+    val parts = df.rdd.getNumPartitions
+    if (parts < want) df.repartition(want)
+    // confetti guard: a driver-parallelized flush (service WRITE batches)
+    // arrives as many sub-segmentRows partitions, which would become
+    // sub-sized segments — per-segment beam/rouing overhead with none of
+    // the parallelism benefit, and every later compaction pays bin merges.
+    // coalesce (no shuffle) only when partitions are clearly undersized;
+    // scan-sized partitions (files.maxPartitionBytes at scale) never are.
+    else if (parts > want && n / parts < p.segmentRows / 8) df.coalesce(want)
+    else df
   }
 
   /** Per-search effort accumulators, the reference's per-query metric set

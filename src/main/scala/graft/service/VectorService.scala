@@ -192,7 +192,7 @@ class VectorService(spark: SparkSession, root: String) {
     * from a crash are deleted and rebuilt. Single-writer via
     * [[acquireOptimizeLock]]. */
   def optimize(name: String, compactNow: Boolean = false,
-      lockLeaseMs: Long = 10 * 60 * 1000L): Unit = {
+      lockLeaseMs: Long = 10 * 60 * 1000L): Option[Ann.CompactStats] = {
     val m = meta(name)
     val params = m.params
     val lock = acquireOptimizeLock(name, lockLeaseMs)
@@ -234,7 +234,8 @@ class VectorService(spark: SparkSession, root: String) {
         Ann.invalidateSegmentCounts(s"$genDir/*")
       }
 
-      if (compactNow && currentGen(name).isDefined) {
+      if (!(compactNow && currentGen(name).isDefined)) None
+      else {
         val cur = currentGen(name).get
         val curN = cur.stripPrefix("gen=").toInt
         val nextGen = s"gen=${curN + 1}"
@@ -252,8 +253,8 @@ class VectorService(spark: SparkSession, root: String) {
         // a crashed compaction's un-flipped generation is garbage: the
         // pointer never moved, so rebuild it from scratch
         fs.delete(new HPath(dir(name, nextGen)), true)
-        Ann.compact(spark, s"${dir(name, cur)}/*", s"${dir(name, nextGen)}/batch=0",
-          params, deletes)
+        val stats = Ann.compact(spark, s"${dir(name, cur)}/*",
+          s"${dir(name, nextGen)}/batch=0", params, deletes)
         writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
         delFiles.foreach(p => fs.delete(p, false))
         dropIfOnlyMarkers(dir(name, "deletes"))
@@ -263,6 +264,7 @@ class VectorService(spark: SparkSession, root: String) {
         // the stale read is consistent, just pre-compaction)
         if (curN > 0) fs.delete(new HPath(dir(name, s"gen=${curN - 1}")), true)
         Ann.invalidateSegmentCounts(s"${dir(name, nextGen)}/*")
+        Some(stats)
       }
     } finally fs.delete(lock, false)
   }
