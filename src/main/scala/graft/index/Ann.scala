@@ -155,7 +155,7 @@ object Ann {
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
-      CentroidCache.clear() }
+      CentroidCache.clear(); ClusteredMarkerCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
     * call this after every write; search cache keys embed the token, so a
@@ -398,11 +398,14 @@ object Ann {
     if (parts < want) df.repartition(want)
     // confetti guard: a driver-parallelized flush (service WRITE batches)
     // arrives as many sub-segmentRows partitions, which would become
-    // sub-sized segments — per-segment beam/rouing overhead with none of
-    // the parallelism benefit, and every later compaction pays bin merges.
-    // coalesce (no shuffle) only when partitions are clearly undersized;
-    // scan-sized partitions (files.maxPartitionBytes at scale) never are.
-    else if (parts > want && n / parts < p.segmentRows / 8) df.coalesce(want)
+    // sub-sized segments — per-segment beam/routing overhead with none of
+    // the parallelism benefit, and every later compaction pays bin merges
+    // (worse: half-size clean segments FFD-co-pack into multi-source bins
+    // and lose the carried fast path). coalesce (no shuffle) whenever the
+    // average partition is under the segment target; scan-sized partitions
+    // (files.maxPartitionBytes at scale) carry >= segmentRows rows each and
+    // never trip this, so the big-data path keeps its scan partitioning.
+    else if (parts > want && n / parts < p.segmentRows) df.coalesce(want)
     else df
   }
 
@@ -1526,12 +1529,32 @@ object Ann {
   /** Segment-centroid memo per (path, content token): routing is a hot
     * serving-path step, and re-collecting one row per segment on every
     * query batch shows up at high QPS. The content token keys rebuilds
-    * out, exactly like [[SegmentCache]]. */
+    * out, exactly like [[SegmentCache]] — and inserting a path's NEW token
+    * evicts its stale tokens, so write churn can't grow the map one dead
+    * entry per rebuild (a path holds at most one live entry). */
   private object CentroidCache {
     private val m = new scala.collection.concurrent.TrieMap[
       (String, String), Array[(String, Array[Float])]]()
     def getOrCompute(k: (String, String), f: => Array[(String, Array[Float])])
-        : Array[(String, Array[Float])] = m.getOrElseUpdate(k, f)
+        : Array[(String, Array[Float])] =
+      m.getOrElse(k, {
+        m.keysIterator.filter(o => o._1 == k._1 && o._2 != k._2).foreach(m.remove)
+        m.getOrElseUpdate(k, f)
+      })
+    def clear(): Unit = m.clear()
+  }
+
+  /** `_clustered`-marker memo per (path, content token): the routability
+    * check is one filesystem exists() on the hot serving path — per query
+    * batch that is a metadata RPC on object storage. Same keying/eviction
+    * policy as [[CentroidCache]]. */
+  private object ClusteredMarkerCache {
+    private val m = new scala.collection.concurrent.TrieMap[(String, String), Boolean]()
+    def getOrCompute(k: (String, String), f: => Boolean): Boolean =
+      m.getOrElse(k, {
+        m.keysIterator.filter(o => o._1 == k._1 && o._2 != k._2).foreach(m.remove)
+        m.getOrElseUpdate(k, f)
+      })
     def clear(): Unit = m.clear()
   }
 
@@ -1550,7 +1573,8 @@ object Ann {
       // partitioned segments every centroid sits near the global mean, so
       // centroid routing would prune near-arbitrary segments and silently
       // drop recall. Unmarked trees stay exhaustive under AUTO.
-      if (auto && !isClusteredTree(spark, path)) None
+      if (auto && !ClusteredMarkerCache.getOrCompute((path, tok),
+        isClusteredTree(spark, path))) None
       else {
         val cents = CentroidCache.getOrCompute((path, tok),
           raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
@@ -1919,8 +1943,24 @@ object Ann {
       segStats.map { case (s, t, d) => (s, t - d) }
     val target = if (p.segmentRows > 0) p.segmentRows.toLong
                  else math.max(1L, liveCounts.map(_._2).sum)
-    val groupOf = binPackSegments(liveCounts, target)
-    if (groupOf.isEmpty) {
+    // carried eligibility, side 1 (utilization floor): a CLEAN segment at
+    // >= half the row target is already well-packed — merging it with
+    // anything re-pays its whole graph in beam work for at best a 2x
+    // consolidation. Exclude those from packing entirely: they ride the
+    // narrow copy path no matter how FFD would have grouped them, so the
+    // "work bounded by dirty rows" contract holds under ANY flush
+    // segmentation (reference economics: docs/compaction.md,
+    // OnDiskGraphIndexCompactor.java:296-330 — compaction cost tracks new
+    // and deleted data, not corpus size). Segments under the floor still
+    // consolidate (that is compaction's other job).
+    val dirtySegs: Set[String] =
+      segStats.collect { case (s, _, d) if d > 0 => s }.toSet
+    val floorCarried: Set[String] = segStats.collect {
+      case (s, t, d) if d == 0 && t >= target / 2 => s
+    }.toSet
+    val groupOf = binPackSegments(
+      liveCounts.filterNot { case (s, _) => floorCarried(s) }, target)
+    if (groupOf.isEmpty && floorCarried.isEmpty) {
       // nothing alive: write an empty tree footprint (token only) — and
       // drop any pinned materialization of outPath, like every other
       // mutation path, so a warm serving pin cannot resurrect old rows
@@ -1941,15 +1981,15 @@ object Ann {
     val retB = spark.sparkContext.broadcast(retrained)
     val visitedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.visited")
     val reusedAcc = spark.sparkContext.longAccumulator("ann.compact.merge.reusedEdges")
-    // carried segments resolve DRIVER-SIDE (single-source bin, no
-    // tombstones): their rows take a NARROW copy path below — no shuffle —
-    // while only the dirty/small data pays the repartition. At scale the
-    // clean bulk of the tree is most of the bytes, so skipping its shuffle
-    // is most of the compaction wall time.
-    val deadSegs: Set[String] =
-      segStats.collect { case (s, _, d) if d > 0 => s }.toSet
-    val carriedSegs: Set[String] = groupOf.toSeq.groupBy(_._2).values
-      .collect { case Seq((seg, _)) if !deadSegs(seg) => seg }.toSet
+    // carried eligibility, side 2 (exact fit): a sub-floor clean segment
+    // that FFD happened to leave alone in its bin gains nothing from a
+    // rewrite either. Union with the floor-carried set; all carried rows
+    // take the NARROW copy path below — no shuffle — while only the
+    // dirty/small data pays the repartition. At scale the clean bulk of
+    // the tree is most of the bytes, so skipping its shuffle (and its
+    // graph rebuild) is most of the compaction wall time.
+    val carriedSegs: Set[String] = floorCarried ++ groupOf.toSeq.groupBy(_._2).values
+      .collect { case Seq((seg, _)) if !dirtySegs(seg) => seg }
     // partition-pruning seg filters: with a hive `seg=` layout an In-list
     // on the partition column prunes whole directories at plan time, so
     // the carried branch reads ONLY carried dirs and the merge branch ONLY
@@ -2122,7 +2162,13 @@ object Ann {
                   cands(u) = buf.toArray
                   u += 1
                 }
-                (vc.n, reused)
+                // visited = nodes SCORED (the reference's visitedCount,
+                // graph/SearchResult.java:26-31): beam-search visits plus
+                // the same-source neighbors scored for adjacency reuse —
+                // without the latter a single-source dirty bin (the common
+                // churn shape: one fresh segment with tombstones) would
+                // report zero work despite re-pruning its whole graph
+                (vc.n + reused, reused)
               }
               val threads = math.max(1, p.buildThreads)
               val (gVisited, gReused) =

@@ -34,8 +34,11 @@ case class KnnIndexScan(
     /** tombstoned node ids (empty = none) — fused into the beam accept
       * filter, jvector liveNodes semantics (`GraphSearcher.java:337`). */
     deletes: Array[Long] = Array.empty,
-    /** > 0: per-query centroid routing over this many nearest segments. */
-    probeSegments: Int = 0,
+    /** > 0: per-query centroid routing over this many nearest segments;
+      * [[Ann.AutoProbe]] (the default, aligned with [[Ann.searchIndex]])
+      * routes ~sqrt(segments) on clustered trees and stays exhaustive on
+      * unmarked ones; 0 forces exhaustive. */
+    probeSegments: Int = Ann.AutoProbe,
     /** > 0: PQ-ADC approximate beam + exact rerank of this many. */
     rerankK: Int = 0,
     /** Optional accept-list child plan: a single-long-column relation of

@@ -205,8 +205,15 @@ object ServiceQueries {
       val hits = exact.map { case (q, want) =>
         got.get(q).map(_.intersect(want).size).getOrElse(0) }.sum
       val rec = hits.toDouble / math.max(1, exact.map(_._2.size).sum)
+      // MEMORY: footprint is the first token; segments=/routable= stats
+      // follow (serving-regime visibility). An IPC-built tree is arrival-
+      // partitioned: segments >= 1, routable = 0 (exhaustive regime).
       val memOk = send("MEMORY") match {
-        case m if m.startsWith("RESULT ") => m.stripPrefix("RESULT ").toLong > 0L
+        case m if m.startsWith("RESULT ") =>
+          val toks = m.stripPrefix("RESULT ").split(" ")
+          toks(0).toLong > 0L &&
+            toks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L) &&
+            toks.contains("routable=0")
         case _ => false
       }
       val badVerbErrs = send("NOPE x").startsWith("ERROR")
@@ -226,6 +233,120 @@ object ServiceQueries {
     ("ipc_search_recall_ge_0.9", 0.9),
     ("ipc_memory_positive", 1.0),
     ("ipc_bad_verb_errors_conn_survives", 1.0)))
+
+  // ------------------------------------------------------------- IPC churn
+
+  private val churnGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
+
+  /** Streaming-maintenance ECONOMICS through the wire (the driver-visible
+    * form of `ChurnSpec`, mirroring the reference's
+    * `TestConcurrentReadWriteDeletes` + `docs/compaction.md`): a clean bulk
+    * is written over many WRITE batches and flushed, then two
+    * WRITE/OPTIMIZE/DELETE/compact cycles must each (a) run in merge mode,
+    * (b) CARRY the clean bulk segment untouched (narrow copy, no graph
+    * work), (c) pay beam work bounded by the dirty/new rows — a full
+    * rebuild visits >= bulkN x beamWidth nodes — and (d) never resurrect a
+    * tombstoned id, while the generation chain stays GC-bounded. */
+  private def ipcChurn(s: SparkSession, dir: String): DataFrame =
+    Gates.df(s, churnGateMemo.getOrElseUpdate(dir, ipcChurnGates(s)))
+
+  private def ipcChurnGates(s: SparkSession): Seq[(String, Double, Boolean)] = {
+    import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_churn_gate").toString
+    val sock = s"/tmp/graft_churng_${System.nanoTime() % 1000000}.sock"
+    val srv = new graft.service.IpcServer(s, root, sock)
+    val dim = 8
+    val bulkN = 6000
+    val freshN = 300
+    val delN = 20
+    val beamWidth = 64
+    val rnd = new java.util.Random(11)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    def vecStr(v: Array[Float]): String = v.mkString("[", ",", "]")
+    try {
+      val ch = java.nio.channels.SocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.connect(UnixDomainSocketAddress.of(sock))
+      val pendingIn = new StringBuilder
+      val buf = ByteBuffer.allocate(1 << 20)
+      def send(line: String): String = {
+        val out = ByteBuffer.wrap((line + "\n").getBytes(StandardCharsets.UTF_8))
+        while (out.hasRemaining) ch.write(out)
+        var nl = pendingIn.indexOf("\n")
+        while (nl < 0) {
+          require(ch.read(buf) != -1, s"IPC server closed the connection during: ${line.take(40)}")
+          buf.flip(); pendingIn.append(StandardCharsets.UTF_8.decode(buf)); buf.clear()
+          nl = pendingIn.indexOf("\n")
+        }
+        val resp = pendingIn.substring(0, nl)
+        pendingIn.delete(0, nl + 1)
+        resp
+      }
+      var ok = send(s"CREATE $dim COSINE 16 $beamWidth") == "OK"
+      (0 until bulkN).grouped(500).foreach { g =>
+        ok &= send("WRITE " + g.map(_ => vecStr(vec())).mkString(" ")) == "OK"
+      }
+      ok &= send("OPTIMIZE") == "OK"
+
+      val svc = new VectorService(s, root)
+      val name = "ipc_session_1"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def genCount: Int =
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/$name/gen=*")))
+          .map(_.length).getOrElse(0)
+
+      var nextId = bulkN.toLong
+      val deleted = scala.collection.mutable.Set.empty[Long]
+      var allMerge, allCarried, allBounded, allDidWork = true
+      var noResurrection, gensBounded = true
+      for (_ <- 1 to 2) {
+        val fresh = Array.fill(freshN)(vec())
+        val freshIds = (nextId until nextId + freshN).toArray
+        ok &= send("WRITE " + fresh.map(vecStr).mkString(" ")) == "OK"
+        nextId += freshN
+        ok &= send("OPTIMIZE") == "OK"
+        val delIds = freshIds.take(delN)
+        delIds.foreach(deleted += _)
+        svc.delete(name, delIds.toSeq.toDF("id"))
+        val stats = svc.optimize(name, compactNow = true)
+          .getOrElse(graft.index.Ann.CompactStats("none", -1L, -1L, -1L))
+        allMerge &= stats.mode == "merge"
+        allCarried &= stats.carriedSegments >= 1
+        allDidWork &= stats.visited > 0 && stats.reusedEdges > 0
+        allBounded &= stats.visited < bulkN.toLong * beamWidth
+        val probes = delIds.take(3).map(id => fresh((id - freshIds.head).toInt))
+        val r = send(s"SEARCH $beamWidth 5 " + probes.map(vecStr).mkString(" "))
+        val returned =
+          if (!r.startsWith("RESULT ")) Array.empty[Long]
+          else r.stripPrefix("RESULT ").split(" ")
+            .flatMap(_.stripPrefix("[").stripSuffix("]").split(",").filter(_.nonEmpty))
+            .map(_.toLong)
+        noResurrection &= r.startsWith("RESULT ") && !returned.exists(deleted)
+        gensBounded &= genCount <= 2
+      }
+      ch.close()
+      Seq(
+        ("ipc_churn_verbs_ok", 1.0, ok),
+        ("ipc_churn_mode_merge", 1.0, allMerge),
+        ("ipc_churn_carried_ge_1", 1.0, allCarried),
+        ("ipc_churn_did_merge_work", 1.0, allDidWork),
+        ("ipc_churn_work_bounded_by_dirty", 1.0, allBounded),
+        ("ipc_churn_no_resurrection", 1.0, noResurrection),
+        ("ipc_churn_generations_gced", 1.0, gensBounded))
+    } finally srv.close()
+  }
+
+  private val ipcChurnSql: String = Gates.sql(Seq(
+    ("ipc_churn_verbs_ok", 1.0),
+    ("ipc_churn_mode_merge", 1.0),
+    ("ipc_churn_carried_ge_1", 1.0),
+    ("ipc_churn_did_merge_work", 1.0),
+    ("ipc_churn_work_bounded_by_dirty", 1.0),
+    ("ipc_churn_no_resurrection", 1.0),
+    ("ipc_churn_generations_gced", 1.0)))
 
   private val vecsGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
 
@@ -360,12 +481,14 @@ object ServiceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "service_lifecycle" -> (serviceLifecycle _),
     "ipc_lifecycle" -> (ipcLifecycle _),
+    "ipc_churn" -> (ipcChurn _),
     "vecs_source" -> (vecsSource _),
     "stream_dedup" -> (streamDedup _))
 
   def oracles: Map[String, String] = Map(
     "service_lifecycle" -> serviceLifecycleSql,
     "ipc_lifecycle" -> ipcLifecycleSql,
+    "ipc_churn" -> ipcChurnSql,
     "vecs_source" -> vecsSourceSql,
     "stream_dedup" -> streamDedupSql)
 }

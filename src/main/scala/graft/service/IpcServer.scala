@@ -24,7 +24,8 @@ import java.nio.charset.StandardCharsets
   *  - `OPTIMIZE` — flush + build (delegates to `VectorService.optimize`)
   *  - `SEARCH searchEf topK [f,...] [f,...]` — per query vector a
   *    bracketed id list, best-first: `RESULT [3,9] [1,2]`
-  *  - `MEMORY` — `RESULT <kb>` (index storage footprint)
+  *  - `MEMORY` — `RESULT <kb> segments=<n> routable=<0|1>` (index storage
+  *    footprint plus serving-regime stats; footprint is the first token)
   *
   * The Spark translation: vectors accumulate into the service's pending
   * parquet on WRITE/BULKLOAD, OPTIMIZE builds the segment graphs, SEARCH
@@ -206,8 +207,17 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
         "RESULT " + parts.mkString(" ")
       case "MEMORY" =>
         require(ctx.created, "CREATE first")
-        val kb = svc.memory(ctx.name).collect().map(_.getLong(2)).sum / 1024
-        s"RESULT $kb"
+        val rows = svc.memory(ctx.name).collect()
+        val kb = rows.map(_.getLong(2)).sum / 1024
+        // serving-regime stats appended as k=v tokens: segment count and
+        // routability of the serving generation (0 on service-built
+        // arrival-partitioned trees -> SEARCH runs exhaustive). Clients
+        // that only want the footprint read the first token.
+        val stat = rows.collect {
+          case r if r.getString(0) == "segments" => s"segments=${r.getLong(1)}"
+          case r if r.getString(0) == "routable" => s"routable=${r.getLong(1)}"
+        }
+        (s"RESULT $kb" +: stat).mkString(" ")
       case other =>
         throw new UnsupportedOperationException(s"No support for: '$other'")
     }

@@ -299,7 +299,20 @@ class VectorService(spark: SparkSession, root: String) {
       }
     }
     val gen = currentGen(name).toSeq.map(usage)
-    (gen ++ Seq(usage("pending"), usage("deletes")))
+    // serving-regime visibility (metadata-only): segment count of the
+    // serving generation, and whether the tree is routable (`_clustered`
+    // marker at the search root — the exact condition AutoProbe routing
+    // checks). Service-built trees are arrival-partitioned and report
+    // routable=0: SEARCH on them runs exhaustive BY DESIGN (centroid
+    // routing on uninformative centroids would silently drop recall);
+    // operators read this row to know which serving regime they're in.
+    val regime: Seq[(String, Long, Long)] = currentGen(name).toSeq.flatMap { g =>
+      val segs = Option(fs.globStatus(new HPath(s"${dir(name, g)}/*/seg=*")))
+        .map(_.length.toLong).getOrElse(0L)
+      val routable = fs.exists(new HPath(s"${dir(name, g)}/_clustered"))
+      Seq(("segments", segs, 0L), ("routable", if (routable) 1L else 0L, 0L))
+    }
+    (gen ++ Seq(usage("pending"), usage("deletes")) ++ regime)
       .toDF("component", "files", "bytes")
   }
 }

@@ -59,7 +59,14 @@ class IpcServerSpec extends SparkSpec {
       assert(lists(1) === "[1,3]" || lists(1) === "[3,1]", s"query 2 got ${lists(1)}")
       val mem = c.send("MEMORY")
       assert(mem.startsWith("RESULT "), s"got: $mem")
-      assert(mem.stripPrefix("RESULT ").toLong >= 0L)
+      // footprint first token; serving-regime stats follow: this tree is
+      // IPC-built (arrival-partitioned) -> at least one segment, NOT
+      // routable (SEARCH runs the exhaustive regime by design)
+      val memToks = mem.stripPrefix("RESULT ").split(" ")
+      assert(memToks(0).toLong >= 0L)
+      assert(memToks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L),
+        s"MEMORY must report segments: $mem")
+      assert(memToks.contains("routable=0"), s"MEMORY must report routability: $mem")
       // protocol errors report, connection survives
       assert(c.send("NOPE x").startsWith("ERROR"))
       assert(c.send("WRITE [1,2,3]").startsWith("ERROR")) // wrong dimension
