@@ -91,13 +91,21 @@ object Bench {
       actualNq / ts.min
     }
 
-    val exactQps = qps {
-      KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding").count()
-    }
-
     val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 100)
     val idxPath = java.nio.file.Files.createTempDirectory("graft_bench_idx").toString + "/idx"
-    val (_, buildSec) = time(Ann.buildIndex(emb, idxPath, params, "vec_id", "embedding"))
+    // build time = min of two builds: a one-shot measurement on a shared
+    // box reports whoever else is running (r9 driver run: 14.7s vs 1.3s
+    // for the same binary idle); two spaced samples make a single
+    // contention window visible instead of definitive
+    val buildSec = Seq(
+      time(Ann.buildIndex(emb, idxPath, params, "vec_id", "embedding"))._2,
+      time(Ann.buildIndex(emb, idxPath, params, "vec_id", "embedding"))._2).min
+    // two-phase (PQ-ADC beam + exact rerank) index built up-front so its
+    // throughput sections can interleave with the float-index sections
+    val pqParams = params.copy(pqM = 8)
+    val pqIdxPath = java.nio.file.Files.createTempDirectory("graft_bench_pq").toString + "/idx"
+    val (_, pqBuildSec) = time(Ann.buildIndex(emb, pqIdxPath, pqParams, "vec_id", "embedding"))
+    // cold-route (unpinned, re-scanned) throughput first, before the pin
     val annQps = qps {
       Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params).count()
     }
@@ -106,9 +114,35 @@ object Bench {
     // This is the apples-to-apples number vs the reference's resident
     // in-process index (jvector Bench searches an index it holds in RAM).
     Ann.pin(spark, idxPath)
-    val annQpsPinned = qps {
-      Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params).count()
-    }
+    Ann.pin(spark, pqIdxPath)
+
+    // ---- headline sections, measured INTERLEAVED: one timed run of each
+    // section per pass, best pass per section (same clean-window principle
+    // as the p99 passes below). Sequential best-of-3 still sinks when a
+    // neighbor's multi-second contention window covers all three
+    // back-to-back runs of one section (the r6/r9 driver-run signature:
+    // ann_qps 12x down while kernel_qps moved 1.1x); interleaving spreads
+    // each section's samples across the whole headline window, so a
+    // transient has to cover EVERY pass to move the reported number. ----
+    val headline: Seq[(String, () => Unit)] = Seq(
+      ("exact", () => KnnExact.knn(emb, queries, topK, "COSINE", "vec_id", "embedding").count(): Unit),
+      ("pinned", () => Ann.searchIndex(spark, idxPath, queries, topK, ef = 64, params).count(): Unit),
+      ("pq_fused", () => Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
+        rerankK = 40, fusedAdc = true).count(): Unit),
+      ("pq_gathered", () => Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
+        rerankK = 40, fusedAdc = false).count(): Unit))
+    headline.foreach { case (_, b) => (1 to warmups).foreach(_ => b()) }
+    val headlinePasses = (1 to runs + 1).map(_ =>
+      headline.map { case (n, b) => n -> time(b())._2 })
+    val headBest: Map[String, Double] = headline.map(_._1).map { n =>
+      n -> headlinePasses.map(_.toMap.apply(n)).min
+    }.toMap
+    System.err.println("[headline] per-pass sec: " + headlinePasses.map(p =>
+      p.map { case (n, t) => f"$n=$t%.2f" }.mkString(",")).mkString(" | "))
+    val exactQps = actualNq / headBest("exact")
+    val annQpsPinned = actualNq / headBest("pinned")
+    val pqFusedQps = actualNq / headBest("pq_fused")
+    val pqGatheredQps = actualNq / headBest("pq_gathered")
     // distributed per-query latency on the pinned serving route (the
     // reference's LatencyBenchmark reports AVG + high percentile): each
     // sample is a SINGLE-query batch, so it pays the full per-batch
@@ -161,21 +195,9 @@ object Bench {
     val visitedRatio = m.visitedRatioPerQuery(actualNq)
     val expandedRatio = m.expandedRatioPerQuery(actualNq)
 
-    // ---- two-phase (PQ-ADC beam + exact rerank) on a compressed index:
-    // the reference's default configuration. Measured twice — fused
-    // transposed-layout traversal (Q7) vs the gathered per-node path —
-    // so the layout's effect is a number, not a claim. ----
-    val pqParams = params.copy(pqM = 8)
-    val pqIdxPath = java.nio.file.Files.createTempDirectory("graft_bench_pq").toString + "/idx"
-    val (_, pqBuildSec) = time(Ann.buildIndex(emb, pqIdxPath, pqParams, "vec_id", "embedding"))
-    val pqFusedQps = qps {
-      Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
-        rerankK = 40, fusedAdc = true).count()
-    }
-    val pqGatheredQps = qps {
-      Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams,
-        rerankK = 40, fusedAdc = false).count()
-    }
+    // two-phase quality on the PQ index (fused vs gathered THROUGHPUT is in
+    // the interleaved headline above; both now run on the pinned tree —
+    // the resident-index basis — so absolute values step up vs rounds <= 9)
     val pqAnn = Ann.searchIndex(spark, pqIdxPath, queries, topK, ef = 64, pqParams, rerankK = 40)
     val pqRecall = Metrics.recallAtK(pqAnn, exact, topK).head().getDouble(0)
 
@@ -201,30 +223,45 @@ object Bench {
         val rec = Metrics.recallAtK(res, truth, tk).head().getDouble(0)
         (if (tk == topK) s"oq$oq" else s"k${tk}oq$oq", q, rec)
     }
+    Ann.unpin(pqIdxPath)
 
-    // ---- multi-segment serving at scale shape: a seeded 131k x 64d
+    // ---- multi-segment serving at scale shape: a seeded 1M x 64d
     // clustered corpus over 32 segments — the 2k embeddings table above
     // measures per-batch fixed overhead, not scale behavior (the reference
-    // benches 100k-10M-vector datasets, yaml-configs/datasets.yml). Both
-    // serving policies measured on the SAME pinned tree: exhaustive
-    // (probeSegments = 0) vs the AutoProbe default (ceil(sqrt(32)) = 6
-    // centroid-routed probes on this clustered build), each reporting QPS,
-    // visited_ratio, p99, plus routed recall vs the exhaustive result. ----
-    val msegN = 1 << 17
+    // benches 100k-10M-vector datasets, yaml-configs/datasets.yml; its
+    // smallest published sets are 100k-1M). Both serving policies measured
+    // on the SAME pinned tree: exhaustive (probeSegments = 0) vs the
+    // AutoProbe default (ceil(sqrt(32)) = 6 centroid-routed probes on this
+    // clustered build), each reporting QPS, visited_ratio, p99, plus
+    // routed recall vs the exhaustive result. ----
+    val msegN = sys.env.get("SPARK_GRAFT_MSEG_N").map(_.toInt).getOrElse(1 << 20)
     val msegDim = 64
     val msegClusters = 32
     val msegParams = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
     val msegRnd = new java.util.Random(9)
     val msegCenters = Array.fill(msegClusters)(
       Array.fill(msegDim)(msegRnd.nextGaussian().toFloat * 2f))
-    val msegRows: Seq[(Long, Seq[Float])] = (0 until msegN).map { i =>
+    // per-row content is a pure function of (id, centers): the corpus
+    // generates EXECUTOR-SIDE from spark.range — nothing row-sized ever
+    // materializes on the driver or serializes into tasks (the r9 shape
+    // shipped a 35MB driver Seq and 1.2MB task closures; at 1M rows that
+    // would be 270MB) — and query vectors recompute the same function
+    // driver-side for just the probed ids.
+    def msegVec(i: Long): Array[Float] = {
       val r = new java.util.Random(i * 2654435761L)
-      val c = msegCenters(i % msegClusters)
-      (i.toLong, Seq.tabulate(msegDim)(j => c(j) + r.nextGaussian().toFloat))
+      val c = msegCenters((i % msegClusters).toInt)
+      Array.tabulate(msegDim)(j => c(j) + r.nextGaussian().toFloat)
     }
     val msegDf = {
       import spark.implicits._
-      msegRows.toDF("id", "vec").repartition(cpus.toInt)
+      val centersB = spark.sparkContext.broadcast(msegCenters)
+      val dim = msegDim
+      val ncl = msegClusters
+      spark.range(0, msegN, 1, cpus.toInt).map { i =>
+        val r = new java.util.Random(i * 2654435761L)
+        val c = centersB.value((i % ncl).toInt)
+        (i, Seq.tabulate(dim)(j => c(j) + r.nextGaussian().toFloat))
+      }.toDF("id", "vec")
     }
     val msegPath = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
     val (_, msegBuildSec) = time(
@@ -234,8 +271,10 @@ object Bench {
       import spark.implicits._
       // one query near every other cluster: routing must pay off across the
       // whole space, not on one lucky centroid
-      (0 until 50).map(i => msegRows(i * (msegN / 50) + 7))
-        .map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+      (0 until 50).map { i =>
+        val id = i.toLong * (msegN / 50) + 7
+        (id, msegVec(id).toSeq)
+      }.toDF("qid", "qvec")
     }
     Ann.pin(spark, msegPath)
     def msegQps(probe: Int): Double = {
@@ -254,8 +293,8 @@ object Bench {
     def msegP99(probe: Int): Double = {
       import spark.implicits._
       val singles = (0 until 25).map { i =>
-        val (id, v) = msegRows(i * (msegN / 25) + 7)
-        Seq((id, v)).toDF("qid", "qvec")
+        val id = i.toLong * (msegN / 25) + 7
+        Seq((id, msegVec(id).toSeq)).toDF("qid", "qvec")
       }
       singles.foreach(q => Ann.searchIndex(spark, msegPath, q, topK, ef = 64,
         msegParams, probeSegments = probe).count()) // plan warmup

@@ -445,7 +445,16 @@ object CorpusPrep {
     * context table — so only rare-tail/unseen occurrences pay the
     * corpus-scale shuffled join. Results are exact regardless of routing.
     * Docs with < 2 tokens carry n_bigrams = 0 and xent = 0.
-    * Output: (doc_id, n_bigrams, xent). */
+    * Output: (doc_id, n_bigrams, xent).
+    *
+    * RESOURCE NOTE: the trained count model `persist()`s (executor-
+    * resident, model-sized) and stays cached for the session — each call
+    * holds one model in the block manager so repeated scoring actions
+    * don't re-train. Long-lived sessions scoring against many DIFFERENT
+    * reference corpora should bound that with
+    * `spark.catalog.clearCache()` (or recreate the session) between
+    * models; there is deliberately no auto-unpersist because the returned
+    * plan stays lazy and the caller decides when the last action ran. */
   def lmCrossEntropy(
       docs: DataFrame,
       ref: DataFrame,
@@ -609,7 +618,40 @@ object CorpusPrep {
           (coalesce(col("n_hit"), lit(0L)) + coalesce(col("n_miss"), lit(0L)))
             .as("n_bigrams"))
       finish(perDoc)
+    } else if (broadcastContexts) {
+      // fused default route: every per-occurrence arithmetic moves OFF the
+      // corpus-scale stream. Model rows precompute their fixed-point HIT
+      // score once (one log per model row; cu and vocab are broadcast, so
+      // model prep is map-side over the persisted counts), and the
+      // vocab-sized context table precomputes each context's MISS score
+      // (cb = 0) the same way. Each doc occurrence picks up lpf_miss from
+      // the broadcast BEFORE the shuffle and drops h1 — the corpus-scale
+      // join then moves (doc_id, h2, lpf_miss) against (h2, lpf_hit) on
+      // the SINGLE 60-bit bigram key (h2 already identifies the bigram;
+      // h1 is its prefix's hash) and resolves with one coalesce per row:
+      // no log, no division, no vocab column on the 60M-row side. Values
+      // are bit-identical to the unfused route (same lpFixed expression,
+      // evaluated model-side).
+      val modelLp = cb.join(broadcast(cu), Seq("h1")).crossJoin(broadcast(vocab))
+        .select(col("h2"), lpFixed(col("cb"), col("cu")).as("lpf_hit"))
+      val ctxMissLp = cu.crossJoin(broadcast(vocab))
+        .select(col("h1"), lpFixed(lit(0L), col("cu")).as("lpf_ctx"))
+      // context never seen in ref at all: cb = 0, cu = 0
+      val unseenLp = vocab.select(lpFixed(lit(0L), lit(0L)).as("lpf_unseen"))
+      val scored = docBi
+        .join(broadcast(ctxMissLp), Seq("h1"), "left")
+        .crossJoin(broadcast(unseenLp))
+        .select(col("doc_id"), col("h2"),
+          coalesce(col("lpf_ctx"), col("lpf_unseen")).as("lpf_miss"))
+        .join(modelLp.hint("shuffle_hash"), Seq("h2"), "left")
+        .withColumn("lpf",
+          when(col("h2").isNotNull, coalesce(col("lpf_hit"), col("lpf_miss"))))
+      finish(scored.groupBy("doc_id").agg(
+        coalesce(sum(col("lpf")), lit(0L)).as("s"),
+        count(col("h2")).as("n_bigrams")))
     } else {
+      // degenerate-vocabulary escape hatch: the context table is corpus-
+      // sized, so nothing here may broadcast — both lookups stay shuffled
       val scored = withCuOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
         .crossJoin(broadcast(vocab))
         .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))

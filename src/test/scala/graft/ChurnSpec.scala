@@ -55,11 +55,15 @@ class ChurnSpec extends SparkSpec {
       val c = new Client(sock)
       assert(c.send(s"CREATE $dim COSINE 16 64") === "OK")
 
-      // bulk base: 16000 vectors — ~two segments at the default 8192-row
-      // target, each (critically) big enough that FFD bin-packing cannot
-      // co-pack later 400-row batches with it, so clean bulk segments stay
-      // single-source bins = the carried path, under ANY partitioning of
-      // the flush (2x8000, 3x5333, ... all leave at least one full bin)
+      // bulk base: 16000 vectors. The carried-path guarantee is
+      // PARTITIONING-INDEPENDENT by construction, not by a lucky bin
+      // shape: (1) buildIndex's confetti guard coalesces ANY flush
+      // partitioning (32x500 wire batches -> N scan partitions) to the
+      // segment-row target, so bulk segments land at >= segmentRows/2;
+      // (2) compactMerge carries every CLEAN segment at >= segmentRows/2
+      // by utilization floor, before FFD ever sees it. So however the
+      // flush scan partitions this bulk, its segments are carried and
+      // merge work is bounded by the dirty rows (asserted below).
       val bulkN = 16000
       val all = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
       (0 until bulkN).grouped(500).foreach { chunk =>
