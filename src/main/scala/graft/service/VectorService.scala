@@ -270,7 +270,15 @@ class VectorService(spark: SparkSession, root: String) {
   }
 
   /** SEARCH: top-`limit` over the serving generation; tombstones are
-    * excluded merge-on-read. Queries: (qid, qvec). */
+    * excluded merge-on-read. Queries: (qid, qvec).
+    *
+    * Serving regime: the search runs under [[Ann.AutoProbe]] — on a
+    * routable tree (`_clustered` marker) it probes ~sqrt(segments) by
+    * centroid; service-built trees are arrival-partitioned (no marker), so
+    * SEARCH on them runs EXHAUSTIVE by design — centroid routing over
+    * uninformative centroids would silently drop recall. [[memory]]
+    * reports the regime (`segments` / `routable` rows) so operators can
+    * see which one they're in. */
   def search(name: String, queries: DataFrame, limit: Int, ef: Int = 64): DataFrame = {
     val m = meta(name)
     val gen = currentGen(name)
