@@ -515,6 +515,15 @@ object CorpusPrep {
         // key AND the per-doc bigram counter
         key60(md5(when(col("b").isNotNull,
           concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
+    // Self-scoring (docs sameResult ref — the quality-scoring pipeline
+    // case) deliberately does NOT share/persist one bigram table between
+    // the model and the stream: measured at 1M x 60 flat
+    // (tools/FlatXentProfile, 2026-08-14) the first action is unchanged
+    // within noise (46.9s vs 39.8-44.9s — the 59M-row cache write costs
+    // what the saved tokenize pass earns) and only REPEAT actions on the
+    // same plan improve (35.1s vs ~45s). At cluster scale it's actively
+    // wrong: caching a corpus-scale bigram table trades a cheap recompute
+    // for MEMORY_AND_DISK spill of ~the corpus itself.
     val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
     // the count model materializes ONCE (persist: executor-resident, model-
     // sized): it feeds the scoring join, the context derivation, AND the
@@ -618,40 +627,26 @@ object CorpusPrep {
           (coalesce(col("n_hit"), lit(0L)) + coalesce(col("n_miss"), lit(0L)))
             .as("n_bigrams"))
       finish(perDoc)
-    } else if (broadcastContexts) {
-      // fused default route: every per-occurrence arithmetic moves OFF the
-      // corpus-scale stream. Model rows precompute their fixed-point HIT
-      // score once (one log per model row; cu and vocab are broadcast, so
-      // model prep is map-side over the persisted counts), and the
-      // vocab-sized context table precomputes each context's MISS score
-      // (cb = 0) the same way. Each doc occurrence picks up lpf_miss from
-      // the broadcast BEFORE the shuffle and drops h1 — the corpus-scale
-      // join then moves (doc_id, h2, lpf_miss) against (h2, lpf_hit) on
-      // the SINGLE 60-bit bigram key (h2 already identifies the bigram;
-      // h1 is its prefix's hash) and resolves with one coalesce per row:
-      // no log, no division, no vocab column on the 60M-row side. Values
-      // are bit-identical to the unfused route (same lpFixed expression,
-      // evaluated model-side).
-      val modelLp = cb.join(broadcast(cu), Seq("h1")).crossJoin(broadcast(vocab))
-        .select(col("h2"), lpFixed(col("cb"), col("cu")).as("lpf_hit"))
-      val ctxMissLp = cu.crossJoin(broadcast(vocab))
-        .select(col("h1"), lpFixed(lit(0L), col("cu")).as("lpf_ctx"))
-      // context never seen in ref at all: cb = 0, cu = 0
-      val unseenLp = vocab.select(lpFixed(lit(0L), lit(0L)).as("lpf_unseen"))
-      val scored = docBi
-        .join(broadcast(ctxMissLp), Seq("h1"), "left")
-        .crossJoin(broadcast(unseenLp))
-        .select(col("doc_id"), col("h2"),
-          coalesce(col("lpf_ctx"), col("lpf_unseen")).as("lpf_miss"))
-        .join(modelLp.hint("shuffle_hash"), Seq("h2"), "left")
-        .withColumn("lpf",
-          when(col("h2").isNotNull, coalesce(col("lpf_hit"), col("lpf_miss"))))
-      finish(scored.groupBy("doc_id").agg(
-        coalesce(sum(col("lpf")), lit(0L)).as("s"),
-        count(col("h2")).as("n_bigrams")))
     } else {
-      // degenerate-vocabulary escape hatch: the context table is corpus-
-      // sized, so nothing here may broadcast — both lookups stay shuffled
+      // default route: ONE shuffled join of the doc stream against the
+      // count model on (h1, h2), then broadcast context lookup + the
+      // per-occurrence lpFixed. Two properties make this the fastest
+      // formulation measured (and both survive at cluster scale):
+      //   - cb's groupBy(h1, h2) output partitioning satisfies the join's
+      //     requirement EXACTLY, so the model side reuses its exchange and
+      //     never reshuffles — only the doc stream moves;
+      //   - the doc stream's map side has NO broadcast dependency on the
+      //     model, so the two corpus passes (train, score) pipeline as
+      //     independent stages instead of serializing.
+      // A "fused" variant that precomputed per-model-row scores and joined
+      // on h2 alone was measured 3.5-4x SLOWER at 1M docs x 60 tokens on
+      // local[32] (train+score 9.8-10.3s vs 2.9s flat, 9.9-10.1s vs 2.9s
+      // zipf; hot score 8.4-8.9s vs 2.1-2.3s — interleaved A/B,
+      // tools/FlatXentProfile, 2026-08-14): the h2-only join forced a
+      // model-side reshuffle where (h1, h2) reuses the exchange, and its
+      // context-score broadcast chained cb -> cu -> broadcast onto the doc
+      // stream's map path, serializing what pipelines here. The
+      // per-occurrence log it avoided is codegen'd and ~free.
       val scored = withCuOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
         .crossJoin(broadcast(vocab))
         .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))

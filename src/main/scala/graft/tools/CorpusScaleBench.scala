@@ -100,6 +100,13 @@ object CorpusScaleBench {
     val xent = timed("lmXent-flat") {
       CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text").localCheckpoint()
     }
+    // hot repeat, fresh plan: separates one-time JVM/codegen warm-up from
+    // the per-call cost (tools/FlatXentProfile decomposes the phases;
+    // note count() is NOT a valid forcing action for this plan — Catalyst
+    // prunes the entire scoring arithmetic under it)
+    timed("lmXent-flat-hot") {
+      CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text").localCheckpoint()
+    }
     val cut = xent.stat.approxQuantile("xent", Array(0.998), 0.0001)(0)
     val gibberish = nDocs / 1000
     val caught = xent.filter(col("doc_id") % 1000 === 0 && col("xent") >= cut).count()
