@@ -644,27 +644,40 @@ object Ann {
     val assigned = Ivf.assign(base, baseVec, model)
     // IDENTITY-partition on cluster id: cluster c IS partition c, so every
     // segment holds exactly one k-means cell and its centroid is honest.
-    // The two DataFrame-native partitioners both break this invariant:
+    // The two stock DataFrame partitioners both break this invariant:
     // hash partitioning merges geometrically UNRELATED clusters on
     // collisions, and repartitionByRange SAMPLES its boundaries, which
     // lands them mid-cluster — either way some segments straddle cells and
     // their mid-air centroids rank arbitrarily low for queries whose true
     // neighbors they hold (measured at 1M x 32: routed recall plateaued at
     // 0.978 even probing half the segments; identity partitioning restores
-    // it). cluster_id is already a dense [0, nlist) int, so the RDD hop —
-    // the one genuine custom-Partitioner need in this engine — is an
-    // exact, shuffle-equivalent map.
-    val spark0 = assigned.sparkSession
-    val schema = assigned.schema
-    val ci = assigned.schema.fieldIndex("cluster_id")
-    val keyed = assigned.rdd
-      .map(r => (r.getInt(ci), r))
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nlist
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int] % nlist
-      })
-      .map(_._2)
-    val parted = spark0.createDataFrame(keyed, schema).drop("cluster_id")
+    // it to 1.0). Rather than dropping to an RDD custom Partitioner (Row
+    // ser/deser on the whole table, off the Tungsten shuffle path), stay
+    // in the DataFrame API by inverting Spark's partitioner: repartition's
+    // placement is pmod(murmur3(key, 42), nlist), so precompute one int
+    // PREIMAGE per cluster (x_c with hash(x_c) % nlist == c — expected
+    // nlist·ln(nlist) probes, driver-side, microseconds), route each row
+    // through its cluster's preimage, and hash partitioning becomes the
+    // exact identity map — same shuffle it would do anyway, zero extra
+    // passes.
+    val preimage: Array[Int] = {
+      val pre = new Array[Int](nlist)
+      val found = new Array[Boolean](nlist)
+      var x = 0
+      var remaining = nlist
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+        val p = ((h % nlist) + nlist) % nlist
+        if (!found(p)) { found(p) = true; pre(p) = x; remaining -= 1 }
+        x += 1
+      }
+      pre
+    }
+    val parted = assigned
+      .withColumn("_route",
+        element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
+      .repartition(nlist, col("_route"))
+      .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
     // routable marker: segment centroids are informative, so [[AutoProbe]]
     // (the searchIndex default) may engage centroid routing on this tree
