@@ -633,6 +633,26 @@ object Ann {
     * while scanning m/nlist of the index. THIS is the 100 TB configuration:
     * random segmentation makes routing useless (every segment holds a
     * uniform sample of the space). */
+  /** One int preimage per partition id: `hash(x_p) % n == p` under the
+    * exact placement `repartition(n, col)` uses (`pmod(murmur3(key, 42),
+    * n)`), so routing a row through its target partition's preimage makes
+    * stock hash partitioning an identity map. Expected n·ln(n) probes,
+    * driver-side. AnnSpec pins the contract against a live shuffle, so a
+    * Spark change to seed or placement fails a test, not recall. */
+  private[graft] def identityPreimages(nlist: Int): Array[Int] = {
+    val pre = new Array[Int](nlist)
+    val found = new Array[Boolean](nlist)
+    var x = 0
+    var remaining = nlist
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+      val p = ((h % nlist) + nlist) % nlist
+      if (!found(p)) { found(p) = true; pre(p) = x; remaining -= 1 }
+      x += 1
+    }
+    pre
+  }
+
   def buildIndexClustered(
       base: DataFrame,
       path: String,
@@ -660,19 +680,7 @@ object Ann {
     // through its cluster's preimage, and hash partitioning becomes the
     // exact identity map — same shuffle it would do anyway, zero extra
     // passes.
-    val preimage: Array[Int] = {
-      val pre = new Array[Int](nlist)
-      val found = new Array[Boolean](nlist)
-      var x = 0
-      var remaining = nlist
-      while (remaining > 0) {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
-        val p = ((h % nlist) + nlist) % nlist
-        if (!found(p)) { found(p) = true; pre(p) = x; remaining -= 1 }
-        x += 1
-      }
-      pre
-    }
+    val preimage = identityPreimages(nlist)
     val parted = assigned
       .withColumn("_route",
         element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))

@@ -1071,4 +1071,27 @@ class AnnSpec extends SparkSpec {
       Ann.clearSegmentCache()
     }
   }
+
+  test("identityPreimages: repartition(n, preimage) IS the identity partition map") {
+    import org.apache.spark.sql.functions._
+    // the property the clustered build's routability rests on: cluster c's
+    // rows land in partition c exactly, for any nlist — pinned against a
+    // LIVE shuffle so a Spark change to the hash seed or the placement
+    // formula fails here, not as a silent recall drop
+    for (nlist <- Seq(2, 7, 32, 100)) {
+      val pre = Ann.identityPreimages(nlist)
+      assert(pre.distinct.length === nlist, s"preimages not distinct at $nlist")
+      val placed = spark.range(nlist * 5)
+        .select((col("id") % nlist).cast("int").as("cluster_id"))
+        .withColumn("_route",
+          element_at(array(pre.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
+        .repartition(nlist, col("_route"))
+        .select(col("cluster_id"), spark_partition_id().as("pid"))
+        .collect()
+      assert(placed.length === nlist * 5)
+      placed.foreach(r =>
+        assert(r.getInt(0) === r.getInt(1),
+          s"cluster ${r.getInt(0)} landed in partition ${r.getInt(1)} (nlist=$nlist)"))
+    }
+  }
 }
