@@ -659,7 +659,12 @@ object Ann {
       params: Params = Params(),
       nlist: Int = 64,
       baseId: String = "id",
-      baseVec: String = "vec"): Unit = {
+      baseVec: String = "vec",
+      /** Pre-trained codebook to reuse (the clustered-compaction retrain
+        * path hands in a balanced-sample model, same as [[buildIndex]]). */
+      pqModelIn: Option[graft.operators.PQModel] = None,
+      /** Optional sink for construction effort, same as [[buildIndex]]. */
+      buildVisitedAcc: Option[LongAccumulator] = None): Unit = {
     val model = Ivf.train(base, baseVec, nlist, params.metric)
     val assigned = Ivf.assign(base, baseVec, model)
     // IDENTITY-partition on cluster id: cluster c IS partition c, so every
@@ -686,7 +691,8 @@ object Ann {
         element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
       .repartition(nlist, col("_route"))
       .drop("_route", "cluster_id")
-    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
+    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
+      pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc)
     // routable marker: segment centroids are informative, so [[AutoProbe]]
     // (the searchIndex default) may engage centroid routing on this tree
     val spark = base.sparkSession
@@ -1904,8 +1910,43 @@ object Ann {
       mode: String = "merge"): CompactStats = mode match {
     case "merge" => compactMerge(spark, inPath, outPath, params, deletes)
     case "rebuild" => compactRebuild(spark, inPath, outPath, params, deletes)
+    case "cluster" => compactCluster(spark, inPath, outPath, params, deletes)
     case other => throw new IllegalArgumentException(
-      s"compact mode must be 'merge' or 'rebuild', got '$other'")
+      s"compact mode must be 'merge', 'rebuild' or 'cluster', got '$other'")
+  }
+
+  /** Full rebuild that RE-CLUSTERS the live rows (k-means cell = segment,
+    * [[buildIndexClustered]]): unlike merge/rebuild this is deliberately
+    * NOT bounded by dirty rows — it repartitions the whole tree so the
+    * output becomes ROUTABLE (`_clustered` marker), flipping the serving
+    * regime from exhaustive to ~sqrt(segments) AutoProbe. The economics:
+    * pay one corpus-shaped build to make every subsequent query sublinear
+    * in segments. nlist targets `params.segmentRows`-sized cells. */
+  private def compactCluster(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      params: Params,
+      deletes: Option[DataFrame]): CompactStats = {
+    val rows = readIndex(spark, inPath).select(col("seg"), col("node_id"), col("vec"))
+    val live = deletes match {
+      case Some(d) => rows.join(
+        d.select(col("id").cast("long").as("node_id")).distinct(),
+        Seq("node_id"), "left_anti")
+      case None => rows
+    }
+    val target = if (params.segmentRows > 0) params.segmentRows.toLong else 8192L
+    val n = live.count()
+    val nlist = math.max(1L, (n + target - 1) / target).min(4096L).toInt
+    val retrained: Option[graft.operators.PQModel] =
+      if (params.pqM > 0) loadAnySidecar(spark, inPath).map { base =>
+        graft.operators.PQ.retrain(live, "vec", "seg", base)
+      } else None
+    val visitedAcc = spark.sparkContext.longAccumulator("ann.compact.cluster.visited")
+    buildIndexClustered(live.drop("seg"), outPath, params, nlist,
+      baseId = "node_id", baseVec = "vec",
+      pqModelIn = retrained, buildVisitedAcc = Some(visitedAcc))
+    CompactStats("cluster", visitedAcc.value, 0L, 0L)
   }
 
   private def compactRebuild(

@@ -478,10 +478,76 @@ object ServiceQueries {
     ("sdq_one_survivor_per_fp", 1.0),
     ("sdq_pairs_eq_batch_lsh", 0.0)))
 
+  private val clusteredGateMemo = new TrieMap[String, Seq[(String, Double, Boolean)]]()
+
+  private def serviceClustered(s: SparkSession, dir: String): DataFrame =
+    Gates.df(s, clusteredGateMemo.getOrElseUpdate(dir, serviceClusteredGates(s)))
+
+  /** OPTIMIZE CLUSTER promotion (the routed-serving regime through the
+    * service surface): an incrementally-built generation is NOT routable;
+    * a cluster-compaction re-partitions live rows k-means-cell-per-segment,
+    * marks the generation `_clustered`, and SEARCH (AutoProbe default)
+    * tracks the exhaustive answer on the same tree; a subsequent
+    * arrival-partitioned flush DEMOTES the tree back to exhaustive. */
+  private def serviceClusteredGates(s: SparkSession): Seq[(String, Double, Boolean)] = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_clu_gate").toString
+    val svc = new VectorService(s, root)
+    svc.create("cg", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val rnd = new java.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(12)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 3000).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rnd.nextFloat() * 2 - 1) * 0.5f).toSeq)
+    }.toDF("id", "vec")
+    svc.write("cg", rows)
+    svc.optimize("cg")
+    def routable(): Long = svc.memory("cg")
+      .filter(col("component") === "routable").select("files").as[Long].head()
+    val notRoutableBefore = routable() == 0L
+    val queries = rows.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+    val want = graft.operators.KnnExact.knn(rows, queries, 10, "COSINE")
+    val stats = svc.optimize("cg", cluster = true)
+    val modeCluster = stats.exists(_.mode == "cluster")
+    val routableAfter = routable() == 1L
+    val got = svc.search("cg", queries, limit = 10)
+    def recallOf(g: DataFrame, w: DataFrame): Double = {
+      val gs = g.select("qid", "nid").as[(Long, Long)].collect().toSet
+      val ws = w.select("qid", "nid").as[(Long, Long)].collect().toSet
+      gs.intersect(ws).size.toDouble / ws.size
+    }
+    val exactRecall = recallOf(got, want)
+    val params = graft.index.Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val exh = graft.index.Ann.searchIndex(s, s"$root/cg/gen=1/*", queries, 10, 64,
+      params, probeSegments = 0)
+    val parity = recallOf(got, exh)
+    svc.write("cg", (5000 until 5100).map(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec"))
+    svc.optimize("cg")
+    val demoted = routable() == 0L
+    Seq(
+      ("svc_cluster_not_routable_before", 1.0, notRoutableBefore),
+      ("svc_cluster_mode_cluster", 1.0, modeCluster),
+      ("svc_cluster_routable_after", 1.0, routableAfter),
+      ("svc_cluster_exact_recall_ge_0_9", 0.9, exactRecall >= 0.9),
+      ("svc_cluster_parity_ge_0_95", 0.95, parity >= 0.95),
+      ("svc_cluster_demoted_by_flush", 1.0, demoted))
+  }
+
+  private val serviceClusteredSql: String = Gates.sql(Seq(
+    ("svc_cluster_not_routable_before", 1.0),
+    ("svc_cluster_mode_cluster", 1.0),
+    ("svc_cluster_routable_after", 1.0),
+    ("svc_cluster_exact_recall_ge_0_9", 0.9),
+    ("svc_cluster_parity_ge_0_95", 0.95),
+    ("svc_cluster_demoted_by_flush", 1.0)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "service_lifecycle" -> (serviceLifecycle _),
     "ipc_lifecycle" -> (ipcLifecycle _),
     "ipc_churn" -> (ipcChurn _),
+    "service_clustered" -> (serviceClustered _),
     "vecs_source" -> (vecsSource _),
     "stream_dedup" -> (streamDedup _))
 
@@ -489,6 +555,7 @@ object ServiceQueries {
     "service_lifecycle" -> serviceLifecycleSql,
     "ipc_lifecycle" -> ipcLifecycleSql,
     "ipc_churn" -> ipcChurnSql,
+    "service_clustered" -> serviceClusteredSql,
     "vecs_source" -> vecsSourceSql,
     "stream_dedup" -> streamDedupSql)
 }

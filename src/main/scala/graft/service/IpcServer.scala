@@ -184,7 +184,11 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
           svc.write(ctx.name, ctx.buffered.toSeq.toDF("id", "vec"))
           ctx.buffered.clear()
         }
-        svc.optimize(ctx.name)
+        // `OPTIMIZE CLUSTER`: full re-clustering compaction — the new
+        // generation is routable (MEMORY reports routable=1) and SEARCH
+        // flips from exhaustive to AutoProbe centroid routing. Bare
+        // OPTIMIZE stays the wire-compatible incremental flush.
+        svc.optimize(ctx.name, cluster = args.trim.equalsIgnoreCase("CLUSTER"))
         "OK"
       case "SEARCH" =>
         require(ctx.created, "CREATE first")

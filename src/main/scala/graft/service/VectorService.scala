@@ -192,7 +192,14 @@ class VectorService(spark: SparkSession, root: String) {
     * from a crash are deleted and rebuilt. Single-writer via
     * [[acquireOptimizeLock]]. */
   def optimize(name: String, compactNow: Boolean = false,
-      lockLeaseMs: Long = 10 * 60 * 1000L): Option[Ann.CompactStats] = {
+      lockLeaseMs: Long = 10 * 60 * 1000L,
+      /** Full re-clustering compaction ([[Ann.compact]] mode "cluster"):
+        * rebuilds the live rows with k-means cell = segment and marks the
+        * new generation `_clustered`, flipping SEARCH from exhaustive to
+        * ~sqrt(segments) AutoProbe routing. Implies compaction. Unlike
+        * merge compaction this pays a corpus-shaped build — the price of
+        * making every subsequent query sublinear in segments. */
+      cluster: Boolean = false): Option[Ann.CompactStats] = {
     val m = meta(name)
     val params = m.params
     val lock = acquireOptimizeLock(name, lockLeaseMs)
@@ -231,10 +238,15 @@ class VectorService(spark: SparkSession, root: String) {
         // harmlessly if a concurrent write landed a file in the meantime
         (leftovers ++ fresh).foreach(f => fs.delete(f.getPath, false))
         dropIfOnlyMarkers(dir(name, "pending"))
+        // a fresh arrival-partitioned batch DEMOTES a clustered generation:
+        // its segments have uninformative centroids, so routing over the
+        // mixed tree would silently drop recall for the new rows — drop the
+        // marker and serve exhaustive until the next cluster-compaction
+        if (fresh.nonEmpty) fs.delete(new HPath(s"$genDir/_clustered"), false)
         Ann.invalidateSegmentCounts(s"$genDir/*")
       }
 
-      if (!(compactNow && currentGen(name).isDefined)) None
+      if (!((compactNow || cluster) && currentGen(name).isDefined)) None
       else {
         val cur = currentGen(name).get
         val curN = cur.stripPrefix("gen=").toInt
@@ -254,7 +266,13 @@ class VectorService(spark: SparkSession, root: String) {
         // pointer never moved, so rebuild it from scratch
         fs.delete(new HPath(dir(name, nextGen)), true)
         val stats = Ann.compact(spark, s"${dir(name, cur)}/*",
-          s"${dir(name, nextGen)}/batch=0", params, deletes)
+          s"${dir(name, nextGen)}/batch=0", params, deletes,
+          mode = if (cluster) "cluster" else "merge")
+        // the routable marker goes at the GENERATION level (the serving
+        // glob's root, where [[search]]/[[memory]] look for it), and BEFORE
+        // the `_current` flip so readers always see marker and tree together
+        if (cluster)
+          writeSmall(s"${dir(name, nextGen)}/_clustered", "clustered")
         writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
         delFiles.foreach(p => fs.delete(p, false))
         dropIfOnlyMarkers(dir(name, "deletes"))
@@ -274,11 +292,14 @@ class VectorService(spark: SparkSession, root: String) {
     *
     * Serving regime: the search runs under [[Ann.AutoProbe]] — on a
     * routable tree (`_clustered` marker) it probes ~sqrt(segments) by
-    * centroid; service-built trees are arrival-partitioned (no marker), so
-    * SEARCH on them runs EXHAUSTIVE by design — centroid routing over
-    * uninformative centroids would silently drop recall. [[memory]]
-    * reports the regime (`segments` / `routable` rows) so operators can
-    * see which one they're in. */
+    * centroid; incrementally-built generations are arrival-partitioned
+    * (no marker), so SEARCH on them runs EXHAUSTIVE by design — centroid
+    * routing over uninformative centroids would silently drop recall.
+    * `optimize(cluster = true)` promotes the tree to the routed regime
+    * (k-means cell = segment); a subsequent incremental flush demotes it
+    * again until the next cluster-compaction. [[memory]] reports the
+    * regime (`segments` / `routable` rows) so operators can see which
+    * one they're in. */
   def search(name: String, queries: DataFrame, limit: Int, ef: Int = 64): DataFrame = {
     val m = meta(name)
     val gen = currentGen(name)

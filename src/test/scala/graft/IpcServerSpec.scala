@@ -67,6 +67,17 @@ class IpcServerSpec extends SparkSpec {
       assert(memToks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L),
         s"MEMORY must report segments: $mem")
       assert(memToks.contains("routable=0"), s"MEMORY must report routability: $mem")
+      // OPTIMIZE CLUSTER: full re-clustering compaction promotes the tree
+      // to the routed regime; results stay correct and MEMORY flips
+      // routable=1
+      assert(c.send("OPTIMIZE CLUSTER") === "OK")
+      val rc = c.send("SEARCH 16 2 [1,0.05] [0.05,1]")
+      val cl = rc.stripPrefix("RESULT ").split(" ")
+      assert(cl(0) === "[0,2]" || cl(0) === "[2,0]", s"clustered query 1 got ${cl(0)}")
+      assert(cl(1) === "[1,3]" || cl(1) === "[3,1]", s"clustered query 2 got ${cl(1)}")
+      val memC = c.send("MEMORY").stripPrefix("RESULT ").split(" ")
+      assert(memC.contains("routable=1"),
+        s"MEMORY must report routable=1 after OPTIMIZE CLUSTER: ${memC.mkString(" ")}")
       // protocol errors report, connection survives
       assert(c.send("NOPE x").startsWith("ERROR"))
       assert(c.send("WRITE [1,2,3]").startsWith("ERROR")) // wrong dimension

@@ -158,4 +158,57 @@ class VectorServiceSpec extends SparkSpec {
     val got = svc.search("f", q, limit = 1)
     assert(got.select("nid").as[Long].head() === 42L, "nearest neighbor of a base vector is itself")
   }
+
+  test("optimize(cluster): generation becomes routable, demoted by the next flush") {
+    val root = java.nio.file.Files.createTempDirectory("graft_svc_cluster").toString
+    val svc = new VectorService(spark, root)
+    svc.create("c", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+
+    // 4 separated clusters with enough spread that neighbors are
+    // distinguishable (near-duplicate fixtures make top-10 near-tied and
+    // cap ANY beam search's recall — that measures the fixture, not the
+    // engine)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rnd.nextFloat() * 2 - 1) * 0.5f))
+    }.toDF("id", "vec")
+    svc.write("c", rows)
+    svc.optimize("c")
+
+    def routable(): Long = svc.memory("c")
+      .filter(col("component") === "routable").select("files").as[Long].head()
+    assert(routable() === 0L, "incremental build must NOT be routable")
+
+    val queries = rows.filter($"id" < 8).select($"id".as("qid"), $"vec".as("qvec")).cache()
+    val want = KnnExact.knn(rows, queries, 10, "COSINE")
+
+    // cluster-compaction: routable flips on, results stay correct
+    val stats = svc.optimize("c", cluster = true)
+    assert(stats.exists(_.mode == "cluster"))
+    assert(routable() === 1L, "cluster-compaction must mark the generation routable")
+    val got = svc.search("c", queries, limit = 10)
+    assert(recallOf(got, want) >= 0.9, "routed serving lost recall vs exact")
+    // regime parity on the SAME tree: AutoProbe (service default) vs
+    // exhaustive — the ann_routed gate's contract, service edition
+    locally {
+      import graft.index.Ann
+      val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+      val exh = Ann.searchIndex(spark, s"$root/c/gen=1/*", queries, 10, 64,
+        params, probeSegments = 0)
+      assert(recallOf(got, exh) >= 0.95, "routed must track exhaustive on its own tree")
+    }
+
+    // a fresh arrival-partitioned flush demotes the tree to exhaustive
+    val extra = randVectors(100, 16, seed = 9, idFrom = 5000).toDF("id", "vec")
+    svc.write("c", extra)
+    svc.optimize("c")
+    assert(routable() === 0L, "mixed tree must demote to exhaustive serving")
+    // and the new rows are searchable
+    val all2 = rows.union(extra)
+    val got2 = svc.search("c", queries, limit = 10)
+    val want2 = KnnExact.knn(all2, queries, 10, "COSINE")
+    assert(recallOf(got2, want2) >= 0.9)
+  }
 }
