@@ -1569,17 +1569,14 @@ object Ann {
     * nearest segment centroids; unrouted segments are pruned before the
     * read/shuffle. Centroids live only on local_id=0 rows (one per
     * segment). */
-  /** Segment-centroid memo per (path, content token): routing is a hot
-    * serving-path step, and re-collecting one row per segment on every
-    * query batch shows up at high QPS. The content token keys rebuilds
-    * out, exactly like [[SegmentCache]] — and inserting a path's NEW token
-    * evicts its stale tokens, so write churn can't grow the map one dead
-    * entry per rebuild (a path holds at most one live entry). */
-  private object CentroidCache {
-    private val m = new scala.collection.concurrent.TrieMap[
-      (String, String), Array[(String, Array[Float])]]()
-    def getOrCompute(k: (String, String), f: => Array[(String, Array[Float])])
-        : Array[(String, Array[Float])] =
+  /** Memo keyed by (path, content token), shared by the hot serving-path
+    * caches below: the token keys rebuilds out, exactly like
+    * [[SegmentCache]] — and inserting a path's NEW token evicts its stale
+    * tokens, so write churn can't grow the map one dead entry per rebuild
+    * (a path holds at most one live entry). */
+  private final class TokenKeyedMemo[V] {
+    private val m = new scala.collection.concurrent.TrieMap[(String, String), V]()
+    def getOrCompute(k: (String, String), f: => V): V =
       m.getOrElse(k, {
         m.keysIterator.filter(o => o._1 == k._1 && o._2 != k._2).foreach(m.remove)
         m.getOrElseUpdate(k, f)
@@ -1587,19 +1584,15 @@ object Ann {
     def clear(): Unit = m.clear()
   }
 
-  /** `_clustered`-marker memo per (path, content token): the routability
-    * check is one filesystem exists() on the hot serving path — per query
-    * batch that is a metadata RPC on object storage. Same keying/eviction
-    * policy as [[CentroidCache]]. */
-  private object ClusteredMarkerCache {
-    private val m = new scala.collection.concurrent.TrieMap[(String, String), Boolean]()
-    def getOrCompute(k: (String, String), f: => Boolean): Boolean =
-      m.getOrElse(k, {
-        m.keysIterator.filter(o => o._1 == k._1 && o._2 != k._2).foreach(m.remove)
-        m.getOrElseUpdate(k, f)
-      })
-    def clear(): Unit = m.clear()
-  }
+  /** Segment-centroid memo: routing is a hot serving-path step, and
+    * re-collecting one row per segment on every query batch shows up at
+    * high QPS. */
+  private val CentroidCache = new TokenKeyedMemo[Array[(String, Array[Float])]]
+
+  /** `_clustered`-marker memo: the routability check is one filesystem
+    * exists() on the hot serving path — per query batch that is a metadata
+    * RPC on object storage. */
+  private val ClusteredMarkerCache = new TokenKeyedMemo[Boolean]
 
   private def routeQueries(
       spark: SparkSession,
@@ -1937,6 +1930,14 @@ object Ann {
     }
     val target = if (params.segmentRows > 0) params.segmentRows.toLong else 8192L
     val n = live.count()
+    if (n == 0L) {
+      // nothing alive: same contract as merge mode — an empty tree
+      // footprint (token only), unpinned; no marker (an empty tree has
+      // nothing to route)
+      writeBuildToken(spark, outPath)
+      unpin(outPath)
+      return CompactStats("cluster", 0L, 0L, 0L)
+    }
     val nlist = math.max(1L, (n + target - 1) / target).min(4096L).toInt
     val retrained: Option[graft.operators.PQModel] =
       if (params.pqM > 0) loadAnySidecar(spark, inPath).map { base =>

@@ -187,8 +187,13 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
         // `OPTIMIZE CLUSTER`: full re-clustering compaction — the new
         // generation is routable (MEMORY reports routable=1) and SEARCH
         // flips from exhaustive to AutoProbe centroid routing. Bare
-        // OPTIMIZE stays the wire-compatible incremental flush.
-        svc.optimize(ctx.name, cluster = args.trim.equalsIgnoreCase("CLUSTER"))
+        // OPTIMIZE stays the wire-compatible incremental flush; any OTHER
+        // argument errors rather than silently running a bare flush the
+        // client did not ask for.
+        val optArg = args.trim
+        require(optArg.isEmpty || optArg.equalsIgnoreCase("CLUSTER"),
+          s"unknown OPTIMIZE argument '$optArg' (expected nothing or CLUSTER)")
+        svc.optimize(ctx.name, cluster = optArg.equalsIgnoreCase("CLUSTER"))
         "OK"
       case "SEARCH" =>
         require(ctx.created, "CREATE first")

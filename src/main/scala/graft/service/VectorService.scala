@@ -215,6 +215,22 @@ class VectorService(spark: SparkSession, root: String) {
         val flushed = flushedFileKeys(genDir)
         val leftovers = snapshot.filter(f => flushed.contains(fileKey(f)))
         val fresh = snapshot.filterNot(f => flushed.contains(fileKey(f)))
+        // an arrival-partitioned batch DEMOTES a clustered generation: its
+        // segments have uninformative centroids, so routing over the mixed
+        // tree would silently drop recall for the new rows. The marker
+        // drops BEFORE the batch commit, for two reasons: (a) crash
+        // safety — a crash after the delete leaves a fully-clustered tree
+        // temporarily unmarked (exhaustive = conservative), while the
+        // reverse order leaves a MIXED tree marked routable, and the
+        // re-run would skip the delete because the leftover batch makes
+        // `fresh` empty; (b) marker-memo coherence — a concurrent search
+        // that reads the marker at the pre-commit build token caches a
+        // verdict that is CORRECT for that token (tree still fully
+        // clustered); the commit changes the token, so post-commit
+        // searches re-check and see the marker gone. Leftovers demote
+        // too: they mean a crashed run already committed such a batch.
+        if (snapshot.nonEmpty)
+          fs.delete(new HPath(s"$genDir/_clustered"), false)
         if (fresh.nonEmpty) {
           val staging = dir(name, s"_staging/${java.util.UUID.randomUUID()}")
           Ann.buildIndex(
@@ -238,11 +254,6 @@ class VectorService(spark: SparkSession, root: String) {
         // harmlessly if a concurrent write landed a file in the meantime
         (leftovers ++ fresh).foreach(f => fs.delete(f.getPath, false))
         dropIfOnlyMarkers(dir(name, "pending"))
-        // a fresh arrival-partitioned batch DEMOTES a clustered generation:
-        // its segments have uninformative centroids, so routing over the
-        // mixed tree would silently drop recall for the new rows — drop the
-        // marker and serve exhaustive until the next cluster-compaction
-        if (fresh.nonEmpty) fs.delete(new HPath(s"$genDir/_clustered"), false)
         Ann.invalidateSegmentCounts(s"$genDir/*")
       }
 
@@ -307,7 +318,14 @@ class VectorService(spark: SparkSession, root: String) {
     val deletes =
       if (hasData(dir(name, "deletes"))) Some(spark.read.parquet(dir(name, "deletes")))
       else None
-    Ann.searchIndex(spark, s"${dir(name, gen)}/*", queries, limit, ef, m.params,
+    // an all-tombstoned compaction leaves a token-only empty generation
+    // (no parquet to infer a schema from): zero results, not an error
+    val hasSegments = Option(fs.globStatus(
+        new HPath(s"${dir(name, gen)}/*/seg=*"))).exists(_.nonEmpty)
+    if (!hasSegments) {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Int, Long, Double)].toDF("qid", "rank", "nid", "score")
+    } else Ann.searchIndex(spark, s"${dir(name, gen)}/*", queries, limit, ef, m.params,
       deletes = deletes, rerankK = if (m.pqM > 0) math.max(4 * limit, limit) else 0)
   }
 
@@ -327,7 +345,10 @@ class VectorService(spark: SparkSession, root: String) {
         (part, files, bytes)
       }
     }
-    val gen = currentGen(name).toSeq.map(usage)
+    val curGen = currentGen(name) // resolved ONCE: a concurrent compaction
+    // flip between two reads would mix one generation's footprint with
+    // another's regime rows
+    val gen = curGen.toSeq.map(usage)
     // serving-regime visibility (metadata-only): segment count of the
     // serving generation, and whether the tree is routable (`_clustered`
     // marker at the search root — the exact condition AutoProbe routing
@@ -335,7 +356,7 @@ class VectorService(spark: SparkSession, root: String) {
     // routable=0: SEARCH on them runs exhaustive BY DESIGN (centroid
     // routing on uninformative centroids would silently drop recall);
     // operators read this row to know which serving regime they're in.
-    val regime: Seq[(String, Long, Long)] = currentGen(name).toSeq.flatMap { g =>
+    val regime: Seq[(String, Long, Long)] = curGen.toSeq.flatMap { g =>
       val segs = Option(fs.globStatus(new HPath(s"${dir(name, g)}/*/seg=*")))
         .map(_.length.toLong).getOrElse(0L)
       val routable = fs.exists(new HPath(s"${dir(name, g)}/_clustered"))

@@ -78,6 +78,8 @@ class IpcServerSpec extends SparkSpec {
       val memC = c.send("MEMORY").stripPrefix("RESULT ").split(" ")
       assert(memC.contains("routable=1"),
         s"MEMORY must report routable=1 after OPTIMIZE CLUSTER: ${memC.mkString(" ")}")
+      // unknown OPTIMIZE argument must ERROR, not silently run a bare flush
+      assert(c.send("OPTIMIZE CLUSTERED").startsWith("ERROR"))
       // protocol errors report, connection survives
       assert(c.send("NOPE x").startsWith("ERROR"))
       assert(c.send("WRITE [1,2,3]").startsWith("ERROR")) // wrong dimension

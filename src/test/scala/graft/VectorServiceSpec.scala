@@ -210,5 +210,12 @@ class VectorServiceSpec extends SparkSpec {
     val got2 = svc.search("c", queries, limit = 10)
     val want2 = KnnExact.knn(all2, queries, 10, "COSINE")
     assert(recallOf(got2, want2) >= 0.9)
+
+    // cluster-compacting a fully-tombstoned tree writes the empty
+    // footprint instead of crashing in k-means (merge mode's contract)
+    svc.delete("c", all2.select("id"))
+    val emptyStats = svc.optimize("c", cluster = true)
+    assert(emptyStats.exists(s => s.mode == "cluster" && s.visited == 0L))
+    assert(svc.search("c", queries, limit = 10).count() === 0L)
   }
 }
