@@ -177,33 +177,66 @@ object Ann {
     * memoization would reintroduce exactly the staleness the token kills).
     * Trees written before tokens existed resolve to "" and keep the old
     * (path, seg, params) key behavior. */
-  private def buildToken(spark: SparkSession, path: String): String = {
+  private def readTokenFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(buf.toByteArray, "UTF-8").trim)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  private[graft] def buildToken(spark: SparkSession, path: String): String = {
     try {
       val base = path.stripSuffix("/*").stripSuffix("/")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      def readOne(p: org.apache.hadoop.fs.Path): Option[String] =
-        try {
-          if (!fs.exists(p)) None
-          else {
-            val in = fs.open(p)
-            try {
-              val buf = new java.io.ByteArrayOutputStream()
-              val tmp = new Array[Byte](256)
-              var n = in.read(tmp)
-              while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-              Some(new String(buf.toByteArray, "UTF-8").trim)
-            } finally in.close()
-          }
-        } catch { case _: Exception => None }
-      val direct = readOne(new org.apache.hadoop.fs.Path(s"$base/_build_id")).toSeq
+      val direct = readTokenFile(fs, new org.apache.hadoop.fs.Path(s"$base/_build_id")).toSeq
       val nested =
         try fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_build_id"))
-          .toSeq.flatMap(st => readOne(st.getPath))
+          .toSeq.flatMap(st => readTokenFile(fs, st.getPath))
         catch { case _: Exception => Seq.empty }
       (direct ++ nested).sorted.mkString(",")
     } catch { case _: Exception => "" }
   }
+
+  /** Per-segment content tokens for a multi-batch tree: seg -> its OWN
+    * batch's `_build_id`. Appending batch N+1 changes the COMBINED token
+    * (which is right for cursors and segment counts) but the segments of
+    * batches 0..N are immutable — keying the warm [[SegmentCache]] by the
+    * combined token would cold-start the WHOLE resident cache on every
+    * streaming micro-batch append. Keyed per batch, an append leaves
+    * every existing segment's key (and its resident graph) intact.
+    * Memoized per (path, combined token): one listing per mutation, and
+    * a single-root tree (no nested batches) resolves to an empty map —
+    * callers fall back to the combined token, which IS that root's token. */
+  private val SegTokenCache = new TokenKeyedMemo[Map[String, String]]
+  private[graft] def segTokens(spark: SparkSession, path: String, combined: String): Map[String, String] =
+    SegTokenCache.getOrCompute((path, combined), {
+      try {
+        val base = path.stripSuffix("/*").stripSuffix("/")
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val nested =
+          try fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_build_id")).toSeq
+          catch { case _: Exception => Seq.empty }
+        nested.flatMap { st =>
+          val bdir = st.getPath.getParent
+          readTokenFile(fs, st.getPath).toSeq.flatMap { t =>
+            fs.listStatus(bdir).toSeq
+              .filter(_.getPath.getName.startsWith("seg="))
+              .map(d => d.getPath.getName.stripPrefix("seg=") -> t)
+          }
+        }.toMap
+      } catch { case _: Exception => Map.empty }
+    })
 
   /** Read an index directory or a glob of batch sub-indexes. Index trees are
     * hive-partitioned (seg=..., optionally nested under batch=...), so a
@@ -272,7 +305,20 @@ object Ann {
     * makes (params, ids, vector bytes) fully identify the graph. Repeated
     * `Ann.search` calls over the same table then skip the O(n) graph build. */
   private[index] object TransientGraphCache {
-    private val maxEntries = 64
+    /** BYTE budget, not entry count: a 64-entry cap would let 64 large
+      * per-partition graphs (vectors + adjacency, GBs each at ~1M rows x
+      * high dim) pin executor memory until OOM — the exact flaw
+      * [[SegmentCache]]'s own sizing note calls out. Transient graphs are
+      * recomputable, so the budget is a fraction of SegmentCache's. */
+    @volatile private[graft] var maxBytes: Long = 1L << 30
+    private val totalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    private def graphBytes(g: Vamana): Long = {
+      var edges = 0L
+      var i = 0
+      while (i < g.neighbors.length) { edges += g.neighbors(i).length; i += 1 }
+      val dim = if (g.vectors.nonEmpty && g.vectors(0) != null) g.vectors(0).length else 0
+      64L + g.vectors.length.toLong * (dim * 4L + 40L) + edges * 4L
+    }
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Vamana]()
     def key(ids: Array[Long], vecs: Array[Array[Float]], p: Params): String = {
       // two independent 64-bit chains over full vector CONTENT (~128-bit
@@ -300,13 +346,20 @@ object Ann {
       s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}|${p.buildThreads}"
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
-      while (m.size > maxEntries) { // single-entry eviction, not wholesale
+      while (totalBytes.get() > maxBytes) { // single-entry eviction, not wholesale
         val it = m.keys()
-        if (it.hasMoreElements) m.remove(it.nextElement()) else m.clear()
+        if (it.hasMoreElements) {
+          val victim = it.nextElement()
+          val g = m.remove(victim)
+          if (g != null) totalBytes.addAndGet(-graphBytes(g))
+        } else { m.clear(); totalBytes.set(0L) }
       }
-      m.computeIfAbsent(k, _ => f) // per-key locking: build once per executor
+      var inserted = false
+      val g = m.computeIfAbsent(k, _ => { inserted = true; f }) // build once per executor
+      if (inserted) totalBytes.addAndGet(graphBytes(g))
+      g
     }
-    def clear(): Unit = m.clear()
+    def clear(): Unit = { m.clear(); totalBytes.set(0L) }
   }
 
   case class Params(
@@ -633,6 +686,17 @@ object Ann {
     * while scanning m/nlist of the index. THIS is the 100 TB configuration:
     * random segmentation makes routing useless (every segment holds a
     * uniform sample of the space). */
+  /** Write the `_clustered` routability marker at a tree's root: segment
+    * centroids are informative, so [[AutoProbe]] may engage centroid
+    * routing. */
+  private def writeClusteredMarker(spark: SparkSession, path: String): Unit = {
+    val root = path.stripSuffix("/*").stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_clustered"), true)
+    try out.write("clustered".getBytes("UTF-8")) finally out.close()
+  }
+
   /** One int preimage per partition id: `hash(x_p) % n == p` under the
     * exact placement `repartition(n, col)` uses (`pmod(murmur3(key, 42),
     * n)`), so routing a row through its target partition's preimage makes
@@ -693,14 +757,7 @@ object Ann {
       .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
       pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc)
-    // routable marker: segment centroids are informative, so [[AutoProbe]]
-    // (the searchIndex default) may engage centroid routing on this tree
-    val spark = base.sparkSession
-    val root = path.stripSuffix("/*").stripSuffix("/")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_clustered"), true)
-    try out.write("clustered".getBytes("UTF-8")) finally out.close()
+    writeClusteredMarker(base.sparkSession, path)
   }
 
   /** Search a persisted index: co-locate each segment's rows, rebuild the
@@ -753,6 +810,7 @@ object Ann {
     val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
+    val segToks = segTokens(spark, path, tok)
 
     // Tombstones are merge-on-read (jvector liveNodes filter fused into the
     // beam loop, GraphSearcher.java:337): the graph stays intact, deleted
@@ -837,7 +895,7 @@ object Ann {
             // the content token makes rebuilds-in-place change the key.
             // Key + assembly are shared with the paged/threshold routes
             // (assembleSegment — the by-name arg evaluates on miss only).
-            val cacheKey = segmentCacheKey(path, tok, segId, p)
+            val cacheKey = segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)
             val entry = SegmentCache.getOrCompute(cacheKey, assembleSegment(
               sorted.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)), p))
             val g = entry.graph
@@ -1132,6 +1190,7 @@ object Ann {
     val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
+    val segToks = segTokens(spark, path, tok)
     // warm-serving: a pinned index is already materialized in executor
     // storage partitioned by segment — the batch then runs shuffle-free,
     // exactly like the top-k route
@@ -1174,7 +1233,7 @@ object Ann {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
             val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, tok, segId, p),
+              segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p),
               assembleSegment(sorted.map(t =>
                 (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
             val g = entry.graph
@@ -1266,6 +1325,7 @@ object Ann {
     import spark.implicits._
     val p = params
     val tok = buildToken(spark, path)
+    val segToks = segTokens(spark, path, tok)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -1323,7 +1383,7 @@ object Ann {
             // session assembly carries no codes/hierarchy columns; cache
             // under a distinct key so it can't alias the full assemblies
             val entry = SegmentCache.getOrCompute(
-              s"session|${segmentCacheKey(path, tok, segId, p)}", {
+              s"session|${segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)}", {
                 val g0 = new Vamana(sorted.map(_._5), p.metric, p.maxDegree,
                   p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
                 sorted.foreach { r =>
@@ -1376,7 +1436,7 @@ object Ann {
     val merged = producedScored.unionByName(poolDf)
     val candidates = (deletes match {
       case Some(d) => merged.join(
-        broadcast(d.select(col("id").cast("long").as("nid")).distinct()),
+        broadcast(d.select(col(d.columns.head).cast("long").as("nid")).distinct()),
         Seq("nid"), "left_anti")
       case None => merged
     }).localCheckpoint(true)
@@ -1468,6 +1528,7 @@ object Ann {
     val qB = new QueryCarrier(spark, qArr)
     val p = params
     val tok = buildToken(spark, path)
+    val segToks = segTokens(spark, path, tok)
     // warm-serving via pin, exactly like the paged/top-k routes
     val pinnedOpt = pinnedIndexes.get(pinKey(path))
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
@@ -1503,7 +1564,7 @@ object Ann {
             val sorted = rows.sortBy(_._2)
             val live = sorted.map(_._7)
             val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, tok, segId, p),
+              segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p),
               assembleSegment(sorted.map(t =>
                 (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
             val g = entry.graph
@@ -1612,11 +1673,20 @@ object Ann {
       if (auto && !ClusteredMarkerCache.getOrCompute((path, tok),
         isClusteredTree(spark, path))) None
       else {
-        val cents = CentroidCache.getOrCompute((path, tok),
-          raw.filter(col("local_id") === 0 && col("seg_centroid").isNotNull)
+        // ALL local_id=0 rows, null centroids included: a segment without
+        // a centroid (legacy batch in a mixed tree, mergeSchema backfill)
+        // must never be silently pruned — it cannot be RANKED, so it is
+        // probed unconditionally below; under AUTO its presence means the
+        // marker is stale (clustered builds always write centroids) and
+        // routing declines entirely
+        val all = CentroidCache.getOrCompute((path, tok),
+          raw.filter(col("local_id") === 0)
             .select(col("seg"), col("seg_centroid"))
             .collect()
-            .map(r => (r.getString(0), r.getSeq[Float](1).toArray)))
+            .map(r => (r.getString(0),
+              if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray)))
+        val cents = all.filter(_._2 != null)
+        val centless = all.collect { case (g, null) => g }
         // calibrated default: probe ~ sqrt(segments) keeps per-query work
         // sublinear in segment count while recall stays gated >= 0.95 on
         // clustered corpora (the `ann_routed` gate); when probing would
@@ -1624,7 +1694,8 @@ object Ann {
         val eff =
           if (auto) math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
           else probeSegments
-        if (eff >= cents.length) None
+        if (auto && centless.nonEmpty) None
+        else if (eff >= cents.length) None
         else {
           val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
           qArr.indices.foreach { qi =>
@@ -1634,6 +1705,9 @@ object Ann {
               .foreach { case (s, _) =>
                 m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
               }
+            // unrankable segments are probed by every query
+            centless.foreach(s =>
+              m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi)
           }
           Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
         }
@@ -1924,7 +1998,7 @@ object Ann {
     val rows = readIndex(spark, inPath).select(col("seg"), col("node_id"), col("vec"))
     val live = deletes match {
       case Some(d) => rows.join(
-        d.select(col("id").cast("long").as("node_id")).distinct(),
+        d.select(col(d.columns.head).cast("long").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
       case None => rows
     }
@@ -1959,7 +2033,7 @@ object Ann {
     val rows = readIndex(spark, inPath).select(col("seg"), col("node_id"), col("vec"))
     val live = deletes match {
       case Some(d) => rows.join(
-        d.select(col("id").cast("long").as("node_id")).distinct(),
+        d.select(col(d.columns.head).cast("long").as("node_id")).distinct(),
         Seq("node_id"), "left_anti")
       case None => rows
     }
@@ -2419,6 +2493,11 @@ object Ann {
     // nvq columns always written (uniform tree schema — see buildIndex)
     rescored0.write.mode("overwrite").partitionBy("seg").parquet(outPath)
     writeBuildToken(spark, outPath)
+    // a rescore keeps the exact segment structure (same rows, same cells,
+    // centroids recomputed), so a clustered source's routability carries
+    // over — without this the output silently demotes from AutoProbe
+    // routing to exhaustive serving
+    if (isClusteredTree(spark, inPath)) writeClusteredMarker(spark, outPath)
     unpin(outPath)
   }
 
@@ -2429,7 +2508,7 @@ object Ann {
   private def withLiveCol(raw: DataFrame, deletes: Option[DataFrame]): DataFrame =
     deletes match {
       case Some(d) =>
-        raw.join(broadcast(d.select(col("id").cast("long").as("__del")).distinct()),
+        raw.join(broadcast(d.select(col(d.columns.head).cast("long").as("__del")).distinct()),
           raw("node_id") === col("__del"), "left")
           .withColumn("__live", col("__del").isNull).drop("__del")
       case None => raw.withColumn("__live", lit(true))

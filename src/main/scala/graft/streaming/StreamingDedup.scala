@@ -48,8 +48,17 @@ object StreamingDedup {
     * evicted by the watermark. The older doc is id1 (ties by id), matching
     * the batch operator's id1 < id2 normalization on equal timestamps.
     * A pair matching in several bands is emitted once per band by the join;
-    * the final `dropDuplicatesWithinWatermark` collapses them while the
-    * pair's event-time state is live.
+    * `dropDuplicatesWithinWatermark` collapses them (BEFORE the exact
+    * jaccard, so each distinct pair is scored once) while the pair's
+    * event-time state is live.
+    *
+    * STATE-SIZE NOTE: the exploded band rows carry the full token array
+    * into BOTH sides of the join buffer — ~(numHashes/rowsPerBand)× token
+    * state per doc versus the batch operator, which joins token sets once
+    * after deduping candidates. That amplification is inherent to making
+    * the banded join a single stateful operator; bound it by sizing the
+    * watermark/joinLag to the real dedup horizon, or shorten `toks` (the
+    * verification set) upstream for very long documents.
     * Output: (id1, id2, jaccard, ts2). */
   def nearDupPairs(
       docs: DataFrame,
@@ -89,9 +98,16 @@ object StreamingDedup {
           (col("ts1") < col("ts2") ||
             (col("ts1") === col("ts2") && col("id1") < col("id2"))) &&
           col("ts2") <= col("ts1") + expr(s"INTERVAL $joinLag"))
+      // pair-dedup BEFORE scoring: a true near-dup pair matches up to
+      // numHashes/rowsPerBand bands, and jaccard is O(|toks1|+|toks2|) per
+      // evaluation — deduping first scores each distinct pair once instead
+      // of once per band hit. Values are unchanged (jaccard is a pure
+      // function of the token sets, identical on every band-hit copy);
+      // the dedup state itself stores only (id1, id2) + event time.
+      .select(col("id1"), col("id2"), col("toks1"), col("toks2"), col("ts2"))
+      .dropDuplicatesWithinWatermark("id1", "id2")
       .withColumn("jaccard", VectorExpressions.jaccard(col("toks1"), col("toks2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"), col("ts2"))
-      .dropDuplicatesWithinWatermark("id1", "id2")
   }
 }

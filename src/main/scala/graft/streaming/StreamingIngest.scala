@@ -29,13 +29,22 @@ object StreamingIngest {
       params: Ann.Params,
       idCol: String,
       vecCol: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      /** Stable by default (sibling of the index root — inside it the
+        * checkpoint's nested dirs break Spark's partition discovery):
+        * foreachBatch's exactly-once contract rides the checkpoint — with
+        * a temp checkpoint every restart re-lists the whole source and
+        * re-ingests every document as duplicate segments. Override to
+        * relocate; never share across indexes. */
+      checkpointDir: Option[String] = None): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(indexPath.stripSuffix("/") + "_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // hive-style batch dir: nested under it, buildIndex writes seg=...
@@ -43,6 +52,9 @@ object StreamingIngest {
           // partitioned layout readable as indexPath or indexPath/*
           Ann.buildIndex(batch, s"$indexPath/batch=$batchId", params, idCol, vecCol)
           Ann.invalidateSegmentCounts(indexPath) // fan-out must see new segments
+          // a pinned root would otherwise keep serving its pin-time file
+          // listing and never see streamed batches
+          Ann.unpin(indexPath)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -147,6 +159,15 @@ object StreamingIngest {
               }
             }
             state.update(st)
+            if (!streaming && st.n > 0) {
+              // batch semantics: this invocation saw the user's ENTIRE
+              // history and the final state is discarded afterwards — the
+              // open trailing session must be emitted here or it is lost
+              // (on streams the event-time timeout emits it instead)
+              out += SessionOut(user, st.sessionId,
+                new java.sql.Timestamp(st.startUs / 1000L), st.n, st.total)
+              state.remove()
+            }
             if (streaming && st.n > 0) {
               val closeMs = st.lastUs / 1000L + gapMinutes * 60L * 1000L
               // timeouts must sit above the current watermark

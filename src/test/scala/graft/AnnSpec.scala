@@ -1094,4 +1094,28 @@ class AnnSpec extends SparkSpec {
           s"cluster ${r.getInt(0)} landed in partition ${r.getInt(1)} (nlist=$nlist)"))
     }
   }
+
+  test("segment cache keys survive a batch append (per-batch tokens)") {
+    import graft.index.Ann
+    val root = java.nio.file.Files.createTempDirectory("graft_segtok").toString
+    val rnd = new scala.util.Random(3)
+    def rows(n: Int, from: Long) = (0 until n)
+      .map(i => (from + i, Seq.fill(8)(rnd.nextFloat()))).toDF("id", "vec")
+    val params = Ann.Params(maxDegree = 8, beamWidth = 32)
+    Ann.buildIndex(rows(300, 0), s"$root/batch=0", params)
+    Ann.buildIndex(rows(300, 1000), s"$root/batch=1", params)
+    val tok1 = Ann.buildToken(spark, s"$root/*")
+    val m1 = Ann.segTokens(spark, s"$root/*", tok1)
+    assert(m1.nonEmpty, "multi-batch tree must resolve per-segment tokens")
+    // append a third batch: the COMBINED token must change (cursor/count
+    // invalidation) while every EXISTING segment keeps its own token —
+    // the warm executor cache must not cold-start on a streaming append
+    Ann.buildIndex(rows(300, 2000), s"$root/batch=2", params)
+    val tok2 = Ann.buildToken(spark, s"$root/*")
+    assert(tok2 !== tok1, "combined token must change on append")
+    val m2 = Ann.segTokens(spark, s"$root/*", tok2)
+    for ((seg, t) <- m1)
+      assert(m2.get(seg).contains(t), s"segment $seg token changed on unrelated append")
+    assert(m2.size > m1.size, "new batch must contribute new segments")
+  }
 }

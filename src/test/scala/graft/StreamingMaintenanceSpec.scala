@@ -317,4 +317,26 @@ class StreamingMaintenanceSpec extends SparkSpec {
     assert(nBig < nSmall)
     assert(spark.read.parquet(s"$dir/big").count() === emb.count())
   }
+
+  test("batch-mode sessionize emits the trailing session and matches the batch twin exactly") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts", "value")
+      .as[StreamingIngest.SessionEvent]
+    val got = StreamingIngest.sessionize(ev)
+      .select($"user_id", $"session_id", $"n", $"total")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, math.round(r._4 * 1e6)))
+      .toMap
+    val want = graft.queries.RelationalQueries.eventsSessions(spark, sfDir)
+      .select($"user_id", ($"session_id" - 1).as("session_id"), $"n", $"total")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2.toInt) -> (r._3.toInt, math.round(r._4 * 1e6)))
+      .toMap
+    // EXACT twin equality including each user's final session — batch mode
+    // sees the whole history, so nothing may be lost to discarded state
+    assert(got.size === want.size,
+      s"session count mismatch: got ${got.size}, want ${want.size}")
+    for ((k, v) <- want) assert(got.get(k).contains(v), s"session $k mismatch")
+  }
 }
