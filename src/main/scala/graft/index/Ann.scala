@@ -821,8 +821,16 @@ object Ann {
     // Segment routing (IVF over segments): with probeSegments > 0, each
     // query searches only its probeSegments nearest segment centroids —
     // at 100 TB this is what keeps per-query work sublinear in segment
-    // count. Centroids are one tiny row per segment.
-    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
+    // count. Centroids are one tiny row per segment. With an accept-list,
+    // AUTO widens probes by filter selectivity (see routeQueries).
+    val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok,
+      acceptPerSeg = accepts.map(a => () =>
+        raw.join(
+            broadcast(a.select(col(a.columns.head).cast("long").as("__acc")).distinct()),
+            raw("node_id") === col("__acc"), "left_semi")
+          .groupBy("seg").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap),
+      wantK = topK)
     val withDel = withLiveCol(raw, deletes)
     val withLive = accepts match {
       case Some(a) =>
@@ -1662,7 +1670,25 @@ object Ann {
       p: Params,
       probeSegments: Int,
       path: String,
-      tok: String): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] = {
+      tok: String,
+      /** Filtered x routed composition (jvector low-cardinality filtering
+        * contract, `TestLowCardinalityFiltering.java:54-57`): when an
+        * accept-list is active, AUTO routes by ACCEPTED MASS, not just
+        * centroid distance — each query walks its centroid ranking,
+        * skipping cells holding zero accepted rows outright (they cannot
+        * contribute results) and probing until the visited cells hold >=
+        * [[FilterRouteOversample]]*k accepted candidates (floor: the
+        * unfiltered sqrt default). A selective or class-correlated filter
+        * otherwise concentrates the true top-k outside the ~sqrt(n)
+        * probed cells and routing silently loses recall. `Some(thunk)`
+        * supplies the per-segment accepted-row counts lazily (one
+        * broadcast semi-join aggregate over the — usually pinned — index);
+        * it is only evaluated when routing actually engages (clustered
+        * tree + AUTO), so unfiltered/unclustered paths pay nothing.
+        * Explicit probeSegments > 0 is always respected. */
+      acceptPerSeg: Option[() => Map[String, Long]] = None,
+      /** Result size the widening targets (topK for the top-k route). */
+      wantK: Int = 10): Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]] = {
     val auto = probeSegments == AutoProbe
     if ((probeSegments > 0 || auto) && raw.columns.contains("seg_centroid")) {
       // AUTO engages only on trees built locality-aligned
@@ -1691,25 +1717,50 @@ object Ann {
         // sublinear in segment count while recall stays gated >= 0.95 on
         // clustered corpora (the `ann_routed` gate); when probing would
         // cover every segment anyway, skip the routing machinery entirely
-        val eff =
-          if (auto) math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
-          else probeSegments
+        val base = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
         if (auto && centless.nonEmpty) None
-        else if (eff >= cents.length) None
         else {
-          val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-          qArr.indices.foreach { qi =>
-            cents.map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
-              .sortBy { case (s, sc) => (-sc, s) }
-              .take(eff)
-              .foreach { case (s, _) =>
+          // accepted-mass routing engages only under AUTO (explicit probe
+          // counts are the caller's contract); the thunk runs at most once
+          // per batch
+          val perSegAcc: Option[Map[String, Long]] =
+            if (auto) acceptPerSeg.map(_()) else None
+          val eff = if (auto) base else probeSegments
+          if (perSegAcc.isEmpty && eff >= cents.length) None
+          else {
+            val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+            qArr.indices.foreach { qi =>
+              val ranked = cents
+                .map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
+                .sortBy { case (s, sc) => (-sc, s) }
+              val picked: Seq[String] = perSegAcc match {
+                case Some(perSeg) =>
+                  // walk the centroid ranking: skip cells with zero accepted
+                  // rows (they cannot contribute), stop once probed cells
+                  // hold >= FilterRouteOversample*k accepted candidates AND
+                  // at least `base` eligible cells are covered (the
+                  // unfiltered boundary-straddle floor)
+                  val want = FilterRouteOversample.toLong * wantK
+                  val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                  var acc = 0L
+                  val it = ranked.iterator
+                  while (it.hasNext && (acc < want || out.length < base)) {
+                    val (s, _) = it.next()
+                    val cAcc = perSeg.getOrElse(s, 0L)
+                    if (cAcc > 0L) { out += s; acc += cAcc }
+                  }
+                  out.toSeq
+                case None => ranked.take(eff).map(_._1)
+              }
+              picked.foreach { s =>
                 m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
               }
-            // unrankable segments are probed by every query
-            centless.foreach(s =>
-              m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi)
+              // unrankable segments are probed by every query
+              centless.foreach(s =>
+                m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi)
+            }
+            Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
           }
-          Some(spark.sparkContext.broadcast(m.view.mapValues(_.toArray).toMap))
         }
       }
     } else None
@@ -1721,6 +1772,13 @@ object Ann {
     * a 100 TB tree must not default to scanning every segment, and a
     * randomly-segmented tree must not default to recall-lossy routing. */
   val AutoProbe: Int = -1
+
+  /** Filtered x routed widening factor: under AUTO with an accept-list,
+    * probes widen until the probed cells expect this many times `topK`
+    * accepted candidates (gated >= 0.95 recall at 50%/5%/0.5% selectivity
+    * by `ann_routed_filtered`). 4x mirrors the rerank oversampling the
+    * reference uses for compressed search. */
+  private val FilterRouteOversample: Int = 4
 
   /** True iff `path` carries the `_clustered` marker written by
     * [[buildIndexClustered]] — segments are cluster-aligned and their

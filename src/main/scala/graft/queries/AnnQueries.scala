@@ -908,6 +908,79 @@ object AnnQueries {
     ("routed_work_lt_0.6_of_exhaustive", 0.6),
     ("routed_unclustered_stays_exhaustive", 1.0)))
 
+  /** Filtered x routed composition (jvector low-cardinality filtering,
+    * `TestLowCardinalityFiltering.java:54-57,105-107`): a selective or
+    * class-correlated accept-list on a clustered AutoProbe tree must hold
+    * recall >= 0.95 vs the filtered EXACT twin (brute-force over accepted
+    * rows only). The engine side is accepted-mass routing
+    * ([[Ann.searchIndex]] / routeQueries): each query walks its centroid
+    * ranking, skips cells holding zero accepted rows, and widens until the
+    * probed cells hold >= 4*k accepted candidates. Cases: uniform accepts
+    * at 50% / 5% / 0.5% selectivity (id mod 2/20/200 — at 0.5% the true
+    * top-k spreads across many cells, the regime where distance-only
+    * routing loses ~60% recall) and the reference's 2-random-classes
+    * contract (accept = 2 of 16 planted clusters, including queries whose
+    * OWN cluster is not accepted — every survivor lives outside the
+    * query's nearest cells). Plus an economics gate: at 50% selectivity
+    * the route must still PRUNE (routed visited < 60% of the filtered
+    * exhaustive run) — widening must not degenerate to
+    * always-exhaustive. */
+  private val routedFilteredMemo =
+    new scala.collection.concurrent.TrieMap[String, (Double, Double, Double, Double, Double)]()
+
+  private def annRoutedFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (r50, r5, r05, r2c, work50) = routedFilteredMemo.getOrElseUpdate("run", {
+      val nClusters = 16; val d = 32; val perCluster = 500; val topK = 10
+      val rnd = new java.util.Random(13)
+      val centers = Array.fill(nClusters)(Array.fill(d)(rnd.nextGaussian().toFloat * 2))
+      val rows = (0 until nClusters * perCluster).map { i =>
+        val r = new java.util.Random(i)
+        val c = centers(i % nClusters)
+        (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
+      }
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val p = annParams.copy(maxDegree = 16, beamWidth = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_routed_f").toString
+      Ann.buildIndexClustered(base, s"$root/clu", p, nlist = nClusters)
+      val queries = rows.take(40).toDF("qid", "qvec")
+      def accepted(pred: Long => Boolean): DataFrame =
+        rows.map(_._1).filter(pred).toDF("id")
+      def recallFor(pred: Long => Boolean, m: Option[Ann.SearchMetrics] = None): Double = {
+        val acc = accepted(pred)
+        val res = Ann.searchIndex(s, s"$root/clu", queries, topK, 64, p,
+          accepts = Some(acc), metrics = m)
+        val exact = KnnExact.knn(base.join(acc, Seq("id"), "left_semi"),
+          queries, topK, "COSINE", "id", "vec")
+        val hit = res.select("qid", "nid")
+          .join(exact.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+        hit.toDouble / exact.count()
+      }
+      val m50 = Ann.newMetrics(s); val mEx = Ann.newMetrics(s)
+      val r50v = recallFor(_ % 2 == 0, Some(m50))
+      Ann.searchIndex(s, s"$root/clu", queries, topK, 64, p, probeSegments = 0,
+        accepts = Some(accepted(_ % 2 == 0)), metrics = Some(mEx)).count()
+      val w50 = m50.visited.value.toDouble / math.max(1L, mEx.visited.value)
+      val r5v = recallFor(_ % 20 == 0)
+      val r05v = recallFor(_ % 200 == 0)
+      val r2cv = recallFor(id => { val cls = id % nClusters; cls == 3 || cls == 11 })
+      (r50v, r5v, r05v, r2cv, w50)
+    })
+    Gates.df(s, Seq(
+      ("routed_filtered_2class_recall_ge_0.95", 0.95, r2c >= 0.95),
+      ("routed_filtered_sel05_recall_ge_0.95", 0.95, r05 >= 0.95),
+      ("routed_filtered_sel50_prunes_lt_0.6", 0.6, work50 < 0.6),
+      ("routed_filtered_sel50_recall_ge_0.95", 0.95, r50 >= 0.95),
+      ("routed_filtered_sel5_recall_ge_0.95", 0.95, r5 >= 0.95)))
+  }
+
+  private val annRoutedFilteredSql: String = Gates.sql(Seq(
+    ("routed_filtered_2class_recall_ge_0.95", 0.95),
+    ("routed_filtered_sel05_recall_ge_0.95", 0.95),
+    ("routed_filtered_sel50_prunes_lt_0.6", 0.6),
+    ("routed_filtered_sel50_recall_ge_0.95", 0.95),
+    ("routed_filtered_sel5_recall_ge_0.95", 0.95)))
+
   private val annEffortSql: String = Gates.sql(Seq(
     ("effort_expanded_counted", 1.0),
     ("effort_expanded_le_visited", 1.0),
@@ -990,6 +1063,7 @@ object AnnQueries {
     "ann_compact_merge" -> (annCompactMerge _),
     "ann_effort" -> (annEffort _),
     "ann_routed" -> (annRouted _),
+    "ann_routed_filtered" -> (annRoutedFiltered _),
     "ivf_knn_join" -> (ivfKnnJoin _),
     "ivf_pruned" -> (ivfPruned _),
     "ivfpq_knn" -> (ivfPqKnn _),
@@ -1012,6 +1086,7 @@ object AnnQueries {
     "ann_compact_merge" -> annCompactMergeSql,
     "ann_effort" -> annEffortSql,
     "ann_routed" -> annRoutedSql,
+    "ann_routed_filtered" -> annRoutedFilteredSql,
     "ivf_knn_join" -> ivfKnnJoinSql,
     "ivf_pruned" -> ivfPrunedSql,
     "ivfpq_knn" -> ivfPqKnnSql,

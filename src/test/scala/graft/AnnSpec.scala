@@ -204,6 +204,52 @@ class AnnSpec extends SparkSpec {
     assert(ratio < 0.5, s"routing should prune most of the index, visited ratio $ratio")
   }
 
+  test("filtered x routed: accepted-mass routing holds recall across 50%/5%/0.5% selectivity") {
+    // jvector's low-cardinality filtering contract (recall > 0.95,
+    // TestLowCardinalityFiltering.java:54-57) composed with AutoProbe
+    // segment routing: selective accept-lists must widen the probe set
+    // (routeQueries walks the centroid ranking by ACCEPTED mass), and
+    // class-correlated accepts whose survivors all live outside the
+    // query's nearest cells must still be found.
+    val rnd = new scala.util.Random(29)
+    val nClusters = 8
+    val centers = Array.fill(nClusters)(Array.fill(8)(rnd.nextGaussian().toFloat * 2))
+    val rows = (0 until 3200).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.tabulate(8)(j => centers(i % nClusters)(j) + r.nextGaussian().toFloat).toSeq)
+    }
+    val base = rows.toDF("id", "vec").repartition(4)
+    val tmp = java.nio.file.Files.createTempDirectory("anncluf").toString
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    Ann.buildIndexClustered(base, s"$tmp/idx", params, nlist = nClusters)
+    Ann.clearSegmentCache()
+    val queries = rows.take(24).toDF("qid", "qvec")
+    def run(pred: Long => Boolean, tag: String): (Double, Long) = {
+      val acc = rows.map(_._1).filter(pred).toDF("id")
+      val m = Ann.newMetrics(spark)
+      val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params,
+        accepts = Some(acc), metrics = Some(m))
+      val want = KnnExact.knn(base.join(acc, Seq("id"), "left_semi"), queries, 10, "COSINE")
+      val hit = got.select("qid", "nid")
+        .join(want.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+      val r = hit.toDouble / want.count()
+      assert(r >= 0.95, s"filtered-routed recall[$tag] $r < 0.95")
+      (r, m.visited.value)
+    }
+    val (_, v50) = run(_ % 2 == 0, "sel=50%")
+    run(_ % 20 == 0, "sel=5%")
+    run(_ % 200 == 0, "sel=0.5%")
+    // 2 random classes, including queries whose own cluster is NOT accepted
+    run(id => { val c = id % nClusters; c == 2 || c == 5 }, "2-class")
+    // widening must not degenerate to always-exhaustive: the 50% run still
+    // prunes vs the filtered exhaustive scan of the same tree
+    val mEx = Ann.newMetrics(spark)
+    Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params, probeSegments = 0,
+      accepts = Some(rows.map(_._1).filter(_ % 2 == 0).toDF("id")), metrics = Some(mEx)).count()
+    assert(v50 < (mEx.visited.value * 6) / 10,
+      s"sel=50% routed visited $v50 not < 60% of exhaustive ${mEx.visited.value}")
+  }
+
   test("large query batches fan out across chunk tasks with unchanged results") {
     val tmp = java.nio.file.Files.createTempDirectory("annfan").toString
     val base = randVectors(2000, 16, seed = 51).toDF("id", "vec")
