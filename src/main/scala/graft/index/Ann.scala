@@ -435,7 +435,16 @@ object Ann {
         * vectors shouldn't be resident; search-time rerank stays exact.
         * Costs a few recall points vs exact-scored build (gated). Post-build
         * maintenance (repair/rescore/compact) always re-scores exact. */
-      pqBuild: Boolean = false)
+      pqBuild: Boolean = false,
+      /** Per-layer max out-degrees (reference `GraphIndexBuilder.java:
+        * 246-266`, UPGRADING.md 4.0): entry 0 caps layer 0, entry i caps
+        * layer i, last entry repeats for deeper layers — e.g. `Seq(32, 16)`
+        * builds a degree-32 base layer under a degree-16 hierarchy (smaller
+        * upper-layer degree = smaller resident hierarchy). Empty (default)
+        * keeps the single-degree behavior: layer 0 = `maxDegree`, upper
+        * layers = `min(maxDegree, 8)`. When non-empty its head governs
+        * layer 0 (overriding `maxDegree` for pruning). */
+      maxDegreeByLevel: Seq[Int] = Nil)
 
   /** Split into enough partitions that segments build in parallel.
     * Sizing needs a row count — a cheap metadata count for parquet sources,
@@ -531,7 +540,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-              p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
+              p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel).build(p.buildThreads))
           val vc = new Vamana.VisitCounter
           val out = qB.value.iterator.flatMap { case (qid, qv) =>
             g.search(qv, topK, ef, i => accept(i), vc)
@@ -617,7 +626,7 @@ object Ann {
           val codes: Array[Array[Int]] =
             if (p.pqBuild && pqModel.isDefined) rows.map(r => encodeCode(r._2)) else null
           val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
           val g =
             if (codes != null) {
               val mm = pqModel.get
@@ -757,7 +766,98 @@ object Ann {
       .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
       pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc)
+    // cell-model sidecar AFTER the main write (overwrite would wipe it):
+    // incremental flushes load it to stay cell-aligned ([[buildIndexAlignedTo]])
+    saveCells(base.sparkSession, CellModel(model, cellBaselineDist(base, baseVec, model)), s"$path/_cells")
     writeClusteredMarker(base.sparkSession, path)
+  }
+
+  /** The k-means cell model a clustered tree was built with, plus the build
+    * corpus' mean assignment distance (1 - sim to the assigned centroid) as
+    * a DRIFT BASELINE. Persisted as the `_cells` sidecar by
+    * [[buildIndexClustered]]; [[buildIndexAlignedTo]] loads it so
+    * incremental flushes keep a routable tree routable — and compares the
+    * new rows' assignment distance against the baseline so a distribution
+    * shift (rows that no longer fit the old cells) demotes instead of
+    * silently degrading routed recall. */
+  case class CellModel(model: Ivf.IvfModel, baselineDist: Double)
+
+  /** Mean assignment distance of a bounded deterministic sample — the
+    * drift baseline stored in the `_cells` sidecar. */
+  private def cellBaselineDist(
+      base: DataFrame, vecCol: String, model: Ivf.IvfModel): Double = {
+    val sample = graft.operators.Sampling.sampleVectors(base, vecCol, 16384, 2L)
+    if (sample.isEmpty) 0.0
+    else sample.iterator.map(v => 1.0 - model.simTo(v, model.assignOne(v))).sum / sample.length
+  }
+
+  private def saveCells(spark: SparkSession, cells: CellModel, path: String): Unit = {
+    import spark.implicits._
+    cells.model.centroids.indices
+      .map(c => (cells.model.metric, cells.baselineDist, c, cells.model.centroids(c).toSeq))
+      .toDF("metric", "baseline_dist", "cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** First loadable `_cells` sidecar under an index root or batch glob
+    * (mirrors the PQ-sidecar lookup): tried at the root itself (bare
+    * clustered tree) then one level down (service generation whose
+    * batch=0 is the clustered build). */
+  def loadCells(spark: SparkSession, path: String): Option[CellModel] = {
+    val root = path.stripSuffix("/*").stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val candidates = Iterator(s"$root/_cells") ++
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/*/_cells")))
+        .getOrElse(Array.empty).iterator.map(_.getPath.toString)
+    candidates.collectFirst(Function.unlift { p =>
+      try {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+        else {
+          val rows = spark.read.parquet(p)
+            .select("metric", "baseline_dist", "cluster_id", "centroid").collect()
+          if (rows.isEmpty) None
+          else {
+            val sorted = rows.sortBy(_.getInt(2))
+            Some(CellModel(
+              Ivf.IvfModel(sorted.head.getString(0),
+                sorted.map(_.getSeq[Double](3).toArray)),
+              sorted.head.getDouble(1)))
+          }
+        }
+      } catch { case _: Exception => None }
+    })
+  }
+
+  /** Cell-ALIGNED incremental batch build (B9 x T7, reference analogue:
+    * `docs/compaction.md` keeping serving properties across merges):
+    * assigns each row to its nearest EXISTING cell (the serving tree's
+    * [[CellModel]]) and builds one segment per assigned cell via the same
+    * identity-partition route as [[buildIndexClustered]] — the new batch's
+    * segments are locality-aligned with the serving tree's, so an
+    * incremental flush no longer forces a routable tree back to exhaustive
+    * serving. Returns the DRIFT ratio: the new rows' mean assignment
+    * distance over the sidecar baseline — the caller demotes routability
+    * when it exceeds its bound (rows that far from every old centroid make
+    * the batch's cells uninformative no matter how we partition). */
+  def buildIndexAlignedTo(
+      base: DataFrame,
+      path: String,
+      params: Params,
+      cells: CellModel,
+      baseId: String = "id",
+      baseVec: String = "vec"): Double = {
+    val nlist = cells.model.centroids.length
+    val assigned = Ivf.assign(base, baseVec, cells.model)
+    val preimage = identityPreimages(nlist)
+    val parted = assigned
+      .withColumn("_route",
+        element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
+      .repartition(nlist, col("_route"))
+      .drop("_route", "cluster_id")
+    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
+    val freshDist = cellBaselineDist(base, baseVec, cells.model)
+    freshDist / math.max(1e-9, cells.baselineDist)
   }
 
   /** Search a persisted index: co-locate each segment's rows, rebuild the
@@ -1080,7 +1180,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-              p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
+              p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel).build(p.buildThreads))
           qB.value.iterator.flatMap { case (qid, qv) =>
             val (first, st) = g.searchResumable(qv, pagesB(0), ef)
             val rest = pagesB.drop(1).iterator.flatMap(k => g.resume(st, k))
@@ -1154,7 +1254,7 @@ object Ann {
       sorted: Array[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])],
       p: Params): SegmentCache.Entry = {
     val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-      p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+      p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
     sorted.foreach { r =>
       g0.neighbors(r._2) ++= r._5
       if (r._6) g0.entryNode = r._2
@@ -1393,7 +1493,7 @@ object Ann {
             val entry = SegmentCache.getOrCompute(
               s"session|${segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)}", {
                 val g0 = new Vamana(sorted.map(_._5), p.metric, p.maxDegree,
-                  p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+                  p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
                 sorted.foreach { r =>
                   g0.neighbors(r._3) ++= r._6
                   if (r._7) g0.entryNode = r._3
@@ -1838,7 +1938,7 @@ object Ann {
           val g = TransientGraphCache.getOrCompute(
             TransientGraphCache.key(ids, vecs, p),
             new Vamana(vecs, p.metric, p.maxDegree,
-              p.beamWidth, p.alpha, p.neighborOverflow, p.seed).build(p.buildThreads))
+              p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel).build(p.buildThreads))
           qB.value.iterator.flatMap { case (qid, qv) =>
             g.thresholdSearch(qv, threshold, ef).iterator
               .map { case (l, s) => (qid, ids(l), s) }
@@ -1933,7 +2033,7 @@ object Ann {
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
           val g = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
           sorted.foreach { r =>
             g.neighbors(r._2) ++= r._5
             if (r._6) g.entryNode = r._2
@@ -2279,7 +2379,7 @@ object Ann {
             val srcs = bySrc.map { case (_, rows) =>
               val sorted = rows.sortBy(_._2)
               val g = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
-                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
               sorted.foreach { r =>
                 g.neighbors(r._2) ++= r._5
                 if (r._6) g.entryNode = r._2
@@ -2320,7 +2420,7 @@ object Ann {
                 si += 1
               }
               val g = new Vamana(mergedVecs, p.metric, p.maxDegree,
-                p.beamWidth, p.alpha, p.neighborOverflow, p.seed)
+                p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
               // cross-source search sizing = the reference's formula
               // (OnDiskGraphIndexCompactor.java:60-64,873-874): per-source
               // topK shrinks as source count grows — the merged candidate
@@ -2517,7 +2617,7 @@ object Ann {
           val nvq = sorted(0)._7 != null
           // scoring shell only — no build(): topology is carried over
           val g = new Vamana(vecs, p.metric, p.maxDegree, p.beamWidth,
-            p.alpha, p.neighborOverflow, p.seed)
+            p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
           // re-elect the entry as the medoid under the new metric (the
           // reference re-scores from the new provider's centroid,
           // GraphIndexBuilder.java:400-408)
@@ -2554,8 +2654,12 @@ object Ann {
     // a rescore keeps the exact segment structure (same rows, same cells,
     // centroids recomputed), so a clustered source's routability carries
     // over — without this the output silently demotes from AutoProbe
-    // routing to exhaustive serving
-    if (isClusteredTree(spark, inPath)) writeClusteredMarker(spark, outPath)
+    // routing to exhaustive serving. The cell-model sidecar rides along so
+    // future incremental flushes stay alignable.
+    if (isClusteredTree(spark, inPath)) {
+      writeClusteredMarker(spark, outPath)
+      loadCells(spark, inPath).foreach(c => saveCells(spark, c, s"$outPath/_cells"))
+    }
     unpin(outPath)
   }
 

@@ -79,7 +79,25 @@ final class Vamana(
     val beamWidth: Int = 100,
     val alpha: Double = 1.2,
     val neighborOverflow: Double = 1.2,
-    seed: Long = 0L) extends Serializable {
+    seed: Long = 0L,
+    /** Per-layer max out-degrees (reference `GraphIndexBuilder.java:246-266`,
+      * UPGRADING.md 4.0: "specify different maximum out-degrees for the
+      * graphs in each layer"): entry 0 caps layer 0, entry i caps layer i,
+      * and the LAST ENTRY REPEATS for all deeper layers. Empty = the
+      * single-degree default (layer 0 = `maxDegree`, upper layers =
+      * `min(maxDegree, 8)`). When non-empty, the head governs all layer-0
+      * pruning and `maxDegree` is only a scratch-sizing hint. */
+    val maxDegreeByLevel: Seq[Int] = Nil) extends Serializable {
+
+  require(maxDegreeByLevel.forall(_ > 0), s"maxDegreeByLevel entries must be > 0: $maxDegreeByLevel")
+
+  /** Effective max out-degree at `level` under [[maxDegreeByLevel]]. */
+  def degreeAt(level: Int): Int =
+    if (maxDegreeByLevel.isEmpty) { if (level == 0) maxDegree else math.min(maxDegree, 8) }
+    else maxDegreeByLevel(math.min(level, maxDegreeByLevel.length - 1))
+
+  // layer-0 degree: every base-layer prune/overflow cap below uses this
+  private val degL0: Int = degreeAt(0)
 
   private val n = vectors.length
   val neighbors: Array[mutable.ArrayBuffer[Int]] = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
@@ -99,7 +117,7 @@ final class Vamana(
     * greedy-descent accelerator for picking the layer-0 entry point; they
     * hold only node ids + small neighbor lists. */
   val levels: Array[Int] = {
-    val ml = 1.0 / math.log(math.max(2, maxDegree))
+    val ml = 1.0 / math.log(math.max(2, degL0))
     val rnd = new java.util.Random(seed ^ 0x9E3779B97F4A7C15L)
     Array.fill(n)(math.min((-math.log(rnd.nextDouble()) * ml).toInt, 8))
   }
@@ -150,10 +168,11 @@ final class Vamana(
     * (~31k level-1 members under ml = 1/ln(32)) would dominate the whole
     * segment build. Tiny layers (<= 64) stay exact. */
   private def buildHierarchy(): Unit = {
-    val degUpper = math.min(maxDegree, 8)
-    val efC = math.max(4 * degUpper, 32)
     var l = 1
     while (l <= maxLevel) {
+      // per-layer cap (reference maxDegrees list, last entry repeating)
+      val degUpper = degreeAt(l)
+      val efC = math.max(4 * degUpper, 32)
       val members = (0 until n).filter(levels(_) >= l).toArray
       val layer = upperNeighbors(l - 1)
       if (members.length == 1) layer(members(0)) = Array.empty
@@ -798,7 +817,7 @@ final class Vamana(
       nbrSims: Array[mutable.ArrayBuffer[Double]]): Unit = {
     val found = buildSearch(node)
     val chosenScores = mutable.ArrayBuffer.empty[Double]
-    val chosen = robustPrune(node, packPairs(found.iterator, found.length), maxDegree, chosenScores)
+    val chosen = robustPrune(node, packPairs(found.iterator, found.length), degL0, chosenScores)
     neighbors(node) = chosen
     nbrSims(node) = chosenScores
     // reverse edges (backlink), prune on overflow
@@ -815,7 +834,7 @@ final class Vamana(
           var i2 = 0
           while (i2 < lst.length) { packed(i2) = LongHeap.pack(sims(i2), lst(i2)); i2 += 1 }
           val outScores = mutable.ArrayBuffer.empty[Double]
-          neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
+          neighbors(nb) = robustPrune(nb, packed, degL0, outScores)
           nbrSims(nb) = outScores
         }
       }
@@ -889,7 +908,7 @@ final class Vamana(
   }
 
   private def buildFrom(threads: Int): this.type = {
-    val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
+    val overflowDeg = math.max(degL0 + 1, (degL0 * neighborOverflow).toInt)
     val rnd = new scala.util.Random(seed)
     val order = rnd.shuffle((0 until n).toVector)
     // owner->neighbor sims cached parallel to each adjacency list: sim is
@@ -913,7 +932,7 @@ final class Vamana(
         while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
         var j2 = 0
         while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
-        neighbors(node) = robustPrune(node, packed, maxDegree)
+        neighbors(node) = robustPrune(node, packed, degL0)
       }
     } else buildParallel(nodes, overflowDeg, nbrSims, threads)
     buildHierarchy()
@@ -943,13 +962,13 @@ final class Vamana(
   def buildFromCandidates(cands: Array[Array[Long]]): this.type = {
     require(cands.length == n, s"candidate sets ${cands.length} != n $n")
     if (n == 0) return this
-    val overflowDeg = math.max(maxDegree + 1, (maxDegree * neighborOverflow).toInt)
+    val overflowDeg = math.max(degL0 + 1, (degL0 * neighborOverflow).toInt)
     val nbrSims: Array[mutable.ArrayBuffer[Double]] =
       Array.fill(n)(mutable.ArrayBuffer.empty[Double])
     var u = 0
     while (u < n) {
       val scoresOut = mutable.ArrayBuffer.empty[Double]
-      neighbors(u) = robustPrune(u, cands(u), maxDegree, scoresOut)
+      neighbors(u) = robustPrune(u, cands(u), degL0, scoresOut)
       nbrSims(u) = scoresOut
       u += 1
     }
@@ -973,7 +992,7 @@ final class Vamana(
             var i2 = 0
             while (i2 < back.length) { packed(i2) = LongHeap.pack(bs(i2), back(i2)); i2 += 1 }
             val outScores = mutable.ArrayBuffer.empty[Double]
-            neighbors(nb) = robustPrune(nb, packed, maxDegree, outScores)
+            neighbors(nb) = robustPrune(nb, packed, degL0, outScores)
             nbrSims(nb) = outScores
           }
         }
@@ -1043,7 +1062,7 @@ final class Vamana(
             val found = buildSearch(node)
             val ss = mutable.ArrayBuffer.empty[Double]
             chosenArr(i) =
-              robustPrune(node, packPairs(found.iterator, found.length), maxDegree, ss, scratch)
+              robustPrune(node, packPairs(found.iterator, found.length), degL0, ss, scratch)
             scoresArr(i) = ss
             i = next.getAndIncrement()
           }
@@ -1083,7 +1102,7 @@ final class Vamana(
             var j = 0
             while (j < lst.length) { packed(j) = LongHeap.pack(sims(j), lst(j)); j += 1 }
             val out = mutable.ArrayBuffer.empty[Double]
-            neighbors(nb) = robustPrune(nb, packed, maxDegree, out, scratch)
+            neighbors(nb) = robustPrune(nb, packed, degL0, out, scratch)
             nbrSims(nb) = out
             i = next2.getAndIncrement()
           }
@@ -1114,7 +1133,7 @@ final class Vamana(
             while (i2 < found.length) { packed(i2) = LongHeap.pack(found(i2)._2, found(i2)._1); i2 += 1 }
             var j2 = 0
             while (j2 < lst.length) { packed(i2 + j2) = LongHeap.pack(sims(j2), lst(j2)); j2 += 1 }
-            out(i) = robustPrune(node, packed, maxDegree, null, scratch)
+            out(i) = robustPrune(node, packed, degL0, null, scratch)
             i = next.getAndIncrement()
           }
         }
@@ -1158,7 +1177,7 @@ final class Vamana(
             i += 1
           }
           val packed = cand.toArray.map(c => LongHeap.pack(simNodes(a, c), c))
-          neighbors(a) = robustPrune(a, packed, maxDegree)
+          neighbors(a) = robustPrune(a, packed, degL0)
         }
       }
       a += 1

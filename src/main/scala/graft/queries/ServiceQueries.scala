@@ -205,13 +205,19 @@ object ServiceQueries {
       val hits = exact.map { case (q, want) =>
         got.get(q).map(_.intersect(want).size).getOrElse(0) }.sum
       val rec = hits.toDouble / math.max(1, exact.map(_._2.size).sum)
-      // MEMORY: footprint is the first token; segments=/routable= stats
-      // follow (serving-regime visibility). An IPC-built tree is arrival-
-      // partitioned: segments >= 1, routable = 0 (exhaustive regime).
+      // MEMORY is wire-identical to the reference (`RESULT <kb>`, one
+      // long); serving-regime stats (segments=/routable=) live on the
+      // STATS extension verb. An IPC-built tree is arrival-partitioned:
+      // segments >= 1, routable = 0 (exhaustive regime).
       val memOk = send("MEMORY") match {
         case m if m.startsWith("RESULT ") =>
+          scala.util.Try(m.stripPrefix("RESULT ").toLong).toOption.exists(_ > 0L)
+        case _ => false
+      }
+      val statsOk = send("STATS") match {
+        case m if m.startsWith("RESULT ") =>
           val toks = m.stripPrefix("RESULT ").split(" ")
-          toks(0).toLong > 0L &&
+          toks.exists(t => t.startsWith("kb=") && t.drop(3).toLong > 0L) &&
             toks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L) &&
             toks.contains("routable=0")
         case _ => false
@@ -223,6 +229,7 @@ object ServiceQueries {
         ("ipc_search_before_optimize_errors", 1.0, earlySearchErrs),
         ("ipc_search_recall_ge_0.9", 0.9, rec >= 0.9),
         ("ipc_memory_positive", 1.0, memOk),
+        ("ipc_stats_regime_visible", 1.0, statsOk),
         ("ipc_bad_verb_errors_conn_survives", 1.0, badVerbErrs))
     } finally srv.close()
   }
@@ -232,6 +239,7 @@ object ServiceQueries {
     ("ipc_search_before_optimize_errors", 1.0),
     ("ipc_search_recall_ge_0.9", 0.9),
     ("ipc_memory_positive", 1.0),
+    ("ipc_stats_regime_visible", 1.0),
     ("ipc_bad_verb_errors_conn_survives", 1.0)))
 
   // ------------------------------------------------------------- IPC churn
@@ -487,19 +495,28 @@ object ServiceQueries {
     * service surface): an incrementally-built generation is NOT routable;
     * a cluster-compaction re-partitions live rows k-means-cell-per-segment,
     * marks the generation `_clustered`, and SEARCH (AutoProbe default)
-    * tracks the exhaustive answer on the same tree; a subsequent
-    * arrival-partitioned flush DEMOTES the tree back to exhaustive. */
+    * tracks the exhaustive answer on the same tree. A subsequent
+    * IN-DISTRIBUTION flush builds a cell-ALIGNED batch and the tree STAYS
+    * routable (no regime ping-pong) with routed/exhaustive parity intact;
+    * a DRIFTED flush (rows far from every cell, here a shifted
+    * all-positive blob) trips the MaxAlignDrift bound and demotes to
+    * exhaustive — the honest regime for rows the old cells cannot
+    * describe. */
   private def serviceClusteredGates(s: SparkSession): Seq[(String, Double, Boolean)] = {
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_clu_gate").toString
     val svc = new VectorService(s, root)
-    svc.create("cg", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    // segmentRows=700 => OPTIMIZE CLUSTER targets ~5 cells on 3000 rows:
+    // routing/alignment is exercised for real (one giant cell is trivially
+    // "aligned" and routes nothing)
+    svc.create("cg", metric = "COSINE", maxDegree = 16, beamWidth = 64, segmentRows = 700)
     val rnd = new java.util.Random(13)
     val centers = Array.fill(4)(Array.fill(12)(rnd.nextFloat() * 2 - 1))
-    val rows = (0 until 3000).map { i =>
+    def fromCenters(ids: Range): DataFrame = ids.map { i =>
       val c = centers(i % 4)
       (i.toLong, c.map(v => v + (rnd.nextFloat() * 2 - 1) * 0.5f).toSeq)
     }.toDF("id", "vec")
+    val rows = fromCenters(0 until 3000)
     svc.write("cg", rows)
     svc.optimize("cg")
     def routable(): Long = svc.memory("cg")
@@ -518,12 +535,25 @@ object ServiceQueries {
       gs.intersect(ws).size.toDouble / ws.size
     }
     val exactRecall = recallOf(got, want)
-    val params = graft.index.Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val params = graft.index.Ann.Params(metric = "COSINE", maxDegree = 16,
+      beamWidth = 64, segmentRows = 700)
     val exh = graft.index.Ann.searchIndex(s, s"$root/cg/gen=1/*", queries, 10, 64,
       params, probeSegments = 0)
     val parity = recallOf(got, exh)
+    // in-distribution flush: cell-aligned batch, tree STAYS routable and
+    // the routed search still tracks the exhaustive answer on the (now
+    // two-batch) tree
+    svc.write("cg", fromCenters(10000 until 10200))
+    svc.optimize("cg")
+    val stillRoutable = routable() == 1L
+    val got2 = svc.search("cg", queries, limit = 10)
+    val exh2 = graft.index.Ann.searchIndex(s, s"$root/cg/gen=1/*", queries, 10, 64,
+      params, probeSegments = 0)
+    val flushParity = recallOf(got2, exh2)
+    // drifted flush: an all-positive shifted blob no old cell describes —
+    // MaxAlignDrift trips and the tree demotes to exhaustive serving
     svc.write("cg", (5000 until 5100).map(i =>
-      (i.toLong, Seq.fill(12)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec"))
+      (i.toLong, Seq.fill(12)(5f + rnd.nextFloat()))).toDF("id", "vec"))
     svc.optimize("cg")
     val demoted = routable() == 0L
     Seq(
@@ -532,7 +562,9 @@ object ServiceQueries {
       ("svc_cluster_routable_after", 1.0, routableAfter),
       ("svc_cluster_exact_recall_ge_0_9", 0.9, exactRecall >= 0.9),
       ("svc_cluster_parity_ge_0_95", 0.95, parity >= 0.95),
-      ("svc_cluster_demoted_by_flush", 1.0, demoted))
+      ("svc_cluster_flush_stays_routable", 1.0, stillRoutable),
+      ("svc_cluster_flush_parity_ge_0_95", 0.95, flushParity >= 0.95),
+      ("svc_cluster_drift_demotes", 1.0, demoted))
   }
 
   private val serviceClusteredSql: String = Gates.sql(Seq(
@@ -541,7 +573,9 @@ object ServiceQueries {
     ("svc_cluster_routable_after", 1.0),
     ("svc_cluster_exact_recall_ge_0_9", 0.9),
     ("svc_cluster_parity_ge_0_95", 0.95),
-    ("svc_cluster_demoted_by_flush", 1.0)))
+    ("svc_cluster_flush_stays_routable", 1.0),
+    ("svc_cluster_flush_parity_ge_0_95", 0.95),
+    ("svc_cluster_drift_demotes", 1.0)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "service_lifecycle" -> (serviceLifecycle _),

@@ -24,8 +24,10 @@ import java.nio.charset.StandardCharsets
   *  - `OPTIMIZE` — flush + build (delegates to `VectorService.optimize`)
   *  - `SEARCH searchEf topK [f,...] [f,...]` — per query vector a
   *    bracketed id list, best-first: `RESULT [3,9] [1,2]`
-  *  - `MEMORY` — `RESULT <kb> segments=<n> routable=<0|1>` (index storage
-  *    footprint plus serving-regime stats; footprint is the first token)
+  *  - `MEMORY` — `RESULT <kb>` (index storage footprint, wire-identical
+  *    to the reference `IPCService.java:225`)
+  *  - `STATS` — `RESULT kb=<kb> segments=<n> routable=<0|1>` (extension
+  *    verb, not in the reference protocol: serving-regime visibility)
   *
   * The Spark translation: vectors accumulate into the service's pending
   * parquet on WRITE/BULKLOAD, OPTIMIZE builds the segment graphs, SEARCH
@@ -179,20 +181,23 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
         "OK"
       case "OPTIMIZE" =>
         require(ctx.created, "CREATE first")
+        // `OPTIMIZE CLUSTER`: full re-clustering compaction — the new
+        // generation is routable (STATS reports routable=1) and SEARCH
+        // flips from exhaustive to AutoProbe centroid routing. Bare
+        // OPTIMIZE stays the wire-compatible incremental flush; any OTHER
+        // argument errors rather than silently running a bare flush the
+        // client did not ask for — and it errors BEFORE the buffered
+        // WRITEs flush (parse-before-mutate, the same principle the WRITE
+        // handler documents): a malformed line leaves session and pending
+        // state untouched.
+        val optArg = args.trim
+        require(optArg.isEmpty || optArg.equalsIgnoreCase("CLUSTER"),
+          s"unknown OPTIMIZE argument '$optArg' (expected nothing or CLUSTER)")
         if (ctx.buffered.nonEmpty) {
           import spark.implicits._
           svc.write(ctx.name, ctx.buffered.toSeq.toDF("id", "vec"))
           ctx.buffered.clear()
         }
-        // `OPTIMIZE CLUSTER`: full re-clustering compaction — the new
-        // generation is routable (MEMORY reports routable=1) and SEARCH
-        // flips from exhaustive to AutoProbe centroid routing. Bare
-        // OPTIMIZE stays the wire-compatible incremental flush; any OTHER
-        // argument errors rather than silently running a bare flush the
-        // client did not ask for.
-        val optArg = args.trim
-        require(optArg.isEmpty || optArg.equalsIgnoreCase("CLUSTER"),
-          s"unknown OPTIMIZE argument '$optArg' (expected nothing or CLUSTER)")
         svc.optimize(ctx.name, cluster = optArg.equalsIgnoreCase("CLUSTER"))
         "OK"
       case "SEARCH" =>
@@ -216,17 +221,25 @@ final class IpcServer(spark: SparkSession, root: String, socketPath: String) {
         "RESULT " + parts.mkString(" ")
       case "MEMORY" =>
         require(ctx.created, "CREATE first")
+        // wire-identical to the reference (`IPCService.java:225` emits
+        // exactly `RESULT <kb>`): a client that parses the whole remainder
+        // as a long must not break. Serving-regime stats moved to STATS.
+        val kb = svc.memory(ctx.name).collect().map(_.getLong(2)).sum / 1024
+        s"RESULT $kb"
+      case "STATS" =>
+        require(ctx.created, "CREATE first")
+        // serving-regime visibility (our extension verb, absent from the
+        // reference wire protocol): k=v tokens — storage footprint,
+        // segment count, and routability of the serving generation (0 on
+        // arrival-partitioned trees -> SEARCH runs exhaustive; 1 after
+        // OPTIMIZE CLUSTER -> AutoProbe centroid routing).
         val rows = svc.memory(ctx.name).collect()
         val kb = rows.map(_.getLong(2)).sum / 1024
-        // serving-regime stats appended as k=v tokens: segment count and
-        // routability of the serving generation (0 on service-built
-        // arrival-partitioned trees -> SEARCH runs exhaustive). Clients
-        // that only want the footprint read the first token.
         val stat = rows.collect {
           case r if r.getString(0) == "segments" => s"segments=${r.getLong(1)}"
           case r if r.getString(0) == "routable" => s"routable=${r.getLong(1)}"
         }
-        (s"RESULT $kb" +: stat).mkString(" ")
+        (s"RESULT kb=$kb" +: stat).mkString(" ")
       case other =>
         throw new UnsupportedOperationException(s"No support for: '$other'")
     }

@@ -71,16 +71,21 @@ class VectorService(spark: SparkSession, root: String) {
     fs.exists(p) && fs.globStatus(new HPath(s"$path/*.parquet")).nonEmpty
   }
 
-  /** CREATE: register an index with its build/search parameters. */
+  /** CREATE: register an index with its build/search parameters.
+    * `segmentRows` is the serving-shape knob: target rows per segment for
+    * incremental builds AND the k-means cell size OPTIMIZE CLUSTER
+    * targets. */
   def create(
       name: String,
       metric: String = "COSINE",
       maxDegree: Int = 32,
       beamWidth: Int = 100,
       pqM: Int = 0,
-      nvqBits: Int = 0): Unit = {
+      nvqBits: Int = 0,
+      segmentRows: Int = 8192): Unit = {
     require(!fs.exists(new HPath(dir(name, "_meta"))), s"index '$name' already exists")
-    writeSmall(dir(name, "_meta"), Meta(metric, maxDegree, beamWidth, pqM, nvqBits).render)
+    writeSmall(dir(name, "_meta"),
+      Meta(metric, maxDegree, beamWidth, pqM, nvqBits, segmentRows).render)
   }
 
   /** WRITE: append (id, vec) rows; searchable after the next OPTIMIZE. */
@@ -215,27 +220,48 @@ class VectorService(spark: SparkSession, root: String) {
         val flushed = flushedFileKeys(genDir)
         val leftovers = snapshot.filter(f => flushed.contains(fileKey(f)))
         val fresh = snapshot.filterNot(f => flushed.contains(fileKey(f)))
-        // an arrival-partitioned batch DEMOTES a clustered generation: its
-        // segments have uninformative centroids, so routing over the mixed
-        // tree would silently drop recall for the new rows. The marker
-        // drops BEFORE the batch commit, for two reasons: (a) crash
-        // safety — a crash after the delete leaves a fully-clustered tree
-        // temporarily unmarked (exhaustive = conservative), while the
-        // reverse order leaves a MIXED tree marked routable, and the
-        // re-run would skip the delete because the leftover batch makes
-        // `fresh` empty; (b) marker-memo coherence — a concurrent search
-        // that reads the marker at the pre-commit build token caches a
-        // verdict that is CORRECT for that token (tree still fully
-        // clustered); the commit changes the token, so post-commit
-        // searches re-check and see the marker gone. Leftovers demote
-        // too: they mean a crashed run already committed such a batch.
-        if (snapshot.nonEmpty)
-          fs.delete(new HPath(s"$genDir/_clustered"), false)
         if (fresh.nonEmpty) {
           val staging = dir(name, s"_staging/${java.util.UUID.randomUUID()}")
-          Ann.buildIndex(
-            spark.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*),
-            staging, params, "id", "vec")
+          val freshDf = spark.read.parquet(fresh.map(_.getPath.toString).toIndexedSeq: _*)
+          // A clustered generation accepts flushes WITHOUT losing
+          // routability: the batch is built cell-ALIGNED to the serving
+          // tree's `_cells` model (one segment per existing cell,
+          // Ann.buildIndexAlignedTo), so its centroids stay informative
+          // and AutoProbe keeps routing across appends — a streaming tree
+          // no longer ping-pongs between regimes on every flush. Demotion
+          // now happens only when (a) the tree predates the `_cells`
+          // sidecar, or (b) the new rows DRIFTED: their mean assignment
+          // distance exceeds MaxAlignDrift x the build-corpus baseline —
+          // rows that far from every old centroid make any partitioning
+          // of them uninformative, so exhaustive serving is the honest
+          // regime until the next OPTIMIZE CLUSTER re-clusters.
+          val clusteredServing = fs.exists(new HPath(s"$genDir/_clustered"))
+          val aligned: Boolean =
+            if (clusteredServing) {
+              Ann.loadCells(spark, genDir) match {
+                case Some(cells) =>
+                  val drift = Ann.buildIndexAlignedTo(freshDf, staging, params, cells, "id", "vec")
+                  drift <= VectorService.MaxAlignDrift
+                case None =>
+                  Ann.buildIndex(freshDf, staging, params, "id", "vec"); false
+              }
+            } else { Ann.buildIndex(freshDf, staging, params, "id", "vec"); false }
+          // an UNALIGNED batch demotes, and the marker drops BEFORE the
+          // batch commit: (a) crash safety — a crash after the delete
+          // leaves a fully-clustered tree temporarily unmarked
+          // (exhaustive = conservative), while the reverse order leaves a
+          // MIXED tree marked routable, and the re-run would skip the
+          // delete because the leftover batch makes `fresh` empty;
+          // (b) marker-memo coherence — a concurrent search that reads
+          // the marker at the pre-commit build token caches a verdict
+          // that is CORRECT for that token; the commit changes the token,
+          // so post-commit searches re-check and see the marker gone.
+          // Leftovers need no demotion pass of their own: a crashed run
+          // that committed an unaligned batch already dropped the marker
+          // pre-commit, and one that committed an aligned batch rightly
+          // kept it.
+          if (clusteredServing && !aligned)
+            fs.delete(new HPath(s"$genDir/_clustered"), false)
           writeSmall(s"$staging/_flushed_files", fresh.map(fileKey).sorted.mkString("\n"))
           val nextBatch = Option(fs.globStatus(new HPath(s"$genDir/batch=*")))
             .map(_.length).getOrElse(0)
@@ -281,8 +307,12 @@ class VectorService(spark: SparkSession, root: String) {
           mode = if (cluster) "cluster" else "merge")
         // the routable marker goes at the GENERATION level (the serving
         // glob's root, where [[search]]/[[memory]] look for it), and BEFORE
-        // the `_current` flip so readers always see marker and tree together
-        if (cluster)
+        // the `_current` flip so readers always see marker and tree
+        // together. An all-tombstoned compaction yields a token-only empty
+        // generation — nothing to route, so it is NOT marked (keeping the
+        // marker's contract: marker present => segments are cell-aligned)
+        if (cluster && Option(fs.globStatus(
+            new HPath(s"${dir(name, nextGen)}/*/seg=*"))).exists(_.nonEmpty))
           writeSmall(s"${dir(name, nextGen)}/_clustered", "clustered")
         writeSmall(dir(name, "_current"), nextGen) // readers flip atomically
         delFiles.foreach(p => fs.delete(p, false))
@@ -307,10 +337,12 @@ class VectorService(spark: SparkSession, root: String) {
     * (no marker), so SEARCH on them runs EXHAUSTIVE by design — centroid
     * routing over uninformative centroids would silently drop recall.
     * `optimize(cluster = true)` promotes the tree to the routed regime
-    * (k-means cell = segment); a subsequent incremental flush demotes it
-    * again until the next cluster-compaction. [[memory]] reports the
-    * regime (`segments` / `routable` rows) so operators can see which
-    * one they're in. */
+    * (k-means cell = segment); subsequent incremental flushes build
+    * cell-ALIGNED batches and KEEP it routable, demoting only when the
+    * flushed rows drift past [[VectorService.MaxAlignDrift]] x the build
+    * baseline (or on a merge compaction, which re-packs segments across
+    * cells). [[memory]] reports the regime (`segments` / `routable` rows)
+    * so operators can see which one they're in. */
   def search(name: String, queries: DataFrame, limit: Int, ef: Int = 64): DataFrame = {
     val m = meta(name)
     val gen = currentGen(name)
@@ -369,17 +401,28 @@ class VectorService(spark: SparkSession, root: String) {
 
 object VectorService {
 
+  /** Drift bound for cell-aligned flushes: a flushed batch whose mean
+    * assignment distance exceeds this multiple of the clustered build's
+    * baseline demotes the generation to exhaustive serving (the old cells
+    * no longer describe the new rows). 2x tolerates ordinary variation
+    * (same-distribution appends land near 1.0) while catching a genuine
+    * distribution shift. */
+  val MaxAlignDrift: Double = 2.0
+
   private[service] case class Meta(
-      metric: String, maxDegree: Int, beamWidth: Int, pqM: Int, nvqBits: Int) {
-    def render: String = s"$metric,$maxDegree,$beamWidth,$pqM,$nvqBits"
+      metric: String, maxDegree: Int, beamWidth: Int, pqM: Int, nvqBits: Int,
+      segmentRows: Int = 8192) {
+    def render: String = s"$metric,$maxDegree,$beamWidth,$pqM,$nvqBits,$segmentRows"
     def params: Ann.Params = Ann.Params(metric = metric, maxDegree = maxDegree,
-      beamWidth = beamWidth, pqM = pqM, nvqBits = nvqBits)
+      beamWidth = beamWidth, pqM = pqM, nvqBits = nvqBits, segmentRows = segmentRows)
   }
 
   private[service] object Meta {
+    /** Pre-segmentRows metas (5 fields) parse with the historical default. */
     def parse(s: String): Meta = {
       val a = s.split(",")
-      Meta(a(0), a(1).toInt, a(2).toInt, a(3).toInt, a(4).toInt)
+      Meta(a(0), a(1).toInt, a(2).toInt, a(3).toInt, a(4).toInt,
+        if (a.length > 5) a(5).toInt else 8192)
     }
   }
 }

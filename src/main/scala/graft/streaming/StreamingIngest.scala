@@ -37,14 +37,36 @@ object StreamingIngest {
         * re-ingests every document as duplicate segments. Override to
         * relocate; never share across indexes. */
       checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(indexPath.stripSuffix("/") + "_checkpoint")
+    // The stable checkpoint is COUPLED to the index contents: it records
+    // which source files were already ingested INTO THIS INDEX. If the
+    // index root was wiped/rebuilt but the checkpoint survived, resuming
+    // would silently skip every previously-processed file and serve an
+    // empty index. Detect that state (checkpoint present, zero batch dirs
+    // under the index root — nothing it recorded actually survives) and
+    // clear the checkpoint so the run re-ingests from scratch; re-listing
+    // is exactly right because no prior output exists to duplicate.
+    locally {
+      val hconf = spark.sessionState.newHadoopConf()
+      val cpPath = new org.apache.hadoop.fs.Path(cp)
+      val fs = cpPath.getFileSystem(hconf)
+      val root = indexPath.stripSuffix("/")
+      val hasBatches = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/batch=*"))).exists(_.nonEmpty)
+      if (fs.exists(cpPath) && !hasBatches) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"checkpoint $cp exists but index $indexPath has no batches " +
+            "(wiped or never-built index) — clearing the checkpoint to re-ingest")
+        fs.delete(cpPath, true)
+      }
+    }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(indexPath.stripSuffix("/") + "_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // hive-style batch dir: nested under it, buildIndex writes seg=...

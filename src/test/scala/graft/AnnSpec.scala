@@ -37,6 +37,53 @@ class AnnSpec extends SparkSpec {
     assert(got.intersect(want).size >= 9, s"recall too low: ${got.intersect(want).size}/10")
   }
 
+  test("per-layer max degrees: upper-layer caps honored, recall holds (GraphIndexBuilder maxDegrees)") {
+    // reference `GraphIndexBuilder.java:246-266` / UPGRADING.md 4.0: a
+    // degree list, one entry per layer, last entry repeating — here a
+    // degree-24 base layer under a degree-4 hierarchy (smaller upper-layer
+    // degree = smaller resident hierarchy).
+    val rnd = new scala.util.Random(17)
+    val vecs = Array.fill(3000)(Array.fill(12)(rnd.nextFloat() * 2 - 1))
+    val g = new Vamana(vecs, "COSINE", maxDegree = 32, beamWidth = 64,
+      maxDegreeByLevel = Seq(24, 4)).build()
+    assert(g.degreeAt(0) === 24 && g.degreeAt(1) === 4 && g.degreeAt(5) === 4,
+      "degree list semantics: head = layer 0, last entry repeats")
+    // layer 0 pruned to the list head, not the legacy maxDegree
+    assert(g.neighbors.forall(_.size <= 24),
+      s"layer-0 degree must be capped at 24, max seen ${g.neighbors.map(_.size).max}")
+    // upper layers capped at 4 (+1 transient backlink slack never persists:
+    // trim runs on every overflow, so persisted lists obey the cap)
+    val upperDegs = vecs.indices.flatMap { node =>
+      Option(g.upperAdjacencyOf(node)).toSeq.flatMap(_.map(_.length))
+    }
+    assert(upperDegs.nonEmpty, "3000 nodes at ml=1/ln(24) must promote some to upper layers")
+    assert(upperDegs.max <= 4, s"upper-layer degree must be capped at 4, max seen ${upperDegs.max}")
+    // recall gate still holds with the constrained hierarchy
+    var hits = 0
+    for (qi <- 0 until 20) {
+      val q = Array.fill(12)(rnd.nextFloat() * 2 - 1)
+      val want = vecs.indices.map(i => (i, g.sim(q, vecs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      hits += g.search(q, 10, 64).map(_._1).toSet.intersect(want).size
+    }
+    assert(hits >= 180, s"recall under per-layer degrees ${hits / 200.0} < 0.9")
+    // default (empty list) preserves the single-degree behavior
+    val gDef = new Vamana(vecs.take(500), "COSINE", maxDegree = 16, beamWidth = 64).build()
+    assert(gDef.degreeAt(0) === 16 && gDef.degreeAt(1) === 8,
+      "empty list keeps layer 0 = maxDegree, upper = min(maxDegree, 8)")
+    // end-to-end through Params: the list threads into every segment build
+    val base = randVectors(4000, 12, seed = 18).toDF("id", "vec")
+    val queries = randVectors(30, 12, seed = 19).toDF("qid", "qvec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 64,
+      maxDegreeByLevel = Seq(24, 4), segmentRows = 2000)
+    val tmp = java.nio.file.Files.createTempDirectory("annlayerdeg").toString
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    Ann.clearSegmentCache()
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+    val want = KnnExact.knn(base, queries, 10, "COSINE")
+    assert(recallOf(got, want) >= 0.9, "indexed recall under per-layer degrees")
+  }
+
   test("single-segment ANN: recall@10 >= 0.95 AND visited < 15% on 10k x 16d (reference contract)") {
     val base = randVectors(10000, 16, seed = 42).toDF("id", "vec").coalesce(1)
     val queries = randVectors(100, 16, seed = 99).toDF("qid", "qvec")

@@ -57,29 +57,42 @@ class IpcServerSpec extends SparkSpec {
       assert(lists.length === 2)
       assert(lists(0) === "[0,2]" || lists(0) === "[2,0]", s"query 1 got ${lists(0)}")
       assert(lists(1) === "[1,3]" || lists(1) === "[3,1]", s"query 2 got ${lists(1)}")
+      // MEMORY is wire-identical to the reference: exactly `RESULT <kb>` —
+      // a client parsing the remainder as one long must not break
       val mem = c.send("MEMORY")
       assert(mem.startsWith("RESULT "), s"got: $mem")
-      // footprint first token; serving-regime stats follow: this tree is
-      // IPC-built (arrival-partitioned) -> at least one segment, NOT
+      assert(mem.stripPrefix("RESULT ").toLong >= 0L, s"MEMORY must be RESULT <kb>: $mem")
+      // serving-regime stats live on the STATS extension verb: this tree
+      // is IPC-built (arrival-partitioned) -> at least one segment, NOT
       // routable (SEARCH runs the exhaustive regime by design)
-      val memToks = mem.stripPrefix("RESULT ").split(" ")
-      assert(memToks(0).toLong >= 0L)
-      assert(memToks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L),
-        s"MEMORY must report segments: $mem")
-      assert(memToks.contains("routable=0"), s"MEMORY must report routability: $mem")
+      val statToks = c.send("STATS").stripPrefix("RESULT ").split(" ")
+      assert(statToks.exists(t => t.startsWith("kb=") && t.drop(3).toLong >= 0L),
+        s"STATS must report kb: ${statToks.mkString(" ")}")
+      assert(statToks.exists(t => t.startsWith("segments=") && t.drop(9).toLong >= 1L),
+        s"STATS must report segments: ${statToks.mkString(" ")}")
+      assert(statToks.contains("routable=0"),
+        s"STATS must report routability: ${statToks.mkString(" ")}")
       // OPTIMIZE CLUSTER: full re-clustering compaction promotes the tree
-      // to the routed regime; results stay correct and MEMORY flips
+      // to the routed regime; results stay correct and STATS flips
       // routable=1
       assert(c.send("OPTIMIZE CLUSTER") === "OK")
       val rc = c.send("SEARCH 16 2 [1,0.05] [0.05,1]")
       val cl = rc.stripPrefix("RESULT ").split(" ")
       assert(cl(0) === "[0,2]" || cl(0) === "[2,0]", s"clustered query 1 got ${cl(0)}")
       assert(cl(1) === "[1,3]" || cl(1) === "[3,1]", s"clustered query 2 got ${cl(1)}")
-      val memC = c.send("MEMORY").stripPrefix("RESULT ").split(" ")
-      assert(memC.contains("routable=1"),
-        s"MEMORY must report routable=1 after OPTIMIZE CLUSTER: ${memC.mkString(" ")}")
+      val statC = c.send("STATS").stripPrefix("RESULT ").split(" ")
+      assert(statC.contains("routable=1"),
+        s"STATS must report routable=1 after OPTIMIZE CLUSTER: ${statC.mkString(" ")}")
       // unknown OPTIMIZE argument must ERROR, not silently run a bare flush
       assert(c.send("OPTIMIZE CLUSTERED").startsWith("ERROR"))
+      // ... and it must error BEFORE mutating state (parse-before-mutate):
+      // buffered WRITEs stay buffered — no pending file lands, so the
+      // storage footprint is unchanged
+      val kbBefore = c.send("MEMORY").stripPrefix("RESULT ").toLong
+      assert(c.send("WRITE [9,9]") === "OK")
+      assert(c.send("OPTIMIZE NOPE").startsWith("ERROR"))
+      assert(c.send("MEMORY").stripPrefix("RESULT ").toLong === kbBefore,
+        "malformed OPTIMIZE must not flush buffered writes")
       // protocol errors report, connection survives
       assert(c.send("NOPE x").startsWith("ERROR"))
       assert(c.send("WRITE [1,2,3]").startsWith("ERROR")) // wrong dimension

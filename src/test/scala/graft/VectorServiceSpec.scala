@@ -159,10 +159,12 @@ class VectorServiceSpec extends SparkSpec {
     assert(got.select("nid").as[Long].head() === 42L, "nearest neighbor of a base vector is itself")
   }
 
-  test("optimize(cluster): generation becomes routable, demoted by the next flush") {
+  test("optimize(cluster): routable; aligned flush keeps it; drifted flush demotes") {
     val root = java.nio.file.Files.createTempDirectory("graft_svc_cluster").toString
     val svc = new VectorService(spark, root)
-    svc.create("c", metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    // segmentRows=600 => ~4 k-means cells on 2000 rows (matching the 4
+    // planted centers): alignment and drift are exercised for real
+    svc.create("c", metric = "COSINE", maxDegree = 16, beamWidth = 64, segmentRows = 600)
 
     // 4 separated clusters with enough spread that neighbors are
     // distinguishable (near-duplicate fixtures make top-10 near-tied and
@@ -194,28 +196,42 @@ class VectorServiceSpec extends SparkSpec {
     // exhaustive — the ann_routed gate's contract, service edition
     locally {
       import graft.index.Ann
-      val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+      val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+        segmentRows = 600)
       val exh = Ann.searchIndex(spark, s"$root/c/gen=1/*", queries, 10, 64,
         params, probeSegments = 0)
       assert(recallOf(got, exh) >= 0.95, "routed must track exhaustive on its own tree")
     }
 
-    // a fresh arrival-partitioned flush demotes the tree to exhaustive
-    val extra = randVectors(100, 16, seed = 9, idFrom = 5000).toDF("id", "vec")
+    // an IN-DISTRIBUTION flush builds a cell-ALIGNED batch: the tree stays
+    // routable (no regime ping-pong) and the new rows are searchable
+    val extra = (10000 until 10100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + (rnd.nextFloat() * 2 - 1) * 0.5f))
+    }.toDF("id", "vec")
     svc.write("c", extra)
     svc.optimize("c")
-    assert(routable() === 0L, "mixed tree must demote to exhaustive serving")
-    // and the new rows are searchable
+    assert(routable() === 1L, "aligned flush must keep the tree routable")
     val all2 = rows.union(extra)
     val got2 = svc.search("c", queries, limit = 10)
     val want2 = KnnExact.knn(all2, queries, 10, "COSINE")
     assert(recallOf(got2, want2) >= 0.9)
 
+    // a DRIFTED flush (shifted all-positive blob no old cell describes)
+    // trips MaxAlignDrift and demotes the tree to exhaustive serving
+    val drifted = (5000 until 5100).map(i =>
+      (i.toLong, Seq.fill(16)(5f + rnd.nextFloat()))).toDF("id", "vec")
+    svc.write("c", drifted)
+    svc.optimize("c")
+    assert(routable() === 0L, "drifted flush must demote to exhaustive serving")
+
     // cluster-compacting a fully-tombstoned tree writes the empty
-    // footprint instead of crashing in k-means (merge mode's contract)
-    svc.delete("c", all2.select("id"))
+    // footprint instead of crashing in k-means (merge mode's contract) —
+    // and the empty generation is NOT marked routable (nothing to route)
+    svc.delete("c", all2.select("id").union(drifted.select("id")))
     val emptyStats = svc.optimize("c", cluster = true)
     assert(emptyStats.exists(s => s.mode == "cluster" && s.visited == 0L))
     assert(svc.search("c", queries, limit = 10).count() === 0L)
+    assert(routable() === 0L, "empty generation must not be marked routable")
   }
 }
