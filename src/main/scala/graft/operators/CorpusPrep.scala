@@ -498,22 +498,31 @@ object CorpusPrep {
     // long per key instead of two strings — the shuffle/compare shape that
     // matters when the model is vocabulary-scale. The oracle mirrors the
     // same md5, so even collisions (≈ |bigrams|²/2^61) are consistent.
+    // Each doc with n >= 1 tokens emits n rows: n-1 bigram rows plus ONE
+    // trailing marker (w1 = final token, w2 = null, so h2 = null). The
+    // marker never scores (lpf guards on h2) and never matches the bigram
+    // join (null keys don't equi-join); its job is making the model's
+    // distinct-h1 set cover EVERY token — including tokens that only ever
+    // appear doc-finally — so the vocab size derives from the persisted
+    // model instead of a third tokenize pass over the corpus (the r10
+    // decomposition's one avoidable pass).
     def bigramsOf(df: DataFrame): DataFrame = df
       .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        when(size(col("toks")) < 2,
+        when(size(col("toks")) < 1,
             array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - 1),
             i => struct(element_at(col("toks"), i + 1).as("w1"),
-              element_at(col("toks"), i + 2).as("w2")))).as("bs"))
+              when(i < size(col("toks")) - 1, element_at(col("toks"), i + 2))
+                .as("w2")))).as("bs"))
       .select(col("doc_id"), explode_outer(col("bs")).as("b"))
       .select(col("doc_id"),
         key60(md5(col("b.w1"))).as("h1"),
-        // concat_ws SKIPS nulls (returning "", not null), so the sub-2-token
-        // docs' outer row must null h2 explicitly — h2 is the bigram-count
-        // key AND the per-doc bigram counter
-        key60(md5(when(col("b").isNotNull,
+        // concat_ws SKIPS nulls (returning "w1", not null), so marker rows
+        // (and the 0-token docs' outer row) must null h2 explicitly — h2 is
+        // the bigram-count key AND the per-doc bigram counter
+        key60(md5(when(col("b.w2").isNotNull,
           concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
     // Self-scoring (docs sameResult ref — the quality-scoring pipeline
     // case) deliberately does NOT share/persist one bigram table between
@@ -533,14 +542,22 @@ object CorpusPrep {
     // action instead of plan construction.
     val cb = refBi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the BIGRAM model excludes the trailing markers (h2 null): they are
+    // vocab bookkeeping, not context occurrences — C(w1 ·) must count w1
+    // only as a bigram-first. Filter preserves cb's groupBy partitioning,
+    // so the scoring join still reuses the model's exchange.
+    val cbModel = cb.filter(col("h2").isNotNull)
     // context counts derive from the bigram table (sum over h2) — same
     // values as re-counting the corpus, one corpus pass + shuffle cheaper
-    val cu = cb.groupBy("h1").agg(sum(col("cb")).as("cu"))
-    // vocab size rides a broadcast 1-row aggregate (the count model itself
-    // materialized above; scoring stays one lazy plan over it)
-    val vocab = ref
-      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .agg(countDistinct(col("t")).cast("double").as("vv"))
+    val cu = cbModel.groupBy("h1").agg(sum(col("cb")).as("cu"))
+    // vocab = distinct h1 over the FULL model (markers included): every
+    // token appears as some bigram's w1 or as its doc's trailing marker, so
+    // this equals the distinct-token count over 60-bit token hashes — the
+    // same hashed identity the model already uses for contexts — and rides
+    // a model-sized aggregate instead of a THIRD tokenize pass over the
+    // corpus (measured 9-10s per pass at 1M x 60, NOTES_r10 §3). The twin
+    // oracle counts DISTINCT md5-60bit(token) identically.
+    val vocab = cb.agg(countDistinct(col("h1")).cast("double").as("vv"))
     val docBi = bigramsOf(docs)
     // ln P quantized to a 1e-12 fixed-point long: integer sums are
     // associative, so per-doc aggregation is map-side partial AND exactly
@@ -582,7 +599,7 @@ object CorpusPrep {
         // derive T from the count histogram (tiny: one row per distinct
         // count value) so the head stays <= headBigrams rows; the one
         // call-time job on the split path — pass headMinCount to avoid it
-        val hist = cb.groupBy("cb").agg(count(lit(1)).as("n")).collect()
+        val hist = cbModel.groupBy("cb").agg(count(lit(1)).as("n")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
         var kept = 0L; var t = Long.MaxValue; var i = 0
         while (i < hist.length && kept + hist(i)._2 <= headBigrams) {
@@ -593,7 +610,7 @@ object CorpusPrep {
     val headOpt: Option[DataFrame] =
       // <= headBigrams rows by construction of T; deterministic (pure
       // count predicate, no tiebreak needed)
-      headThreshold.map(t => cb.filter(col("cb") >= t))
+      headThreshold.map(t => cbModel.filter(col("cb") >= t))
     def withCuOf(df: DataFrame): DataFrame =
       if (broadcastContexts) df.join(broadcast(cu), Seq("h1"), "left")
       else df.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
@@ -616,7 +633,7 @@ object CorpusPrep {
           count(lit(1)).as("n_hit"))
       val misses = tagged.filter(col("cb_head").isNull)
         .drop("cb_head")
-        .join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left")
+        .join(cbModel.hint("shuffle_hash"), Seq("h1", "h2"), "left")
         .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))
         .groupBy("doc_id").agg(
           coalesce(sum(col("lpf")), lit(0L)).as("s_miss"),
@@ -647,7 +664,7 @@ object CorpusPrep {
       // context-score broadcast chained cb -> cu -> broadcast onto the doc
       // stream's map path, serializing what pipelines here. The
       // per-occurrence log it avoided is codegen'd and ~free.
-      val scored = withCuOf(docBi.join(cb.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
+      val scored = withCuOf(docBi.join(cbModel.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
         .crossJoin(broadcast(vocab))
         .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))
       finish(scored.groupBy("doc_id").agg(

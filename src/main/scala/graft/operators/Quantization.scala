@@ -808,7 +808,7 @@ object PQ {
 
     val approx = baseEncoded
       .select(col(baseId).cast("long").as("__nid"), col(codeCol))
-      .crossJoin(qdf)
+      .crossJoin(broadcast(qdf))
       .withColumn("__approx", adcApproxScore(metric, model, codeCol))
     val topkAgg = TopK.udf(rerankK)
     val candidates = approx.groupBy("qid")

@@ -249,7 +249,7 @@ object CorpusPrepQueries {
        |               unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t)),
        |cb AS (SELECT h1, h2, count(*) AS cb FROM b2 GROUP BY h1, h2),
        |cu AS (SELECT h1, sum(cb) AS cu FROM cb GROUP BY h1),
-       |v AS (SELECT count(DISTINCT tok) AS v
+       |v AS (SELECT count(DISTINCT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS v
        |      FROM (SELECT unnest(toks) AS tok FROM t)),
        |sc AS (SELECT b2.doc_id,
        |         CAST(floor(ln((cb.cb + $lmAddK) / (cu.cu + $lmAddK * v.v)) * 1e12 + 0.5) AS BIGINT) AS lpf
