@@ -498,32 +498,51 @@ object CorpusPrep {
     // long per key instead of two strings — the shuffle/compare shape that
     // matters when the model is vocabulary-scale. The oracle mirrors the
     // same md5, so even collisions (≈ |bigrams|²/2^61) are consistent.
-    // Each doc with n >= 1 tokens emits n rows: n-1 bigram rows plus ONE
-    // trailing marker (w1 = final token, w2 = null, so h2 = null). The
-    // marker never scores (lpf guards on h2) and never matches the bigram
-    // join (null keys don't equi-join); its job is making the model's
-    // distinct-h1 set cover EVERY token — including tokens that only ever
-    // appear doc-finally — so the vocab size derives from the persisted
-    // model instead of a third tokenize pass over the corpus (the r10
-    // decomposition's one avoidable pass).
-    def bigramsOf(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) < 1,
+    // The REF side (withMarkers) emits, per doc with n >= 1 tokens, n rows:
+    // n-1 bigram rows plus ONE trailing marker (w1 = final token, w2 =
+    // null, so h2 = null). The marker never becomes a bigram count and
+    // never matches the scoring join (null keys don't equi-join); its job
+    // is making the model's distinct-h1 set cover EVERY token — including
+    // tokens that only ever appear doc-finally — so the vocab size derives
+    // from the persisted model instead of a third tokenize pass over the
+    // corpus (the r10 decomposition's one avoidable pass). The DOC side
+    // runs marker-free: it needs nothing from the markers, and the scoring
+    // pass is the per-action hot path. Two codegen-shape constraints,
+    // measured at 1M x 60 (tools/FlatXentProfile, 2026-08-15): the bigram
+    // lambda stays two UNCONDITIONAL element_at calls (a per-element
+    // CaseWhen in the lambda cost +40% on the whole route), so the marker
+    // rides a concat'd 1-element array; and only the ref pass pays that
+    // concat.
+    def bigramsOf(df: DataFrame, withMarkers: Boolean): DataFrame = {
+      val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))
+      val marker = array(struct(
+        element_at(col("toks"), size(col("toks"))).as("w1"),
+        lit(null).cast("string").as("w2")))
+      val bs =
+        if (!withMarkers)
+          when(size(col("toks")) < 2,
             array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i + 1).as("w1"),
-              when(i < size(col("toks")) - 1, element_at(col("toks"), i + 2))
-                .as("w2")))).as("bs"))
-      .select(col("doc_id"), explode_outer(col("bs")).as("b"))
-      .select(col("doc_id"),
-        key60(md5(col("b.w1"))).as("h1"),
-        // concat_ws SKIPS nulls (returning "w1", not null), so marker rows
-        // (and the 0-token docs' outer row) must null h2 explicitly — h2 is
-        // the bigram-count key AND the per-doc bigram counter
-        key60(md5(when(col("b.w2").isNotNull,
-          concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
+            .otherwise(bigrams)
+        else
+          when(size(col("toks")) < 1,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .when(size(col("toks")) === 1, marker)
+            .otherwise(concat(bigrams, marker))
+      df.select(col(idCol).cast("long").as("doc_id"),
+          TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"), bs.as("bs"))
+        .select(col("doc_id"), explode_outer(col("bs")).as("b"))
+        .select(col("doc_id"),
+          key60(md5(col("b.w1"))).as("h1"),
+          // concat_ws SKIPS nulls (returning "w1", not null), so marker
+          // rows (and the sub-2-token docs' outer row) must null h2
+          // explicitly — h2 is the bigram-count key AND the per-doc
+          // bigram counter
+          key60(md5(when(col("b.w2").isNotNull,
+            concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
+    }
     // Self-scoring (docs sameResult ref — the quality-scoring pipeline
     // case) deliberately does NOT share/persist one bigram table between
     // the model and the stream: measured at 1M x 60 flat
@@ -533,7 +552,7 @@ object CorpusPrep {
     // same plan improve (35.1s vs ~45s). At cluster scale it's actively
     // wrong: caching a corpus-scale bigram table trades a cheap recompute
     // for MEMORY_AND_DISK spill of ~the corpus itself.
-    val refBi = bigramsOf(ref).filter(col("h1").isNotNull)
+    val refBi = bigramsOf(ref, withMarkers = true).filter(col("h1").isNotNull)
     // the count model materializes ONCE (persist: executor-resident, model-
     // sized): it feeds the scoring join, the context derivation, AND the
     // head-coverage probe — without it each consumer re-tokenizes the whole
@@ -553,12 +572,18 @@ object CorpusPrep {
     // vocab = distinct h1 over the FULL model (markers included): every
     // token appears as some bigram's w1 or as its doc's trailing marker, so
     // this equals the distinct-token count over 60-bit token hashes — the
-    // same hashed identity the model already uses for contexts — and rides
-    // a model-sized aggregate instead of a THIRD tokenize pass over the
-    // corpus (measured 9-10s per pass at 1M x 60, NOTES_r10 §3). The twin
-    // oracle counts DISTINCT md5-60bit(token) identically.
+    // same hashed identity the model already uses for contexts. What this
+    // buys (interleaved A/B at 1M x 60 flat, NOTES_r11): the old
+    // corpus-pass vocab re-TOKENIZED the whole reference on EVERY scoring
+    // action (broadcasts don't cache across actions) — per-action work now
+    // excludes that corpus-scale recompute (the cluster-scale win; hot
+    // actions measured even at 1M local where the pass used to overlap),
+    // at the cost of ~6s one-time serialization on the FIRST action (vocab
+    // now depends on the materialized model instead of pipelining beside
+    // it). Outputs bit-identical (equal forced hashes, all variants). The
+    // twin oracle counts DISTINCT md5-60bit(token) identically.
     val vocab = cb.agg(countDistinct(col("h1")).cast("double").as("vv"))
-    val docBi = bigramsOf(docs)
+    val docBi = bigramsOf(docs, withMarkers = false)
     // ln P quantized to a 1e-12 fixed-point long: integer sums are
     // associative, so per-doc aggregation is map-side partial AND exactly
     // deterministic; |lp| <= ~50, so |lpf| <= 5e13 and a doc needs > 1.8e5
