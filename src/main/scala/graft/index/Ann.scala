@@ -87,6 +87,10 @@ object Ann {
     private val totalBytes = new java.util.concurrent.atomic.AtomicLong()
     private[graft] def currentBytes: Long = totalBytes.get()
     private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    /** Non-assembling lookup for the warm-serving fast path: a task that
+      * grabs the returned Entry holds a strong reference, so a concurrent
+      * eviction (map removal) cannot invalidate it mid-search. */
+    def peek(key: String): Entry = m.get(key)
     def getOrCompute(key: String, f: => Entry): Entry = {
       // computeIfAbsent: per-key locking — concurrent chunk tasks of the
       // same segment must NOT each assemble a full graph copy (a ~chunks-x
@@ -299,6 +303,14 @@ object Ann {
   /** Drop a pinned index (no-op if not pinned). */
   def unpin(path: String): Unit =
     pinnedIndexes.remove(pinKey(path)).foreach(_.unpersist(false))
+
+  /** Most recent serving-route scan plan (the per-segment projection whose
+    * toRdd the warm fast path maps over). DEBUG/GATE hook only: the scan —
+    * and with it the seg-partition pruning the ann_routed gate asserts —
+    * sits below an RDD boundary and no longer shows in the returned
+    * DataFrame's explain. Last-writer-wins under concurrency; never read
+    * this on a serving path. */
+  @volatile private[graft] var lastServingScan: org.apache.spark.sql.execution.QueryExecution = _
 
   /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
     * graphs, content-keyed: the seeded build over a deterministic partition
@@ -839,7 +851,16 @@ object Ann {
     * serving. Returns the DRIFT ratio: the new rows' mean assignment
     * distance over the sidecar baseline — the caller demotes routability
     * when it exceeds its bound (rows that far from every old centroid make
-    * the batch's cells uninformative no matter how we partition). */
+    * the batch's cells uninformative no matter how we partition).
+    *
+    * Known trade: a flush much smaller than the cell count fans out into
+    * up to nlist sub-sized segments (cell-aligned confetti) — the per-batch
+    * price of keeping routability; empty cells emit nothing. These
+    * accumulate only until the next OPTIMIZE CLUSTER (corpus-shaped
+    * re-pack) or merge compaction (which FFD-packs them and demotes); at
+    * serving time their centroids stay informative (cell-sampled), so
+    * routing recall is unaffected — only per-segment fixed overhead grows
+    * with flush cadence. */
   def buildIndexAlignedTo(
       base: DataFrame,
       path: String,
@@ -974,38 +995,42 @@ object Ann {
     // seg and everything since the pin is narrow (broadcast joins, filters,
     // projections), so the batch runs WITHOUT a shuffle — the whole point
     // of pinning. Any other case must co-locate (seg, chunk) here.
-    val perSegment = (if (pinnedOpt.isDefined && chunks <= 1) selected
-                      else selected.repartition(col("seg"), col("__chunk")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
-      .mapPartitions { it =>
-        // per-task rerank floors, keyed by query index: segments searched
-        // sequentially within this task tighten each other's floors
-        val floors = scala.collection.mutable.Map.empty[Int, Double]
-        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
-          val routed: Array[Int] = segQueriesB match {
-            case Some(b) => b.value.getOrElse(segId, Array.empty)
-            case None => qB.value.indices.toArray
-          }
-          val qIdx: Array[Int] =
-            if (chunks <= 1) routed else routed.filter(_ % chunks == chunk)
-          // scanned = rows of segments searched by ANY query this batch;
-          // counted by chunk 0 (always present) BEFORE the slice-empty
-          // exit, else a chunk-0 slice that happens to be empty while
-          // another chunk searches would undercount and inflate
-          // visitedRatio
-          if (chunk == 0 && routed.nonEmpty)
-            metrics.foreach(_.scanned.add(rows.length))
-          if (qIdx.isEmpty) Iterator.empty
-          else {
-            val sorted = rows.sortBy(_._2)
-            val live = sorted.map(_._7)
-            // warm-serving path: immutable segments cache per executor;
-            // the content token makes rebuilds-in-place change the key.
-            // Key + assembly are shared with the paged/threshold routes
-            // (assembleSegment — the by-name arg evaluates on miss only).
-            val cacheKey = segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)
-            val entry = SegmentCache.getOrCompute(cacheKey, assembleSegment(
-              sorted.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)), p))
+    val selPlan = (if (pinnedOpt.isDefined && chunks <= 1) selected
+                   else selected.repartition(col("seg"), col("__chunk")))
+    // Warm-serving fast path over raw InternalRows (no Dataset decode):
+    // when a segment's assembled graph is already resident in
+    // SegmentCache, the task touches ONLY (seg, __chunk, local_id, __live)
+    // per row — per-batch work then scales with routed/beam work, not with
+    // pinned bytes. Full decode (row copies -> tuples -> assembleSegment)
+    // happens ONLY on a cache miss. Measured (tools/MsegProfile, 1M x 64
+    // segs x 64d, local[32]): the 9-column tuple decode alone cost
+    // 0.27s/batch — half the ROUTED batch — and at 4M x 64 it dominated
+    // (~75%), pinning routed QPS at exhaustive parity (34.2 vs 33.1)
+    // despite an 8x visited-work gap.
+    // Column order (segmentSelect + __chunk): 0 seg, 1 local_id,
+    // 2 node_id, 3 vec, 4 neighbors, 5 is_entry, 6 __live, 7 pq_code,
+    // 8 upper_nbrs, 9 __chunk.
+    // the scan plan (with its seg-partition pruning) now lives BELOW an RDD
+    // boundary, invisible in the returned DataFrame's explain — expose it
+    // for the plan-shape gates (ann_routed asserts PartitionFilters INSET)
+    lastServingScan = selPlan.queryExecution
+    val perSegment = selPlan.queryExecution.toRdd.mapPartitions { it =>
+      // per-task rerank floors, keyed by query index: segments searched
+      // sequentially within this task tighten each other's floors
+      val floors = scala.collection.mutable.Map.empty[Int, Double]
+      groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+        .flatMap { sg =>
+        // scanned = rows of segments searched by ANY query this batch;
+        // counted by chunk 0 (always present) even when ITS slice is
+        // empty, else another chunk's search would undercount and inflate
+        // visitedRatio
+        if (sg.chunk == 0 && sg.routed.nonEmpty)
+          metrics.foreach(_.scanned.add(sg.count))
+        if (sg.qIdx.isEmpty) Iterator.empty
+        else {
+          val (entry, live) = sg.resolve()
+          val qIdx = sg.qIdx
+          locally {
             val g = entry.graph
             val ids = entry.ids
             val codes = entry.codes
@@ -1055,10 +1080,11 @@ object Ann {
           }
         }
       }
-      .toDF("qid", "nid", "score")
+    }
+    val perSegmentDf = spark.createDataset(perSegment).toDF("qid", "nid", "score")
 
     val agg = TopK.udf(topK)
-    perSegment.groupBy("qid")
+    perSegmentDf.groupBy("qid")
       .agg(agg(col("nid"), col("score")).as("t"))
       .select(col("qid"), posexplode(col("t")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
@@ -1247,6 +1273,101 @@ object Ann {
   private def segmentCacheKey(path: String, tok: String, segId: String, p: Params): String =
     s"$path|$tok|$segId|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.seed}"
 
+  /** Per-(segment, chunk) task group for the warm-serving fast path shared
+    * by the top-k / paged / threshold routes: the one-pass InternalRow scan
+    * ([[groupSegTask]]) touches only (seg, __chunk, local_id, __live) per
+    * row when the segment's assembled graph is cache-resident; rows are
+    * copied for decode + assembly ONLY on a miss. See searchIndex's inline
+    * note for the measurements (tuple decode was ~75% of a routed 4M x 64
+    * batch). */
+  private final class SegTaskGroup(
+      val segId: String, val chunk: Int,
+      path: String, tok: String, segToks: Map[String, String], p: Params,
+      segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]],
+      nQueries: Int, chunks: Int) {
+    var count = 0
+    val key: String = segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)
+    val routed: Array[Int] = segQueriesB match {
+      case Some(b) => b.value.getOrElse(segId, Array.empty)
+      case None => Array.range(0, nQueries)
+    }
+    val qIdx: Array[Int] =
+      if (chunks <= 1) routed else routed.filter(_ % chunks == chunk)
+    // strong ref: a concurrent eviction can't invalidate a held Entry
+    private val warm: SegmentCache.Entry =
+      if (qIdx.isEmpty) null else SegmentCache.peek(key)
+    private val lightLocal = new scala.collection.mutable.ArrayBuffer[Int]
+    private val lightLive = new scala.collection.mutable.ArrayBuffer[Boolean]
+    private val heavy =
+      if (qIdx.nonEmpty && warm == null)
+        new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]
+      else null
+    /** Row order (segmentSelect + __chunk): 0 seg, 1 local_id, 2 node_id,
+      * 3 vec, 4 neighbors, 5 is_entry, 6 __live, 7 pq_code, 8 upper_nbrs,
+      * 9 __chunk. */
+    def add(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      count += 1
+      if (qIdx.nonEmpty) {
+        if (heavy != null) heavy += r.copy()
+        else { lightLocal += r.getInt(1); lightLive += r.getBoolean(6) }
+      }
+    }
+    /** (assembled entry, live flags indexed by local id). Call once, after
+      * the scan, only when qIdx is non-empty. */
+    def resolve(): (SegmentCache.Entry, Array[Boolean]) =
+      if (heavy == null) {
+        val lv = new Array[Boolean](count)
+        var i = 0
+        while (i < lightLocal.length) { lv(lightLocal(i)) = lightLive(i); i += 1 }
+        (warm, lv)
+      } else {
+        val decoded = heavy.iterator.map { r =>
+          (segId, r.getInt(1), r.getLong(2),
+            r.getArray(3).toFloatArray(), r.getArray(4).toIntArray(),
+            r.getBoolean(5), r.getBoolean(6),
+            if (r.isNullAt(7)) null else r.getArray(7).toIntArray(),
+            if (r.isNullAt(8)) null
+            else {
+              val a = r.getArray(8)
+              Array.tabulate(a.numElements())(j =>
+                if (a.isNullAt(j)) null else a.getArray(j).toIntArray())
+            })
+        }.toArray.sortBy(_._2)
+        (SegmentCache.getOrCompute(key, assembleSegment(decoded, p)),
+          decoded.map(_._7))
+      }
+  }
+
+  /** One-pass grouping of a serving task's InternalRows into
+    * [[SegTaskGroup]]s (insertion order), allocating a String per SEGMENT
+    * (not per row — consecutive rows' seg bytes compare via UTF8String). */
+  private def groupSegTask(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      path: String, tok: String, segToks: Map[String, String], p: Params,
+      segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]],
+      nQueries: Int, chunks: Int): Iterator[SegTaskGroup] = {
+    val groups = scala.collection.mutable.LinkedHashMap.empty[(String, Int), SegTaskGroup]
+    var lastU8: org.apache.spark.unsafe.types.UTF8String = null
+    var lastChunk = Int.MinValue
+    var lastG: SegTaskGroup = null
+    while (it.hasNext) {
+      val r = it.next()
+      val u8 = r.getUTF8String(0)
+      val chunk = r.getInt(9)
+      val g =
+        if (lastG != null && chunk == lastChunk && u8.equals(lastU8)) lastG
+        else {
+          val segId = u8.toString
+          val gg = groups.getOrElseUpdate((segId, chunk),
+            new SegTaskGroup(segId, chunk, path, tok, segToks, p, segQueriesB, nQueries, chunks))
+          lastU8 = u8.clone(); lastChunk = chunk; lastG = gg
+          gg
+        }
+      g.add(r)
+    }
+    groups.valuesIterator
+  }
+
   /** Assemble a persisted segment: vectors, adjacency, entry node, persisted
     * multi-layer hierarchy, PQ codes. Identical across routes (see
     * [[segmentCacheKey]]). `sorted` must be local-id sorted. */
@@ -1324,30 +1445,21 @@ object Ann {
     }
     // segment completeness per task is a CORRECTNESS requirement (each task
     // assembles whole graphs); the pin's seg partitioning already provides
-    // it and everything since is narrow, so skip the shuffle when pinned
-    val perSegment = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
-                      else selectedPg.repartition(col("seg"), col("__chunk")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
-      .mapPartitions { it =>
-        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
-          val allRouted: Array[Int] = segQueriesB match {
-            case Some(b) => b.value.getOrElse(segId, Array.empty)
-            case None => qB.value.indices.toArray
-          }
-          val routed: Array[Int] =
-            if (chunks <= 1) allRouted else allRouted.filter(_ % chunks == chunk)
-          if (routed.isEmpty) Iterator.empty
+    // it and everything since is narrow, so skip the shuffle when pinned.
+    // Same warm fast path as the top-k route (groupSegTask): resident
+    // segments are served without decoding their rows.
+    val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
+                         else selectedPg.repartition(col("seg"), col("__chunk")))
+      .queryExecution.toRdd.mapPartitions { it =>
+        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+          .flatMap { sg =>
+          if (sg.qIdx.isEmpty) Iterator.empty
           else {
-            val sorted = rows.sortBy(_._2)
-            val live = sorted.map(_._7)
-            val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p),
-              assembleSegment(sorted.map(t =>
-                (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
+            val (entry, live) = sg.resolve()
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-            routed.iterator.flatMap { qi =>
+            sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
                 case Some((m, kk, tb)) if hasCodes =>
@@ -1376,8 +1488,7 @@ object Ann {
           }
         }
       }
-      .toDF("qid", "nid", "score")
-    mergePaged(perSegment, pages)
+    mergePaged(spark.createDataset(perSegmentRdd).toDF("qid", "nid", "score"), pages)
   }
 
   /** Cross-invocation pagination session (T6 beyond the reference's
@@ -1656,29 +1767,20 @@ object Ann {
       if (chunks <= 1) base9.withColumn("__chunk", lit(0))
       else base9.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
     }
-    (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
+    // same warm fast path as the top-k route (groupSegTask): resident
+    // segments are served without decoding their rows
+    val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
      else selectedTh.repartition(col("seg"), col("__chunk")))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Int)]
-      .mapPartitions { it =>
-        it.toArray.groupBy(r => (r._1, r._10)).iterator.flatMap { case ((segId, chunk), rows) =>
-          val allRouted: Array[Int] = segQueriesB match {
-            case Some(b) => b.value.getOrElse(segId, Array.empty)
-            case None => qB.value.indices.toArray
-          }
-          val routed: Array[Int] =
-            if (chunks <= 1) allRouted else allRouted.filter(_ % chunks == chunk)
-          if (routed.isEmpty) Iterator.empty
+      .queryExecution.toRdd.mapPartitions { it =>
+        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+          .flatMap { sg =>
+          if (sg.qIdx.isEmpty) Iterator.empty
           else {
-            val sorted = rows.sortBy(_._2)
-            val live = sorted.map(_._7)
-            val entry = SegmentCache.getOrCompute(
-              segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p),
-              assembleSegment(sorted.map(t =>
-                (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)), p))
+            val (entry, live) = sg.resolve()
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-            routed.iterator.flatMap { qi =>
+            sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
                 case Some((m, kk, tb)) if hasCodes =>
@@ -1730,7 +1832,7 @@ object Ann {
           }
         }
       }
-      .toDF("qid", "nid", "score")
+    spark.createDataset(perSegmentRdd).toDF("qid", "nid", "score")
   }
 
   /** Segment routing (IVF over segments) shared by the search entry points:

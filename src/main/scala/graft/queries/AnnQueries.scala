@@ -874,7 +874,10 @@ object AnnQueries {
       val routed = Ann.searchIndex(s, s"$root/clu", queries, topK, 64, p,
         metrics = Some(mR))
       routed.count()
-      val prunes0 = routed.queryExecution.executedPlan.toString.linesIterator.exists { l =>
+      // the serving scan (where PartitionFilters live) sits below the warm
+      // fast path's RDD boundary — inspect it via the Ann debug hook, set
+      // by the searchIndex call above
+      val prunes0 = Ann.lastServingScan.executedPlan.toString.linesIterator.exists { l =>
         val pf = l.indexOf("PartitionFilters: [")
         pf >= 0 && {
           val seg = l.substring(pf, math.min(l.length, pf + 400))

@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.index.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Warm-serving batch decomposition for the multi-segment route (round-11
+  * finding: at 4M x 64 segs, routed QPS ~= exhaustive QPS despite an 8x
+  * visited-work gap — something batch-shaped dominates beam work).
+  *
+  * Phases, all on the SAME pinned clustered tree:
+  *   decode   — mapPartitions over the pinned nine-column projection that
+  *              materializes every row tuple and counts (exactly the
+  *              serving task's it.toArray cost) but runs NO searches.
+  *   exh      — full exhaustive batch (probeSegments = 0).
+  *   routed   — AutoProbe batch.
+  * decode ~= exh ~= routed implicates per-batch row materialization;
+  * exh >> routed >> decode implicates beam work (healthy).
+  *
+  * Run: sbt "runMain graft.tools.MsegProfile [n] [segs] [threads] [passes]"
+  */
+object MsegProfile {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 1 << 20
+    val segs = if (args.length > 1) args(1).toInt else 64
+    val threads = if (args.length > 2) args(2).toInt else 32
+    val passes = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-mseg-profile")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 64
+    val rnd = new java.util.Random(9)
+    val centers = Array.fill(segs)(Array.fill(dim)(rnd.nextGaussian().toFloat * 2f))
+    val centersB = spark.sparkContext.broadcast(centers)
+    def vecOf(i: Long): Array[Float] = {
+      val r = new java.util.Random(i * 2654435761L)
+      val c = centersB.value((i % segs).toInt)
+      Array.tabulate(dim)(j => c(j) + r.nextGaussian().toFloat)
+    }
+    val df = spark.range(0, n, 1, threads).map { i =>
+      (i, vecOf(i).toSeq)
+    }.toDF("id", "vec")
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_msegprof").toString + "/idx"
+    val t0 = System.nanoTime()
+    Ann.buildIndexClustered(df, path, params, nlist = segs)
+    System.err.println(f"[msegprof] build ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    Ann.pin(spark, path)
+
+    val queries = (0 until 50).map { i =>
+      val id = i.toLong * (n / 50) + 7
+      (id, vecOf(id).toSeq)
+    }.toDF("qid", "qvec")
+
+    def timed(name: String)(body: => Unit): Unit = {
+      body // warm
+      val ts = (1 to passes).map { _ =>
+        val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e9
+      }
+      System.err.println(f"[msegprof] $name%-8s best=${ts.min}%6.3fs  all=" +
+        ts.map(t => f"$t%.3f").mkString(","))
+    }
+
+    // decode-only: materialize every pinned row tuple exactly like the
+    // serving task does, no searches — reads from the SAME storage-cached
+    // representation the pinned search path uses (cache + count first)
+    val pinned = Ann.readIndex(spark, path)
+      .repartition(col("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("seg"), col("local_id"), col("node_id"),
+        col("vec"), col("neighbors"), col("is_entry"),
+        lit(true).as("live"), col("pq_code"), col("upper_nbrs"))
+    timed("decode") {
+      val c = pinned
+        .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])]
+        .mapPartitions { it => Iterator.single(it.toArray.length.toLong) }
+        .reduce(_ + _)
+      require(c == n, s"decoded $c rows, expected $n")
+    }
+    timed("exh") {
+      Ann.searchIndex(spark, path, queries, 10, ef = 64, params, probeSegments = 0).count()
+    }
+    timed("routed") {
+      Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
+        probeSegments = Ann.AutoProbe).count()
+    }
+    Ann.unpin(path)
+    spark.stop()
+  }
+}
