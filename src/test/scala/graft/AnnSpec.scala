@@ -561,6 +561,41 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.9, s"multi-batch two-phase fallback recall $r < 0.9")
   }
 
+  test("warm fast path: concurrent searches racing cache eviction return identical results") {
+    // the fast path serves resident segments via SegmentCache.peek and
+    // holds the Entry reference across the search — a concurrent eviction
+    // (clear) must never invalidate an in-flight search or change results;
+    // a post-eviction search re-assembles from the row scan (miss path)
+    val tmp = java.nio.file.Files.createTempDirectory("annconc").toString
+    val base = randVectors(4000, 16, seed = 71).toDF("id", "vec").repartition(4)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 1000)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    Ann.pin(spark, s"$tmp/idx")
+    val queries = randVectors(20, 16, seed = 72).toDF("qid", "qvec")
+    def run(): Set[(Long, Long)] =
+      Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, params)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val want = run()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val clearer = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) { Ann.clearSegmentCache(); Thread.sleep(2) }
+      })
+      val futs = (1 to 4).map(_ => pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = (1 to 5).forall(_ => run() == want)
+      }))
+      val ok = futs.map(_.get()).forall(identity)
+      stop.set(true)
+      clearer.get()
+      assert(ok, "concurrent searches under cache eviction must return identical results")
+    } finally {
+      pool.shutdown()
+      Ann.unpin(s"$tmp/idx")
+    }
+  }
+
   test("warm segment cache returns identical results to cold load") {
     val tmp = java.nio.file.Files.createTempDirectory("annwarm").toString
     val base = randVectors(1000, 8, seed = 31).toDF("id", "vec")
