@@ -46,5 +46,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench's multi-segment section builds and pins a
+  // 4M x 64d clustered corpus (rows + assembled graphs ~6 GB resident)
+  // which leaves no execution-memory margin at 8g; the contract box has
+  // 128 GiB. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1014,11 +1014,15 @@ object Ann {
     // boundary, invisible in the returned DataFrame's explain — expose it
     // for the plan-shape gates (ann_routed asserts PartitionFilters INSET)
     lastServingScan = selPlan.queryExecution
+    // no deletes + no accept-list => __live is constant true and the warm
+    // scan skips per-row flag extraction entirely
+    val liveConst = deletes.isEmpty && accepts.isEmpty
     val perSegment = selPlan.queryExecution.toRdd.mapPartitions { it =>
       // per-task rerank floors, keyed by query index: segments searched
       // sequentially within this task tighten each other's floors
       val floors = scala.collection.mutable.Map.empty[Int, Double]
-      groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+      groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
+        liveConst = liveConst)
         .flatMap { sg =>
         // scanned = rows of segments searched by ANY query this batch;
         // counted by chunk 0 (always present) even when ITS slice is
@@ -1284,7 +1288,12 @@ object Ann {
       val segId: String, val chunk: Int,
       path: String, tok: String, segToks: Map[String, String], p: Params,
       segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]],
-      nQueries: Int, chunks: Int) {
+      nQueries: Int, chunks: Int,
+      /** No deletes and no accept-list in this batch: __live is the
+        * constant true, so the warm path skips even the per-row flag
+        * extraction (and its boxing) — the scan then touches only the seg
+        * bytes + __chunk per row. */
+      liveConst: Boolean) {
     var count = 0
     val key: String = segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)
     val routed: Array[Int] = segQueriesB match {
@@ -1296,8 +1305,12 @@ object Ann {
     // strong ref: a concurrent eviction can't invalidate a held Entry
     private val warm: SegmentCache.Entry =
       if (qIdx.isEmpty) null else SegmentCache.peek(key)
-    private val lightLocal = new scala.collection.mutable.ArrayBuffer[Int]
-    private val lightLive = new scala.collection.mutable.ArrayBuffer[Boolean]
+    // primitive growable pair — ArrayBuffer[Int]/[Boolean] would box every
+    // element (one Integer alloc per row past the small-int cache: real GC
+    // pressure at millions of rows per batch)
+    private var lightN = 0
+    private var lightLocal: Array[Int] = null
+    private var lightLive: Array[Boolean] = null
     private val heavy =
       if (qIdx.nonEmpty && warm == null)
         new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]
@@ -1309,7 +1322,17 @@ object Ann {
       count += 1
       if (qIdx.nonEmpty) {
         if (heavy != null) heavy += r.copy()
-        else { lightLocal += r.getInt(1); lightLive += r.getBoolean(6) }
+        else if (!liveConst) {
+          if (lightLocal == null) {
+            lightLocal = new Array[Int](256); lightLive = new Array[Boolean](256)
+          } else if (lightN == lightLocal.length) {
+            lightLocal = java.util.Arrays.copyOf(lightLocal, lightN * 2)
+            lightLive = java.util.Arrays.copyOf(lightLive, lightN * 2)
+          }
+          lightLocal(lightN) = r.getInt(1)
+          lightLive(lightN) = r.getBoolean(6)
+          lightN += 1
+        }
       }
     }
     /** (assembled entry, live flags indexed by local id). Call once, after
@@ -1317,8 +1340,11 @@ object Ann {
     def resolve(): (SegmentCache.Entry, Array[Boolean]) =
       if (heavy == null) {
         val lv = new Array[Boolean](count)
-        var i = 0
-        while (i < lightLocal.length) { lv(lightLocal(i)) = lightLive(i); i += 1 }
+        if (liveConst) java.util.Arrays.fill(lv, true)
+        else {
+          var i = 0
+          while (i < lightN) { lv(lightLocal(i)) = lightLive(i); i += 1 }
+        }
         (warm, lv)
       } else {
         val decoded = heavy.iterator.map { r =>
@@ -1345,7 +1371,7 @@ object Ann {
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       path: String, tok: String, segToks: Map[String, String], p: Params,
       segQueriesB: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Int]]]],
-      nQueries: Int, chunks: Int): Iterator[SegTaskGroup] = {
+      nQueries: Int, chunks: Int, liveConst: Boolean = false): Iterator[SegTaskGroup] = {
     val groups = scala.collection.mutable.LinkedHashMap.empty[(String, Int), SegTaskGroup]
     var lastU8: org.apache.spark.unsafe.types.UTF8String = null
     var lastChunk = Int.MinValue
@@ -1359,7 +1385,8 @@ object Ann {
         else {
           val segId = u8.toString
           val gg = groups.getOrElseUpdate((segId, chunk),
-            new SegTaskGroup(segId, chunk, path, tok, segToks, p, segQueriesB, nQueries, chunks))
+            new SegTaskGroup(segId, chunk, path, tok, segToks, p, segQueriesB,
+              nQueries, chunks, liveConst))
           lastU8 = u8.clone(); lastChunk = chunk; lastG = gg
           gg
         }
@@ -1448,10 +1475,12 @@ object Ann {
     // it and everything since is narrow, so skip the shuffle when pinned.
     // Same warm fast path as the top-k route (groupSegTask): resident
     // segments are served without decoding their rows.
+    val deletesEmpty = deletes.isEmpty // Boolean — the Option[DataFrame] must not enter the closure
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
                          else selectedPg.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
-        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
+          liveConst = deletesEmpty)
           .flatMap { sg =>
           if (sg.qIdx.isEmpty) Iterator.empty
           else {
@@ -1769,10 +1798,12 @@ object Ann {
     }
     // same warm fast path as the top-k route (groupSegTask): resident
     // segments are served without decoding their rows
+    val deletesEmpty = deletes.isEmpty // Boolean — the Option[DataFrame] must not enter the closure
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
      else selectedTh.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
-        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks)
+        groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
+          liveConst = deletesEmpty)
           .flatMap { sg =>
           if (sg.qIdx.isEmpty) Iterator.empty
           else {
