@@ -750,6 +750,22 @@ object Ann {
       pqModelIn: Option[graft.operators.PQModel] = None,
       /** Optional sink for construction effort, same as [[buildIndex]]. */
       buildVisitedAcc: Option[LongAccumulator] = None): Unit = {
+    // pqBuild x clustered layout hazard (measured, NOTES_r11): a GLOBALLY
+    // trained codebook cannot discriminate within a tight k-means cell —
+    // same-cell vectors collapse onto few codes, the codes-only
+    // construction scores are mostly quantization noise, and the
+    // per-segment graphs come out near-random (routed exact-recall@10
+    // 0.12 vs 1.00 exact-scored at 4M x 64, build only 17% cheaper).
+    // Codes-for-SERVING (pqM > 0 without pqBuild) are unaffected: the
+    // graph is exact-scored and ADC rerank stays two-phase correct.
+    // The principled fix is residual-trained codes (quantize v - cell
+    // centroid, the IVF-PQ construction) — until that exists, warn loudly.
+    if (params.pqBuild)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "buildIndexClustered(pqBuild = true): globally-trained codes-only " +
+          "construction degrades within-cell graph quality on clustered " +
+          "layouts (measured recall@10 0.12 vs 1.0 exact-scored at 4M x 64); " +
+          "prefer exact-scored construction here")
     val model = Ivf.train(base, baseVec, nlist, params.metric)
     val assigned = Ivf.assign(base, baseVec, model)
     // IDENTITY-partition on cluster id: cluster c IS partition c, so every

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * decode ~= exh ~= routed implicates per-batch row materialization;
   * exh >> routed >> decode implicates beam work (healthy).
   *
-  * Run: sbt "runMain graft.tools.MsegProfile [n] [segs] [threads] [passes]"
+  * Run: sbt "runMain graft.tools.MsegProfile [n] [segs] [threads] [passes] [pq]"
+  * 5th arg "pq" builds PQ-scored (pqM=8, the reference's default
+  * construction mode) — measures the build-cost/recall trade at scale.
   */
 object MsegProfile {
   def main(args: Array[String]): Unit = {
@@ -25,6 +27,10 @@ object MsegProfile {
     val segs = if (args.length > 1) args(1).toInt else 64
     val threads = if (args.length > 2) args(2).toInt else 32
     val passes = if (args.length > 3) args(3).toInt else 3
+    val pqBuild = args.length > 4 && args(4).equalsIgnoreCase("pq")
+    // "dNN" as the 5th arg overrides maxDegree (e.g. d32)
+    val degree = if (args.length > 4 && args(4).startsWith("d"))
+      args(4).drop(1).toInt else 16
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-mseg-profile")
@@ -46,17 +52,33 @@ object MsegProfile {
     val df = spark.range(0, n, 1, threads).map { i =>
       (i, vecOf(i).toSeq)
     }.toDF("id", "vec")
-    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    val params =
+      if (pqBuild) Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+        pqM = 8, pqBuild = true)
+      else Ann.Params(metric = "COSINE", maxDegree = degree, beamWidth = 64)
     val path = java.nio.file.Files.createTempDirectory("graft_msegprof").toString + "/idx"
     val t0 = System.nanoTime()
     Ann.buildIndexClustered(df, path, params, nlist = segs)
-    System.err.println(f"[msegprof] build ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    System.err.println(f"[msegprof] build ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+      (if (pqBuild) " (pq-scored construction)" else ""))
     Ann.pin(spark, path)
 
     val queries = (0 until 50).map { i =>
       val id = i.toLong * (n / 50) + 7
       (id, vecOf(id).toSeq)
     }.toDF("qid", "qvec")
+
+    // true quality, not just routed-vs-exhaustive parity: routed recall@10
+    // against the brute-force oracle over the generated corpus (one
+    // distributed exact pass — n x 50 scoring, seconds at these sizes)
+    locally {
+      val got = Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
+        probeSegments = Ann.AutoProbe)
+      val want = graft.operators.KnnExact.knn(df, queries, 10, "COSINE")
+      val hit = got.select("qid", "nid")
+        .join(want.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+      System.err.println(f"[msegprof] exact-recall@10 ${hit.toDouble / want.count()}%.3f")
+    }
 
     def timed(name: String)(body: => Unit): Unit = {
       body // warm
