@@ -304,14 +304,6 @@ object Ann {
   def unpin(path: String): Unit =
     pinnedIndexes.remove(pinKey(path)).foreach(_.unpersist(false))
 
-  /** Most recent serving-route scan plan (the per-segment projection whose
-    * toRdd the warm fast path maps over). DEBUG/GATE hook only: the scan —
-    * and with it the seg-partition pruning the ann_routed gate asserts —
-    * sits below an RDD boundary and no longer shows in the returned
-    * DataFrame's explain. Last-writer-wins under concurrency; never read
-    * this on a serving path. */
-  @volatile private[graft] var lastServingScan: org.apache.spark.sql.execution.QueryExecution = _
-
   /** Per-executor cache for TRANSIENT (build-and-search-in-one-pass) segment
     * graphs, content-keyed: the seeded build over a deterministic partition
     * makes (params, ids, vector bytes) fully identify the graph. Repeated
@@ -355,7 +347,10 @@ object Ann {
       // buildThreads is part of the identity: the parallel build's
       // prefix-doubling + chunked-Jacobi refine produces a different
       // (equally valid) graph than the sequential Gauss-Seidel path
-      s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}|${p.buildThreads}"
+      // maxDegreeByLevel is build-affecting too (layer-0 prune degree,
+      // hierarchy degrees) — same-data searches under different degree
+      // lists must not share a graph
+      s"$h1|$h2|${ids.length}|${p.metric}|${p.maxDegree}|${p.beamWidth}|${p.alpha}|${p.neighborOverflow}|${p.seed}|${p.buildThreads}|${p.maxDegreeByLevel.mkString(",")}"
     }
     def getOrCompute(k: String, f: => Vamana): Vamana = {
       while (totalBytes.get() > maxBytes) { // single-entry eviction, not wholesale
@@ -490,6 +485,13 @@ object Ann {
     * per segment, the ratio denominator. */
   case class SearchMetrics(visited: LongAccumulator, scanned: LongAccumulator,
       reranked: LongAccumulator = null, expanded: LongAccumulator = null) {
+    /** Serving-route scan plan for THE CALL that carried these metrics
+      * (set by [[searchIndex]]). DEBUG/GATE hook: the scan — and with it
+      * the seg-partition pruning the ann_routed gate asserts — sits below
+      * an RDD boundary and doesn't show in the returned DataFrame's
+      * explain. Per-call, so concurrent searches (parallel gates, service
+      * traffic) can't clobber each other's plan. */
+    @transient @volatile var servingScan: org.apache.spark.sql.execution.QueryExecution = _
     def visitedRatioPerQuery(nQueries: Long): Double =
       if (scanned.value == 0 || nQueries == 0) 0.0
       else visited.value.toDouble / (scanned.value.toDouble * nQueries)
@@ -601,7 +603,18 @@ object Ann {
       /** Optional sink for construction effort (beam-visited nodes per
         * segment build) — the compaction-economics gate compares this
         * against the merge path's measured counters. */
-      buildVisitedAcc: Option[LongAccumulator] = None): Unit = {
+      buildVisitedAcc: Option[LongAccumulator] = None,
+      /** Residual construction scoring for CLUSTERED builds (IVF-PQ):
+        * `(residualModel, cellModel)` where residualModel was trained on
+        * v - cellCentroid. Each partition is one k-means cell (the
+        * identity-partition invariant), so the cell is recovered by
+        * assigning the partition's first row; construction then scores on
+        * residual codes via [[graft.operators.ResidualPQPairScorer]] —
+        * within-cell discrimination a globally-trained codebook lacks.
+        * PERSISTED pq_code stays the global model's (serving ADC
+        * unchanged); residual codes are construction-transient. Set by
+        * [[buildIndexClustered]] when `pqBuild` is on. */
+      resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
@@ -636,11 +649,32 @@ object Ann {
           // otherwise each row encodes lazily at emission and is collected
           // immediately.
           val codes: Array[Array[Int]] =
-            if (p.pqBuild && pqModel.isDefined) rows.map(r => encodeCode(r._2)) else null
+            if (p.pqBuild && resBuild.isEmpty && pqModel.isDefined)
+              rows.map(r => encodeCode(r._2)) else null
           val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
             p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
           val g =
-            if (codes != null) {
+            if (p.pqBuild && resBuild.isDefined) {
+              // residual-scored clustered construction: this partition IS
+              // one k-means cell, so the first row's assignment recovers
+              // the shared cell centroid; encode residuals transiently and
+              // score pairs on them (+ centroid terms for DOT/COSINE)
+              val (resModel, cellModel) = resBuild.get
+              val cell = cellModel.centroids(
+                cellModel.assignOne(rows(0)._2.map(_.toDouble)))
+              val flat = new Array[Int](rows.length * resModel.m)
+              var i = 0
+              while (i < rows.length) {
+                val v = rows(i)._2
+                val r = new Array[Double](v.length)
+                var j = 0
+                while (j < v.length) { r(j) = v(j).toDouble - cell(j); j += 1 }
+                System.arraycopy(resModel.encodeOne(r), 0, flat, i * resModel.m, resModel.m)
+                i += 1
+              }
+              val sc = new graft.operators.ResidualPQPairScorer(resModel, flat, p.metric, cell)
+              shell.buildApprox(sc.score, sc.entryNode(), p.buildThreads)
+            } else if (codes != null) {
               val mm = pqModel.get
               val flat = new Array[Int](rows.length * mm.m)
               var i = 0
@@ -750,24 +784,34 @@ object Ann {
       pqModelIn: Option[graft.operators.PQModel] = None,
       /** Optional sink for construction effort, same as [[buildIndex]]. */
       buildVisitedAcc: Option[LongAccumulator] = None): Unit = {
-    // pqBuild x clustered layout hazard (measured, NOTES_r11): a GLOBALLY
-    // trained codebook cannot discriminate within a tight k-means cell —
-    // same-cell vectors collapse onto few codes, the codes-only
-    // construction scores are mostly quantization noise, and the
-    // per-segment graphs come out near-random (routed exact-recall@10
-    // 0.12 vs 1.00 exact-scored at 4M x 64, build only 17% cheaper).
-    // Codes-for-SERVING (pqM > 0 without pqBuild) are unaffected: the
-    // graph is exact-scored and ADC rerank stays two-phase correct.
-    // The principled fix is residual-trained codes (quantize v - cell
-    // centroid, the IVF-PQ construction) — until that exists, warn loudly.
-    if (params.pqBuild)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "buildIndexClustered(pqBuild = true): globally-trained codes-only " +
-          "construction degrades within-cell graph quality on clustered " +
-          "layouts (measured recall@10 0.12 vs 1.0 exact-scored at 4M x 64); " +
-          "prefer exact-scored construction here")
     val model = Ivf.train(base, baseVec, nlist, params.metric)
     val assigned = Ivf.assign(base, baseVec, model)
+    // pqBuild x clustered: construction scores on RESIDUAL codes (IVF-PQ,
+    // FAISS-style) — a GLOBALLY trained codebook cannot discriminate within
+    // a tight k-means cell (same-cell vectors collapse onto few codes and
+    // the per-segment graphs come out near-random: routed exact-recall@10
+    // 0.12 vs 1.00 exact-scored at 4M x 64, NOTES_r11 §2b). The residual
+    // model is trained on v - cellCentroid over the standard bounded
+    // sample; per-segment encoding + scoring live in [[buildIndex]] /
+    // [[graft.operators.ResidualPQPairScorer]]. Persisted pq_code stays
+    // the global model's, so serving ADC is untouched.
+    val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
+      if (params.pqBuild && params.pqM > 0) {
+        val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+        val resFrame = assigned.withColumn("__res",
+          graft.functions.VectorFunctions.sub(
+            col(baseVec), element_at(centLit, col("cluster_id") + 1)))
+        // construction codes are TRANSIENT (never persisted), so their
+        // granularity is free to exceed serving pqM: within-cell residuals
+        // are small, and reconstruction error must sit well under the
+        // within-cell neighbor-distance spread for code-pair scores to
+        // rank neighbors. 4 dims/subspace (k=256) measured within 0.05 of
+        // exact-scored recall on the gate fixture; per-pair cost stays
+        // O(m) lookups vs O(dim) exact.
+        val resM = math.max(params.pqM, model.centroids(0).length / 4)
+        Some((graft.operators.PQ.train(resFrame, "__res", resM, params.pqK),
+          model))
+      } else None
     // IDENTITY-partition on cluster id: cluster c IS partition c, so every
     // segment holds exactly one k-means cell and its centroid is honest.
     // The two stock DataFrame partitioners both break this invariant:
@@ -793,7 +837,8 @@ object Ann {
       .repartition(nlist, col("_route"))
       .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
-      pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc)
+      pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc,
+      resBuild = resBuild)
     // cell-model sidecar AFTER the main write (overwrite would wipe it):
     // incremental flushes load it to stay cell-aligned ([[buildIndexAlignedTo]])
     saveCells(base.sparkSession, CellModel(model, cellBaselineDist(base, baseVec, model)), s"$path/_cells")
@@ -961,12 +1006,23 @@ object Ann {
     // count. Centroids are one tiny row per segment. With an accept-list,
     // AUTO widens probes by filter selectivity (see routeQueries).
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok,
-      acceptPerSeg = accepts.map(a => () =>
-        raw.join(
+      acceptPerSeg = accepts.map(a => () => {
+        val acc = raw.join(
             broadcast(a.select(col(a.columns.head).cast("long").as("__acc")).distinct()),
             raw("node_id") === col("__acc"), "left_semi")
-          .groupBy("seg").count()
-          .collect().map(r => (r.getString(0), r.getLong(1))).toMap),
+        // exclude tombstones from the accepted mass: when deletes overlap
+        // the accept-list, counting dead rows overstates cells' accepted
+        // mass, probes under-widen, and filtered-routed recall can slip
+        // below the gated 0.95
+        val live = deletes match {
+          case Some(d) => acc.join(
+              broadcast(d.select(col(d.columns.head).cast("long").as("__del")).distinct()),
+              acc("node_id") === col("__del"), "left_anti")
+          case None => acc
+        }
+        live.groupBy("seg").count()
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }),
       wantK = topK)
     val withDel = withLiveCol(raw, deletes)
     val withLive = accepts match {
@@ -1028,8 +1084,9 @@ object Ann {
     // 8 upper_nbrs, 9 __chunk.
     // the scan plan (with its seg-partition pruning) now lives BELOW an RDD
     // boundary, invisible in the returned DataFrame's explain — expose it
-    // for the plan-shape gates (ann_routed asserts PartitionFilters INSET)
-    lastServingScan = selPlan.queryExecution
+    // per-call for the plan-shape gates (ann_routed asserts
+    // PartitionFilters INSET on the metrics it passed)
+    metrics.foreach(_.servingScan = selPlan.queryExecution)
     // no deletes + no accept-list => __live is constant true and the warm
     // scan skips per-row flag extraction entirely
     val liveConst = deletes.isEmpty && accepts.isEmpty
@@ -1977,31 +2034,37 @@ object Ann {
           val eff = if (auto) base else probeSegments
           if (perSegAcc.isEmpty && eff >= cents.length) None
           else {
+            // name-sorted once per batch: [[pickSegments]]' packed-long
+            // heap breaks score ties by INDEX asc, which then reproduces
+            // the historical (-score, name) ordering
+            val centsSorted = cents.sortBy(_._1)
+            // accepted-mass walking only ever picks cells with accepted
+            // rows, so the candidate pool shrinks to those up front
+            val eligible: Array[Int] = perSegAcc match {
+              case Some(perSeg) => centsSorted.indices
+                .filter(i => perSeg.getOrElse(centsSorted(i)._1, 0L) > 0L).toArray
+              case None => null
+            }
+            val want = FilterRouteOversample.toLong * wantK
+            // filtered floor = 2x the unfiltered sqrt(S) floor: a filter
+            // deepens the rank of the true top-k (filtered top-k ~
+            // unfiltered top-k/selectivity), so boundary-straddling truth
+            // spreads across MORE cells than the unfiltered case — and a
+            // cluster-correlated filter can meet the mass target inside
+            // very few (large) eligible cells while hits sit in eligible
+            // cells just past the floor. Measured on the
+            // ann_routed_filtered fixture (16 planted clusters, parity
+            // accept = 8 eligible cells): floor base=4 -> recall 0.948
+            // (one hit short of the 0.95 contract at some build
+            // layouts); floor 2*base covers the eligible ranking's tail.
+            // Work stays sublinear: 2*sqrt(S) cells, and the walk still
+            // stops early when eligible cells run out.
+            val floor = if (perSegAcc.isDefined) 2 * base else base
+            val picks = routePick(qArr.map(_._2), p.metric, centsSorted,
+              eff, floor, want, perSegAcc.orNull, eligible)
             val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
             qArr.indices.foreach { qi =>
-              val ranked = cents
-                .map { case (s, c) => (s, Vamana.similarity(p.metric, qArr(qi)._2, c)) }
-                .sortBy { case (s, sc) => (-sc, s) }
-              val picked: Seq[String] = perSegAcc match {
-                case Some(perSeg) =>
-                  // walk the centroid ranking: skip cells with zero accepted
-                  // rows (they cannot contribute), stop once probed cells
-                  // hold >= FilterRouteOversample*k accepted candidates AND
-                  // at least `base` eligible cells are covered (the
-                  // unfiltered boundary-straddle floor)
-                  val want = FilterRouteOversample.toLong * wantK
-                  val out = scala.collection.mutable.ArrayBuffer.empty[String]
-                  var acc = 0L
-                  val it = ranked.iterator
-                  while (it.hasNext && (acc < want || out.length < base)) {
-                    val (s, _) = it.next()
-                    val cAcc = perSeg.getOrElse(s, 0L)
-                    if (cAcc > 0L) { out += s; acc += cAcc }
-                  }
-                  out.toSeq
-                case None => ranked.take(eff).map(_._1)
-              }
-              picked.foreach { s =>
+              picks(qi).foreach { s =>
                 m.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += qi
               }
               // unrankable segments are probed by every query
@@ -2013,6 +2076,129 @@ object Ann {
         }
       }
     } else None
+  }
+
+  /** Per-query segment selection: bounded top-m over the centroid ranking
+    * via a packed-long heap — O(S log m) per query with zero tuple
+    * allocation, replacing a full O(S log S) sort. A 100 TB tree has
+    * 10^4-10^5 segments, and serving batches of 10^3+ queries would put a
+    * full per-query sort's ~10^9 comparisons on the DRIVER — the classic
+    * driver-side bottleneck. Ordering contract unchanged: score desc,
+    * segment name asc on ties (`cents` must be name-sorted; the packed
+    * complemented-index tiebreak then prefers smaller indexes).
+    *
+    * Unfiltered (`perSeg == null`): the top `eff` centroids. Filtered:
+    * walk the eligible (accepted-mass > 0) ranking until probed cells hold
+    * >= `want` accepted candidates AND >= `base` cells are covered; the
+    * needed prefix length is unknown a priori, so selection starts small
+    * and doubles on exhaustion — typical batches stop at the first prefix,
+    * worst case degrades to one full selection (still heap-bounded). */
+  private[graft] def pickSegments(
+      qvec: Array[Float],
+      metric: String,
+      cents: Array[(String, Array[Float])],
+      eff: Int,
+      base: Int,
+      want: Long,
+      perSeg: Map[String, Long],
+      eligible: Array[Int],
+      /** Per-centroid sqrt(sum c^2), COSINE only: hoists the centroid-norm
+        * recomputation out of the O(Q*S) scoring loop. BIT-IDENTICAL to
+        * [[Vamana.similarity]] — same accumulation order, the norm product
+        * is just computed once per (query, centroid) instead of re-derived
+        * element-wise. null = score via Vamana.similarity directly. */
+      centNorms: Array[Double] = null): scala.collection.Seq[String] = {
+
+    val qNorm: Double = if (centNorms == null) 0.0 else {
+      var na = 0.0; var i = 0
+      while (i < qvec.length) { na += qvec(i).toDouble * qvec(i).toDouble; i += 1 }
+      math.sqrt(na)
+    }
+    @inline def score(idx: Int): Double =
+      if (centNorms == null) Vamana.similarity(metric, qvec, cents(idx)._2)
+      else {
+        val c = cents(idx)._2
+        var d = 0.0; var i = 0
+        while (i < c.length) { d += qvec(i).toDouble * c(i).toDouble; i += 1 }
+        (1.0 + d / (qNorm * centNorms(idx))) / 2.0
+      }
+
+    // top-m indexes of `pool` (null = all of cents), returned best-first
+    def topM(pool: Array[Int], m: Int): Array[Int] = {
+      val n = if (pool == null) cents.length else pool.length
+      val k = math.min(m, n)
+      if (k <= 0) return Array.emptyIntArray
+      val h = new LongHeap(k, min = true)
+      var i = 0
+      while (i < n) {
+        val idx = if (pool == null) i else pool(i)
+        val packed = LongHeap.pack(score(idx), idx)
+        if (h.size < k) h.push(packed)
+        else if (packed > h.top) { h.pop(); h.push(packed) }
+        i += 1
+      }
+      val out = new Array[Int](h.size)
+      var j = h.size - 1
+      while (j >= 0) { out(j) = LongHeap.id(h.pop()); j -= 1 }
+      out
+    }
+
+    if (perSeg == null) {
+      val idxs = topM(null, eff)
+      val out = new Array[String](idxs.length)
+      var i = 0
+      while (i < idxs.length) { out(i) = cents(idxs(i))._1; i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var m = math.max(base, 16)
+      var done = false
+      while (!done) {
+        val pref = topM(eligible, m)
+        out.clear()
+        var acc = 0L
+        var i = 0
+        while (i < pref.length && (acc < want || out.length < base)) {
+          val s = cents(pref(i))._1
+          out += s
+          acc += perSeg.getOrElse(s, 0L)
+          i += 1
+        }
+        done = (acc >= want && out.length >= base) || pref.length >= eligible.length
+        if (!done) m *= 2
+      }
+      out
+    }
+  }
+
+  /** Batch routing selection: [[pickSegments]] for every query, with the
+    * per-query work spread across driver cores (pure, independent per
+    * query — the merge back into seg->queries order stays sequential and
+    * deterministic in the caller) and COSINE centroid norms hoisted once
+    * per batch. Measured (tools/RouteMicro, 10k queries x 4096 centroids
+    * x 64d): full-sort 26.5s -> 5.5s single-thread heap -> ~0.1s here. */
+  private[graft] def routePick(
+      qvecs: Array[Array[Float]],
+      metric: String,
+      centsSorted: Array[(String, Array[Float])],
+      eff: Int,
+      base: Int,
+      want: Long,
+      perSeg: Map[String, Long],
+      eligible: Array[Int]): Array[scala.collection.Seq[String]] = {
+    val centNorms: Array[Double] =
+      if (metric.toUpperCase == "COSINE") centsSorted.map { case (_, c) =>
+        var nb = 0.0; var i = 0
+        while (i < c.length) { nb += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(nb)
+      } else null
+    val picks = new Array[scala.collection.Seq[String]](qvecs.length)
+    import scala.collection.parallel.CollectionConverters._
+    qvecs.indices.par.foreach { qi =>
+      picks(qi) = pickSegments(qvecs(qi), metric, centsSorted, eff, base, want,
+        perSeg, eligible, centNorms)
+    }
+    picks
   }
 
   /** Sentinel for `probeSegments`: route each query to ~sqrt(segments)

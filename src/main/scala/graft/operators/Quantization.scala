@@ -186,6 +186,159 @@ final class PQPairScorer(model: PQModel, codesFlat: Array[Int], metric: String)
   }
 }
 
+/** Residual-code pair scorer for CLUSTERED builds (the IVF-PQ
+  * construction, FAISS-style; the reference never needs it because it
+  * doesn't cell-partition its corpus — see `BuildScoreProvider.
+  * pqBuildScoreProvider`, `similarity/BuildScoreProvider.java:170-212`,
+  * which scores GLOBAL codes). A globally-trained codebook cannot
+  * discriminate within a tight k-means cell: same-cell vectors collapse
+  * onto few codes and construction scores become quantization noise
+  * (measured: exact-recall@10 0.120 vs 0.532 exact-scored, NOTES_r11 §2b).
+  * Here `model` is trained on residuals r = v - cellCentroid and
+  * `codesFlat` encodes each node's residual; reconstructed vectors are
+  * v̂ = c + decode(r), so pair similarity needs only the residual LUTs
+  * plus per-node scalars against the SHARED cell centroid:
+  *   dot(v̂a, v̂b)  = |c|² + dot(c,r̂a) + dot(c,r̂b) + dot(r̂a,r̂b)
+  *   |v̂a|²        = |c|² + 2·dot(c,r̂a) + |r̂a|²
+  * For EUCLIDEAN the centroid cancels exactly (||v̂a−v̂b|| = ||r̂a−r̂b||);
+  * DOT/COSINE carry the centroid terms. Still no full-res vector access:
+  * per-pair cost is m table lookups + scalars, same as [[PQPairScorer]]. */
+final class ResidualPQPairScorer(
+    model: PQModel, codesFlat: Array[Int], metric: String,
+    cellCentroid: Array[Double]) extends Serializable {
+  private val m = model.m
+  private val metricCode: Int = metric.toUpperCase match {
+    case "EUCLIDEAN" => 0
+    case "DOT_PRODUCT" | "DOT" => 1
+    case "COSINE" => 2
+    case x => throw new IllegalArgumentException(s"unknown metric: $x")
+  }
+  private val ks: Array[Int] = Array.tabulate(m)(s => model.codebooks(s).length)
+  private val kern = graft.simd.Kernels.INSTANCE
+  // residual-residual LUTs, identical construction to PQPairScorer
+  private val dotCC: Array[Array[Double]] = Array.tabulate(m) { s =>
+    val cb = model.codebooks(s)
+    val k = ks(s)
+    val t = new Array[Double](k * k)
+    var a = 0
+    while (a < k) {
+      var b = a
+      while (b < k) {
+        val d = kern.dotD(cb(a), cb(b))
+        t(a * k + b) = d
+        t(b * k + a) = d
+        b += 1
+      }
+      a += 1
+    }
+    t
+  }
+  private val magC: Array[Array[Double]] =
+    Array.tabulate(m)(s => Array.tabulate(ks(s))(c => dotCC(s)(c * ks(s) + c)))
+  // centroid terms: dotCentC(s)(c) = dot(cell_sub_s, cb_s(c)); cc2 = |cell|²
+  private val dotCentC: Array[Array[Double]] = Array.tabulate(m) { s =>
+    val sub = java.util.Arrays.copyOfRange(
+      cellCentroid, model.subOffsets(s), model.subOffsets(s) + model.subSizes(s))
+    Array.tabulate(ks(s))(c => kern.dotD(sub, model.codebooks(s)(c)))
+  }
+  private val cc2: Double = kern.dotD(cellCentroid, cellCentroid)
+  private val nRows = codesFlat.length / math.max(1, m)
+  // per-node scalars: dot(c, r̂i) and |v̂i|² — O(n·m) once
+  private val centDot: Array[Double] = Array.tabulate(nRows) { i =>
+    var d = 0.0; var s = 0
+    while (s < m) { d += dotCentC(s)(codesFlat(i * m + s)); s += 1 }
+    d
+  }
+  private val resMag: Array[Double] = Array.tabulate(nRows) { i =>
+    var rm = 0.0; var s = 0
+    while (s < m) { rm += magC(s)(codesFlat(i * m + s)); s += 1 }
+    rm
+  }
+  private val norm2: Array[Double] =
+    Array.tabulate(nRows)(i => cc2 + 2.0 * centDot(i) + resMag(i))
+
+  /** Similarity between nodes a and b from residual codes + shared cell. */
+  def score(a: Int, b: Int): Double = {
+    val ba = a * m
+    val bb = b * m
+    var rdot = 0.0
+    var s = 0
+    while (s < m) {
+      rdot += dotCC(s)(codesFlat(ba + s) * ks(s) + codesFlat(bb + s))
+      s += 1
+    }
+    (metricCode: @annotation.switch) match {
+      case 0 =>
+        // centroid cancels: ||v̂a − v̂b||² = |r̂a|² − 2 dot(r̂a,r̂b) + |r̂b|²
+        1.0 / (1.0 + (resMag(a) - 2.0 * rdot + resMag(b)))
+      case 1 =>
+        (1.0 + (cc2 + centDot(a) + centDot(b) + rdot)) / 2.0
+      case 2 =>
+        val dot = cc2 + centDot(a) + centDot(b) + rdot
+        (1.0 + dot / (math.sqrt(norm2(a)) * math.sqrt(norm2(b)))) / 2.0
+    }
+  }
+
+  /** Entry node: argmax similarity to the segment's approximate centroid
+    * ĝ = cell + freq-weighted mean of decoded residuals (the residual
+    * analogue of `BuildScoreProvider.approximateCentroid`), from codes and
+    * the shared cell alone. Ties break to the lowest node id. */
+  def entryNode(): Int = {
+    if (nRows == 0) return 0
+    // freq-weighted residual mean per subspace
+    val rbar: Array[Array[Double]] = Array.tabulate(m) { s =>
+      val freq = new Array[Long](ks(s))
+      var i = 0
+      while (i < nRows) { freq(codesFlat(i * m + s)) += 1L; i += 1 }
+      val sub = new Array[Double](model.subSizes(s))
+      var c = 0
+      while (c < ks(s)) {
+        if (freq(c) > 0) {
+          val cb = model.codebooks(s)(c)
+          val w = freq(c).toDouble / nRows
+          var j = 0
+          while (j < sub.length) { sub(j) += w * cb(j); j += 1 }
+        }
+        c += 1
+      }
+      sub
+    }
+    // ĝ = cell + r̄ assembled full-dim once (one vector, not per node)
+    val g = cellCentroid.clone()
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < rbar(s).length) { g(model.subOffsets(s) + j) += rbar(s)(j); j += 1 }
+      s += 1
+    }
+    val gMag = kern.dotD(g, g)
+    val cgDot = kern.dotD(cellCentroid, g)
+    // dot(r̂i, g) via per-code LUT against g's subspace slices
+    val dG: Array[Array[Double]] = Array.tabulate(m) { ss =>
+      val sub = java.util.Arrays.copyOfRange(
+        g, model.subOffsets(ss), model.subOffsets(ss) + model.subSizes(ss))
+      Array.tabulate(ks(ss))(c => kern.dotD(sub, model.codebooks(ss)(c)))
+    }
+    var best = 0
+    var bestS = Double.MinValue
+    var i = 0
+    while (i < nRows) {
+      var rg = 0.0
+      var ss = 0
+      while (ss < m) { rg += dG(ss)(codesFlat(i * m + ss)); ss += 1 }
+      val dot = cgDot + rg
+      val sc = (metricCode: @annotation.switch) match {
+        case 0 => 1.0 / (1.0 + (gMag - 2.0 * dot + norm2(i)))
+        case 1 => (1.0 + dot) / 2.0
+        case 2 => (1.0 + dot / (math.sqrt(gMag) * math.sqrt(norm2(i)))) / 2.0
+      }
+      if (sc > bestS) { bestS = sc; best = i }
+      i += 1
+    }
+    best
+  }
+}
+
 /** Hamming-scored build companion to [[PQPairScorer]] (the reference's
   * other approximate construction mode:
   * `BuildScoreProvider.bqBuildScoreProvider`,

@@ -642,6 +642,57 @@ object AnnQueries {
     ("pqbuild_twophase_recall_ge_0.85", 0.85),
     ("pqbuild_result_shape", k.toDouble)))
 
+  /** pqBuild x CLUSTERED composition (IVF-PQ residual construction): the
+    * reference's default build mode (default.yml `compression: PQ`) on a
+    * cell-partitioned tree must NOT degrade to the near-random graphs a
+    * globally-trained codebook produces (measured recall@10 0.120 vs
+    * 0.532 exact-scored at 4M x 64, NOTES_r11 §2b). The engine trains
+    * construction codes on residuals v - cellCentroid
+    * ([[graft.operators.ResidualPQPairScorer]]); contract: pqBuild recall
+    * within 0.05 of the exact-scored clustered build at EQUAL ef, on both
+    * the exhaustive route (pure construction quality) and the routed
+    * default (the serving path). */
+  private val pqresMemo =
+    new scala.collection.concurrent.TrieMap[String, (Double, Double, Double)]()
+
+  private def annPqresClustered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (recExact, recPq, recPqRouted) = pqresMemo.getOrElseUpdate("run", {
+      val nClusters = 16; val d = 32; val perCluster = 500; val topK = 10
+      val rnd = new java.util.Random(29)
+      val centers = Array.fill(nClusters)(Array.fill(d)(rnd.nextGaussian().toFloat * 2))
+      val rows = (0 until nClusters * perCluster).map { i =>
+        val r = new java.util.Random(i * 31L + 5)
+        val c = centers(i % nClusters)
+        (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
+      }
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val p = annParams.copy(maxDegree = 16, beamWidth = 64, pqM = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft_pqres").toString
+      Ann.buildIndexClustered(base, s"$root/exact", p, nlist = nClusters)
+      Ann.buildIndexClustered(base, s"$root/pq", p.copy(pqBuild = true), nlist = nClusters)
+      val queries = rows.take(40).toDF("qid", "qvec")
+      val truth = KnnExact.knn(base, queries, topK, "COSINE", "id", "vec")
+      def recallOf(path: String, probe: Int): Double = {
+        val res = Ann.searchIndex(s, path, queries, topK, 64, p, probeSegments = probe)
+        val hit = res.select("qid", "nid")
+          .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+        hit.toDouble / truth.count()
+      }
+      (recallOf(s"$root/exact", 0), recallOf(s"$root/pq", 0),
+        recallOf(s"$root/pq", Ann.AutoProbe))
+    })
+    Gates.df(s, Seq(
+      ("pqres_exact_scored_recall_ge_0.9", 0.9, recExact >= 0.9),
+      ("pqres_within_0.05_of_exact_scored", 0.05, recPq >= recExact - 0.05),
+      ("pqres_routed_within_0.07_of_exact_scored", 0.07, recPqRouted >= recExact - 0.07)))
+  }
+
+  private val annPqresClusteredSql: String = Gates.sql(Seq(
+    ("pqres_exact_scored_recall_ge_0.9", 0.9),
+    ("pqres_within_0.05_of_exact_scored", 0.05),
+    ("pqres_routed_within_0.07_of_exact_scored", 0.07)))
+
   /** Prepared maintenance-lifecycle trees per scale dir: (post-repair tree,
     * compacted tree). Built once — the mutations are the expensive part;
     * the gate searches over them memoize via [[RouteMemo]]. */
@@ -875,9 +926,9 @@ object AnnQueries {
         metrics = Some(mR))
       routed.count()
       // the serving scan (where PartitionFilters live) sits below the warm
-      // fast path's RDD boundary — inspect it via the Ann debug hook, set
-      // by the searchIndex call above
-      val prunes0 = Ann.lastServingScan.executedPlan.toString.linesIterator.exists { l =>
+      // fast path's RDD boundary — inspect it via the per-call hook on the
+      // metrics this search carried
+      val prunes0 = mR.servingScan.executedPlan.toString.linesIterator.exists { l =>
         val pf = l.indexOf("PartitionFilters: [")
         pf >= 0 && {
           val seg = l.substring(pf, math.min(l.length, pf + 400))
@@ -1062,6 +1113,7 @@ object AnnQueries {
     "ann_rescore" -> (annRescore _),
     "ann_fused" -> (annFused _),
     "ann_pq_build" -> (annPqBuild _),
+    "ann_pqres_clustered" -> (annPqresClustered _),
     "ann_lifecycle" -> (annLifecycle _),
     "ann_compact_merge" -> (annCompactMerge _),
     "ann_effort" -> (annEffort _),
@@ -1085,6 +1137,7 @@ object AnnQueries {
     "ann_rescore" -> annRescoreSql,
     "ann_fused" -> annFusedSql,
     "ann_pq_build" -> annPqBuildSql,
+    "ann_pqres_clustered" -> annPqresClusteredSql,
     "ann_lifecycle" -> annLifecycleSql,
     "ann_compact_merge" -> annCompactMergeSql,
     "ann_effort" -> annEffortSql,

@@ -54,10 +54,17 @@ object StreamingIngest {
       val hasBatches = Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$root/batch=*"))).exists(_.nonEmpty)
       if (fs.exists(cpPath) && !hasBatches) {
+        // move aside, never delete: the heuristic can misfire (e.g. a
+        // restart racing another process's in-flight first batch write),
+        // and a user-supplied checkpointDir holds offset history that must
+        // stay recoverable by hand
+        var n = 0
+        var stash = new org.apache.hadoop.fs.Path(cp + ".stale")
+        while (fs.exists(stash)) { n += 1; stash = new org.apache.hadoop.fs.Path(s"$cp.stale.$n") }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"checkpoint $cp exists but index $indexPath has no batches " +
-            "(wiped or never-built index) — clearing the checkpoint to re-ingest")
-        fs.delete(cpPath, true)
+            s"(wiped or never-built index) — moving it aside to $stash so the run re-ingests")
+        fs.rename(cpPath, stash)
       }
     }
     spark.readStream

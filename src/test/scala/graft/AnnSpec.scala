@@ -258,8 +258,14 @@ class AnnSpec extends SparkSpec {
     // (routeQueries walks the centroid ranking by ACCEPTED mass), and
     // class-correlated accepts whose survivors all live outside the
     // query's nearest cells must still be found.
+    // 16 cells, not 8: the filtered floor is 2*sqrt(S) eligible cells, and
+    // a parity accept leaves only HALF the cells eligible — at 8 cells any
+    // recall-preserving filtered route must probe ~half the tree and the
+    // economics assertion below has no room. 16 cells is the smallest
+    // shape where pruning and the 0.95 recall contract coexist (same shape
+    // as the ann_routed_filtered gate fixture).
     val rnd = new scala.util.Random(29)
-    val nClusters = 8
+    val nClusters = 16
     val centers = Array.fill(nClusters)(Array.fill(8)(rnd.nextGaussian().toFloat * 2))
     val rows = (0 until 3200).map { i =>
       val r = new scala.util.Random(i)

@@ -142,4 +142,91 @@ class PqBuildSpec extends AnyFunSuite {
       .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
     assert(got.intersect(truth).size >= 8, "restored shell over the code-built graph must search well")
   }
+
+  /** One tight k-means-style cell far from the origin: the clustered-build
+    * regime where a globally-trained codebook collapses (NOTES_r11 §2b). */
+  private def cellVecs(n: Int, dim: Int, seed: Int): (Array[Array[Float]], Array[Double]) = {
+    val rnd = new scala.util.Random(seed)
+    val cent = Array.fill(dim)(rnd.nextGaussian() * 4.0)
+    val vs = Array.fill(n)(Array.tabulate(dim)(j => (cent(j) + rnd.nextGaussian() * 0.3).toFloat))
+    (vs, cent)
+  }
+
+  private def residualTrainEncode(vs: Array[Array[Float]], cent: Array[Double], m: Int)
+      : (graft.operators.PQModel, Array[Int]) = {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val res = vs.map(v => Array.tabulate(v.length)(j => v(j).toDouble - cent(j)))
+    val df = res.zipWithIndex.toSeq.map { case (r, i) => (i.toLong, r.toSeq) }.toDF("id", "res")
+    val model = PQ.train(df, "res", m = m, iters = 4)
+    val flat = new Array[Int](vs.length * m)
+    res.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(model.encodeOne(r), 0, flat, i * m, m)
+    }
+    (model, flat)
+  }
+
+  test("ResidualPQPairScorer.score == similarity of reconstructed vectors (all metrics)") {
+    val (vs, cent) = cellVecs(300, 16, seed = 31)
+    val (model, flat) = residualTrainEncode(vs, cent, m = 4)
+    val rnd = new scala.util.Random(17)
+    for (metric <- Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN")) {
+      val sc = new graft.operators.ResidualPQPairScorer(model, flat, metric, cent)
+      (0 until 50).foreach { _ =>
+        val a = rnd.nextInt(vs.length)
+        val b = rnd.nextInt(vs.length)
+        def recon(i: Int): Array[Float] = {
+          val r = model.decode(flat.slice(i * 4, i * 4 + 4))
+          Array.tabulate(16)(j => (cent(j) + r(j)).toFloat)
+        }
+        val want = Vamana.similarity(metric, recon(a), recon(b))
+        assert(math.abs(sc.score(a, b) - want) < 1e-4, s"$metric ($a,$b)")
+      }
+    }
+  }
+
+  test("residual-scored build restores within-cell recall a global codebook loses") {
+    val n = 4000
+    val dim = 32
+    val (vs, cent) = cellVecs(n, dim, seed = 8)
+    // global model trained on WIDE data (the full corpus a clustered build
+    // would see): many cells' worth of spread, so within THIS tight cell
+    // its codes barely discriminate
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val wideRnd = new scala.util.Random(77)
+    val wide = Array.fill(8000)(Array.fill(dim)((wideRnd.nextGaussian() * 4.0).toFloat))
+    val wideDf = wide.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "vec")
+    val globalModel = PQ.train(wideDf, "vec", m = 8, iters = 4)
+    val globalFlat = new Array[Int](n * 8)
+    vs.zipWithIndex.foreach { case (v, i) =>
+      System.arraycopy(globalModel.encodeOne(v.map(_.toDouble)), 0, globalFlat, i * 8, 8)
+    }
+    val (resModel, resFlat) = residualTrainEncode(vs, cent, m = 16)
+
+    def recallOf(g: Vamana): Double = {
+      val queries = {
+        val rnd = new scala.util.Random(5)
+        Array.fill(60)(Array.tabulate(dim)(j => (cent(j) + rnd.nextGaussian() * 0.3).toFloat))
+      }
+      var hits = 0
+      queries.foreach { q =>
+        val truth = vs.indices.map(i => (i, g.sim(q, vs(i))))
+          .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+        hits += g.search(q, 10, 64).map(_._1).toSet.intersect(truth).size
+      }
+      hits / 600.0
+    }
+    val gExact = new Vamana(vs, "COSINE", 16, 64).build(1)
+    val scG = new PQPairScorer(globalModel, globalFlat, "COSINE")
+    val gGlobal = new Vamana(vs, "COSINE", 16, 64).buildApprox(scG.score, scG.entryNode(), 1)
+    val scR = new graft.operators.ResidualPQPairScorer(resModel, resFlat, "COSINE", cent)
+    val gRes = new Vamana(vs, "COSINE", 16, 64).buildApprox(scR.score, scR.entryNode(), 1)
+    val (rExact, rGlobal, rRes) = (recallOf(gExact), recallOf(gGlobal), recallOf(gRes))
+    info(f"recall exact=$rExact%.3f globalPQ=$rGlobal%.3f residualPQ=$rRes%.3f")
+    assert(rRes >= rExact - 0.05,
+      f"residual-scored build must be within 0.05 of exact-scored: $rRes%.3f vs $rExact%.3f")
+    assert(rRes > rGlobal + 0.1,
+      f"residual codes must clearly beat global codes within a tight cell: $rRes%.3f vs $rGlobal%.3f")
+  }
 }
