@@ -52,3 +52,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// SPARK_GRAFT_SERVING_GC: opt-in collector for serving-latency profiling.
+// PinnedTailProbe (NOTES_r11 §4) attributed the pinned-route latency tail
+// to young-gen GC pauses (88% of >p90 samples GC-active vs 16% base rate);
+// a low-pause collector is the deployment-level fix. Values: "zgc",
+// "shenandoah", "g1"; unset = the JVM default. Profiling knob, not a
+// default — adopt per-deployment only if measured p99 drops without
+// throughput loss (see NOTES_r12 comparison table).
+javaOptions ++= (sys.env.get("SPARK_GRAFT_SERVING_GC").map(_.toLowerCase) match {
+  case Some("zgc") => Seq("-XX:+UseZGC")
+  case Some("shenandoah") => Seq("-XX:+UseShenandoahGC")
+  case Some("g1") => Seq("-XX:+UseG1GC")
+  case _ => Seq.empty
+})

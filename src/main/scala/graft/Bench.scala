@@ -239,7 +239,14 @@ object Bench {
     val msegN = sys.env.get("SPARK_GRAFT_MSEG_N").map(_.toInt).getOrElse(1 << 22)
     val msegDim = 64
     val msegClusters = sys.env.get("SPARK_GRAFT_MSEG_SEGS").map(_.toInt).getOrElse(64)
-    val msegParams = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
+    // degree 32 = the reference's default M (default.yml build block) and
+    // the measured sweet spot on this fixture: recall_abs 0.792 vs 0.532
+    // at degree 16 AND a faster routed batch (0.395 vs 0.475 s/batch —
+    // navigability beats the doubled adjacency, NOTES_r11 §2b) for a ~1.7x
+    // build. Degree 16 is kept one more round as a continuity block
+    // (mseg16) so cross-round trends stay comparable.
+    val msegParams = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 64)
+    val mseg16Params = msegParams.copy(maxDegree = 16)
     val msegRnd = new java.util.Random(9)
     val msegCenters = Array.fill(msegClusters)(
       Array.fill(msegDim)(msegRnd.nextGaussian().toFloat * 2f))
@@ -265,10 +272,6 @@ object Bench {
         (i, Seq.tabulate(dim)(j => c(j) + r.nextGaussian().toFloat))
       }.toDF("id", "vec")
     }
-    val msegPath = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
-    val (_, msegBuildSec) = time(
-      Ann.buildIndexClustered(msegDf, msegPath, msegParams, nlist = msegClusters))
-    val msegSegs = Ann.readIndex(spark, msegPath).select("seg").distinct().count()
     val msegQueries = {
       import spark.implicits._
       // one query near every other cluster: routing must pay off across the
@@ -278,59 +281,93 @@ object Bench {
         (id, msegVec(id).toSeq)
       }.toDF("qid", "qvec")
     }
-    Ann.pin(spark, msegPath)
-    // exhaustive and routed are measured INTERLEAVED (one run of each per
-    // pass, best pass per mode — same protocol as the headline sections):
-    // measured back-to-back, a contention window that lands inside one
-    // mode's block would skew the exh/routed RATIO, which is the number
-    // this section exists to report
-    def msegRun(probe: Int): Unit = Ann.searchIndex(spark, msegPath,
-      msegQueries, topK, ef = 64, msegParams, probeSegments = probe).count()
-    (1 to 2).foreach { _ => msegRun(0); msegRun(Ann.AutoProbe) }
-    val msegQpsPasses = (1 to runs).map(_ =>
-      (time(msegRun(0))._2, time(msegRun(Ann.AutoProbe))._2))
-    val msegQpsExh = 50.0 / msegQpsPasses.map(_._1).min
-    val msegQpsRouted = 50.0 / msegQpsPasses.map(_._2).min
-    def msegVr(probe: Int): Double = {
-      val mm = Ann.newMetrics(spark)
-      Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64, msegParams,
-        probeSegments = probe, metrics = Some(mm)).count()
-      mm.visitedRatioPerQuery(50)
-    }
-    val msegVrExh = msegVr(0)
-    val msegVrRouted = msegVr(Ann.AutoProbe)
-    // p99 passes alternate modes too; best 2 of 4 per mode
-    val msegSingles = {
-      import spark.implicits._
-      (0 until 25).map { i =>
-        val id = i.toLong * (msegN / 25) + 7
-        Seq((id, msegVec(id).toSeq)).toDF("qid", "qvec")
+    // brute-force oracle over the full corpus, shared by both degree
+    // baselines: recall_abs separates "the graph needs a bigger beam /
+    // degree" from routing parity — mseg `recall` alone is routed-vs-
+    // exhaustive PARITY and invites misreading as absolute quality
+    val msegTruth = KnnExact.knn(msegDf, msegQueries, topK, "COSINE").cache()
+    msegTruth.count()
+
+    case class MsegNumbers(buildSec: Double, segs: Long,
+        qpsExh: Double, qpsRouted: Double, vrExh: Double, vrRouted: Double,
+        p99Exh: Double, p99Routed: Double,
+        recParity: Double, recAbsExh: Double, recAbsRouted: Double)
+
+    def msegMeasure(p: Ann.Params, withLatency: Boolean): MsegNumbers = {
+      val path = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
+      val (_, buildS) = time(
+        Ann.buildIndexClustered(msegDf, path, p, nlist = msegClusters))
+      val segs = Ann.readIndex(spark, path).select("seg").distinct().count()
+      Ann.pin(spark, path)
+      // exhaustive and routed are measured INTERLEAVED (one run of each per
+      // pass, best pass per mode — same protocol as the headline sections):
+      // measured back-to-back, a contention window that lands inside one
+      // mode's block would skew the exh/routed RATIO, which is the number
+      // this section exists to report
+      def run(probe: Int): Unit = Ann.searchIndex(spark, path,
+        msegQueries, topK, ef = 64, p, probeSegments = probe).count()
+      (1 to 2).foreach { _ => run(0); run(Ann.AutoProbe) }
+      val qpsPasses = (1 to runs).map(_ =>
+        (time(run(0))._2, time(run(Ann.AutoProbe))._2))
+      val qpsExh = 50.0 / qpsPasses.map(_._1).min
+      val qpsRouted = 50.0 / qpsPasses.map(_._2).min
+      def vr(probe: Int): Double = {
+        val mm = Ann.newMetrics(spark)
+        Ann.searchIndex(spark, path, msegQueries, topK, ef = 64, p,
+          probeSegments = probe, metrics = Some(mm)).count()
+        mm.visitedRatioPerQuery(50)
       }
+      val vrExh = vr(0)
+      val vrRouted = vr(Ann.AutoProbe)
+      // p99 passes alternate modes too; best 2 of 4 per mode
+      var p99Exh = -1.0
+      var p99Routed = -1.0
+      if (withLatency) {
+        val singles = {
+          import spark.implicits._
+          (0 until 25).map { i =>
+            val id = i.toLong * (msegN / 25) + 7
+            Seq((id, msegVec(id).toSeq)).toDF("qid", "qvec")
+          }
+        }
+        def singlesPass(probe: Int): Seq[Double] = singles.map(q =>
+          time(Ann.searchIndex(spark, path, q, topK, ef = 64, p,
+            probeSegments = probe).count())._2 * 1e3)
+        Seq(0, Ann.AutoProbe).foreach(pr => singles.foreach(q =>
+          Ann.searchIndex(spark, path, q, topK, ef = 64, p,
+            probeSegments = pr).count())) // plan warmup, both modes
+        val latPasses = (1 to 4).map(_ =>
+          (singlesPass(0), singlesPass(Ann.AutoProbe)))
+        def p99Of(passes: Seq[Seq[Double]]): Double = {
+          val lat = passes.sortBy(_.sum).take(2).flatten.sorted
+          lat((lat.length * 99 / 100).min(lat.length - 1))
+        }
+        p99Exh = p99Of(latPasses.map(_._1))
+        p99Routed = p99Of(latPasses.map(_._2))
+      }
+      val exhRes = Ann.searchIndex(spark, path, msegQueries, topK, ef = 64,
+        p, probeSegments = 0)
+      val routedRes = Ann.searchIndex(spark, path, msegQueries, topK, ef = 64,
+        p, probeSegments = Ann.AutoProbe)
+      val recParity = Metrics.recallAtK(routedRes, exhRes, topK).head().getDouble(0)
+      val recAbsExh = Metrics.recallAtK(exhRes, msegTruth, topK).head().getDouble(0)
+      val recAbsRouted = Metrics.recallAtK(routedRes, msegTruth, topK).head().getDouble(0)
+      Ann.unpin(path)
+      MsegNumbers(buildS, segs, qpsExh, qpsRouted, vrExh, vrRouted,
+        p99Exh, p99Routed, recParity, recAbsExh, recAbsRouted)
     }
-    def msegSinglesPass(probe: Int): Seq[Double] = msegSingles.map(q =>
-      time(Ann.searchIndex(spark, msegPath, q, topK, ef = 64, msegParams,
-        probeSegments = probe).count())._2 * 1e3)
-    Seq(0, Ann.AutoProbe).foreach(p => msegSingles.foreach(q =>
-      Ann.searchIndex(spark, msegPath, q, topK, ef = 64, msegParams,
-        probeSegments = p).count())) // plan warmup, both modes
-    val msegLatPasses = (1 to 4).map(_ =>
-      (msegSinglesPass(0), msegSinglesPass(Ann.AutoProbe)))
-    def p99Of(passes: Seq[Seq[Double]]): Double = {
-      val lat = passes.sortBy(_.sum).take(2).flatten.sorted
-      lat((lat.length * 99 / 100).min(lat.length - 1))
-    }
-    val msegP99Exh = p99Of(msegLatPasses.map(_._1))
-    val msegP99Routed = p99Of(msegLatPasses.map(_._2))
-    val msegExhRes = Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64,
-      msegParams, probeSegments = 0)
-    val msegRoutedRes = Ann.searchIndex(spark, msegPath, msegQueries, topK, ef = 64,
-      msegParams, probeSegments = Ann.AutoProbe)
-    val msegRecRouted = Metrics.recallAtK(msegRoutedRes, msegExhRes, topK).head().getDouble(0)
-    Ann.unpin(msegPath)
-    System.err.println(f"[mseg] n=$msegN segs=$msegSegs build=${msegBuildSec}%.1fs " +
-      f"qps exh=${msegQpsExh}%.1f routed=${msegQpsRouted}%.1f " +
-      f"vr exh=${msegVrExh}%.4f routed=${msegVrRouted}%.4f " +
-      f"p99 exh=${msegP99Exh}%.1f routed=${msegP99Routed}%.1f rec=${msegRecRouted}%.3f")
+
+    val mseg = msegMeasure(msegParams, withLatency = true)
+    // degree-16 continuity baseline (r10/r11 reported this shape): build +
+    // throughput + recalls only, no latency passes — dropped next round
+    val mseg16 = msegMeasure(mseg16Params, withLatency = false)
+    for ((tag, x) <- Seq("mseg32" -> mseg, "mseg16" -> mseg16))
+      System.err.println(f"[$tag] n=$msegN segs=${x.segs} build=${x.buildSec}%.1fs " +
+        f"qps exh=${x.qpsExh}%.1f routed=${x.qpsRouted}%.1f " +
+        f"vr exh=${x.vrExh}%.4f routed=${x.vrRouted}%.4f " +
+        f"p99 exh=${x.p99Exh}%.1f routed=${x.p99Routed}%.1f rec=${x.recParity}%.3f " +
+        f"rec_abs exh=${x.recAbsExh}%.3f routed=${x.recAbsRouted}%.3f")
+    msegTruth.unpersist()
 
     // ---- engine-kernel throughput: the reference's measurement basis is an
     // in-process searcher over a resident index (jvector Bench /
@@ -437,21 +474,35 @@ object Bench {
        else s"""{"exact_knn_qps":${num(exactQps, 1)},"ann_qps":${num(annQps, 1)},""") +
         s""""ann_qps_pinned":${num(annQpsPinned, 1)},"ann_build_sec":${num(buildSec, 3)},""" +
         // effort signals survive EVERY shed level (the reference's
-        // visitedCount contract). The SMALLSEG ratio is high by construction
-        // (2k-row segments; ef x degree visits most of a tiny segment —
-        // Params scaladoc); the design-reflecting headline is the mseg
-        // routed ratio, surfaced here at top level as visited_ratio.
+        // visitedCount contract). visited_ratio keeps its HISTORICAL
+        // meaning (the small-segment sweep index — high by construction:
+        // 2k-row segments, ef x degree visits most of a tiny segment —
+        // Params scaladoc); the design-reflecting mseg routed ratio is
+        // visited_ratio_mseg. r11 briefly swapped the two under one key —
+        // reverted so cross-round trends compare like with like.
         s""""recall_at_10":${num(recall, 4)},""" +
-        s""""visited_ratio":${num(msegVrRouted, 4)},""" +
-        s""""visited_ratio_smallseg":${num(visitedRatio, 4)},""" +
+        s""""visited_ratio":${num(visitedRatio, 4)},""" +
+        s""""visited_ratio_mseg":${num(mseg.vrRouted, 4)},""" +
         // multi-segment serving block survives EVERY shed level — it is the
-        // scale evidence (4M x 64d x 64 segments by default; arrays =
-        // [exhaustive, routed-AutoProbe]; recall = routed vs exhaustive)
-        s""""mseg":{"n":$msegN,"segs":$msegSegs,"build_sec":${num(msegBuildSec, 1)},""" +
-        s""""qps":[${num(msegQpsExh, 1)},${num(msegQpsRouted, 1)}],""" +
-        s""""vr":[${num(msegVrExh, 4)},${num(msegVrRouted, 4)}],""" +
-        s""""p99_ms":[${num(msegP99Exh, 1)},${num(msegP99Routed, 1)}],""" +
-        s""""recall":${num(msegRecRouted, 3)}},""" +
+        // scale evidence (4M x 64d x 64 segments at the reference-default
+        // degree 32; arrays = [exhaustive, routed-AutoProbe]; recall =
+        // routed-vs-exhaustive PARITY, recall_abs = vs the brute-force
+        // oracle)
+        s""""mseg":{"n":$msegN,"segs":${mseg.segs},"deg":32,""" +
+        s""""build_sec":${num(mseg.buildSec, 1)},""" +
+        s""""qps":[${num(mseg.qpsExh, 1)},${num(mseg.qpsRouted, 1)}],""" +
+        s""""vr":[${num(mseg.vrExh, 4)},${num(mseg.vrRouted, 4)}],""" +
+        s""""p99_ms":[${num(mseg.p99Exh, 1)},${num(mseg.p99Routed, 1)}],""" +
+        s""""recall":${num(mseg.recParity, 3)},""" +
+        s""""recall_abs":[${num(mseg.recAbsExh, 3)},${num(mseg.recAbsRouted, 3)}]},""" +
+        // degree-16 continuity block (r10/r11 shape; dropped next round).
+        // Survives every shed level: the 101-entry query map forces deep
+        // sheds even under budget, and this block is the round's explicit
+        // cross-round comparison point.
+        s""""mseg16":{"build_sec":${num(mseg16.buildSec, 1)},""" +
+        s""""qps":[${num(mseg16.qpsExh, 1)},${num(mseg16.qpsRouted, 1)}],""" +
+        s""""recall":${num(mseg16.recParity, 3)},""" +
+        s""""recall_abs":[${num(mseg16.recAbsExh, 3)},${num(mseg16.recAbsRouted, 3)}]},""" +
         // the fused/gathered split survives EVERY shed level (the Q7
         // layout decision is re-measured per round from these two keys)
         (if (level >= 2)

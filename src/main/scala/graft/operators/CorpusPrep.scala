@@ -448,9 +448,9 @@ object CorpusPrep {
     * Output: (doc_id, n_bigrams, xent).
     *
     * RESOURCE NOTE: the trained count model `persist()`s (executor-
-    * resident, model-sized) and stays cached for the session — each call
-    * holds one model in the block manager so repeated scoring actions
-    * don't re-train. Long-lived sessions scoring against many DIFFERENT
+    * resident, model-sized; plus the vocab-sized per-context derivative)
+    * and stays cached for the session — each call holds one model in the
+    * block manager so repeated scoring actions don't re-train. Long-lived sessions scoring against many DIFFERENT
     * reference corpora should bound that with
     * `spark.catalog.clearCache()` (or recreate the session) between
     * models; there is deliberately no auto-unpersist because the returned
@@ -513,36 +513,8 @@ object CorpusPrep {
     // CaseWhen in the lambda cost +40% on the whole route), so the marker
     // rides a concat'd 1-element array; and only the ref pass pays that
     // concat.
-    def bigramsOf(df: DataFrame, withMarkers: Boolean): DataFrame = {
-      val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
-        i => struct(element_at(col("toks"), i + 1).as("w1"),
-          element_at(col("toks"), i + 2).as("w2")))
-      val marker = array(struct(
-        element_at(col("toks"), size(col("toks"))).as("w1"),
-        lit(null).cast("string").as("w2")))
-      val bs =
-        if (!withMarkers)
-          when(size(col("toks")) < 2,
-            array().cast("array<struct<w1:string,w2:string>>"))
-            .otherwise(bigrams)
-        else
-          when(size(col("toks")) < 1,
-            array().cast("array<struct<w1:string,w2:string>>"))
-            .when(size(col("toks")) === 1, marker)
-            .otherwise(concat(bigrams, marker))
-      df.select(col(idCol).cast("long").as("doc_id"),
-          TextFunctions.tokens(col(textCol)).as("toks"))
-        .select(col("doc_id"), bs.as("bs"))
-        .select(col("doc_id"), explode_outer(col("bs")).as("b"))
-        .select(col("doc_id"),
-          key60(md5(col("b.w1"))).as("h1"),
-          // concat_ws SKIPS nulls (returning "w1", not null), so marker
-          // rows (and the sub-2-token docs' outer row) must null h2
-          // explicitly — h2 is the bigram-count key AND the per-doc
-          // bigram counter
-          key60(md5(when(col("b.w2").isNotNull,
-            concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
-    }
+    def bigramsOf(df: DataFrame, withMarkers: Boolean): DataFrame =
+      lmBigrams(df, idCol, textCol, withMarkers)
     // Self-scoring (docs sameResult ref — the quality-scoring pipeline
     // case) deliberately does NOT share/persist one bigram table between
     // the model and the stream: measured at 1M x 60 flat
@@ -566,24 +538,85 @@ object CorpusPrep {
     // only as a bigram-first. Filter preserves cb's groupBy partitioning,
     // so the scoring join still reuses the model's exchange.
     val cbModel = cb.filter(col("h2").isNotNull)
-    // context counts derive from the bigram table (sum over h2) — same
-    // values as re-counting the corpus, one corpus pass + shuffle cheaper
-    val cu = cbModel.groupBy("h1").agg(sum(col("cb")).as("cu"))
-    // vocab = distinct h1 over the FULL model (markers included): every
-    // token appears as some bigram's w1 or as its doc's trailing marker, so
-    // this equals the distinct-token count over 60-bit token hashes — the
-    // same hashed identity the model already uses for contexts. What this
-    // buys (interleaved A/B at 1M x 60 flat, NOTES_r11): the old
-    // corpus-pass vocab re-TOKENIZED the whole reference on EVERY scoring
-    // action (broadcasts don't cache across actions) — per-action work now
-    // excludes that corpus-scale recompute (the cluster-scale win; hot
-    // actions measured even at 1M local where the pass used to overlap),
-    // at the cost of ~6s one-time serialization on the FIRST action (vocab
-    // now depends on the materialized model instead of pipelining beside
-    // it). Outputs bit-identical (equal forced hashes, all variants). The
-    // twin oracle counts DISTINCT md5-60bit(token) identically.
-    val vocab = cb.agg(countDistinct(col("h1")).cast("double").as("vv"))
+    // ONE h1-aggregation yields BOTH model derivatives: context counts
+    // (sum of non-marker bigram counts per first token) AND the vocab (one
+    // row per distinct h1 over the FULL model, markers included — every
+    // token appears as some bigram's w1 or as its doc's trailing marker,
+    // so row count = distinct-token count over the same 60-bit hashes the
+    // model uses; the twin oracle counts DISTINCT md5-60bit(token)
+    // identically). Persisted (vocab-sized, ~the broadcast cu table):
+    // r11's separate countDistinct(h1) was a second multi-million-row
+    // aggregation over the model that rode the FIRST action's critical
+    // path (+6s at 1M x 60, NOTES_r11 §3) and re-ran on every action;
+    // deriving vv as count(*) of this cached frame makes first-action
+    // vocab cost ~a cached count, and hot actions drop the re-aggregation
+    // too. cu values and vv are bit-identical to the previous derivation
+    // (marker-only tokens carry a null context sum and are filtered from
+    // cu; they still count toward vv).
+    val cuAll = cb.groupBy("h1")
+      .agg(sum(when(col("h2").isNotNull, col("cb"))).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = cuAll.filter(col("cu").isNotNull)
+    val vocab = cuAll.agg(count(lit(1)).cast("double").as("vv"))
     val docBi = bigramsOf(docs, withMarkers = false)
+    lmScoreFrom(docBi, cbModel, cu, _.crossJoin(broadcast(vocab)), addK,
+      headBigrams, broadcastContexts, headCoverage, headMinCount)
+  }
+
+  /** Hashed bigram stream of a corpus (shared by [[lmCrossEntropy]],
+    * [[lmTrain]], [[lmScore]]): per doc, one row per bigram (h1 = 60-bit
+    * md5 of w1, h2 = 60-bit md5 of "w1 w2") plus — withMarkers — ONE
+    * trailing marker row (w1 = final token, h2 null) whose job is making
+    * the model's distinct-h1 set cover EVERY token. See the codegen-shape
+    * notes at the [[lmCrossEntropy]] call site. */
+  private def lmBigrams(
+      df: DataFrame, idCol: String, textCol: String,
+      withMarkers: Boolean): DataFrame = {
+    val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
+      i => struct(element_at(col("toks"), i + 1).as("w1"),
+        element_at(col("toks"), i + 2).as("w2")))
+    val marker = array(struct(
+      element_at(col("toks"), size(col("toks"))).as("w1"),
+      lit(null).cast("string").as("w2")))
+    val bs =
+      if (!withMarkers)
+        when(size(col("toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(bigrams)
+      else
+        when(size(col("toks")) < 1,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .when(size(col("toks")) === 1, marker)
+          .otherwise(concat(bigrams, marker))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), bs.as("bs"))
+      .select(col("doc_id"), explode_outer(col("bs")).as("b"))
+      .select(col("doc_id"),
+        key60(md5(col("b.w1"))).as("h1"),
+        // concat_ws SKIPS nulls (returning "w1", not null), so marker
+        // rows (and the sub-2-token docs' outer row) must null h2
+        // explicitly — h2 is the bigram-count key AND the per-doc
+        // bigram counter
+        key60(md5(when(col("b.w2").isNotNull,
+          concat_ws(" ", col("b.w1"), col("b.w2"))))).as("h2"))
+  }
+
+  /** Scoring half shared by [[lmCrossEntropy]] (lazy inline model: `addVv`
+    * crossJoins the broadcast 1-row vocab) and [[lmScore]] (pre-trained
+    * model: `addVv` attaches the literal train-time scalar). Everything
+    * else — fixed-point lp, head/tail routing, both join shapes — is
+    * identical, so the two entry points cannot drift. */
+  private def lmScoreFrom(
+      docBi: DataFrame,
+      cbModel: DataFrame,
+      cu: DataFrame,
+      addVv: DataFrame => DataFrame,
+      addK: Double,
+      headBigrams: Int,
+      broadcastContexts: Boolean,
+      headCoverage: Option[Double],
+      headMinCount: Option[Long]): DataFrame = {
     // ln P quantized to a 1e-12 fixed-point long: integer sums are
     // associative, so per-doc aggregation is map-side partial AND exactly
     // deterministic; |lp| <= ~50, so |lpf| <= 5e13 and a doc needs > 1.8e5
@@ -641,10 +674,9 @@ object CorpusPrep {
       else df.join(cu.hint("shuffle_hash"), Seq("h1"), "left")
     if (headOpt.isDefined) {
       val head = headOpt.get
-      val tagged = docBi
+      val tagged = addVv(docBi
         .join(broadcast(head.withColumnRenamed("cb", "cb_head")), Seq("h1", "h2"), "left")
-        .join(broadcast(cu), Seq("h1"), "left")
-        .crossJoin(broadcast(vocab))
+        .join(broadcast(cu), Seq("h1"), "left"))
       // fork: each branch is a pure sum/count HashAggregate with map-side
       // partials (the doc stream evaluates once per branch — two tokenize
       // passes). Carrying per-doc miss-key LISTS through one linear plan
@@ -689,14 +721,68 @@ object CorpusPrep {
       // context-score broadcast chained cb -> cu -> broadcast onto the doc
       // stream's map path, serializing what pipelines here. The
       // per-occurrence log it avoided is codegen'd and ~free.
-      val scored = withCuOf(docBi.join(cbModel.hint("shuffle_hash"), Seq("h1", "h2"), "left"))
-        .crossJoin(broadcast(vocab))
+      val scored = addVv(withCuOf(docBi.join(cbModel.hint("shuffle_hash"), Seq("h1", "h2"), "left")))
         .withColumn("lpf", when(col("h2").isNotNull, lpFixed(col("cb"), col("cu"))))
       finish(scored.groupBy("doc_id").agg(
         coalesce(sum(col("lpf")), lit(0L)).as("s"),
         count(col("h2")).as("n_bigrams")))
     }
   }
+
+  /** A pre-trained bigram LM: persisted count tables + the train-time
+    * vocab scalar. Train ONCE with [[lmTrain]], score any number of
+    * corpora with [[lmScore]] — scoring actions then never pay the model
+    * build. This is the 100 TB deployment shape (CCNet trains its KenLM
+    * quality model offline and ships the binary; this is the DataFrame
+    * twin): the inline [[lmCrossEntropy]] necessarily rebuilds the model
+    * on its FIRST action (+~20s at 1M x 60 self-scoring — two concurrent
+    * corpus passes compete for the same cores), which is fine for one-off
+    * scoring but wrong for a serving pipeline scoring batch after batch.
+    * Scores are bit-identical to [[lmCrossEntropy]] with the same addK
+    * (spec-gated). */
+  final case class LmModel private[operators] (
+      cbModel: DataFrame,
+      cu: DataFrame,
+      vocabSize: Double,
+      addK: Double)
+
+  /** Train the bigram count model on `ref` and MATERIALIZE it (this is an
+    * action): persisted bigram counts, persisted context counts, and the
+    * vocab scalar. See [[lmCrossEntropy]] for the model semantics. */
+  def lmTrain(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): LmModel = {
+    require(addK > 0, s"addK must be > 0, got $addK")
+    val refBi = lmBigrams(ref, idCol, textCol, withMarkers = true)
+      .filter(col("h1").isNotNull)
+    val cb = refBi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuAll = cb.groupBy("h1")
+      .agg(sum(when(col("h2").isNotNull, col("cb"))).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vv = cuAll.count().toDouble // train-time action: materializes cb + cuAll
+    LmModel(cb.filter(col("h2").isNotNull), cuAll.filter(col("cu").isNotNull),
+      vv, addK)
+  }
+
+  /** Score `docs` against a pre-trained [[LmModel]] — same output,
+    * routing options, and bit-exact numbers as [[lmCrossEntropy]], but the
+    * first action is as cheap as a hot one (the model is already
+    * resident and the vocab is a literal, not a broadcast subquery). */
+  def lmScore(
+      model: LmModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      headBigrams: Int = 1 << 18,
+      broadcastContexts: Boolean = true,
+      headCoverage: Option[Double] = None,
+      headMinCount: Option[Long] = None): DataFrame =
+    lmScoreFrom(lmBigrams(docs, idCol, textCol, withMarkers = false),
+      model.cbModel, model.cu, _.withColumn("vv", lit(model.vocabSize)),
+      model.addK, headBigrams, broadcastContexts, headCoverage, headMinCount)
 
   /** Eval-set decontamination: training docs sharing >= 1 distinct n-gram
     * shingle with any benchmark doc, with the shared-shingle count. The

@@ -107,6 +107,24 @@ object CorpusScaleBench {
     timed("lmXent-flat-hot") {
       CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text").localCheckpoint()
     }
+    // pre-trained model path (lmTrain/lmScore): training is explicit, so
+    // the FIRST scoring action no longer pays the model build — the
+    // deployment shape for pipelines scoring batch after batch. First and
+    // hot scoring actions should be within noise of each other AND match
+    // the inline route bit-for-bit.
+    val model = timed("lmTrain") {
+      CorpusPrep.lmTrain(docs, "doc_id", "text")
+    }
+    val pre1 = timed("lmScore-first") {
+      CorpusPrep.lmScore(model, docs, "doc_id", "text").localCheckpoint()
+    }
+    timed("lmScore-hot") {
+      CorpusPrep.lmScore(model, docs, "doc_id", "text").localCheckpoint()
+    }
+    val preDiff = pre1.join(xent, Seq("doc_id", "n_bigrams", "xent"), "left_anti").count()
+    assert(preDiff == 0L, s"lmScore diverged from lmCrossEntropy on $preDiff docs")
+    System.err.println(s"[corpus-scale]   lmScore == lmCrossEntropy on all $nDocs docs")
+
     val cut = xent.stat.approxQuantile("xent", Array(0.998), 0.0001)(0)
     val gibberish = nDocs / 1000
     val caught = xent.filter(col("doc_id") % 1000 === 0 && col("xent") >= cut).count()

@@ -112,6 +112,27 @@ object MsegProfile {
       Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
         probeSegments = Ann.AutoProbe).count()
     }
+    // paged batch route (shares the warm fast path) vs the PERSISTED
+    // session route (kept the 15-column tuple decode + per-page cursor
+    // export/state swap): decomposes whether session pages are
+    // decode-bound (fix: port the light path) or cursor/state-bound
+    // (export + parquet swap dominate and the decode is noise)
+    timed("paged") {
+      Ann.searchIndexPaged(spark, path, queries, Seq(10, 10), ef = 64, params).count()
+    }
+    locally {
+      val st = java.nio.file.Files.createTempDirectory("graft_msegprof_sess").toString + "/st"
+      val t0 = System.nanoTime()
+      Ann.openPagedSession(spark, path, st, queries, 10, 64, params).count()
+      System.err.println(f"[msegprof] sess_open ${(System.nanoTime() - t0) / 1e9}%6.3fs")
+      val ts = (1 to passes).map { _ =>
+        val s = System.nanoTime()
+        Ann.nextSessionPage(spark, path, st, 10, 64, params).count()
+        (System.nanoTime() - s) / 1e9
+      }
+      System.err.println(f"[msegprof] sess_pg  best=${ts.min}%6.3fs  all=" +
+        ts.map(t => f"$t%.3f").mkString(","))
+    }
     Ann.unpin(path)
     spark.stop()
   }

@@ -307,6 +307,30 @@ class CorpusPrepSpec extends SparkSpec {
     assert(x(101L) > x(100L))
   }
 
+  test("lmTrain/lmScore: pre-trained model scores bit-identical to the inline route") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val words = Array("the", "cat", "sat", "on", "mat", "dog", "ran", "far", "qq", "ww")
+    val ref = (0L until 300L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = (1000L until 1100L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ") +
+        (if (i % 7 == 0) " unseen_token_" + i else "")))
+      .toDF("doc_id", "text")
+    val inline = CorpusPrep.lmCrossEntropy(docs, ref, "doc_id", "text", addK = 0.5)
+    val model = CorpusPrep.lmTrain(ref, "doc_id", "text", addK = 0.5)
+    val pre = CorpusPrep.lmScore(model, docs, "doc_id", "text")
+    assert(pre.count() === inline.count())
+    assert(pre.join(inline, Seq("doc_id", "n_bigrams", "xent"), "left_anti").count() === 0L,
+      "pre-trained route must be bit-identical to the inline route")
+    // head-split routing over the pre-trained model is exact too
+    val preSplit = CorpusPrep.lmScore(model, docs, "doc_id", "text",
+      headBigrams = 16, headCoverage = Some(0.7), headMinCount = Some(2L))
+    assert(preSplit.join(inline, Seq("doc_id", "n_bigrams", "xent"), "left_anti").count() === 0L,
+      "pre-trained head-split route must be bit-identical")
+  }
+
   test("lmCrossEntropy: head-broadcast split is exact vs the unsplit join on Zipfian text") {
     import spark.implicits._
     // Zipf-ish: token w_k drawn with weight ~ 1/(k+1); a small head of
