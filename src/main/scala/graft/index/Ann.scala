@@ -1657,20 +1657,62 @@ object Ann {
     }
 
     val raw = pinnedIndexes.get(pinKey(path)).getOrElse(readIndex(spark, path))
-    val withLive = withLiveCol(raw, deletes)
-    // index rows and cursor rows tagged into ONE dataset so each segment
-    // task sees its graph rows AND its queries' cursors after one
-    // repartition — no driver-side collect of the (large) cursor blobs
-    val idxTagged = withLive
-      .select(col("seg"), lit(0).as("kind"), col("local_id").cast("int"),
-        col("node_id").cast("long"), col("vec").cast("array<float>"),
-        col("neighbors").cast("array<int>"), col("is_entry"), col("__live"),
-        lit(0L).as("qid"), lit(null).cast("array<float>").as("qvec"),
-        lit(null).cast("binary").as("visited"), lit(null).cast("binary").as("returned"),
-        lit(null).cast("array<bigint>").as("frontier"),
-        lit(null).cast("array<bigint>").as("evicted"), lit(0.0).as("score"))
-    val combinedIn = queriesOpt match {
-      case Some(_) => idxTagged // create: queries ride the broadcast
+    // Index rows travel through the SAME nine-column projection + warm
+    // fast path as the batch routes (groupSegTask): the session previously
+    // union-tagged cursor rows INTO the index scan and paid a 15-column
+    // Dataset decode of every index row on EVERY page — the exact
+    // pinned-bytes-proportional cost the top-k route's fast path removed
+    // (~75% of a warm 4M batch, NOTES_r11 §1). Cursor rows now travel as a
+    // SEPARATE co-partitioned RDD zipped with the index partitions — still
+    // no driver-side collect of the (large) cursor blobs. Sharing
+    // groupSegTask also shares the batch routes' SegmentCache assemblies
+    // (codes + hierarchy included) instead of a shadow "session|" entry.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val pinnedOpt = pinnedIndexes.get(pinKey(path))
+    val selBase = segmentSelect(withLiveCol(raw, deletes)).withColumn("__chunk", lit(0))
+    // pinned: everything since the pin is narrow, so the index side runs
+    // WITHOUT a per-page shuffle (measured at 4M x 64: the forced
+    // repartition alone held session pages at ~2.3s vs 0.34s for the
+    // shuffle-free paged route). The CURSOR side aligns to whatever the
+    // index layout actually is via the memoized seg->partition map below —
+    // cursors are the tiny side, so they do the moving.
+    val sel = if (pinnedOpt.isDefined) selBase else selBase.repartition(parts, col("seg"))
+    val idxRdd = sel.queryExecution.toRdd
+    val liveConst = deletes.isEmpty
+    val nQ = qB.map(_.value.length).getOrElse(1)
+
+    // full tuple type spelled out (not an alias): Spark's implicit
+    // Encoder derivation does not see through type aliases
+    def emit(segId: String, qid: Long, qv: Array[Float], g: Vamana,
+        ids: Array[Long], st: Vamana.SearchState,
+        found: Array[(Int, Double)]): Iterator[(String, Int, Long, Array[Float],
+        Array[Byte], Array[Byte], Array[Long], Array[Long], Long, Double)] = {
+      val (vis, ret, fr, ev) = g.exportCursor(st)
+      Iterator.single((segId, 1, qid, qv, vis, ret, fr, ev, 0L, 0.0)) ++
+        found.iterator.map { case (l, s) =>
+          (segId, 0, qid, null: Array[Float], null: Array[Byte],
+            null: Array[Byte], null: Array[Long], null: Array[Long], ids(l), s)
+        }
+    }
+
+    val outRdd: org.apache.spark.rdd.RDD[(String, Int, Long, Array[Float],
+      Array[Byte], Array[Byte], Array[Long], Array[Long], Long, Double)] = queriesOpt match {
+      case Some(_) => // create: queries ride the broadcast, every segment searched
+        idxRdd.mapPartitions { it =>
+          groupSegTask(it, path, tok, segToks, p, None, nQ, 1, liveConst)
+            .flatMap { sg =>
+              if (sg.qIdx.isEmpty) Iterator.empty
+              else {
+                val (entry, live) = sg.resolve()
+                val g = entry.graph
+                val ids = entry.ids
+                qB.get.value.iterator.flatMap { case (qid, qv) =>
+                  val (first, st) = g.searchResumable(qv, k, ef, i => live(i))
+                  emit(sg.segId, qid, qv, g, ids, st, first)
+                }
+              }
+            }
+        }
       case None =>
         val cursorsPath = new org.apache.hadoop.fs.Path(s"$statePath/cursors")
         require(fs.exists(cursorsPath),
@@ -1684,64 +1726,73 @@ object Ann {
           s"index at $path changed since this session opened " +
             s"(build token ${cursorToks.mkString(",")} != $tok) — " +
             "persisted cursors cannot survive a rebuild; open a new session")
-        idxTagged.unionByName(cursors
-          .select(col("seg"), lit(1).as("kind"), lit(0).as("local_id"),
-            lit(0L).as("node_id"), lit(null).cast("array<float>").as("vec"),
-            lit(null).cast("array<int>").as("neighbors"), lit(false).as("is_entry"),
-            lit(false).as("__live"), col("qid"), col("qvec"), col("visited"),
-            col("returned"), col("frontier"), col("evicted"), lit(0.0).as("score")))
-    }
-    val out = combinedIn.repartition(col("seg"))
-      .as[(String, Int, Int, Long, Array[Float], Array[Int], Boolean, Boolean,
-        Long, Array[Float], Array[Byte], Array[Byte], Array[Long], Array[Long], Double)]
-      .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (segId, rows) =>
-          val idx = rows.filter(_._2 == 0)
-          if (idx.isEmpty) Iterator.empty
-          else {
-            val sorted = idx.sortBy(_._3)
-            val live = sorted.map(_._8)
-            // session assembly carries no codes/hierarchy columns; cache
-            // under a distinct key so it can't alias the full assemblies
-            val entry = SegmentCache.getOrCompute(
-              s"session|${segmentCacheKey(path, segToks.getOrElse(segId, tok), segId, p)}", {
-                val g0 = new Vamana(sorted.map(_._5), p.metric, p.maxDegree,
-                  p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
-                sorted.foreach { r =>
-                  g0.neighbors(r._3) ++= r._6
-                  if (r._7) g0.entryNode = r._3
-                }
-                SegmentCache.Entry(sorted.map(_._4), g0, null)
-              })
-            val g = entry.graph
-            val ids = entry.ids
-            val work: Array[(Long, Array[Float], Vamana.SearchState, Array[(Int, Double)])] =
-              qB match {
-                case Some(b) => b.value.map { case (qid, qv) =>
-                  val (first, st) = g.searchResumable(qv, k, ef, i => live(i))
-                  (qid, qv, st, first)
-                }
-                case None => rows.filter(_._2 == 1).map { c =>
-                  val st = g.importCursor(c._10, i => live(i), c._11, c._12, c._13, c._14)
-                  (c._9, c._10, st, g.resume(st, k, ef))
-                }
+        // seg -> partition map of the ACTUAL index layout (one tiny string
+        // per segment), memoized per (path+pin identity, tok): pinned
+        // layouts are fixed while pinned, unpinned layouts are the
+        // deterministic hash repartition above. The custom partitioner
+        // then lands each cursor on its segment's partition BY
+        // CONSTRUCTION — no assumption about Spark's hash placement, no
+        // index-side shuffle, no driver collect of cursor blobs.
+        val pinId = pinnedOpt.map(System.identityHashCode).getOrElse(0)
+        val segPart: Map[String, Int] = SegPartCache.getOrCompute(
+          (s"$path|$pinId", tok),
+          idxRdd.mapPartitionsWithIndex { (pid, it) =>
+            val segs = scala.collection.mutable.Set.empty[String]
+            var lastU8: org.apache.spark.unsafe.types.UTF8String = null
+            it.foreach { r =>
+              val u8 = r.getUTF8String(0)
+              if (lastU8 == null || !u8.equals(lastU8)) {
+                lastU8 = u8.clone(); segs += lastU8.toString
               }
-            work.iterator.flatMap { case (qid, qv, st, found) =>
-              val (vis, ret, fr, ev) = g.exportCursor(st)
-              val cursorRow = (segId, 1, 0, 0L, null: Array[Float], null: Array[Int],
-                false, false, qid, qv, vis, ret, fr, ev, 0.0)
-              val resultRows = found.iterator.map { case (l, s) =>
-                (segId, 0, 0, ids(l), null: Array[Float], null: Array[Int],
-                  false, false, qid, null: Array[Float], null: Array[Byte],
-                  null: Array[Byte], null: Array[Long], null: Array[Long], s)
-              }
-              Iterator.single(cursorRow) ++ resultRows
+            }
+            segs.iterator.map(s => (s, pid))
+          }.collect().toMap)
+        val nIdxParts = idxRdd.getNumPartitions
+        val bySeg = new org.apache.spark.Partitioner {
+          def numPartitions: Int = nIdxParts
+          def getPartition(key: Any): Int =
+            segPart.getOrElse(key.asInstanceOf[String],
+              throw new IllegalStateException(
+                s"session cursor references segment $key absent from the " +
+                  s"index at $path — the index changed under the open session"))
+        }
+        val curRdd = cursors
+          .select(col("seg"), col("qid").cast("long"), col("qvec").cast("array<float>"),
+            col("visited"), col("returned"), col("frontier"), col("evicted"))
+          .as[(String, Long, Array[Float], Array[Byte], Array[Byte], Array[Long], Array[Long])]
+          .rdd
+          .map(t => (t._1, t))
+          .partitionBy(bySeg)
+          .values
+        idxRdd.zipPartitions(curRdd) { (idxIt, curIt) =>
+          // index side consumed first (groupSegTask drains it), then the
+          // partition's cursors resume against the resident assemblies
+          val groups = groupSegTask(idxIt, path, tok, segToks, p, None, nQ, 1, liveConst)
+            .map(g => g.segId -> g).toMap
+          curIt.toArray.groupBy(_._1).iterator.flatMap { case (segId, curs) =>
+            groups.get(segId) match {
+              case None =>
+                // co-partitioning guarantees the segment's index rows land
+                // here; an absent group means the segment vanished under
+                // the session (same class of staleness the token guards)
+                throw new IllegalStateException(
+                  s"session cursor for segment $segId found no index rows — " +
+                    s"index at $path changed under the open session")
+              case Some(sg) =>
+                val (entry, live) = sg.resolve()
+                val g = entry.graph
+                val ids = entry.ids
+                curs.iterator.flatMap { c =>
+                  val st = g.importCursor(c._3, i => live(i), c._4, c._5, c._6, c._7)
+                  emit(segId, c._2, c._3, g, ids, st, g.resume(st, k, ef))
+                }
             }
           }
         }
-      }
-      .toDF("seg", "kind", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "__live", "qid", "qvec", "visited", "returned", "frontier", "evicted", "score")
+    }
+    val out = spark.createDataset(outRdd)
+      .toDF("seg", "kind", "qid", "qvec", "visited", "returned", "frontier",
+        "evicted", "node_id", "score")
       .localCheckpoint(true) // materialize BEFORE touching the old state dirs
 
     val producedScored = out.filter(col("kind") === 0)
@@ -1769,8 +1820,10 @@ object Ann {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col._1").as("nid"), col("col._2").as("score"))
       .localCheckpoint(true)
+    // no checkpoint: newPool's only consumer is the swap's parquet write,
+    // which materializes it — and both inputs are already checkpointed
     val newPool = candidates.join(page.select(col("qid"), col("nid")),
-      Seq("qid", "nid"), "left_anti").localCheckpoint(true)
+      Seq("qid", "nid"), "left_anti")
 
     // atomic-ish state swap: new dirs land fully, then replace the old
     def swap(df: DataFrame, name: String): Unit = {
@@ -1968,6 +2021,12 @@ object Ann {
     * exists() on the hot serving path — per query batch that is a metadata
     * RPC on object storage. */
   private val ClusteredMarkerCache = new TokenKeyedMemo[Boolean]
+
+  /** seg -> RDD-partition map of a session's index layout (one tiny entry
+    * per segment), memoized per (path + pin identity, build token): lets
+    * session cursors partition themselves onto the index's ACTUAL layout
+    * instead of forcing a per-page index shuffle. */
+  private val SegPartCache = new TokenKeyedMemo[Map[String, Int]]
 
   private def routeQueries(
       spark: SparkSession,

@@ -666,7 +666,7 @@ object AnnQueries {
         val c = centers(i % nClusters)
         (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
       }
-      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8, col("id")) // hash by id: cell layouts independent of the session core count
       val p = annParams.copy(maxDegree = 16, beamWidth = 64, pqM = 8)
       val root = java.nio.file.Files.createTempDirectory("graft_pqres").toString
       Ann.buildIndexClustered(base, s"$root/exact", p, nlist = nClusters)
@@ -913,7 +913,7 @@ object AnnQueries {
         val c = centers(i % nClusters)
         (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
       }
-      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8, col("id")) // hash by id: cell layouts independent of the session core count
       val p = annParams.copy(maxDegree = 16, beamWidth = 64)
       val root = java.nio.file.Files.createTempDirectory("graft_routed").toString
       Ann.buildIndexClustered(base, s"$root/clu", p, nlist = nClusters)
@@ -993,7 +993,7 @@ object AnnQueries {
         val c = centers(i % nClusters)
         (i.toLong, Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat).toSeq)
       }
-      val base = s.createDataset(rows).toDF("id", "vec").repartition(8)
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8, col("id")) // hash by id: cell layouts independent of the session core count
       val p = annParams.copy(maxDegree = 16, beamWidth = 64)
       val root = java.nio.file.Files.createTempDirectory("graft_routed_f").toString
       Ann.buildIndexClustered(base, s"$root/clu", p, nlist = nClusters)
