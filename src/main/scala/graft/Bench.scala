@@ -358,9 +358,10 @@ object Bench {
     }
 
     val mseg = msegMeasure(msegParams, withLatency = true)
-    // degree-16 continuity baseline (r10/r11 reported this shape): build +
-    // throughput + recalls only, no latency passes — dropped next round
-    val mseg16 = msegMeasure(mseg16Params, withLatency = false)
+    // degree-16 continuity baseline (r10/r11 reported this shape; p99
+    // included so cross-round latency trends compare like with like) —
+    // dropped next round
+    val mseg16 = msegMeasure(mseg16Params, withLatency = true)
     for ((tag, x) <- Seq("mseg32" -> mseg, "mseg16" -> mseg16))
       System.err.println(f"[$tag] n=$msegN segs=${x.segs} build=${x.buildSec}%.1fs " +
         f"qps exh=${x.qpsExh}%.1f routed=${x.qpsRouted}%.1f " +
@@ -501,6 +502,7 @@ object Bench {
         // cross-round comparison point.
         s""""mseg16":{"build_sec":${num(mseg16.buildSec, 1)},""" +
         s""""qps":[${num(mseg16.qpsExh, 1)},${num(mseg16.qpsRouted, 1)}],""" +
+        s""""p99_ms":[${num(mseg16.p99Exh, 1)},${num(mseg16.p99Routed, 1)}],""" +
         s""""recall":${num(mseg16.recParity, 3)},""" +
         s""""recall_abs":[${num(mseg16.recAbsExh, 3)},${num(mseg16.recAbsRouted, 3)}]},""" +
         // the fused/gathered split survives EVERY shed level (the Q7

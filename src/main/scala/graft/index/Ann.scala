@@ -937,7 +937,22 @@ object Ann {
         element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
       .repartition(nlist, col("_route"))
       .drop("_route", "cluster_id")
-    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec)
+    // pqBuild on an aligned flush gets the same residual construction as
+    // buildIndexClustered (globally-trained codes collapse within a tight
+    // cell); the residual model trains on the FLUSH's residuals against
+    // the serving tree's cells — flush-sized, cheap
+    val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
+      if (params.pqBuild && params.pqM > 0) {
+        val centLit = typedLit(cells.model.centroids.map(_.toSeq).toSeq)
+        val resFrame = assigned.withColumn("__res",
+          graft.functions.VectorFunctions.sub(
+            col(baseVec), element_at(centLit, col("cluster_id") + 1)))
+        val resM = math.max(params.pqM, cells.model.centroids(0).length / 4)
+        Some((graft.operators.PQ.train(resFrame, "__res", resM, params.pqK),
+          cells.model))
+      } else None
+    buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
+      resBuild = resBuild)
     val freshDist = cellBaselineDist(base, baseVec, cells.model)
     freshDist / math.max(1e-9, cells.baselineDist)
   }

@@ -518,6 +518,36 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot survive a rebuild"))
   }
 
+  test("persisted session over a PINNED index matches the unpinned session page for page") {
+    // the pinned session path is structurally different: the index side
+    // runs WITHOUT a per-page shuffle and cursors land on the pin's actual
+    // partition layout via the memoized seg->partition custom partitioner
+    // — this pins that the placement logic is placement-correct (a cursor
+    // landing off its segment's partition would throw or drop results)
+    val tmp = java.nio.file.Files.createTempDirectory("annsesspin").toString
+    val base = randVectors(6000, 16, seed = 81).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(12, 16, seed = 82).toDF("qid", "qvec")
+    val k = 10
+    def pages(statePath: String): org.apache.spark.sql.DataFrame = {
+      val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params)
+        .withColumn("page", lit(1))
+      val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params)
+        .withColumn("page", lit(2))
+      p1.union(p2).select("qid", "page", "rank", "nid").cache()
+    }
+    val unpinned = pages(s"$tmp/sess_unpinned")
+    Ann.pin(spark, s"$tmp/idx")
+    try {
+      val pinned = pages(s"$tmp/sess_pinned")
+      assert(pinned.count() === 12L * 20)
+      val diff = pinned.except(unpinned).count() + unpinned.except(pinned).count()
+      assert(diff === 0L, "pinned session must equal the unpinned session page for page")
+    } finally Ann.unpin(s"$tmp/idx")
+  }
+
   test("persisted session honors tombstones added between pages (pool + evicted buffers)") {
     val tmp = java.nio.file.Files.createTempDirectory("annsessdel").toString
     val base = randVectors(4000, 16, seed = 71).toDF("id", "vec").repartition(2)

@@ -229,4 +229,45 @@ class PqBuildSpec extends AnyFunSuite {
     assert(rRes > rGlobal + 0.1,
       f"residual codes must clearly beat global codes within a tight cell: $rRes%.3f vs $rGlobal%.3f")
   }
+
+  test("pqBuild flows through clustered build AND aligned flush with residual scoring") {
+    import graft.index.Ann
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val nClusters = 8; val d = 16
+    val rnd = new scala.util.Random(19)
+    val centers = Array.fill(nClusters)(Array.fill(d)(rnd.nextGaussian().toFloat * 2))
+    def mkRows(ids: Range) = ids.map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.tabulate(d)(j => centers(i % nClusters)(j) + r.nextGaussian().toFloat).toSeq)
+    }
+    val baseRows = mkRows(0 until 2400)
+    val base = baseRows.toDF("id", "vec")
+      .repartition(4, org.apache.spark.sql.functions.col("id"))
+    val p = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      pqM = 4, pqBuild = true)
+    val tmp = java.nio.file.Files.createTempDirectory("pqresflush").toString
+    // service-shaped layout: the clustered build is batch=0 under the
+    // root, flushes append batch=N siblings (one uniform partitioned tree)
+    Ann.buildIndexClustered(base, s"$tmp/idx/batch=0", p, nlist = nClusters)
+    // aligned flush: new rows built against the SERVING tree's cells, with
+    // pqBuild on — must route through the residual construction, not the
+    // global-code path (which collapses within tight cells)
+    val cells = Ann.loadCells(spark, s"$tmp/idx").get
+    val flushRows = mkRows(10000 until 11200)
+    val drift = Ann.buildIndexAlignedTo(flushRows.toDF("id", "vec"),
+      s"$tmp/idx/batch=1", p, cells)
+    assert(drift < 2.0, s"same-distribution flush must not register drift ($drift)")
+    Ann.invalidateSegmentCounts(s"$tmp/idx")
+    // search the combined tree: every flushed row must be findable by its
+    // own vector (self-recall over the pqBuild-constructed flush segments)
+    val all = baseRows ++ flushRows
+    val queries = flushRows.take(30).toDF("qid", "qvec")
+    val got = Ann.searchIndex(spark, s"$tmp/idx", queries, 10, 64, p)
+    val want = graft.operators.KnnExact.knn(all.toDF("id", "vec"), queries, 10, "COSINE")
+    val hit = got.select("qid", "nid")
+      .join(want.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val rec = hit.toDouble / want.count()
+    assert(rec >= 0.85, f"aligned pqBuild flush recall $rec%.3f < 0.85")
+  }
 }
