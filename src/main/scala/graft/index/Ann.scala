@@ -1748,9 +1748,12 @@ object Ann {
         // then lands each cursor on its segment's partition BY
         // CONSTRUCTION — no assumption about Spark's hash placement, no
         // index-side shuffle, no driver collect of cursor blobs.
+        // key includes the partition count: an unpinned layout is a
+        // function of (plan, shuffle partitions) — a conf change between
+        // pages must recompute the map, not serve stale placements
         val pinId = pinnedOpt.map(System.identityHashCode).getOrElse(0)
         val segPart: Map[String, Int] = SegPartCache.getOrCompute(
-          (s"$path|$pinId", tok),
+          (s"$path|$pinId|${idxRdd.getNumPartitions}", tok),
           idxRdd.mapPartitionsWithIndex { (pid, it) =>
             val segs = scala.collection.mutable.Set.empty[String]
             var lastU8: org.apache.spark.unsafe.types.UTF8String = null
