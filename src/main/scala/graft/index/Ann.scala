@@ -40,7 +40,16 @@ object Ann {
       * faster on scalar JVM — see Bench pq_fused_qps vs pq_gathered_qps),
       * so memory is only paid when a caller opts in. */
     final class Entry(val ids: Array[Long], val graph: Vamana,
-        val codes: Array[Array[Int]]) {
+        val codes: Array[Array[Int]],
+        /** Per-node RESIDUAL codes (r = v - cellCentroid under the tree's
+          * `_pqres_model`) for residual ADC serving on clustered trees —
+          * null on trees without them (FAISS IVF-PQ serving; the reference
+          * never cell-partitions, so its per-query ADC has no shift —
+          * `quantization/PQVectors.java:210`). */
+        val resCodes: Array[Array[Int]] = null,
+        /** The k-means cell centroid the residual codes were encoded
+          * against (one per segment) — null when resCodes is null. */
+        val cell: Array[Double] = null) {
       /** Approximate resident size: ids + vectors + adjacency + norm cache
         * + codes. Computed at insert so eviction can run a BYTE budget —
         * entry-count eviction would let 256 x 1M-row segments pin hundreds
@@ -59,6 +68,8 @@ object Ann {
         }
         if (codes != null && codes.length > 0 && codes(0) != null)
           b += codes.length.toLong * (codes(0).length * 4L + 16L)
+        if (resCodes != null && resCodes.length > 0 && resCodes(0) != null)
+          b += resCodes.length.toLong * (resCodes(0).length * 4L + 16L)
         b
       }
       lazy val codesFlat: Array[Int] = {
@@ -75,10 +86,27 @@ object Ann {
         }
       }
       lazy val fused: Array[Array[Int]] = buildFused(graph, codes)
+      /** Flat residual-code array, same layout as [[codesFlat]]. */
+      lazy val resCodesFlat: Array[Int] = {
+        if (resCodes == null || resCodes.length == 0 || resCodes(0) == null) null
+        else {
+          val m = resCodes(0).length
+          val flat = new Array[Int](resCodes.length * m)
+          var i = 0
+          while (i < resCodes.length) {
+            System.arraycopy(resCodes(i), 0, flat, i * m, m)
+            i += 1
+          }
+          flat
+        }
+      }
     }
     object Entry {
       def apply(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]]): Entry =
         new Entry(ids, graph, codes)
+      def apply(ids: Array[Long], graph: Vamana, codes: Array[Array[Int]],
+          resCodes: Array[Array[Int]], cell: Array[Double]): Entry =
+        new Entry(ids, graph, codes, resCodes, cell)
     }
     /** Byte budget for resident segment graphs (default 4 GiB per
       * executor JVM). With 1M-row segments an entry-count cap would admit
@@ -614,7 +642,14 @@ object Ann {
         * PERSISTED pq_code stays the global model's (serving ADC
         * unchanged); residual codes are construction-transient. Set by
         * [[buildIndexClustered]] when `pqBuild` is on. */
-      resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] = None): Unit = {
+      resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] = None,
+      /** Persist each node's residual code (`res_code`) + the encoding cell
+        * centroid (`res_cell`, local_id=0 row) for residual ADC SERVING.
+        * Only meaningful with `resBuild`; [[buildIndexClustered]] passes
+        * true and saves the matching `_pqres_model` sidecar at the tree
+        * root. Aligned flushes pass false: their residual model is
+        * flush-local and would mismatch the root sidecar serving loads. */
+      persistRes: Boolean = false): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
@@ -651,14 +686,13 @@ object Ann {
           val codes: Array[Array[Int]] =
             if (p.pqBuild && resBuild.isEmpty && pqModel.isDefined)
               rows.map(r => encodeCode(r._2)) else null
-          val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
-            p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
-          val g =
-            if (p.pqBuild && resBuild.isDefined) {
-              // residual-scored clustered construction: this partition IS
-              // one k-means cell, so the first row's assignment recovers
-              // the shared cell centroid; encode residuals transiently and
-              // score pairs on them (+ centroid terms for DOT/COSINE)
+          // residual codes + shared cell for clustered builds: this
+          // partition IS one k-means cell, so the first row's assignment
+          // recovers the centroid; residuals encode once and serve BOTH
+          // construction scoring (pqBuild) and, with persistRes, the
+          // persisted residual-ADC serving codes
+          val resData: Option[(Array[Int], Array[Double])] =
+            if (resBuild.isDefined && (p.pqBuild || persistRes)) {
               val (resModel, cellModel) = resBuild.get
               val cell = cellModel.centroids(
                 cellModel.assignOne(rows(0)._2.map(_.toDouble)))
@@ -672,7 +706,17 @@ object Ann {
                 System.arraycopy(resModel.encodeOne(r), 0, flat, i * resModel.m, resModel.m)
                 i += 1
               }
-              val sc = new graft.operators.ResidualPQPairScorer(resModel, flat, p.metric, cell)
+              Some((flat, cell))
+            } else None
+          val shell = new Vamana(rows.map(_._2), p.metric, p.maxDegree,
+            p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
+          val g =
+            if (p.pqBuild && resData.isDefined) {
+              // residual-scored clustered construction: score pairs on the
+              // residual codes (+ centroid terms for DOT/COSINE)
+              val (flat, cell) = resData.get
+              val sc = new graft.operators.ResidualPQPairScorer(
+                resBuild.get._1, flat, p.metric, cell)
               shell.buildApprox(sc.score, sc.entryNode(), p.buildThreads)
             } else if (codes != null) {
               val mm = pqModel.get
@@ -702,6 +746,13 @@ object Ann {
                   v.map(_.toDouble), p.nvqSubs, p.nvqBits)
                 (null: Array[Float], c, pr)
               } else (v, null: Array[Int], null: Array[Array[Double]])
+            // residual serving payload: the per-node residual code (under
+            // the tree's `_pqres_model`) + the encoding cell on local 0
+            val resCode: Array[Int] =
+              if (persistRes && resData.isDefined) {
+                val rm = resBuild.get._1.m
+                java.util.Arrays.copyOfRange(resData.get._1, i * rm, (i + 1) * rm)
+              } else null
             (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
               if (i == 0) centroid else null,
               if (codes != null) codes(i) else encodeCode(v), nvqCode, nvqParams, p.nvqBits,
@@ -710,12 +761,15 @@ object Ann {
               // carry one) — searchIndex's assembly restores them so the
               // descent skips the cold-entry beam hops (reference v6 format
               // serializes all layers, OnDiskGraphIndex.java:68-162)
-              g.upperAdjacencyOf(i))
+              g.upperAdjacencyOf(i),
+              resCode,
+              if (i == 0 && persistRes && resData.isDefined) resData.get._2 else null)
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs",
+        "res_code", "res_cell")
     // the nvq columns are written (null-valued) even for full-res builds:
     // every batch of a mixed tree then shares ONE schema, so a glob read
     // can never infer compressed batches' codes away
@@ -795,17 +849,23 @@ object Ann {
     // sample; per-segment encoding + scoring live in [[buildIndex]] /
     // [[graft.operators.ResidualPQPairScorer]]. Persisted pq_code stays
     // the global model's, so serving ADC is untouched.
+    // Residual model for ANY clustered pqM > 0 tree (not just pqBuild):
+    // construction scores on it when pqBuild is set, and serving uses the
+    // PERSISTED residual codes (`res_code` + `_pqres_model` sidecar) for
+    // within-cell ADC ordering a globally-trained codebook lacks — the
+    // serving-side twin of the construction fix (FAISS IVF-PQ; the
+    // reference's per-query ADC, quantization/PQVectors.java:210, composed
+    // with the residual shift).
     val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
-      if (params.pqBuild && params.pqM > 0) {
+      if (params.pqM > 0) {
         val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
         val resFrame = assigned.withColumn("__res",
           graft.functions.VectorFunctions.sub(
             col(baseVec), element_at(centLit, col("cluster_id") + 1)))
-        // construction codes are TRANSIENT (never persisted), so their
-        // granularity is free to exceed serving pqM: within-cell residuals
-        // are small, and reconstruction error must sit well under the
-        // within-cell neighbor-distance spread for code-pair scores to
-        // rank neighbors. 4 dims/subspace (k=256) measured within 0.05 of
+        // residual granularity is free to exceed serving pqM: within-cell
+        // residuals are small, and reconstruction error must sit well under
+        // the within-cell neighbor-distance spread for code scores to rank
+        // neighbors. 4 dims/subspace (k=256) measured within 0.05 of
         // exact-scored recall on the gate fixture; per-pair cost stays
         // O(m) lookups vs O(dim) exact.
         val resM = math.max(params.pqM, model.centroids(0).length / 4)
@@ -838,10 +898,14 @@ object Ann {
       .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
       pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc,
-      resBuild = resBuild)
+      resBuild = resBuild, persistRes = true)
     // cell-model sidecar AFTER the main write (overwrite would wipe it):
     // incremental flushes load it to stay cell-aligned ([[buildIndexAlignedTo]])
     saveCells(base.sparkSession, CellModel(model, cellBaselineDist(base, baseVec, model)), s"$path/_cells")
+    // residual-ADC serving sidecar: the model `res_code` was encoded under
+    resBuild.foreach { case (rm, _) =>
+      graft.operators.PQ.save(base.sparkSession, rm, s"$path/_pqres_model")
+    }
     writeClusteredMarker(base.sparkSession, path)
   }
 
@@ -1051,6 +1115,9 @@ object Ann {
 
     // two-phase mode: load the PQ sidecar + precompute per-query ADC tables
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
+    // residual-ADC serving (clustered trees): per-query residual tables;
+    // segments without the payload fall back to global ADC individually
+    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
 
     // with routing active, prune unprobed segments BEFORE the read/shuffle —
     // I/O and shuffle stay proportional to probed segments, not index size
@@ -1061,7 +1128,7 @@ object Ann {
       case None => withLive
     }
 
-    // shared nine-column projection (segmentSelect) + the route-specific
+    // shared eleven-column projection (segmentSelect) + the route-specific
     // query fan-out: tasks parallelize across SEGMENTS, so an index with
     // fewer segments than cores would search its query batch serially in
     // one task per segment. Replicate each segment's rows across
@@ -1074,7 +1141,7 @@ object Ann {
     val chunks: Int = chunkFanout(spark, raw, path, tok, qArr.length, segQueriesB)
     val sel9 = segmentSelect(pruned)
     // both branches emit an int __chunk (lit(0) is int; the exploded array
-    // element is int), appended after segmentSelect's nine columns
+    // element is int), appended after segmentSelect's eleven columns
     val selected =
       if (chunks <= 1) sel9.withColumn("__chunk", lit(0))
       else sel9.withColumn("__chunk", explode(typedLit((0 until chunks).toArray)))
@@ -1096,7 +1163,7 @@ object Ann {
     // despite an 8x visited-work gap.
     // Column order (segmentSelect + __chunk): 0 seg, 1 local_id,
     // 2 node_id, 3 vec, 4 neighbors, 5 is_entry, 6 __live, 7 pq_code,
-    // 8 upper_nbrs, 9 __chunk.
+    // 8 upper_nbrs, 9 res_code, 10 res_cell, 11 __chunk.
     // the scan plan (with its seg-partition pruning) now lives BELOW an RDD
     // boundary, invisible in the returned DataFrame's explain — expose it
     // per-call for the plan-shape gates (ann_routed asserts
@@ -1127,6 +1194,8 @@ object Ann {
             val ids = entry.ids
             val codes = entry.codes
             val hasCodes = codes != null && codes.length > 0 && codes(0) != null
+            // residual serving state, once per (task, segment): cell LUTs
+            val resSeg = resSegState(entry, resAdcB)
             val vc = new Vamana.VisitCounter // task-local: exact under shared cached graphs
             val rc = new Vamana.VisitCounter // exact reranks performed
             val out = qIdx.map { qi =>
@@ -1151,9 +1220,12 @@ object Ann {
                         m, kk, mc, topK, adcBeam, i => live(i), vc,
                         rerankFloor = floor, rc = rc)
                     else {
-                      // gathered path over the FLAT code array: node i's
-                      // code at [i*m, (i+1)*m) — no per-node object hop
-                      val approx = adcScorer(entry.codesFlat, m, kk, mc, dots, mags, qn)
+                      // gathered path over a FLAT code array (node i's code
+                      // at [i*m, (i+1)*m), no per-node object hop): residual
+                      // ADC when this segment carries the payload, global
+                      // ADC otherwise
+                      val approx = pickApproxScorer(entry, resSeg, resAdcB,
+                        qi, qv, mc, m, kk, dots, mags, qn)
                       g.searchTwoPhaseWithFloor(qv, approx, topK,
                         adcBeam, i => live(i), vc, rerankFloor = floor, rc = rc)
                     }
@@ -1214,6 +1286,114 @@ object Ann {
         case _: Exception => None // no sidecar -> fall back to exact beam
       }
     } else None
+
+  /** Residual-ADC serving state for clustered trees: the serving-side twin
+    * of the residual construction (r12). Global-codebook ADC cannot order
+    * candidates INSIDE a tight k-means cell (same-cell vectors collapse
+    * onto few codes), so two-phase quality on clustered trees leaned on
+    * exact-rerank oversampling. With per-node residual codes persisted
+    * (`res_code` under the root `_pqres_model`, [[buildIndexClustered]]),
+    * the beam scores v̂ = cell + r̂ from residual LUTs instead — the
+    * reference's per-query ADC (`quantization/PQVectors.java:210`) composed
+    * with the cell shift (FAISS IVF-PQ, public template).
+    *
+    * Broadcast here: the model + per-query (rdots = q·codebook LUT, |q|²).
+    * Cell-dependent pieces (cdots = cell·codebook LUT, |cell|², rmags) are
+    * computed IN-TASK once per segment from [[SegmentCache.Entry.cell]] —
+    * m·k·(d/m) flops, noise vs the beam — so nothing broadcast grows with
+    * the number of cells (10⁴–10⁵ cells at 100 TB). */
+  private[graft] final case class ResAdc(
+      m: Int, kk: Int,
+      modelB: org.apache.spark.broadcast.Broadcast[graft.operators.PQModel],
+      tablesB: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]])
+
+  /** Load `_pqres_model` + per-query residual ADC tables; None when absent
+    * (serving falls back to global-codebook ADC per segment). */
+  private[graft] def loadResAdc(
+      spark: SparkSession,
+      path: String,
+      qArr: Array[(Long, Array[Float])],
+      rerankK: Int): Option[ResAdc] =
+    if (rerankK > 0) {
+      try {
+        val sidecar = s"${path.stripSuffix("/*").stripSuffix("/")}/_pqres_model"
+        val sp = new org.apache.hadoop.fs.Path(sidecar)
+        if (!sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp))
+          return None
+        val model = graft.operators.PQ.load(spark, sidecar)
+        val tables = qArr.map { case (_, qv) =>
+          val qd = qv.map(_.toDouble)
+          val (rdots, _) = graft.operators.PQ.adcTables(qd, model)
+          var qn = 0.0; var i = 0
+          while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
+          (rdots, qn)
+        }
+        Some(ResAdc(model.m, model.codebooks(0).length,
+          spark.sparkContext.broadcast(model),
+          spark.sparkContext.broadcast(tables)))
+      } catch {
+        case _: Exception => None
+      }
+    } else None
+
+  /** Per-(task, segment) residual state: (resCodesFlat, cdots, rmags,
+    * |cell|²). None when the segment carries no residual payload — callers
+    * fall back to the global ADC scorer for that segment (mixed trees:
+    * aligned-flush batches persist no residual codes). */
+  private[graft] def resSegState(entry: SegmentCache.Entry, resB: Option[ResAdc])
+      : Option[(Array[Int], Array[Double], Array[Double], Double)] =
+    resB.flatMap { ra =>
+      val rcf = entry.resCodesFlat
+      val cell = entry.cell
+      if (rcf == null || cell == null || rcf.length != entry.ids.length * ra.m) None
+      else {
+        val (cdots, rmags) = graft.operators.PQ.adcTables(cell, ra.modelB.value)
+        var cn = 0.0; var j = 0
+        while (j < cell.length) { cn += cell(j) * cell(j); j += 1 }
+        Some((rcf, cdots, rmags, cn))
+      }
+    }
+
+  /** Gathered residual-ADC scorer (node i's residual code at
+    * [i*m, (i+1)*m)). With v̂ = c + r̂:
+    *   q·v̂    = q·c + Σ rdots[code]
+    *   |v̂|²   = |c|² + 2·Σ cdots[code] + Σ rmags[code]
+    *   |q−v̂|² = |q|² − 2·q·v̂ + |v̂|²
+    * Same normalized similarity scale as [[adcScorer]], so cross-segment
+    * rerank floors stay comparable on mixed trees. */
+  private[graft] def resAdcScorer(flat: Array[Int], m: Int, kk: Int, mc: Int,
+      rdots: Array[Double], cdots: Array[Double], rmags: Array[Double],
+      qn: Double, cn: Double, qc: Double): Int => Double = { i =>
+    val base = i * m
+    var rd = 0.0; var cd = 0.0; var rm = 0.0; var s = 0
+    while (s < m) {
+      val code = flat(base + s)
+      rd += rdots(s * kk + code); cd += cdots(s * kk + code)
+      rm += rmags(s * kk + code); s += 1
+    }
+    val dot = qc + rd
+    if (mc == 0) 1.0 / (1.0 + (qn - 2.0 * dot + (cn + 2.0 * cd + rm)))
+    else if (mc == 1) (1.0 + dot) / 2.0
+    else (1.0 + dot / (math.sqrt(cn + 2.0 * cd + rm) * math.sqrt(qn))) / 2.0
+  }
+
+  /** The per-query gathered approx scorer for one segment: residual ADC
+    * when the segment + tree carry the payload, else global ADC. */
+  private def pickApproxScorer(
+      entry: SegmentCache.Entry,
+      resSeg: Option[(Array[Int], Array[Double], Array[Double], Double)],
+      resB: Option[ResAdc], qi: Int, qv: Array[Float], mc: Int,
+      m: Int, kk: Int, dots: Array[Double], mags: Array[Double], qn: Double): Int => Double =
+    resSeg match {
+      case Some((rcf, cdots, rmags, cn)) =>
+        val ra = resB.get
+        val (rdots, rqn) = ra.tablesB.value(qi)
+        val cell = entry.cell
+        var qc = 0.0; var j = 0
+        while (j < qv.length) { qc += qv(j) * cell(j); j += 1 }
+        resAdcScorer(rcf, ra.m, ra.kk, mc, rdots, cdots, rmags, rqn, cn, qc)
+      case None => adcScorer(entry.codesFlat, m, kk, mc, dots, mags, qn)
+    }
 
   /** Metric code for the ADC score combiner (0 = EUCLIDEAN, 1 = DOT,
     * 2 = COSINE) — must stay in lockstep with [[Vamana.adcCombine]]. */
@@ -1341,7 +1521,7 @@ object Ann {
   }
 
   /** Shared projection for persisted-segment assembly: every index search
-    * route reads the same nine columns so their assemblies (and warm
+    * route reads the same eleven columns so their assemblies (and warm
     * [[SegmentCache]] entries) are interchangeable. `pq_code` and
     * `upper_nbrs` are null-backfilled for trees written before those
     * features existed — such segments assemble codeless / hierarchy-less
@@ -1353,10 +1533,17 @@ object Ann {
     val withUpper =
       if (withCode.columns.contains("upper_nbrs")) withCode
       else withCode.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
-    withUpper.select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
+    val withRes0 =
+      if (withUpper.columns.contains("res_code")) withUpper
+      else withUpper.withColumn("res_code", lit(null).cast("array<int>"))
+    val withRes =
+      if (withRes0.columns.contains("res_cell")) withRes0
+      else withRes0.withColumn("res_cell", lit(null).cast("array<double>"))
+    withRes.select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
       col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
       col("is_entry"), col("__live"), col("pq_code").cast("array<int>"),
-      col("upper_nbrs").cast("array<array<int>>"))
+      col("upper_nbrs").cast("array<array<int>>"),
+      col("res_code").cast("array<int>"), col("res_cell").cast("array<double>"))
   }
 
   /** One cache key shape for ALL search routes over a persisted segment —
@@ -1405,7 +1592,7 @@ object Ann {
       else null
     /** Row order (segmentSelect + __chunk): 0 seg, 1 local_id, 2 node_id,
       * 3 vec, 4 neighbors, 5 is_entry, 6 __live, 7 pq_code, 8 upper_nbrs,
-      * 9 __chunk. */
+      * 9 res_code, 10 res_cell, 11 __chunk. */
     def add(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       count += 1
       if (qIdx.nonEmpty) {
@@ -1445,7 +1632,9 @@ object Ann {
               val a = r.getArray(8)
               Array.tabulate(a.numElements())(j =>
                 if (a.isNullAt(j)) null else a.getArray(j).toIntArray())
-            })
+            },
+            if (r.isNullAt(9)) null else r.getArray(9).toIntArray(),
+            if (r.isNullAt(10)) null else r.getArray(10).toDoubleArray())
         }.toArray.sortBy(_._2)
         (SegmentCache.getOrCompute(key, assembleSegment(decoded, p)),
           decoded.map(_._7))
@@ -1467,7 +1656,7 @@ object Ann {
     while (it.hasNext) {
       val r = it.next()
       val u8 = r.getUTF8String(0)
-      val chunk = r.getInt(9)
+      val chunk = r.getInt(11)
       val g =
         if (lastG != null && chunk == lastChunk && u8.equals(lastU8)) lastG
         else {
@@ -1487,7 +1676,7 @@ object Ann {
     * multi-layer hierarchy, PQ codes. Identical across routes (see
     * [[segmentCacheKey]]). `sorted` must be local-id sorted. */
   private def assembleSegment(
-      sorted: Array[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]])],
+      sorted: Array[(String, Int, Long, Array[Float], Array[Int], Boolean, Boolean, Array[Int], Array[Array[Int]], Array[Int], Array[Double])],
       p: Params): SegmentCache.Entry = {
     val g0 = new Vamana(sorted.map(_._4), p.metric, p.maxDegree,
       p.beamWidth, p.alpha, p.neighborOverflow, p.seed, p.maxDegreeByLevel)
@@ -1496,7 +1685,12 @@ object Ann {
       if (r._6) g0.entryNode = r._2
       if (r._9 != null) g0.restoreUpperAdjacency(r._2, r._9)
     }
-    SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8))
+    // residual serving payload: codes per node (null when the tree has
+    // none) + the one-per-segment encoding cell (res_cell rides local 0)
+    val resCodes = sorted.map(_._10)
+    val cell = sorted.iterator.map(_._11).collectFirst { case c if c != null => c }
+    SegmentCache.Entry(sorted.map(_._3), g0, sorted.map(_._8),
+      if (resCodes.exists(_ != null)) resCodes else null, cell.orNull)
   }
 
   /** Paged search over a persisted index — the same per-(query, segment)
@@ -1543,6 +1737,7 @@ object Ann {
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
+    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
@@ -1576,6 +1771,7 @@ object Ann {
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
+            val resSeg = resSegState(entry, resAdcB)
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
@@ -1591,8 +1787,8 @@ object Ann {
                   val totalK = pagesB.sum
                   val width = math.max(math.max(rerankK, ef), p.adcFrontierPerK * totalK)
                   val (dots, mags, qn) = tb.value(qi)
-                  val approx = adcScorer(entry.codesFlat, m, kk,
-                    adcMetricCode(p.metric), dots, mags, qn)
+                  val approx = pickApproxScorer(entry, resSeg, resAdcB,
+                    qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val (cands, _) = g.searchResumableScored(approx, width, width, i => live(i))
                   val exact = g.exactScorer(qv)
                   cands.iterator.map { case (l, _) => (qid, ids(l), exact(l)) }
@@ -1672,7 +1868,7 @@ object Ann {
     }
 
     val raw = pinnedIndexes.get(pinKey(path)).getOrElse(readIndex(spark, path))
-    // Index rows travel through the SAME nine-column projection + warm
+    // Index rows travel through the SAME shared projection + warm
     // fast path as the batch routes (groupSegTask): the session previously
     // union-tagged cursor rows INTO the index scan and paid a 15-column
     // Dataset decode of every index row on EVERY page — the exact
@@ -1927,6 +2123,7 @@ object Ann {
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
     val adcB = loadAdcTables(spark, path, qArr, rerankK)
+    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
@@ -1955,6 +2152,7 @@ object Ann {
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
+            val resSeg = resSegState(entry, resAdcB)
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
@@ -1971,8 +2169,8 @@ object Ann {
                   // Params.thresholdAdcMargin) — both scorers are already
                   // in hand here, so the sample costs sN extra scores.
                   val (dots, mags, qn) = tb.value(qi)
-                  val approx = adcScorer(entry.codesFlat, m, kk,
-                    adcMetricCode(p.metric), dots, mags, qn)
+                  val approx = pickApproxScorer(entry, resSeg, resAdcB,
+                    qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val exact = g.exactScorer(qv)
                   val margin =
                     if (!p.thresholdAdcMargin.isNaN) p.thresholdAdcMargin
@@ -2425,8 +2623,15 @@ object Ann {
     val withCode = {
       val c0 = if (raw.columns.contains("pq_code")) raw
                else raw.withColumn("pq_code", lit(null).cast("array<int>"))
-      val c = if (c0.columns.contains("upper_nbrs")) c0
+      val c1 = if (c0.columns.contains("upper_nbrs")) c0
               else c0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
+      // residual serving payload survives repair: the segment stays the
+      // same cell and surviving rows' residual codes are still valid —
+      // only res_cell must ride to the NEW local_id=0 row below
+      val c2 = if (c1.columns.contains("res_code")) c1
+               else c1.withColumn("res_code", lit(null).cast("array<int>"))
+      val c = if (c2.columns.contains("res_cell")) c2
+              else c2.withColumn("res_cell", lit(null).cast("array<double>"))
       if (hasNvq) c
       else c.withColumn("nvq_code", lit(null).cast("array<int>"))
         .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
@@ -2438,9 +2643,10 @@ object Ann {
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("pq_code").cast("array<int>"),
         col("nvq_code").cast("array<int>"), col("nvq_params").cast("array<array<double>>"),
-        col("nvq_bits").cast("int"), col("upper_nbrs").cast("array<array<int>>"))
+        col("nvq_bits").cast("int"), col("upper_nbrs").cast("array<array<int>>"),
+        col("res_code").cast("array<int>"), col("res_cell").cast("array<double>"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]])]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Array[Int], Array[Double])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
@@ -2454,6 +2660,10 @@ object Ann {
             // rewritten segment keeps its warm-descent structure
             if (r._11 != null) g.restoreUpperAdjacency(r._2, r._11)
           }
+          // the one-per-segment encoding cell, captured BEFORE the delete
+          // drops rows (the old local-0 row may itself be tombstoned)
+          val resCell: Array[Double] =
+            sorted.iterator.map(_._13).collectFirst { case c if c != null => c }.orNull
           val deleted = new java.util.BitSet(sorted.length)
           sorted.foreach { r => if (delB.value.contains(r._3)) deleted.set(r._2) }
           g.repairDeleted(deleted)
@@ -2484,13 +2694,14 @@ object Ann {
               (newSeg, nw, r._3, if (nvq) null else r._4,
                 g.neighbors(r._2).iterator.map(remap(_)).toArray,
                 nw == newEntry, if (nw == 0) centroid else null, r._7, r._8, r._9, r._10,
-                upper)
+                upper, r._12, if (nw == 0) resCell else null)
             }
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
-        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs")
+        "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs",
+        "res_code", "res_cell")
     // nvq columns always written (uniform tree schema — see buildIndex);
     // legacy trees without them stay readable via readIndex's mergeSchema
     patched.write.mode("append").partitionBy("seg").parquet(path)

@@ -70,6 +70,80 @@ object Vamana {
       private[index] val frontier: LongHeap,
       private[index] val evicted: mutable.ArrayBuffer[Long],
       private[index] val returned: java.util.BitSet)
+
+  /** Density-adaptive bitset codec for exported cursors. A beam visits
+    * ~ef·degree nodes per page — a few THOUSAND of a potentially
+    * million-row segment — so the dense `BitSet.toByteArray` image
+    * (O(segment rows / 8) per (query, segment), the measured ~54 MB/page
+    * durable-state cost at 4M x 64) is almost entirely zeros. Encode
+    * whichever image is smaller:
+    *   tag 0 = dense: BitSet.toByteArray as-is
+    *   tag 1 = sparse: ascending set-bit indices, delta - varint (LEB128)
+    * Sparse wins until ~1 set bit per 16 rows; the tag keeps the dense
+    * fallback for late pages on small segments. Cursor state is
+    * bounded-lifetime serving state — no cross-version compatibility is
+    * promised (the build-token guard already invalidates sessions on any
+    * index change). */
+  private[graft] def encodeBits(bs: java.util.BitSet): Array[Byte] = {
+    val denseLen = bs.toByteArray.length // NOTE: cheap relative to a page
+    // exact sparse size: varint bytes for each gap
+    var sparseLen = 0
+    var i = bs.nextSetBit(0)
+    var prev = -1
+    var n = 0
+    while (i >= 0) {
+      var gap = i - prev
+      do { sparseLen += 1; gap >>>= 7 } while (gap != 0)
+      prev = i; n += 1
+      i = bs.nextSetBit(i + 1)
+    }
+    if (sparseLen < denseLen) {
+      val out = new Array[Byte](1 + sparseLen)
+      out(0) = 1
+      var o = 1
+      var j = bs.nextSetBit(0)
+      var pv = -1
+      while (j >= 0) {
+        var gap = j - pv
+        while ((gap & ~0x7f) != 0) { out(o) = ((gap & 0x7f) | 0x80).toByte; o += 1; gap >>>= 7 }
+        out(o) = gap.toByte; o += 1
+        pv = j
+        j = bs.nextSetBit(j + 1)
+      }
+      out
+    } else {
+      val dense = bs.toByteArray
+      val out = new Array[Byte](1 + dense.length)
+      out(0) = 0
+      System.arraycopy(dense, 0, out, 1, dense.length)
+      out
+    }
+  }
+
+  private[graft] def decodeBits(b: Array[Byte]): java.util.BitSet = {
+    if (b.length == 0) return new java.util.BitSet()
+    if (b(0) == 0)
+      java.util.BitSet.valueOf(java.util.Arrays.copyOfRange(b, 1, b.length))
+    else {
+      val bs = new java.util.BitSet()
+      var o = 1
+      var prev = -1
+      while (o < b.length) {
+        var gap = 0
+        var shift = 0
+        var more = true
+        while (more) {
+          val v = b(o); o += 1
+          gap |= (v & 0x7f) << shift
+          shift += 7
+          more = (v & 0x80) != 0
+        }
+        prev += gap
+        bs.set(prev)
+      }
+      bs
+    }
+  }
 }
 
 final class Vamana(
@@ -702,7 +776,8 @@ final class Vamana(
     * that storage, which is why they're a session feature, not the default
     * batch-paging path. */
   def exportCursor(st: Vamana.SearchState): (Array[Byte], Array[Byte], Array[Long], Array[Long]) =
-    (st.visited.toByteArray, st.returned.toByteArray, st.frontier.toArray, st.evicted.toArray)
+    (Vamana.encodeBits(st.visited), Vamana.encodeBits(st.returned),
+      st.frontier.toArray, st.evicted.toArray)
 
   /** Rebuild a [[resume]]-able cursor from [[exportCursor]] blobs against
     * THIS graph (must be the same persisted segment the cursor was
@@ -713,8 +788,8 @@ final class Vamana(
     val f = new LongHeap(math.max(64, frontier.length + 1), min = false)
     frontier.foreach(f.push)
     new Vamana.SearchState(queryScorer(q), accept,
-      java.util.BitSet.valueOf(visited), f,
-      mutable.ArrayBuffer.from(evicted), java.util.BitSet.valueOf(returned))
+      Vamana.decodeBits(visited), f,
+      mutable.ArrayBuffer.from(evicted), Vamana.decodeBits(returned))
   }
 
   /** Run the shared beam loop until `ef` results are held and the frontier

@@ -653,11 +653,12 @@ object AnnQueries {
     * the exhaustive route (pure construction quality) and the routed
     * default (the serving path). */
   private val pqresMemo =
-    new scala.collection.concurrent.TrieMap[String, (Double, Double, Double)]()
+    new scala.collection.concurrent.TrieMap[String, (Double, Double, Double, Double, Double)]()
 
   private def annPqresClustered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (recExact, recPq, recPqRouted) = pqresMemo.getOrElseUpdate("run", {
+    val (recExact, recPq, recPqRouted, recAdcRes, recAdcGlob) =
+      pqresMemo.getOrElseUpdate("run", {
       val nClusters = 16; val d = 32; val perCluster = 500; val topK = 10
       val rnd = new java.util.Random(29)
       val centers = Array.fill(nClusters)(Array.fill(d)(rnd.nextGaussian().toFloat * 2))
@@ -673,25 +674,49 @@ object AnnQueries {
       Ann.buildIndexClustered(base, s"$root/pq", p.copy(pqBuild = true), nlist = nClusters)
       val queries = rows.take(40).toDF("qid", "qvec")
       val truth = KnnExact.knn(base, queries, topK, "COSINE", "id", "vec")
-      def recallOf(path: String, probe: Int): Double = {
-        val res = Ann.searchIndex(s, path, queries, topK, 64, p, probeSegments = probe)
-        val hit = res.select("qid", "nid")
-          .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
-        hit.toDouble / truth.count()
-      }
+      def hits(res: DataFrame): Double = res.select("qid", "nid")
+        .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+        .count().toDouble / truth.count()
+      def recallOf(path: String, probe: Int): Double =
+        hits(Ann.searchIndex(s, path, queries, topK, 64, p, probeSegments = probe))
+      // Residual-ADC SERVING (r13, the serving twin of the residual
+      // construction): routed two-phase at EQUAL rerankK with the
+      // oversampling REMOVED (ef = topK, frontier 1x — the exact-rerank
+      // pool IS the top-k), residual codes vs a global-ADC twin of the
+      // SAME tree (dir copy minus the `_pqres_model` sidecar: identical
+      // graphs and codes, only the beam's approx scorer differs).
+      val glob = s"$root/pq_glob"
+      val conf = s.sessionState.newHadoopConf()
+      val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(s"$root/pq"),
+        hfs, new org.apache.hadoop.fs.Path(glob), false, conf)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$glob/_pqres_model"), true)
+      // tight arm: ef = 2k, frontier 1x — a 20-candidate pool at topK=10,
+      // i.e. oq2 with NO frontier slack (measured: residual 0.87 vs
+      // global 0.74 on this fixture). Low-slack ordering is where global
+      // codes collapse inside cells.
+      val pTight = p.copy(adcFrontierPerK = 1)
+      def adcRecall(path: String): Double =
+        hits(Ann.searchIndex(s, path, queries, topK, ef = 2 * topK, pTight,
+          rerankK = topK))
       (recallOf(s"$root/exact", 0), recallOf(s"$root/pq", 0),
-        recallOf(s"$root/pq", Ann.AutoProbe))
+        recallOf(s"$root/pq", Ann.AutoProbe),
+        adcRecall(s"$root/pq"), adcRecall(glob))
     })
     Gates.df(s, Seq(
       ("pqres_exact_scored_recall_ge_0.9", 0.9, recExact >= 0.9),
       ("pqres_within_0.05_of_exact_scored", 0.05, recPq >= recExact - 0.05),
-      ("pqres_routed_within_0.07_of_exact_scored", 0.07, recPqRouted >= recExact - 0.07)))
+      ("pqres_routed_within_0.07_of_exact_scored", 0.07, recPqRouted >= recExact - 0.07),
+      ("pqres_adc_serving_gt_global_at_equal_rerank", 0.05, recAdcRes >= recAdcGlob + 0.05),
+      ("pqres_adc_low_slack_recall_ge_0.8", 0.8, recAdcRes >= 0.8)))
   }
 
   private val annPqresClusteredSql: String = Gates.sql(Seq(
     ("pqres_exact_scored_recall_ge_0.9", 0.9),
     ("pqres_within_0.05_of_exact_scored", 0.05),
-    ("pqres_routed_within_0.07_of_exact_scored", 0.07)))
+    ("pqres_routed_within_0.07_of_exact_scored", 0.07),
+    ("pqres_adc_serving_gt_global_at_equal_rerank", 0.05),
+    ("pqres_adc_low_slack_recall_ge_0.8", 0.8)))
 
   /** Prepared maintenance-lifecycle trees per scale dir: (post-repair tree,
     * compacted tree). Built once — the mutations are the expensive part;

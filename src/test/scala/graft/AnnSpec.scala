@@ -1282,4 +1282,32 @@ class AnnSpec extends SparkSpec {
       assert(m2.get(seg).contains(t), s"segment $seg token changed on unrelated append")
     assert(m2.size > m1.size, "new batch must contribute new segments")
   }
+
+  test("cursor bitset codec: lossless round-trip, sparse images shrink ~an order of magnitude") {
+    // the persisted-session durable-state fix (r13): a beam visits
+    // ~ef·degree nodes of a potentially million-row segment, so the dense
+    // BitSet image (O(rows/8) per (query, segment)) was ~54 MB/page at
+    // 4M x 64 — encode set-bit deltas as varints when that is smaller
+    val rnd = new java.util.Random(7)
+    def roundTrip(bs: java.util.BitSet): Int = {
+      val enc = Vamana.encodeBits(bs)
+      assert(Vamana.decodeBits(enc) === bs, "codec must be lossless")
+      enc.length
+    }
+    // sparse: 1k visits of a 62.5k-row segment (the 4M x 64 shape)
+    val sparse = new java.util.BitSet(62500)
+    (0 until 1000).foreach(_ => sparse.set(rnd.nextInt(62500)))
+    val sparseLen = roundTrip(sparse)
+    assert(sparseLen < 62500 / 8 / 3,
+      s"sparse image must undercut dense by >3x, got $sparseLen vs ${62500 / 8}")
+    // dense: majority-set bitset must fall back to the dense image (+tag)
+    val dense = new java.util.BitSet(4096)
+    (0 until 4096).foreach(i => if (rnd.nextInt(10) > 0) dense.set(i))
+    assert(roundTrip(dense) <= 4096 / 8 + 1, "dense fallback must stay O(rows/8)")
+    // edges: empty, single low bit, single high bit, all-set
+    roundTrip(new java.util.BitSet())
+    val one = new java.util.BitSet(); one.set(0); roundTrip(one)
+    val hi = new java.util.BitSet(); hi.set(1 << 20); roundTrip(hi)
+    val all = new java.util.BitSet(); all.set(0, 777); roundTrip(all)
+  }
 }
