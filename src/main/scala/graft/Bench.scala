@@ -22,6 +22,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -545,8 +547,15 @@ object Bench {
     // and no errors field at all when there are none
     val sfName = sfDir.reverse.takeWhile(_ != '/').reverse
     val errField = if (errors.isEmpty) "" else s""""errors":$errJson,"""
+    // provenance: 1-minute system load at [start, end] of the run — lets a
+    // reader separate box contention from a real regression (the r12
+    // artifact was recorded under visible load; this makes that visible
+    // IN the artifact instead of via cross-referenced notes)
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadField = s""""load1m":[${num(loadAtStart, 1)},${num(load1, 1)}],"""
     def line(qs: String, ann: String): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,$errField"ann":$ann,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",$loadField"queries":$qs,$errField"ann":$ann,"sf":"$sfName"}"""
     // the driver keeps only the LAST ~2000 chars of stdout ("[info] " prefix
     // included) and parses the final JSON line — a line that overflows gets
     // its FRONT clipped and parses as nothing. Shed query-time precision,

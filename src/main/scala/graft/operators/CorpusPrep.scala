@@ -767,6 +767,28 @@ object CorpusPrep {
       vv, addK)
   }
 
+  /** Persist a trained [[LmModel]] as a parquet artifact (count tables +
+    * a one-row meta relation). This is the full CCNet deployment shape:
+    * the quality model trains offline ONCE, ships as an artifact, and
+    * serving pipelines [[lmLoad]] + [[lmScore]] batch after batch without
+    * ever re-reading the training corpus. */
+  def lmSave(model: LmModel, path: String): Unit = {
+    val spark = model.cbModel.sparkSession
+    import spark.implicits._
+    model.cbModel.write.mode("overwrite").parquet(s"$path/cb")
+    model.cu.write.mode("overwrite").parquet(s"$path/cu")
+    Seq((model.vocabSize, model.addK)).toDF("vocab_size", "add_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted LM artifact ([[lmSave]]); the count tables stay
+    * lazy parquet scans until first scoring action materializes them. */
+  def lmLoad(spark: org.apache.spark.sql.SparkSession, path: String): LmModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    LmModel(spark.read.parquet(s"$path/cb"), spark.read.parquet(s"$path/cu"),
+      meta.getAs[Double]("vocab_size"), meta.getAs[Double]("add_k"))
+  }
+
   /** Score `docs` against a pre-trained [[LmModel]] — same output,
     * routing options, and bit-exact numbers as [[lmCrossEntropy]], but the
     * first action is as cheap as a hot one (the model is already

@@ -240,6 +240,21 @@ object CorpusPrepQueries {
       CorpusPrep.lmCrossEntropy(docs, docs, "doc_id", "text", lmAddK)
     }
 
+  /** The PRE-TRAINED route end-to-end (r13, verdict #7): train on the
+    * corpus, persist the model as a parquet artifact ([[CorpusPrep.lmSave]]),
+    * load it back, score — the CCNet deployment shape where serving
+    * pipelines never pay the model build. Oracle: the SAME inline SQL as
+    * `lm_xent` — the two routes are bit-identical by contract, and the
+    * DuckDB hash-match now proves it through the artifact round-trip. */
+  private def lmXentPretrained(s: SparkSession, dir: String): DataFrame =
+    RouteMemo.df(s, "lm_xent_pretrained", dir) {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lm_artifact").toString + "/model"
+      CorpusPrep.lmSave(CorpusPrep.lmTrain(docs, "doc_id", "text", lmAddK), path)
+      CorpusPrep.lmScore(CorpusPrep.lmLoad(s, path), docs, "doc_id", "text")
+    }
+
   private val lmXentSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |b2 AS (SELECT doc_id, pos,
@@ -348,6 +363,7 @@ object CorpusPrepQueries {
     "pack_sequences" -> (packSequences _),
     "shuffle_shards" -> (shuffleShards _),
     "lm_xent" -> (lmXent _),
+    "lm_xent_pretrained" -> (lmXentPretrained _),
     "bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +377,6 @@ object CorpusPrepQueries {
     "pack_sequences" -> packSequencesSql,
     "shuffle_shards" -> shuffleShardsSql,
     "lm_xent" -> lmXentSql,
+    "lm_xent_pretrained" -> lmXentSql,
     "bpe_tokens" -> bpeTokensSql)
 }

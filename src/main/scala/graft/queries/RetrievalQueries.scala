@@ -247,21 +247,41 @@ object RetrievalQueries {
     * LESS diverse (avg pairwise similarity) than the plain relevance
     * top-k it replaces. */
   private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    // per-phase wall clocks to stderr: the r12 bench recorded this entry at
+    // 6.4s (2.1s in r11) with unchanged code — phase attribution separates
+    // box load / cache eviction from a real plan regression without
+    // re-deriving it from Spark UI archaeology
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[gatephase] mmr_rerank $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qvec"))
-    val cand = KnnExact.knn(emb, queries, candN, "COSINE", "vec_id", "embedding")
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("vec")), "nid")
-      .select(col("qid"), col("nid"), col("score"), col("vec"), col("rank"))
-      .cache()
-    val res = Hybrid.mmr(cand, mmrLambda, k).cache()
+    val cand = phase("cand") {
+      val c = KnnExact.knn(emb, queries, candN, "COSINE", "vec_id", "embedding")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("vec")), "nid")
+        .select(col("qid"), col("nid"), col("score"), col("vec"), col("rank"))
+        .cache()
+      c.count()
+      c
+    }
+    val res = phase("mmr") {
+      val r = Hybrid.mmr(cand, mmrLambda, k).cache()
+      r.count()
+      r
+    }
 
     val n = res.count()
-    val outside = res.select("qid", "nid")
-      .join(cand.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
-    val firstMatches = res.filter(col("rank") === 1).select("qid", "nid")
-      .join(cand.filter(col("rank") === 1).select("qid", "nid"),
-        Seq("qid", "nid"), "left_semi").count()
+    val (outside, firstMatches) = phase("contain") {
+      (res.select("qid", "nid")
+        .join(cand.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count(),
+        res.filter(col("rank") === 1).select("qid", "nid")
+          .join(cand.filter(col("rank") === 1).select("qid", "nid"),
+            Seq("qid", "nid"), "left_semi").count())
+    }
 
     def avgPairSim(sel: DataFrame): Double = {
       val v = emb.select(col("vec_id").cast("long").as("nid"), col("embedding").as("vec"))
@@ -270,8 +290,8 @@ object RetrievalQueries {
       a.join(bb, col("qid") === col("qid2") && col("nid") < col("nid2"))
         .agg(avg(VectorFunctions.cosineSim(col("vec"), col("vec2")))).head().getDouble(0)
     }
-    val simMmr = avgPairSim(res.select("qid", "nid"))
-    val simTop = avgPairSim(cand.filter(col("rank") <= k).select("qid", "nid"))
+    val simMmr = phase("divMmr")(avgPairSim(res.select("qid", "nid")))
+    val simTop = phase("divTop")(avgPairSim(cand.filter(col("rank") <= k).select("qid", "nid")))
 
     Gates.df(s, Seq(
       ("mmr_rows_complete", (nQueries * k).toDouble, n == nQueries.toLong * k),

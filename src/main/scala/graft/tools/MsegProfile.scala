@@ -122,16 +122,25 @@ object MsegProfile {
     }
     locally {
       val st = java.nio.file.Files.createTempDirectory("graft_msegprof_sess").toString + "/st"
+      def stateMb: String = {
+        val fs = new org.apache.hadoop.fs.Path(st)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        Seq("cursors", "pool").map { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$st/$d")
+          val b = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          f"$d=${b / 1e6}%.1fMB"
+        }.mkString(" ")
+      }
       val t0 = System.nanoTime()
       Ann.openPagedSession(spark, path, st, queries, 10, 64, params).count()
-      System.err.println(f"[msegprof] sess_open ${(System.nanoTime() - t0) / 1e9}%6.3fs")
+      System.err.println(f"[msegprof] sess_open ${(System.nanoTime() - t0) / 1e9}%6.3fs  $stateMb")
       val ts = (1 to passes).map { _ =>
         val s = System.nanoTime()
         Ann.nextSessionPage(spark, path, st, 10, 64, params).count()
         (System.nanoTime() - s) / 1e9
       }
       System.err.println(f"[msegprof] sess_pg  best=${ts.min}%6.3fs  all=" +
-        ts.map(t => f"$t%.3f").mkString(","))
+        ts.map(t => f"$t%.3f").mkString(",") + s"  $stateMb")
     }
     Ann.unpin(path)
     spark.stop()
