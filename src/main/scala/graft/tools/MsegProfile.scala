@@ -112,6 +112,38 @@ object MsegProfile {
       Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
         probeSegments = Ann.AutoProbe).count()
     }
+    // single-query routed latency tail (the serving-shape number: one
+    // query per call, pinned tree) with GC activity tagged per sample —
+    // the mseg-scale evidence for the default-vs-ZGC adoption call
+    locally {
+      val singles = queries.collect().map { r =>
+        Seq((r.getLong(0), r.getSeq[Float](1))).toDF("qid", "qvec")
+      }
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcMs: Long = { var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t }
+      // warm EVERY distinct single-query plan: each singles(i) is its own
+      // DataFrame, so pass 1 would otherwise pay Catalyst compilation per
+      // query and pollute the tail (first chain run: p99 1983ms from
+      // plan-compile samples vs 253ms p90)
+      singles.foreach(q => Ann.searchIndex(spark, path, q, 10, ef = 64,
+        params, probeSegments = Ann.AutoProbe).count())
+      val lats = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      (1 to passes).foreach { _ =>
+        singles.foreach { q =>
+          val g0 = gcMs
+          val t0 = System.nanoTime()
+          Ann.searchIndex(spark, path, q, 10, ef = 64, params,
+            probeSegments = Ann.AutoProbe).count()
+          lats += (((System.nanoTime() - t0) / 1e6, gcMs > g0))
+        }
+      }
+      val s = lats.map(_._1).sorted
+      def pct(p: Double): Double = s((p * (s.length - 1)).round.toInt)
+      val gcShare = lats.count(_._2).toDouble / lats.length
+      System.err.println(f"[msegprof] lat_ms p50=${pct(0.5)}%.1f p90=${pct(0.9)}%.1f " +
+        f"p99=${pct(0.99)}%.1f max=${s.last}%.1f n=${s.length} gc_active=${gcShare}%.2f " +
+        s"collector=${gcBeans.get(0).getName}")
+    }
     // paged batch route (shares the warm fast path) vs the PERSISTED
     // session route (kept the 15-column tuple decode + per-page cursor
     // export/state swap): decomposes whether session pages are

@@ -1283,6 +1283,43 @@ class AnnSpec extends SparkSpec {
     assert(m2.size > m1.size, "new batch must contribute new segments")
   }
 
+  test("clustered session routes: pages match the routed batch route; cursors exist only for probed segments") {
+    // r13 durable-state bound: the session gains the batch routes'
+    // AutoProbe default, so cursors scale O(sqrt(segments)) per query
+    val tmp = java.nio.file.Files.createTempDirectory("annsessrouted").toString
+    val nc = 16
+    val rnd = new java.util.Random(91)
+    val centers = Array.fill(nc)(Array.fill(16)(rnd.nextGaussian().toFloat * 2))
+    val base = (0 until nc * 250).map { i =>
+      val r = new java.util.Random(i * 17L + 3)
+      (i.toLong, Seq.tabulate(16)(j => centers(i % nc)(j) + r.nextGaussian().toFloat))
+    }.toDF("id", "vec").repartition(4, col("id"))
+    val params = Ann.Params(metric = "COSINE", maxDegree = 12, beamWidth = 48)
+    Ann.buildIndexClustered(base, s"$tmp/idx", params, nlist = nc)
+    val queries = (0 until 10).map(i => (i.toLong, (0 until 16).map(j =>
+      centers(i % nc)(j) + 0.1f * j))).toDF("qid", "qvec")
+    val k = 10
+    val statePath = s"$tmp/session"
+    val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 64, params)
+      .withColumn("page", lit(1))
+    Ann.clearSegmentCache()
+    val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params)
+      .withColumn("page", lit(2))
+    val sess = p1.union(p2).select("qid", "page", "rank", "nid").cache()
+    assert(sess.count() === 10L * 2 * k)
+    // identical to the routed batch route, page for page
+    val batch = Ann.searchIndexPaged(spark, s"$tmp/idx", queries, pages = Seq(k, k),
+      ef = 64, params).select("qid", "page", "rank", "nid")
+    val diff = sess.except(batch).count() + batch.except(sess).count()
+    assert(diff === 0L, "routed session pages must equal the routed batch pages")
+    // durable state: cursor rows per query = probed segments (~2*sqrt(16)
+    // worst case), NOT all 16 cells
+    val cursorSegs = spark.read.parquet(s"$statePath/cursors")
+      .groupBy("qid").count().agg(max("count")).head().getLong(0)
+    assert(cursorSegs <= math.ceil(math.sqrt(nc)).toInt,
+      s"cursors must exist only for probed segments, got $cursorSegs per query")
+  }
+
   test("cursor bitset codec: lossless round-trip, sparse images shrink ~an order of magnitude") {
     // the persisted-session durable-state fix (r13): a beam visits
     // ~ef·degree nodes of a potentially million-row segment, so the dense
