@@ -242,13 +242,15 @@ object Bench {
     val msegDim = 64
     val msegClusters = sys.env.get("SPARK_GRAFT_MSEG_SEGS").map(_.toInt).getOrElse(64)
     // degree 32 = the reference's default M (default.yml build block) and
-    // the measured sweet spot on this fixture: recall_abs 0.792 vs 0.532
-    // at degree 16 AND a faster routed batch (0.395 vs 0.475 s/batch —
-    // navigability beats the doubled adjacency, NOTES_r11 §2b) for a ~1.7x
-    // build. Degree 16 is kept one more round as a continuity block
-    // (mseg16) so cross-round trends stay comparable.
-    val msegParams = Ann.Params(metric = "COSINE", maxDegree = 32, beamWidth = 64)
-    val mseg16Params = msegParams.copy(maxDegree = 16)
+    // the HEADLINE CHOICE on the measured recall_abs-vs-build frontier
+    // (r13, NOTES_r13 §4: deg16 0.558 @ 252s, deg32 0.806 @ 320s, deg48
+    // 0.896 @ 687s, deg64 see NOTES — routed batch time FLAT across
+    // degrees, so the trade is build-only and the build-seconds-per-recall
+    // slope collapses ~15x past deg32: the knee). SPARK_GRAFT_MSEG_DEG
+    // overrides for frontier reruns. The deg16 continuity block retired
+    // this round per the r11 agreement (r12 was its last).
+    val msegDeg = sys.env.get("SPARK_GRAFT_MSEG_DEG").map(_.toInt).getOrElse(32)
+    val msegParams = Ann.Params(metric = "COSINE", maxDegree = msegDeg, beamWidth = 64)
     val msegRnd = new java.util.Random(9)
     val msegCenters = Array.fill(msegClusters)(
       Array.fill(msegDim)(msegRnd.nextGaussian().toFloat * 2f))
@@ -360,11 +362,7 @@ object Bench {
     }
 
     val mseg = msegMeasure(msegParams, withLatency = true)
-    // degree-16 continuity baseline (r10/r11 reported this shape; p99
-    // included so cross-round latency trends compare like with like) —
-    // dropped next round
-    val mseg16 = msegMeasure(mseg16Params, withLatency = true)
-    for ((tag, x) <- Seq("mseg32" -> mseg, "mseg16" -> mseg16))
+    for ((tag, x) <- Seq(s"mseg$msegDeg" -> mseg))
       System.err.println(f"[$tag] n=$msegN segs=${x.segs} build=${x.buildSec}%.1fs " +
         f"qps exh=${x.qpsExh}%.1f routed=${x.qpsRouted}%.1f " +
         f"vr exh=${x.vrExh}%.4f routed=${x.vrRouted}%.4f " +
@@ -491,22 +489,16 @@ object Bench {
         // degree 32; arrays = [exhaustive, routed-AutoProbe]; recall =
         // routed-vs-exhaustive PARITY, recall_abs = vs the brute-force
         // oracle)
-        s""""mseg":{"n":$msegN,"segs":${mseg.segs},"deg":32,""" +
+        s""""mseg":{"n":$msegN,"segs":${mseg.segs},"deg":$msegDeg,""" +
         s""""build_sec":${num(mseg.buildSec, 1)},""" +
         s""""qps":[${num(mseg.qpsExh, 1)},${num(mseg.qpsRouted, 1)}],""" +
         s""""vr":[${num(mseg.vrExh, 4)},${num(mseg.vrRouted, 4)}],""" +
         s""""p99_ms":[${num(mseg.p99Exh, 1)},${num(mseg.p99Routed, 1)}],""" +
         s""""recall":${num(mseg.recParity, 3)},""" +
         s""""recall_abs":[${num(mseg.recAbsExh, 3)},${num(mseg.recAbsRouted, 3)}]},""" +
-        // degree-16 continuity block (r10/r11 shape; dropped next round).
-        // Survives every shed level: the 101-entry query map forces deep
-        // sheds even under budget, and this block is the round's explicit
-        // cross-round comparison point.
-        s""""mseg16":{"build_sec":${num(mseg16.buildSec, 1)},""" +
-        s""""qps":[${num(mseg16.qpsExh, 1)},${num(mseg16.qpsRouted, 1)}],""" +
-        s""""p99_ms":[${num(mseg16.p99Exh, 1)},${num(mseg16.p99Routed, 1)}],""" +
-        s""""recall":${num(mseg16.recParity, 3)},""" +
-        s""""recall_abs":[${num(mseg16.recAbsExh, 3)},${num(mseg16.recAbsRouted, 3)}]},""" +
+        // (mseg16 continuity block retired in r13 per the r11 agreement —
+        // the degree frontier lives in NOTES_r13 §4; SPARK_GRAFT_MSEG_DEG
+        // reruns any point)
         // the fused/gathered split survives EVERY shed level (the Q7
         // layout decision is re-measured per round from these two keys)
         (if (level >= 2)

@@ -2051,24 +2051,35 @@ object Ann {
     // but the pool predates deletes added between pages). The rewritten
     // pool below inherits the filter, so the state self-heals.
     val merged = producedScored.unionByName(poolDf)
-    val candidates = (deletes match {
+    val candidates = deletes match {
       case Some(d) => merged.join(
         broadcast(d.select(col(d.columns.head).cast("long").as("nid")).distinct()),
         Seq("nid"), "left_anti")
       case None => merged
-    }).localCheckpoint(true)
-
-    val agg = TopK.udf(k)
-    val page = candidates.groupBy("qid")
-      .agg(agg(col("nid"), col("score")).as("t"))
-      .select(col("qid"), posexplode(col("t")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col._1").as("nid"), col("col._2").as("score"))
+    }
+    // ONE grouped pass splits candidates into this page's ranked top-k
+    // (rank > 0) and the carried pool (rank 0) — replacing the former
+    // groupBy-TopK + anti-join (two shuffles, two extra materializations)
+    // with one shuffle and one checkpoint. Ordering matches TopK.udf's
+    // contract exactly (score desc, nid asc); per-query state is bounded
+    // (pages-so-far x probed segments x k rows). The checkpoint also cuts
+    // the lineage from the old pool dir BEFORE the swap below deletes it.
+    val split = candidates
+      .select(col("qid").cast("long"), col("nid").cast("long"),
+        col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+        val rows = it.toArray.sortBy { case (_, nid, s) => (-s, nid) }
+        rows.iterator.zipWithIndex.map { case ((_, nid, s), i) =>
+          (qid, if (i < k) i + 1 else 0, nid, s)
+        }
+      }
+      .toDF("qid", "rank", "nid", "score")
       .localCheckpoint(true)
-    // no checkpoint: newPool's only consumer is the swap's parquet write,
-    // which materializes it — and both inputs are already checkpointed
-    val newPool = candidates.join(page.select(col("qid"), col("nid")),
-      Seq("qid", "nid"), "left_anti")
+    val page = split.filter(col("rank") > 0)
+      .select(col("qid"), col("rank").cast("int"), col("nid"), col("score"))
+    val newPool = split.filter(col("rank") === 0).select("qid", "nid", "score")
 
     // atomic-ish state swap: new dirs land fully, then replace the old
     def swap(df: DataFrame, name: String): Unit = {
@@ -2079,10 +2090,18 @@ object Ann {
       if (!fs.rename(tmp, dst))
         throw new IllegalStateException(s"session state swap failed for $name")
     }
-    swap(out.filter(col("kind") === 1)
+    // the two swap writes are independent jobs over already-materialized
+    // inputs (out / split are checkpointed) — run them concurrently; the
+    // local scheduler interleaves their tasks, saving one job's fixed wall
+    val cursorsDf = out.filter(col("kind") === 1)
       .select(col("qid"), col("seg"), col("qvec"), col("visited"),
-        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok")), "cursors")
-    swap(newPool, "pool")
+        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"))
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      Seq(("cursors", cursorsDf), ("pool", newPool)).map { case (name, df) =>
+        pool2.submit(new Runnable { def run(): Unit = swap(df, name) })
+      }.foreach(_.get())
+    } finally pool2.shutdown()
     page
   }
 
