@@ -1316,11 +1316,26 @@ object Ann {
       rerankK: Int): Option[ResAdc] =
     if (rerankK > 0) {
       try {
-        val sidecar = s"${path.stripSuffix("/*").stripSuffix("/")}/_pqres_model"
-        val sp = new org.apache.hadoop.fs.Path(sidecar)
-        if (!sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp))
-          return None
-        val model = graft.operators.PQ.load(spark, sidecar)
+        val base = path.stripSuffix("/*").stripSuffix("/")
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // root sidecar first (bare clustered tree), then one level down —
+        // the service layout puts the clustered build at batch=0 under the
+        // generation dir (same lookup shape as the PQ/_cells sidecars).
+        // MORE than one residual sidecar under a tree (two clustered
+        // batches, each with its own model) disables residual serving
+        // outright: segments cannot be paired with their model at scorer
+        // level, and scoring codes under the wrong codebooks would
+        // silently corrupt the beam's ordering. With exactly one model,
+        // pairing is sound by construction: only that batch's segments
+        // carry res codes (aligned flushes persist none).
+        val rootSc = new org.apache.hadoop.fs.Path(s"$base/_pqres_model")
+        val candidates: Seq[org.apache.hadoop.fs.Path] =
+          (if (fs.exists(rootSc)) Seq(rootSc) else Nil) ++
+            Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_pqres_model")))
+              .getOrElse(Array.empty).map(_.getPath).toSeq
+        if (candidates.length != 1) return None
+        val model = graft.operators.PQ.load(spark, candidates.head.toString)
         val tables = qArr.map { case (_, qv) =>
           val qd = qv.map(_.toDouble)
           val (rdots, _) = graft.operators.PQ.adcTables(qd, model)

@@ -108,6 +108,46 @@ class ResAdcSpec extends SparkSpec {
       "repair re-homes the per-segment cell to the new local 0")
   }
 
+  test("service-layout mixed tree: residual engages via the batch=0 sidecar; flush segments fall back; two models disable") {
+    // the service layout puts the clustered build at batch=0 under the
+    // generation dir and aligned flushes at batch=N siblings — the
+    // residual sidecar must resolve one level down (like _cells/_pq_model)
+    // and flush segments (which persist NO res codes — their residual
+    // model is flush-local) must fall back to global ADC per segment
+    val rows = clustered(nc = 8, per = 150, d = 16, seed = 67)
+    val base = rows.toDF("id", "vec").repartition(4, col("id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_resadc_mix").toString
+    val p = Ann.Params(metric = "COSINE", maxDegree = 12, beamWidth = 48, pqM = 4)
+    Ann.buildIndexClustered(base, s"$root/idx/batch=0", p, nlist = 8)
+    val cells = Ann.loadCells(spark, s"$root/idx").get
+    val flushRows = clustered(nc = 8, per = 30, d = 16, seed = 67).zipWithIndex
+      .map { case ((_, v), i) => (100000L + i, v) }
+    Ann.buildIndexAlignedTo(flushRows.toDF("id", "vec"), s"$root/idx/batch=1", p, cells)
+    Ann.invalidateSegmentCounts(s"$root/idx")
+    // pairing safety: batch=0 rows carry res codes, flush rows none
+    val df = spark.read.option("mergeSchema", "true")
+      .option("basePath", s"$root/idx").parquet(s"$root/idx")
+    assert(df.filter(col("batch") === 0 && col("res_code").isNull).count() === 0)
+    assert(df.filter(col("batch") === 1 && col("res_code").isNotNull).count() === 0)
+    // the one batch=0 sidecar resolves (residual serving ON for the tree)
+    val qArr = rows.take(8).map { case (id, v) => (id, v.toArray) }.toArray
+    assert(Ann.loadResAdc(spark, s"$root/idx", qArr, rerankK = 10).isDefined,
+      "residual model must resolve one level down (service layout)")
+    // two-phase search over the MIXED tree works end-to-end (residual on
+    // batch=0 segments, global fallback on flush segments, shared floors)
+    val all = rows ++ flushRows
+    val queries = (rows.take(10) ++ flushRows.take(5)).toDF("qid", "qvec")
+    val truth = KnnExact.knn(all.toDF("id", "vec"), queries, 10, "COSINE")
+    val got = Ann.searchIndex(spark, s"$root/idx", queries, 10, 64, p, rerankK = 20)
+    assert(recallOf(got, truth) >= 0.85, "mixed-tree two-phase recall")
+    // a SECOND clustered batch (own model) makes pairing ambiguous: the
+    // loader must disable residual serving outright, never guess
+    Ann.buildIndexClustered(base.withColumn("id", col("id") + 200000L),
+      s"$root/idx/batch=2", p, nlist = 8)
+    assert(Ann.loadResAdc(spark, s"$root/idx", qArr, rerankK = 10).isEmpty,
+      "two residual sidecars under one tree must disable residual serving")
+  }
+
   test("residual ADC beats global ADC at zero rerank slack (equal rerankK, routed)") {
     val rows = clustered(nc = 16, per = 200, d = 16, seed = 53)
     val base = rows.toDF("id", "vec").repartition(8, col("id"))
