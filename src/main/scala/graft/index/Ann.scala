@@ -1176,6 +1176,13 @@ object Ann {
       // per-task rerank floors, keyed by query index: segments searched
       // sequentially within this task tighten each other's floors
       val floors = scala.collection.mutable.Map.empty[Int, Double]
+      // task-local ADC table builders (per-query memo across segments)
+      val gTabs: TaskAdcTables = adcB match {
+        case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
+      }
+      val rTabs: TaskAdcTables = resAdcB match {
+        case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
+      }
       groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
         liveConst = liveConst)
         .flatMap { sg =>
@@ -1201,8 +1208,8 @@ object Ann {
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               val found = adcB match {
-                case Some((m, kk, tb)) if hasCodes =>
-                  val (dots, mags, qn) = tb.value(qi)
+                case Some((m, kk, _)) if hasCodes =>
+                  val (dots, mags, qn) = gTabs(qi, qv)
                   val mc = adcMetricCode(p.metric)
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
@@ -1225,7 +1232,7 @@ object Ann {
                       // ADC when this segment carries the payload, global
                       // ADC otherwise
                       val approx = pickApproxScorer(entry, resSeg, resAdcB,
-                        qi, qv, mc, m, kk, dots, mags, qn)
+                        rTabs, qi, qv, mc, m, kk, dots, mags, qn)
                       g.searchTwoPhaseWithFloor(qv, approx, topK,
                         adcBeam, i => live(i), vc, rerankFloor = floor, rc = rc)
                     }
@@ -1255,15 +1262,22 @@ object Ann {
         col("col._1").as("nid"), col("col._2").as("score"))
   }
 
-  /** Per-query ADC table broadcast for the two-phase routes: loads the PQ
-    * sidecar under `path` and precomputes each query's (dots, mags, |q|^2)
-    * lookup tables. None when two-phase is off or the tree has no sidecar
-    * (callers fall back to the exact beam). Returns (m, k, broadcast). */
+  /** PQ-model broadcast for the two-phase routes: loads the sidecar under
+    * `path`. None when two-phase is off or the tree has no sidecar
+    * (callers fall back to the exact beam). Returns (m, k, modelB).
+    *
+    * Per-QUERY ADC tables are built ON the executor at first use
+    * ([[TaskAdcTables]]) — the former driver-side precompute+broadcast was
+    * O(batch × m × k) doubles (~327 MB for a 10k-query serving batch
+    * against k=256 codebooks), a driver/broadcast scale hazard; the model
+    * itself is k·dim doubles (~131 KB) and a table build is k·dim flops
+    * per (task, query) — a few dozen node scores' worth, noise vs the
+    * beam. */
   private def loadAdcTables(
       spark: SparkSession,
       path: String,
       qArr: Array[(Long, Array[Float])],
-      rerankK: Int): Option[(Int, Int, org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Array[Double], Double)]])] =
+      rerankK: Int): Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])] =
     if (rerankK > 0) {
       try {
         val sidecar = s"${path.stripSuffix("/*").stripSuffix("/")}/_pq_model"
@@ -1274,18 +1288,29 @@ object Ann {
         if (!sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp))
           return None
         val model = graft.operators.PQ.load(spark, sidecar)
-        val tables = qArr.map { case (_, qv) =>
-          val qd = qv.map(_.toDouble)
-          val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
-          var qn = 0.0; var i = 0
-          while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
-          (dots, mags, qn)
-        }
-        Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(tables)))
+        Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(model)))
       } catch {
         case _: Exception => None // no sidecar -> fall back to exact beam
       }
     } else None
+
+  /** Task-local per-query ADC table builder over a broadcast model:
+    * (dots, mags, |q|²) computed at first use and memoized for the task —
+    * segments searched sequentially within a task share each query's
+    * tables, exactly like the former driver-precomputed broadcast, minus
+    * the O(batch × m × k) driver/broadcast footprint. */
+  private final class TaskAdcTables(model: graft.operators.PQModel) {
+    private val memo =
+      scala.collection.mutable.Map.empty[Int, (Array[Double], Array[Double], Double)]
+    def apply(qi: Int, qv: Array[Float]): (Array[Double], Array[Double], Double) =
+      memo.getOrElseUpdate(qi, {
+        val qd = qv.map(_.toDouble)
+        val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
+        var qn = 0.0; var i = 0
+        while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
+        (dots, mags, qn)
+      })
+  }
 
   /** Residual-ADC serving state for clustered trees: the serving-side twin
     * of the residual construction (r12). Global-codebook ADC cannot order
@@ -1297,15 +1322,16 @@ object Ann {
     * reference's per-query ADC (`quantization/PQVectors.java:210`) composed
     * with the cell shift (FAISS IVF-PQ, public template).
     *
-    * Broadcast here: the model + per-query (rdots = q·codebook LUT, |q|²).
-    * Cell-dependent pieces (cdots = cell·codebook LUT, |cell|², rmags) are
-    * computed IN-TASK once per segment from [[SegmentCache.Entry.cell]] —
-    * m·k·(d/m) flops, noise vs the beam — so nothing broadcast grows with
-    * the number of cells (10⁴–10⁵ cells at 100 TB). */
+    * Broadcast here: the residual MODEL only (~131 KB). Query-dependent
+    * tables (rdots = q·codebook LUT, |q|²) build in-task at first use
+    * ([[TaskAdcTables]]); cell-dependent pieces (cdots = cell·codebook
+    * LUT, |cell|², rmags) build in-task once per segment from
+    * [[SegmentCache.Entry.cell]] — each k·dim flops, noise vs the beam —
+    * so NOTHING broadcast grows with the batch size or the cell count
+    * (10⁴–10⁵ cells, 10⁴+ query batches at 100 TB). */
   private[graft] final case class ResAdc(
       m: Int, kk: Int,
-      modelB: org.apache.spark.broadcast.Broadcast[graft.operators.PQModel],
-      tablesB: org.apache.spark.broadcast.Broadcast[Array[(Array[Double], Double)]])
+      modelB: org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])
 
   /** Load `_pqres_model` + per-query residual ADC tables; None when absent
     * (serving falls back to global-codebook ADC per segment). */
@@ -1336,16 +1362,8 @@ object Ann {
               .getOrElse(Array.empty).map(_.getPath).toSeq
         if (candidates.length != 1) return None
         val model = graft.operators.PQ.load(spark, candidates.head.toString)
-        val tables = qArr.map { case (_, qv) =>
-          val qd = qv.map(_.toDouble)
-          val (rdots, _) = graft.operators.PQ.adcTables(qd, model)
-          var qn = 0.0; var i = 0
-          while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
-          (rdots, qn)
-        }
         Some(ResAdc(model.m, model.codebooks(0).length,
-          spark.sparkContext.broadcast(model),
-          spark.sparkContext.broadcast(tables)))
+          spark.sparkContext.broadcast(model)))
       } catch {
         case _: Exception => None
       }
@@ -1393,16 +1411,20 @@ object Ann {
   }
 
   /** The per-query gathered approx scorer for one segment: residual ADC
-    * when the segment + tree carry the payload, else global ADC. */
+    * when the segment + tree carry the payload, else global ADC.
+    * `resTables` is the task-local residual table builder (memoized per
+    * query across the task's segments) — non-null whenever `resSeg` is
+    * defined. */
   private def pickApproxScorer(
       entry: SegmentCache.Entry,
       resSeg: Option[(Array[Int], Array[Double], Array[Double], Double)],
-      resB: Option[ResAdc], qi: Int, qv: Array[Float], mc: Int,
+      resB: Option[ResAdc], resTables: TaskAdcTables,
+      qi: Int, qv: Array[Float], mc: Int,
       m: Int, kk: Int, dots: Array[Double], mags: Array[Double], qn: Double): Int => Double =
     resSeg match {
       case Some((rcf, cdots, rmags, cn)) =>
         val ra = resB.get
-        val (rdots, rqn) = ra.tablesB.value(qi)
+        val (rdots, _, rqn) = resTables(qi, qv)
         val cell = entry.cell
         var qc = 0.0; var j = 0
         while (j < qv.length) { qc += qv(j) * cell(j); j += 1 }
@@ -1777,6 +1799,12 @@ object Ann {
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
                          else selectedPg.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
+        val gTabs: TaskAdcTables = adcB match {
+          case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
+        }
+        val rTabs: TaskAdcTables = resAdcB match {
+          case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
+        }
         groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
           liveConst = deletesEmpty)
           .flatMap { sg =>
@@ -1790,7 +1818,7 @@ object Ann {
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
-                case Some((m, kk, tb)) if hasCodes =>
+                case Some((m, kk, _)) if hasCodes =>
                   // Compressed route: [[mergePaged]] re-slices global pages
                   // from the exact-ordered union of per-segment candidates,
                   // so per-segment page boundaries don't matter — only the
@@ -1801,8 +1829,8 @@ object Ann {
                   // compressed SSP, `GraphSearcher.java:509-547`).
                   val totalK = pagesB.sum
                   val width = math.max(math.max(rerankK, ef), p.adcFrontierPerK * totalK)
-                  val (dots, mags, qn) = tb.value(qi)
-                  val approx = pickApproxScorer(entry, resSeg, resAdcB,
+                  val (dots, mags, qn) = gTabs(qi, qv)
+                  val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val (cands, _) = g.searchResumableScored(approx, width, width, i => live(i))
                   val exact = g.exactScorer(qv)
@@ -2208,6 +2236,12 @@ object Ann {
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
      else selectedTh.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
+        val gTabs: TaskAdcTables = adcB match {
+          case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
+        }
+        val rTabs: TaskAdcTables = resAdcB match {
+          case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
+        }
         groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
           liveConst = deletesEmpty)
           .flatMap { sg =>
@@ -2221,7 +2255,7 @@ object Ann {
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
-                case Some((m, kk, tb)) if hasCodes =>
+                case Some((m, kk, _)) if hasCodes =>
                   // Compressed traversal: collect + adaptive-stop on the
                   // ADC scale, then exact rerank and threshold re-check.
                   // Collection runs at a margin BELOW the threshold:
@@ -2233,8 +2267,8 @@ object Ann {
                   // calibrated from measured quantization error (see
                   // Params.thresholdAdcMargin) — both scorers are already
                   // in hand here, so the sample costs sN extra scores.
-                  val (dots, mags, qn) = tb.value(qi)
-                  val approx = pickApproxScorer(entry, resSeg, resAdcB,
+                  val (dots, mags, qn) = gTabs(qi, qv)
+                  val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val exact = g.exactScorer(qv)
                   val margin =
