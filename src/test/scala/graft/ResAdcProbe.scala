@@ -42,6 +42,18 @@ object ResAdcProbe {
       val r2 = hits(Ann.searchIndex(spark, glob, queries, topK, ef, pT, rerankK = rk))
       println(s"PROBE ef=$ef frontier=$fr rerankK=$rk residual=$r1 global=$r2")
     }
+    // rerank economics: exact reranks per query needed for equal recall —
+    // residual ordering should hold recall with a smaller exact-rerank
+    // pool (the cost story: full-res fetches are the expensive step at
+    // scale, jvector's late materialization)
+    for ((tag, path) <- Seq("residual" -> s"$root/pq", "global" -> glob);
+         pool <- Seq(10, 20, 30, 40, 64)) {
+      val m = Ann.newMetrics(spark)
+      val rec = hits(Ann.searchIndex(spark, path, queries, topK, ef = pool,
+        p.copy(adcFrontierPerK = 1), rerankK = pool, metrics = Some(m)))
+      val rrq = m.reranked.value.toDouble / 40
+      println(f"ECON $tag pool=$pool recall=$rec%.4f reranks_per_query=$rrq%.1f")
+    }
     spark.stop()
   }
 }
