@@ -108,6 +108,26 @@ class ResAdcSpec extends SparkSpec {
       "repair re-homes the per-segment cell to the new local 0")
   }
 
+  test("residual two-phase end-to-end on EUCLIDEAN and DOT clustered trees") {
+    // the scorer is unit-pinned bit-exact for all three metrics; this
+    // covers the metric-code PLUMBING end-to-end (p.metric -> mc ->
+    // centroid-term algebra) on non-COSINE clustered trees
+    for (metric <- Seq("EUCLIDEAN", "DOT_PRODUCT")) {
+      val rows = clustered(nc = 8, per = 150, d = 16, seed = 71)
+      val base = rows.toDF("id", "vec").repartition(4, col("id"))
+      val root = java.nio.file.Files.createTempDirectory(s"graft_resadc_m_$metric").toString
+      val p = Ann.Params(metric = metric, maxDegree = 12, beamWidth = 48, pqM = 4)
+      Ann.buildIndexClustered(base, s"$root/idx", p, nlist = 8)
+      val queries = rows.take(20).toDF("qid", "qvec")
+      val truth = KnnExact.knn(base, queries, 10, metric, "id", "vec")
+      val got = Ann.searchIndex(spark, s"$root/idx", queries, 10, ef = 20,
+        p.copy(adcFrontierPerK = 1), rerankK = 20)
+      val rec = recallOf(got, truth)
+      info(s"$metric low-slack residual two-phase recall: $rec")
+      assert(rec >= 0.75, s"$metric residual two-phase recall too low: $rec")
+    }
+  }
+
   test("service-layout mixed tree: residual engages via the batch=0 sidecar; flush segments fall back; two models disable") {
     // the service layout puts the clustered build at batch=0 under the
     // generation dir and aligned flushes at batch=N siblings — the
