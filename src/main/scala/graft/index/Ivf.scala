@@ -188,6 +188,57 @@ object Ivf {
     * to storage. At pqM=8 over dim-64 floats the candidate scan reads
     * ~32x fewer bytes than [[writePartitioned]]'s, on top of the same
     * nprobe/nlist partition pruning. */
+  /** Train a PQ model on RESIDUALS r = v − clusterCentroid for a residual
+    * [[writePartitionedPQ]] layout (FAISS IVF-PQ: a globally-trained
+    * codebook cannot discriminate within a tight k-means cell — the same
+    * collapse measured on clustered graph trees, NOTES_r11 §2b). */
+  def trainResidualPQ(
+      df: DataFrame,
+      vecCol: String,
+      model: IvfModel,
+      m: Int,
+      k: Int = 256): graft.operators.PQModel = {
+    val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val resFrame = assign(df, vecCol, model).withColumn("__res",
+      VectorFunctions.sub(col(vecCol), element_at(centLit, col("cluster_id") + 1)))
+    PQ.train(resFrame, "__res", m, k)
+  }
+
+  /** True iff the layout at `path` was written with residual codes
+    * (`residualPq = true` — the `_ivfpq_res` marker). */
+  private def isResidualLayout(spark: SparkSession, path: String): Boolean = {
+    val mp = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}/_ivfpq_res")
+    try mp.getFileSystem(spark.sessionState.newHadoopConf()).exists(mp)
+    catch { case _: Exception => false }
+  }
+
+  /** Phase-1 shift frames for residual scoring: the probes frame carrying
+    * the per-(query, cluster) scalar `__qc` = q·cell, and the
+    * per-PROBED-cluster table frame (cluster_id, cell_dots = cell·codebook
+    * LUT, cell_cn = |cell|²). Both are bounded by the PROBED set (≤ batch ×
+    * nprobe), never by nlist — at 10⁵ cells nothing here grows with the
+    * tree. */
+  private def residualProbeFrames(
+      spark: SparkSession,
+      qRows: Array[(Long, Array[Double])],
+      probePairs: Array[(Long, Int)],
+      probedClusters: Array[Int],
+      model: IvfModel,
+      pq: graft.operators.PQModel): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val qById = qRows.toMap
+    val probes = probePairs.map { case (qid, c) =>
+      (qid, c, VectorFunctions.dotSeq(qById(qid), model.centroids(c)))
+    }.toSeq.toDF("qid", "cluster_id", "__qc")
+    val cells = probedClusters.map { c =>
+      val cent = model.centroids(c)
+      val (cd, _) = PQ.adcTables(cent, pq)
+      (c, cd, VectorFunctions.dotSeq(cent, cent))
+    }.toSeq.toDF("cluster_id", "cell_dots", "cell_cn")
+    (broadcast(probes), broadcast(cells))
+  }
+
   def writePartitionedPQ(
       df: DataFrame,
       vecCol: String,
@@ -196,7 +247,14 @@ object Ivf {
       path: String,
       mode: String = "overwrite",
       idCol: String = "id",
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      /** Encode RESIDUALS v − clusterCentroid instead of raw vectors
+        * (FAISS IVF-PQ): `pq` must then be residual-trained
+        * ([[trainResidualPQ]]). The searches detect the layout via the
+        * `_ivfpq_res` marker and shift their ADC tables per
+        * (query, cluster); at equal rerankK the within-cluster ordering
+        * is strictly sharper (gated by `ivfpq_res`). */
+      residualPq: Boolean = false): Unit = {
     // Range-partition on (cluster_id, id) and sort, then stamp each row
     // with a DENSE cluster-major ordinal (`row_ord`). User ids are useless
     // for phase-2 page skipping: a cluster's members subsample the global
@@ -214,7 +272,15 @@ object Ivf {
     // rows near the vec column's natural page row count so a survivor
     // costs ~one vec page. Caller options override.
     val opts = Map("parquet.page.row.count.limit" -> "2048") ++ options
-    val sorted = PQ.encode(assign(df, vecCol, model), vecCol, pq)
+    val encoded =
+      if (residualPq) {
+        val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+        PQ.encode(
+          assign(df, vecCol, model).withColumn("__res",
+            VectorFunctions.sub(col(vecCol), element_at(centLit, col("cluster_id") + 1))),
+          "__res", pq).drop("__res")
+      } else PQ.encode(assign(df, vecCol, model), vecCol, pq)
+    val sorted = encoded
       .repartitionByRange(col("cluster_id"), col(idCol))
       .sortWithinPartitions(col("cluster_id"), col(idCol))
     val spark = df.sparkSession
@@ -226,6 +292,14 @@ object Ivf {
         org.apache.spark.sql.types.StructField("row_ord",
           org.apache.spark.sql.types.LongType, nullable = false)))
     withOrd.write.partitionBy("cluster_id").options(opts).mode(mode).parquet(path)
+    if (residualPq) {
+      // marker AFTER the main write (overwrite would wipe it): searches
+      // switch to shifted ADC when present
+      val mp = new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/_ivfpq_res")
+      val out = mp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        .create(mp, true)
+      try out.write("residual".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Two-phase probed search over a [[writePartitionedPQ]] layout.
@@ -268,7 +342,13 @@ object Ivf {
     val layoutDf = spark.read.parquet(path)
     def pruned(): DataFrame = layoutDf
       .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
-    val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
+    // residual layouts score v̂ = cell + r̂: the probes frame carries the
+    // per-(query, cluster) q·cell scalar and a per-probed-cluster shift
+    // frame joins in; global layouts keep the plain probes frame
+    val residual = isResidualLayout(spark, path)
+    val (probesDf, cellsDf) =
+      if (residual) residualProbeFrames(spark, qRows, probePairs, probedClusters, model, pq)
+      else (broadcast(probePairs.toSeq.toDF("qid", "cluster_id")), null)
 
     // Layouts written by [[writePartitionedPQ]] carry a dense cluster-major
     // ordinal; candidates are keyed by it so the phase-2 In pushdown hits
@@ -277,11 +357,15 @@ object Ivf {
     val keyCol = if (layoutDf.columns.contains("row_ord")) "row_ord" else baseId
 
     // phase 1: narrow scan — the vec column is never materialized here
-    val approx = pruned()
+    val approx0 = pruned()
       .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
-      .join(broadcast(probesDf), "cluster_id")
+      .join(probesDf, "cluster_id")
       .join(PQ.adcQueryFrame(spark, qRows, pq), "qid")
-      .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+    val approx =
+      if (residual) approx0.join(cellsDf, "cluster_id")
+        .withColumn("__approx", PQ.adcResidualApproxScore(model.metric, pq, "pq_code"))
+      else approx0
+        .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
     val candAgg = TopK.udf(rerankK)
     val cands = cacheBounded(approx.groupBy("qid")
       .agg(candAgg(col("__nid"), col("__approx")).as("t"))
@@ -423,23 +507,32 @@ object Ivf {
     val layoutDf = spark.read.parquet(path) // one schema resolution per call
     def pruned(): DataFrame = layoutDf
       .filter(col("cluster_id").isin(probedClusters.map(Integer.valueOf).toSeq: _*))
-    val probesDf = probePairs.toSeq.toDF("qid", "cluster_id")
     val keyCol = if (layoutDf.columns.contains("row_ord")) "row_ord" else baseId
     val qFrame = PQ.adcQueryFrame(spark, qRows, pq)
+    // residual layouts shift the ADC per (query, cluster) — same switch as
+    // [[searchPartitionedPQ]]; the margin calibration below then measures
+    // the RESIDUAL quantization error, which is what phase 1 traverses on
+    val residual = isResidualLayout(spark, path)
+    val (probesDf, cellsDf) =
+      if (residual) residualProbeFrames(spark, qRows, probePairs, probedClusters, model, pq)
+      else (broadcast(probePairs.toSeq.toDF("qid", "cluster_id")), null)
+    def withApprox(df: DataFrame): DataFrame = {
+      // qFrame already carries the (double-cast) qvec — exact for the
+      // deviation estimate, no second queries join needed
+      val j = df.join(probesDf, "cluster_id").join(qFrame, "qid")
+      if (residual) j.join(cellsDf, "cluster_id")
+        .withColumn("__approx", PQ.adcResidualApproxScore(model.metric, pq, "pq_code"))
+      else j.withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+    }
 
     val margins: DataFrame =
       if (!adcMargin.isNaN) qRows.map(q => (q._1, adcMargin)).toSeq.toDF("qid", "__margin")
       else {
         val cnt = pruned().select(col(keyCol)).count()
         val stride = math.max(1L, cnt / 64L)
-        pruned()
+        withApprox(pruned()
           .filter(pmod(col(keyCol), lit(stride)) === 0)
-          .select(col("cluster_id"), col("pq_code"), col(baseVec).as("__vec"))
-          .join(broadcast(probesDf), "cluster_id")
-          // qFrame already carries the (double-cast) qvec — exact for the
-          // deviation estimate, no second queries join needed
-          .join(qFrame, "qid")
-          .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+          .select(col("cluster_id"), col("pq_code"), col(baseVec).as("__vec")))
           .withColumn("__dev",
             VectorFunctions.similarity(model.metric)(col("__vec"), col("qvec"))
               - col("__approx"))
@@ -448,11 +541,8 @@ object Ivf {
       }
 
     // phase 1: codes-only candidate scan at the widened approximate bar
-    val cands = cacheBounded(pruned()
-      .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code"))
-      .join(broadcast(probesDf), "cluster_id")
-      .join(qFrame, "qid")
-      .withColumn("__approx", PQ.adcApproxScore(model.metric, pq, "pq_code"))
+    val cands = cacheBounded(withApprox(pruned()
+      .select(col(keyCol).cast("long").as("__nid"), col("cluster_id"), col("pq_code")))
       .join(broadcast(margins), Seq("qid"), "left")
       .filter(col("__approx") >=
         lit(threshold) - coalesce(col("__margin"), lit(0.25)))

@@ -934,6 +934,30 @@ object PQ {
     }
   }
 
+  /** Residual twin of [[adcApproxScore]] (FAISS IVF-PQ serving): codes
+    * encode r = v − clusterCentroid, so v̂ = cell + r̂ and the score needs
+    * the per-cluster shift columns (`cell_dots` = cell·codebook LUT,
+    * `cell_cn` = |cell|²) and the per-(query, cluster) scalar
+    * `__qc` = q·cell alongside the residual query tables (adc_dots,
+    * adc_mags, qnorm). Same normalized score scales as [[adcApproxScore]];
+    * stays one whole-stage-codegen span (three lookup-sums + arithmetic). */
+  private[graft] def adcResidualApproxScore(metric: String, model: PQModel, codeCol: String): Column = {
+    val kk = model.codebooks(0).length
+    def lookupSum(table: Column): Column =
+      graft.functions.VectorExpressions.adcLookupSum(table, col(codeCol), kk)
+    val dotQ = col("__qc") + lookupSum(col("adc_dots"))
+    val norm2 = col("cell_cn") + lit(2.0) * lookupSum(col("cell_dots")) +
+      lookupSum(col("adc_mags"))
+    metric.toUpperCase match {
+      case "DOT_PRODUCT" | "DOT" => (lit(1.0) + dotQ) / 2.0
+      case "COSINE" =>
+        (lit(1.0) + dotQ / (sqrt(norm2) * sqrt(col("qnorm")))) / 2.0
+      case "EUCLIDEAN" =>
+        lit(1.0) / (lit(1.0) + (col("qnorm") - lit(2.0) * dotQ + norm2))
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+
   /** Approximate kNN over PQ codes with optional exact rerank (two-phase
     * search, jvector `GraphSearcher.java:471-507` / NodeQueue.rerank):
     * phase 1 scores all codes via ADC table lookups (cheap, in-memory),

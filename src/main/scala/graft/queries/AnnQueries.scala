@@ -409,6 +409,64 @@ object AnnQueries {
   private val ivfPqPlanLines =
     new scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
+  /** Residual-encoded IVF-PQ layout (r13, FAISS IVF-PQ — the layout twin
+    * of the graph trees' residual ADC serving): codes encode
+    * r = v − clusterCentroid ([[Ivf.trainResidualPQ]] +
+    * `writePartitionedPQ(residualPq = true)`), phase-1 ADC shifts per
+    * (query, cluster). Contract: at EQUAL, MINIMAL rerank budget
+    * (rerankK = topK — phase-1 ordering is the whole signal) the residual
+    * layout beats the global-codebook layout on planted-cluster data, and
+    * clears an absolute floor. Both measured vs the probed-exact twin so
+    * routing quality (the IVF model's property) cancels out. */
+  private val ivfResMemo =
+    new scala.collection.concurrent.TrieMap[String, (Double, Double)]()
+
+  private def ivfPqRes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rRes, rGlob) = ivfResMemo.getOrElseUpdate("run", {
+      val nc = 16; val per = 300; val d = 16; val topK = 10; val nprobe = 4
+      val rnd = new java.util.Random(47)
+      val centers = Array.fill(nc)(Array.fill(d)(rnd.nextGaussian() * 2))
+      val rows = (0 until nc * per).map { i =>
+        val r = new java.util.Random(i * 131L + 47)
+        val c = centers(i % nc)
+        (i.toLong, Seq.tabulate(d)(j => c(j) + r.nextGaussian() * 0.7))
+      }
+      val base = s.createDataset(rows).toDF("id", "vec").repartition(8, col("id"))
+      val model = Ivf.train(base, "vec", nlist = nc, metric = "COSINE")
+      val pqGlob = graft.operators.PQ.train(base, "vec", 8, 128)
+      val pqRes = Ivf.trainResidualPQ(base, "vec", model, 8, 128)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfres").toString
+      Ivf.writePartitionedPQ(base, "vec", model, pqGlob, s"$root/glob", idCol = "id")
+      Ivf.writePartitionedPQ(base, "vec", model, pqRes, s"$root/res", idCol = "id",
+        residualPq = true)
+      val queries = rows.take(30).toDF("qid", "qvec")
+      val probePairs = rows.take(30).flatMap { case (qid, v) =>
+        model.nearestClusters(v.toArray, nprobe).map(c => (qid, c)) }
+        .toDF("qid", "cl")
+      val assigned = Ivf.assign(base, "vec", model)
+        .select(col("id").cast("long").as("nid"), col("cluster_id").as("cl"))
+      val probed = KnnExact.knn(base, queries, topK, "COSINE", "id", "vec")
+        .select("qid", "nid").join(assigned, "nid")
+        .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
+      val nProbed = probed.count().toDouble
+      def rec(path: String, pq: graft.operators.PQModel): Double = {
+        val got = Ivf.searchPartitionedPQ(path, queries, model, pq, nprobe,
+          topK = topK, rerankK = topK, baseId = "id", baseVec = "vec")
+        got.select("qid", "nid").join(probed, Seq("qid", "nid"), "left_semi")
+          .count() / nProbed
+      }
+      (rec(s"$root/res", pqRes), rec(s"$root/glob", pqGlob))
+    })
+    Gates.df(s, Seq(
+      ("ivfpq_res_ge_global_at_equal_rerank", 0.05, rRes >= rGlob + 0.05),
+      ("ivfpq_res_zero_slack_recall_ge_0.75", 0.75, rRes >= 0.75)))
+  }
+
+  private val ivfPqResSql: String = Gates.sql(Seq(
+    ("ivfpq_res_ge_global_at_equal_rerank", 0.05),
+    ("ivfpq_res_zero_slack_recall_ge_0.75", 0.75)))
+
   private val ivfPqThresholdSql: String = Gates.sql(Seq(
     ("ivfpq_threshold_codes_only_scan", 1.0),
     ("ivfpq_threshold_no_extras", 0.0),
@@ -1133,6 +1191,7 @@ object AnnQueries {
     "dense_ids" -> (denseIds _),
     "ivf_threshold" -> (ivfThreshold _),
     "ivfpq_threshold" -> (ivfPqThreshold _),
+    "ivfpq_res" -> (ivfPqRes _),
     "ann_threshold" -> (annThreshold _),
     "ann_threshold_idx" -> (annThresholdIdx _),
     "ann_rescore" -> (annRescore _),
@@ -1157,6 +1216,7 @@ object AnnQueries {
     "dense_ids" -> denseIdsSql,
     "ivf_threshold" -> ivfThresholdSql,
     "ivfpq_threshold" -> ivfPqThresholdSql,
+    "ivfpq_res" -> ivfPqResSql,
     "ann_threshold" -> annThresholdSql,
     "ann_threshold_idx" -> annThresholdIdxSql,
     "ann_rescore" -> annRescoreSql,
