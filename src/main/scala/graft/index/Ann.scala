@@ -187,7 +187,8 @@ object Ann {
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
-      CentroidCache.clear(); ClusteredMarkerCache.clear() }
+      CentroidCache.clear(); ClusteredMarkerCache.clear()
+      AdcModelCache.clear(); ResAdcCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
     * call this after every write; search cache keys embed the token, so a
@@ -1114,10 +1115,10 @@ object Ann {
     }
 
     // two-phase mode: load the PQ sidecar + precompute per-query ADC tables
-    val adcB = loadAdcTables(spark, path, qArr, rerankK)
+    val adcB = loadAdcTables(spark, path, tok, rerankK)
     // residual-ADC serving (clustered trees): per-query residual tables;
     // segments without the payload fall back to global ADC individually
-    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
+    val resAdcB = loadResAdc(spark, path, tok, rerankK)
 
     // with routing active, prune unprobed segments BEFORE the read/shuffle —
     // I/O and shuffle stay proportional to probed segments, not index size
@@ -1262,6 +1263,27 @@ object Ann {
         col("col._1").as("nid"), col("col._2").as("score"))
   }
 
+  /** Per-(path, token) memo of the two-phase model broadcasts: a hot
+    * serving loop calls searchIndex per batch, and a fresh broadcast per
+    * call is block-manager writes + ContextCleaner churn on the serving
+    * path. The token keys invalidation exactly like the segment caches —
+    * a rebuild/repair/compact changes it and the stale entry is simply
+    * never hit again (bounded: one tiny model broadcast per live tree). */
+  private object AdcModelCache {
+    private val m = new scala.collection.concurrent.TrieMap[(String, String), Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])]]()
+    def getOrCompute(k: (String, String),
+        f: => Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])])
+        : Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])] =
+      m.getOrElseUpdate(k, f)
+    def clear(): Unit = m.clear()
+  }
+  private object ResAdcCache {
+    private val m = new scala.collection.concurrent.TrieMap[(String, String), Option[ResAdc]]()
+    def getOrCompute(k: (String, String), f: => Option[ResAdc]): Option[ResAdc] =
+      m.getOrElseUpdate(k, f)
+    def clear(): Unit = m.clear()
+  }
+
   /** PQ-model broadcast for the two-phase routes: loads the sidecar under
     * `path`. None when two-phase is off or the tree has no sidecar
     * (callers fall back to the exact beam). Returns (m, k, modelB).
@@ -1276,9 +1298,9 @@ object Ann {
   private def loadAdcTables(
       spark: SparkSession,
       path: String,
-      qArr: Array[(Long, Array[Float])],
+      tok: String,
       rerankK: Int): Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])] =
-    if (rerankK > 0) {
+    if (rerankK > 0) AdcModelCache.getOrCompute((pinKey(path), tok), {
       try {
         val sidecar = s"${path.stripSuffix("/*").stripSuffix("/")}/_pq_model"
         // existence-check first: a missing sidecar must fall back silently,
@@ -1292,7 +1314,7 @@ object Ann {
       } catch {
         case _: Exception => None // no sidecar -> fall back to exact beam
       }
-    } else None
+    }) else None
 
   /** Task-local per-query ADC table builder over a broadcast model:
     * (dots, mags, |q|²) computed at first use and memoized for the task —
@@ -1338,9 +1360,9 @@ object Ann {
   private[graft] def loadResAdc(
       spark: SparkSession,
       path: String,
-      qArr: Array[(Long, Array[Float])],
+      tok: String,
       rerankK: Int): Option[ResAdc] =
-    if (rerankK > 0) {
+    if (rerankK > 0) ResAdcCache.getOrCompute((pinKey(path), tok), {
       try {
         val base = path.stripSuffix("/*").stripSuffix("/")
         val fs = new org.apache.hadoop.fs.Path(base)
@@ -1367,7 +1389,7 @@ object Ann {
       } catch {
         case _: Exception => None
       }
-    } else None
+    }) else None
 
   /** Per-(task, segment) residual state: (resCodesFlat, cdots, rmags,
     * |cell|²). None when the segment carries no residual payload — callers
@@ -1773,8 +1795,8 @@ object Ann {
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
-    val adcB = loadAdcTables(spark, path, qArr, rerankK)
-    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
+    val adcB = loadAdcTables(spark, path, tok, rerankK)
+    val resAdcB = loadResAdc(spark, path, tok, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))
@@ -2215,8 +2237,8 @@ object Ann {
     val raw = pinnedOpt.getOrElse(readIndex(spark, path))
     val segQueriesB = routeQueries(spark, raw, qArr, p, probeSegments, path, tok)
     val withLive = withLiveCol(raw, deletes)
-    val adcB = loadAdcTables(spark, path, qArr, rerankK)
-    val resAdcB = loadResAdc(spark, path, qArr, rerankK)
+    val adcB = loadAdcTables(spark, path, tok, rerankK)
+    val resAdcB = loadResAdc(spark, path, tok, rerankK)
     val pruned = segQueriesB match {
       case Some(b) if b.value.nonEmpty =>
         withLive.filter(col("seg").isin(b.value.keys.toSeq: _*))

@@ -112,6 +112,36 @@ object MsegProfile {
       Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
         probeSegments = Ann.AutoProbe).count()
     }
+    // pq mode: the two-phase ROUTED path at scale — residual ADC serving
+    // engages automatically on the clustered pqBuild tree (res_code +
+    // _pqres_model), so this is the r13 serving fix's at-scale evidence.
+    // A sidecar-less copy of the tree gives the global-ADC A/B twin.
+    if (pqBuild) {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val globPath = path.stripSuffix("/idx") + "/idx_glob"
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(path),
+        fs, new org.apache.hadoop.fs.Path(globPath), false, conf)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$globPath/_pqres_model"), true)
+      Ann.pin(spark, globPath)
+      val truth = graft.operators.KnnExact.knn(df, queries, 10, "COSINE").cache()
+      truth.count()
+      // pool = ef = rerankK, frontier 1x: the exact-rerank pool IS the
+      // sweep variable (ef=64 would floor the pool at 64 for every rk)
+      for ((tag, pth) <- Seq("res" -> path, "glob" -> globPath); rk <- Seq(10, 20, 40, 64)) {
+        val t0 = System.nanoTime()
+        val got = Ann.searchIndex(spark, pth, queries, 10, ef = rk,
+          params.copy(adcFrontierPerK = 1), probeSegments = Ann.AutoProbe,
+          rerankK = rk)
+        val hit = got.select("qid", "nid")
+          .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+        System.err.println(f"[msegprof] twophase_$tag rk=$rk " +
+          f"recall_abs=${hit.toDouble / truth.count()}%.3f " +
+          f"batch=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      Ann.unpin(globPath)
+      truth.unpersist()
+    }
     // single-query routed latency tail (the serving-shape number: one
     // query per call, pinned tree) with GC activity tagged per sample —
     // the mseg-scale evidence for the default-vs-ZGC adoption call

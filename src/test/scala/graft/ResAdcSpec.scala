@@ -150,8 +150,8 @@ class ResAdcSpec extends SparkSpec {
     assert(df.filter(col("batch") === 0 && col("res_code").isNull).count() === 0)
     assert(df.filter(col("batch") === 1 && col("res_code").isNotNull).count() === 0)
     // the one batch=0 sidecar resolves (residual serving ON for the tree)
-    val qArr = rows.take(8).map { case (id, v) => (id, v.toArray) }.toArray
-    assert(Ann.loadResAdc(spark, s"$root/idx", qArr, rerankK = 10).isDefined,
+    val tok0 = Ann.buildToken(spark, s"$root/idx")
+    assert(Ann.loadResAdc(spark, s"$root/idx", tok0, rerankK = 10).isDefined,
       "residual model must resolve one level down (service layout)")
     // two-phase search over the MIXED tree works end-to-end (residual on
     // batch=0 segments, global fallback on flush segments, shared floors)
@@ -164,7 +164,8 @@ class ResAdcSpec extends SparkSpec {
     // loader must disable residual serving outright, never guess
     Ann.buildIndexClustered(base.withColumn("id", col("id") + 200000L),
       s"$root/idx/batch=2", p, nlist = 8)
-    assert(Ann.loadResAdc(spark, s"$root/idx", qArr, rerankK = 10).isEmpty,
+    assert(Ann.loadResAdc(spark, s"$root/idx",
+        Ann.buildToken(spark, s"$root/idx"), rerankK = 10).isEmpty,
       "two residual sidecars under one tree must disable residual serving")
   }
 
