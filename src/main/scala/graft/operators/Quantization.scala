@@ -899,6 +899,13 @@ object PQ {
   /** Broadcast relation of per-query ADC state: (qid, qvec, adc_dots,
     * adc_mags, qnorm) — one row per query, tables flattened m*k wide.
     * Shared by [[knn]] and [[graft.index.Ivf.searchPartitionedPQ]]. */
+  /** Broadcast per-query ADC table frame for the DECLARATIVE scoring
+    * routes (the codegen'd lookup-sum over joined columns). Size is
+    * O(batch × m × k) doubles — fine for serving batches (the callers
+    * collect qRows anyway, so the batch is already driver-bounded), but
+    * callers with very large query sets should chunk; the task-side
+    * graph routes avoid this entirely ([[graft.index.Ann]] builds tables
+    * in-task from a model-only broadcast). */
   private[graft] def adcQueryFrame(
       spark: org.apache.spark.sql.SparkSession,
       qRows: Array[(Long, Array[Double])],
