@@ -1220,7 +1220,13 @@ object Ann {
                   // rank inversion drops true neighbors below the cutoff
                   val adcBeam = math.max(math.max(rerankK, ef), p.adcFrontierPerK * topK)
                   val (r, worstApprox) =
-                    if (fusedAdc && entry.fused != null)
+                    // residual payload takes precedence over an explicit
+                    // fused opt-in: the fused blocks hold GLOBAL codes,
+                    // which are ordering noise inside tight cells (the 1M
+                    // A/B: 0.16 vs 0.63 recall_abs, NOTES_r13 §1) — a Q7
+                    // throughput experiment must not silently cost 4x
+                    // recall on clustered trees
+                    if (fusedAdc && entry.fused != null && resSeg.isEmpty)
                       // fused traversal (Q7): batch-score the unvisited
                       // neighbors of the expanded node from its transposed
                       // code block
