@@ -1329,9 +1329,9 @@ object Ann {
     * the O(batch × m × k) driver/broadcast footprint. */
   private final class TaskAdcTables(model: graft.operators.PQModel) {
     private val memo =
-      scala.collection.mutable.Map.empty[Int, (Array[Double], Array[Double], Double)]
-    def apply(qi: Int, qv: Array[Float]): (Array[Double], Array[Double], Double) =
-      memo.getOrElseUpdate(qi, {
+      scala.collection.mutable.Map.empty[Long, (Array[Double], Array[Double], Double)]
+    def apply(qKey: Long, qv: Array[Float]): (Array[Double], Array[Double], Double) =
+      memo.getOrElseUpdate(qKey, {
         val qd = qv.map(_.toDouble)
         val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
         var qn = 0.0; var i = 0
@@ -1447,12 +1447,12 @@ object Ann {
       entry: SegmentCache.Entry,
       resSeg: Option[(Array[Int], Array[Double], Array[Double], Double)],
       resB: Option[ResAdc], resTables: TaskAdcTables,
-      qi: Int, qv: Array[Float], mc: Int,
+      qKey: Long, qv: Array[Float], mc: Int,
       m: Int, kk: Int, dots: Array[Double], mags: Array[Double], qn: Double): Int => Double =
     resSeg match {
       case Some((rcf, cdots, rmags, cn)) =>
         val ra = resB.get
-        val (rdots, _, rqn) = resTables(qi, qv)
+        val (rdots, _, rqn) = resTables(qKey, qv)
         val cell = entry.cell
         var qc = 0.0; var j = 0
         while (j < qv.length) { qc += qv(j) * cell(j); j += 1 }
@@ -1903,13 +1903,16 @@ object Ann {
       /** See [[searchIndex]]: AutoProbe (default) routes on clustered
         * trees — only probed segments get durable cursors, so session
         * state scales with sqrt(segments), not segments. */
-      probeSegments: Int = AutoProbe): DataFrame = {
+      probeSegments: Int = AutoProbe,
+      /** >0 = compressed session (see [[sessionPage]]): the persisted
+        * cursor traverses on ADC scores, pages rerank exactly. */
+      rerankK: Int = 0): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/cursors")),
       s"session already open at $statePath — use nextSessionPage")
     sessionPage(spark, path, statePath, Some(queries), k, ef, params, deletes,
-      probeSegments)
+      probeSegments, rerankK)
   }
 
   /** Next page of a persisted session (see [[openPagedSession]]). */
@@ -1920,8 +1923,11 @@ object Ann {
       k: Int,
       ef: Int,
       params: Params = Params(),
-      deletes: Option[DataFrame] = None): DataFrame =
-    sessionPage(spark, path, statePath, None, k, ef, params, deletes)
+      deletes: Option[DataFrame] = None,
+      /** Must match the mode the session was OPENED with (guarded). */
+      rerankK: Int = 0): DataFrame =
+    sessionPage(spark, path, statePath, None, k, ef, params, deletes,
+      rerankK = rerankK)
 
   private def sessionPage(
       spark: SparkSession,
@@ -1935,11 +1941,27 @@ object Ann {
       /** Segment routing for the CREATE page (see [[searchIndex]]):
         * AutoProbe routes on clustered trees, exhaustive otherwise. Later
         * pages resume the cursors that exist — no re-routing. */
-      probeSegments: Int = AutoProbe): DataFrame = {
+      probeSegments: Int = AutoProbe,
+      /** >0 = COMPRESSED session on a pqM > 0 tree: the persisted cursor
+        * traverses on ADC scores (residual on clustered trees) and each
+        * page's per-segment candidates rerank exactly before the pool
+        * merge — jvector's resume on the same compressed SSP
+        * (`GraphSearcher.java:509-547`). A session opens in one mode and
+        * stays there (guarded). Unlike the exact mode, page membership
+        * follows approx DISCOVERY order (the reference's own trade):
+        * pages are exact-scored, disjoint, and complete, but a later page
+        * may hold an exactly-better hit than an earlier one emitted. */
+      rerankK: Int = 0): DataFrame = {
     import spark.implicits._
     val p = params
     val tok = buildToken(spark, path)
     val segToks = segTokens(spark, path, tok)
+    val twoPhase = rerankK > 0
+    val adcB = loadAdcTables(spark, path, tok, rerankK)
+    val resAdcB = loadResAdc(spark, path, tok, rerankK)
+    // candidates resumed per (query, segment, page) on the compressed
+    // route: oversampled like the batch routes' ADC frontier
+    val pageCands = math.max(math.max(k, rerankK), p.adcFrontierPerK * k)
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -2011,6 +2033,12 @@ object Ann {
       case Some(_) => // create: queries ride the broadcast; with routing
         // active, each segment searches only the queries routed TO it
         idxRdd.mapPartitions { it =>
+          val gTabs: TaskAdcTables = adcB match {
+            case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
+          }
+          val rTabs: TaskAdcTables = resAdcB match {
+            case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
+          }
           groupSegTask(it, path, tok, segToks, p, segQueriesB, nQ, 1, liveConst)
             .flatMap { sg =>
               if (sg.qIdx.isEmpty) Iterator.empty
@@ -2018,10 +2046,26 @@ object Ann {
                 val (entry, live) = sg.resolve()
                 val g = entry.graph
                 val ids = entry.ids
+                val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
+                val resSeg = resSegState(entry, resAdcB)
                 sg.qIdx.iterator.flatMap { qi =>
                   val (qid, qv) = qB.get.value(qi)
-                  val (first, st) = g.searchResumable(qv, k, ef, i => live(i))
-                  emit(sg.segId, qid, qv, g, ids, st, first)
+                  adcB match {
+                    case Some((m, kk, _)) if twoPhase && hasCodes =>
+                      // compressed cursor: approx traversal, exact rerank
+                      // of this page's candidates before the pool merge
+                      val (dots, mags, qn) = gTabs(qi, qv)
+                      val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                        qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
+                      val (cands, st) = g.searchResumableScored(approx, pageCands,
+                        math.max(ef, pageCands), i => live(i))
+                      val exact = g.exactScorer(qv)
+                      emit(sg.segId, qid, qv, g, ids, st,
+                        cands.map { case (l, _) => (l, exact(l)) })
+                    case _ =>
+                      val (first, st) = g.searchResumable(qv, k, ef, i => live(i))
+                      emit(sg.segId, qid, qv, g, ids, st, first)
+                  }
                 }
               }
             }
@@ -2035,6 +2079,16 @@ object Ann {
         // exported from; a rebuild/repair/compact under the session would
         // silently remap those ids to different rows — fail loudly instead
         val cursorToks = cursors.select("tok").distinct().collect().map(_.getString(0))
+        // mode guard: a session opened compressed must resume compressed
+        // (the cursor's visited/returned sets reflect APPROX traversal;
+        // resuming exact over them would silently mix semantics) — and
+        // vice versa. Pre-r13 sessions lack the column: exact.
+        val storedTwoPhase = cursors.columns.contains("two_phase") &&
+          cursors.select("two_phase").distinct().collect().exists(_.getBoolean(0))
+        require(storedTwoPhase == twoPhase,
+          s"session at $statePath was opened with " +
+            s"${if (storedTwoPhase) "rerankK > 0 (compressed)" else "rerankK = 0 (exact)"} — " +
+            "pass the same mode to nextSessionPage")
         require(cursorToks.forall(_ == tok),
           s"index at $path changed since this session opened " +
             s"(build token ${cursorToks.mkString(",")} != $tok) — " +
@@ -2081,6 +2135,12 @@ object Ann {
           .partitionBy(bySeg)
           .values
         idxRdd.zipPartitions(curRdd) { (idxIt, curIt) =>
+          val gTabs: TaskAdcTables = adcB match {
+            case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
+          }
+          val rTabs: TaskAdcTables = resAdcB match {
+            case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
+          }
           // index side consumed first (groupSegTask drains it), then the
           // partition's cursors resume against the resident assemblies
           val groups = groupSegTask(idxIt, path, tok, segToks, p, None, nQ, 1, liveConst)
@@ -2098,9 +2158,27 @@ object Ann {
                 val (entry, live) = sg.resolve()
                 val g = entry.graph
                 val ids = entry.ids
+                val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
+                val resSeg = resSegState(entry, resAdcB)
                 curs.iterator.flatMap { c =>
-                  val st = g.importCursor(c._3, i => live(i), c._4, c._5, c._6, c._7)
-                  emit(segId, c._2, c._3, g, ids, st, g.resume(st, k, ef))
+                  adcB match {
+                    case Some((m, kk, _)) if twoPhase && hasCodes =>
+                      // resume on the SAME approx scorer the cursor was
+                      // exported from (packed heap scores stay on one
+                      // scale), exact-rerank the new candidates
+                      val (dots, mags, qn) = gTabs(c._2, c._3)
+                      val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                        c._2, c._3, adcMetricCode(p.metric), m, kk, dots, mags, qn)
+                      val st = g.importCursorScored(approx, i => live(i),
+                        c._4, c._5, c._6, c._7)
+                      val exact = g.exactScorer(c._3)
+                      emit(segId, c._2, c._3, g, ids, st,
+                        g.resume(st, pageCands, math.max(ef, pageCands))
+                          .map { case (l, _) => (l, exact(l)) })
+                    case _ =>
+                      val st = g.importCursor(c._3, i => live(i), c._4, c._5, c._6, c._7)
+                      emit(segId, c._2, c._3, g, ids, st, g.resume(st, k, ef))
+                  }
                 }
             }
           }
@@ -2166,7 +2244,8 @@ object Ann {
     // local scheduler interleaves their tasks, saving one job's fixed wall
     val cursorsDf = out.filter(col("kind") === 1)
       .select(col("qid"), col("seg"), col("qvec"), col("visited"),
-        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"))
+        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
+        lit(twoPhase).as("two_phase"))
     val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       Seq(("cursors", cursorsDf), ("pool", newPool)).map { case (name, df) =>

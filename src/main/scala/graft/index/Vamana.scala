@@ -784,10 +784,20 @@ final class Vamana(
     * exported from — same rows, same local-id order). */
   def importCursor(q: Array[Float], accept: Int => Boolean,
       visited: Array[Byte], returned: Array[Byte],
+      frontier: Array[Long], evicted: Array[Long]): Vamana.SearchState =
+    importCursorScored(queryScorer(q), accept, visited, returned, frontier, evicted)
+
+  /** [[importCursor]] with a pluggable scorer — the COMPRESSED session
+    * route resumes its cursor on the same approx scorer it traversed on
+    * (jvector resume runs on the same compressed SSP,
+    * `GraphSearcher.java:509-547`); packed frontier/evicted scores stay
+    * on that scorer's scale across pages by construction. */
+  def importCursorScored(scorer: Int => Double, accept: Int => Boolean,
+      visited: Array[Byte], returned: Array[Byte],
       frontier: Array[Long], evicted: Array[Long]): Vamana.SearchState = {
     val f = new LongHeap(math.max(64, frontier.length + 1), min = false)
     frontier.foreach(f.push)
-    new Vamana.SearchState(queryScorer(q), accept,
+    new Vamana.SearchState(scorer, accept,
       Vamana.decodeBits(visited), f,
       mutable.ArrayBuffer.from(evicted), Vamana.decodeBits(returned))
   }

@@ -1320,6 +1320,56 @@ class AnnSpec extends SparkSpec {
       s"cursors must exist only for probed segments, got $cursorSegs per query")
   }
 
+  test("compressed persisted session: ADC cursor + exact rerank, pages disjoint/complete, mode guarded") {
+    // jvector's resume runs on the SAME compressed SSP
+    // (GraphSearcher.java:509-547) — the persisted session now has the
+    // same capability: cursors traverse on (residual) ADC scores, each
+    // page's candidates rerank exactly before the pool merge
+    val tmp = java.nio.file.Files.createTempDirectory("annsesspq").toString
+    val nc = 8
+    val rnd = new java.util.Random(83)
+    val centers = Array.fill(nc)(Array.fill(16)(rnd.nextGaussian().toFloat * 2))
+    val base = (0 until nc * 300).map { i =>
+      val r = new java.util.Random(i * 13L + 1)
+      (i.toLong, Seq.tabulate(16)(j => centers(i % nc)(j) + r.nextGaussian().toFloat))
+    }.toDF("id", "vec").repartition(4, col("id"))
+    val params = Ann.Params(metric = "COSINE", maxDegree = 12, beamWidth = 48, pqM = 4)
+    Ann.buildIndexClustered(base, s"$tmp/idx", params, nlist = nc)
+    val queries = (0 until 8).map(i => (i.toLong, (0 until 16).map(j =>
+      centers(i % nc)(j) + 0.05f * (j % 3)))).toDF("qid", "qvec")
+    val k = 10
+    val statePath = s"$tmp/sess"
+    val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k, ef = 48,
+      params, rerankK = 2 * k).cache()
+    Ann.clearSegmentCache() // fresh process between pages
+    val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 48,
+      params, rerankK = 2 * k).cache()
+    val union = p1.union(p2)
+    assert(union.count() === 8L * 2 * k, "2 full pages per query")
+    assert(union.select("qid", "nid").distinct().count() === 8L * 2 * k, "pages disjoint")
+    // scores are EXACT (rerank happened): spot-check vs a recomputed
+    // exact score for every returned row
+    val emb = base.select(col("id").as("nid"), col("vec"))
+    val bad = union.join(emb, "nid")
+      .join(queries, "qid")
+      .withColumn("__exact",
+        graft.functions.VectorFunctions.cosineSim(col("vec"), col("qvec")))
+      .filter(abs(col("score") - col("__exact")) > 1e-6).count()
+    assert(bad === 0L, "compressed session pages must carry exact scores")
+    // union recall vs exact top-2k (pages may interleave across the
+    // boundary — the reference's approx-discovery trade — but the UNION
+    // must find the true neighbors)
+    val truth = graft.operators.KnnExact.knn(base, queries, 2 * k, "COSINE", "id", "vec")
+    val hit = union.select("qid", "nid")
+      .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hit.toDouble / truth.count() >= 0.85,
+      s"compressed session union recall: ${hit.toDouble / truth.count()}")
+    // mode guard: resuming an ADC session with rerankK = 0 must fail loudly
+    val e = intercept[IllegalArgumentException](
+      Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 48, params))
+    assert(e.getMessage.contains("compressed"))
+  }
+
   test("cursor bitset codec: lossless round-trip, sparse images shrink ~an order of magnitude") {
     // the persisted-session durable-state fix (r13): a beam visits
     // ~ef·degree nodes of a potentially million-row segment, so the dense
