@@ -2189,6 +2189,28 @@ object Ann {
         "evicted", "node_id", "score")
       .localCheckpoint(true) // materialize BEFORE touching the old state dirs
 
+    // atomic-ish state swap: the new dir lands fully, then replaces the old
+    def swap(df: DataFrame, name: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$statePath/${name}_tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$statePath/$name")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(s"session state swap failed for $name")
+    }
+    // the cursors swap depends ONLY on the (checkpointed) out — kick it
+    // off NOW so its write overlaps the page/pool split computation below
+    // (each is a fixed-cost job; overlapping them shaves one job's wall
+    // from every page)
+    val cursorsDf = out.filter(col("kind") === 1)
+      .select(col("qid"), col("seg"), col("qvec"), col("visited"),
+        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
+        lit(twoPhase).as("two_phase"))
+    val swapPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val cursorsFut = swapPool.submit(new Runnable {
+      def run(): Unit = swap(cursorsDf, "cursors")
+    })
+
     val producedScored = out.filter(col("kind") === 0)
       .select(col("qid"), col("node_id").as("nid"), col("score"))
     val poolPath = new org.apache.hadoop.fs.Path(s"$statePath/pool")
@@ -2230,28 +2252,12 @@ object Ann {
       .select(col("qid"), col("rank").cast("int"), col("nid"), col("score"))
     val newPool = split.filter(col("rank") === 0).select("qid", "nid", "score")
 
-    // atomic-ish state swap: new dirs land fully, then replace the old
-    def swap(df: DataFrame, name: String): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(s"$statePath/${name}_tmp")
-      val dst = new org.apache.hadoop.fs.Path(s"$statePath/$name")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new IllegalStateException(s"session state swap failed for $name")
-    }
-    // the two swap writes are independent jobs over already-materialized
-    // inputs (out / split are checkpointed) — run them concurrently; the
-    // local scheduler interleaves their tasks, saving one job's fixed wall
-    val cursorsDf = out.filter(col("kind") === 1)
-      .select(col("qid"), col("seg"), col("qvec"), col("visited"),
-        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
-        lit(twoPhase).as("two_phase"))
-    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // pool swap last (depends on the split checkpoint); the overlapped
+    // cursors swap joins here so a failure in EITHER write surfaces
     try {
-      Seq(("cursors", cursorsDf), ("pool", newPool)).map { case (name, df) =>
-        pool2.submit(new Runnable { def run(): Unit = swap(df, name) })
-      }.foreach(_.get())
-    } finally pool2.shutdown()
+      swap(newPool, "pool")
+      cursorsFut.get()
+    } finally swapPool.shutdown()
     page
   }
 
