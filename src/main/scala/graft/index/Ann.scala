@@ -646,10 +646,10 @@ object Ann {
       resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] = None,
       /** Persist each node's residual code (`res_code`) + the encoding cell
         * centroid (`res_cell`, local_id=0 row) for residual ADC SERVING.
-        * Only meaningful with `resBuild`; [[buildIndexClustered]] passes
-        * true and saves the matching `_pqres_model` sidecar at the tree
-        * root. Aligned flushes pass false: their residual model is
-        * flush-local and would mismatch the root sidecar serving loads. */
+        * Only meaningful with `resBuild`; the caller must save the
+        * MATCHING `_pqres_model` sidecar at ITS dir ([[buildIndexClustered]]
+        * at the tree root, [[buildIndexAlignedTo]] at the batch dir) —
+        * serving pairs segments with their dir's model. */
       persistRes: Boolean = false): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
@@ -1002,12 +1002,15 @@ object Ann {
         element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
       .repartition(nlist, col("_route"))
       .drop("_route", "cluster_id")
-    // pqBuild on an aligned flush gets the same residual construction as
-    // buildIndexClustered (globally-trained codes collapse within a tight
-    // cell); the residual model trains on the FLUSH's residuals against
-    // the serving tree's cells — flush-sized, cheap
+    // residual model for the flush (any pqM > 0, like buildIndexClustered):
+    // trains on the FLUSH's residuals against the SERVING tree's cells —
+    // flush-sized, cheap. Construction scores on it when pqBuild is set
+    // (globally-trained codes collapse within a tight cell); the codes
+    // PERSIST with the flush's own `_pqres_model` sidecar at the batch
+    // dir, and serving pairs each segment with its dir's model
+    // ([[loadResAdc]]) — per-batch models are sound by construction.
     val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
-      if (params.pqBuild && params.pqM > 0) {
+      if (params.pqM > 0) {
         val centLit = typedLit(cells.model.centroids.map(_.toSeq).toSeq)
         val resFrame = assigned.withColumn("__res",
           graft.functions.VectorFunctions.sub(
@@ -1017,7 +1020,10 @@ object Ann {
           cells.model))
       } else None
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
-      resBuild = resBuild)
+      resBuild = resBuild, persistRes = true)
+    resBuild.foreach { case (rm, _) =>
+      graft.operators.PQ.save(base.sparkSession, rm, s"$path/_pqres_model")
+    }
     val freshDist = cellBaselineDist(base, baseVec, cells.model)
     freshDist / math.max(1e-9, cells.baselineDist)
   }
@@ -1177,13 +1183,9 @@ object Ann {
       // per-task rerank floors, keyed by query index: segments searched
       // sequentially within this task tighten each other's floors
       val floors = scala.collection.mutable.Map.empty[Int, Double]
-      // task-local ADC table builders (per-query memo across segments)
-      val gTabs: TaskAdcTables = adcB match {
-        case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
-      }
-      val rTabs: TaskAdcTables = resAdcB match {
-        case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
-      }
+      // task-local ADC table memo, shared across this task's segments and
+      // models (global + any per-batch residual models)
+      val tabs = new TaskAdcTables
       groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
         liveConst = liveConst)
         .flatMap { sg =>
@@ -1203,14 +1205,14 @@ object Ann {
             val codes = entry.codes
             val hasCodes = codes != null && codes.length > 0 && codes(0) != null
             // residual serving state, once per (task, segment): cell LUTs
-            val resSeg = resSegState(entry, resAdcB)
+            val resSeg = resSegState(entry, sg.segId, resAdcB)
             val vc = new Vamana.VisitCounter // task-local: exact under shared cached graphs
             val rc = new Vamana.VisitCounter // exact reranks performed
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
               val found = adcB match {
-                case Some((m, kk, _)) if hasCodes =>
-                  val (dots, mags, qn) = gTabs(qi, qv)
+                case Some((m, kk, mb)) if hasCodes =>
+                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
                   val mc = adcMetricCode(p.metric)
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
@@ -1238,8 +1240,8 @@ object Ann {
                       // at [i*m, (i+1)*m), no per-node object hop): residual
                       // ADC when this segment carries the payload, global
                       // ADC otherwise
-                      val approx = pickApproxScorer(entry, resSeg, resAdcB,
-                        rTabs, qi, qv, mc, m, kk, dots, mags, qn)
+                      val approx = pickApproxScorer(entry, resSeg, tabs,
+                        qi, qv, mc, m, kk, dots, mags, qn)
                       g.searchTwoPhaseWithFloor(qv, approx, topK,
                         adcBeam, i => live(i), vc, rerankFloor = floor, rc = rc)
                     }
@@ -1327,11 +1329,12 @@ object Ann {
     * segments searched sequentially within a task share each query's
     * tables, exactly like the former driver-precomputed broadcast, minus
     * the O(batch × m × k) driver/broadcast footprint. */
-  private final class TaskAdcTables(model: graft.operators.PQModel) {
+  private final class TaskAdcTables {
     private val memo =
-      scala.collection.mutable.Map.empty[Long, (Array[Double], Array[Double], Double)]
-    def apply(qKey: Long, qv: Array[Float]): (Array[Double], Array[Double], Double) =
-      memo.getOrElseUpdate(qKey, {
+      scala.collection.mutable.Map.empty[(Int, Long), (Array[Double], Array[Double], Double)]
+    def apply(model: graft.operators.PQModel, qKey: Long, qv: Array[Float])
+        : (Array[Double], Array[Double], Double) =
+      memo.getOrElseUpdate((System.identityHashCode(model), qKey), {
         val qd = qv.map(_.toDouble)
         val (dots, mags) = graft.operators.PQ.adcTables(qd, model)
         var qn = 0.0; var i = 0
@@ -1358,8 +1361,13 @@ object Ann {
     * so NOTHING broadcast grows with the batch size or the cell count
     * (10⁴–10⁵ cells, 10⁴+ query batches at 100 TB). */
   private[graft] final case class ResAdc(
-      m: Int, kk: Int,
-      modelB: org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])
+      /** batch-dir key ("" = tree root) -> that batch's residual model. */
+      modelsB: org.apache.spark.broadcast.Broadcast[Map[String, graft.operators.PQModel]],
+      /** segment id -> its batch-dir key — the pairing that makes
+        * PER-BATCH residual models sound: a flush batch's codes only ever
+        * score under the model that encoded them. O(#segments) strings,
+        * broadcast once per (path, token). */
+      segDirB: org.apache.spark.broadcast.Broadcast[Map[String, String]])
 
   /** Load `_pqres_model` + per-query residual ADC tables; None when absent
     * (serving falls back to global-codebook ADC per segment). */
@@ -1373,25 +1381,38 @@ object Ann {
         val base = path.stripSuffix("/*").stripSuffix("/")
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        // root sidecar first (bare clustered tree), then one level down —
-        // the service layout puts the clustered build at batch=0 under the
-        // generation dir (same lookup shape as the PQ/_cells sidecars).
-        // MORE than one residual sidecar under a tree (two clustered
-        // batches, each with its own model) disables residual serving
-        // outright: segments cannot be paired with their model at scorer
-        // level, and scoring codes under the wrong codebooks would
-        // silently corrupt the beam's ordering. With exactly one model,
-        // pairing is sound by construction: only that batch's segments
-        // carry res codes (aligned flushes persist none).
+        // PER-BATCH residual models: the root sidecar (bare clustered
+        // tree) plus one per batch dir (the service layout's clustered
+        // build at batch=0, and aligned flushes each training on THEIR
+        // rows against the serving cells). Each segment pairs with the
+        // model of the dir it lives in — scoring codes under the wrong
+        // codebooks would silently corrupt beam ordering, so pairing is
+        // by construction, never by guess: a segment whose dir has no
+        // sidecar simply falls back to global ADC.
+        def segsUnder(dir: org.apache.hadoop.fs.Path): Seq[String] =
+          try fs.listStatus(dir).toSeq
+            .filter(_.getPath.getName.startsWith("seg="))
+            .map(_.getPath.getName.stripPrefix("seg="))
+          catch { case _: Exception => Seq.empty }
         val rootSc = new org.apache.hadoop.fs.Path(s"$base/_pqres_model")
-        val candidates: Seq[org.apache.hadoop.fs.Path] =
-          (if (fs.exists(rootSc)) Seq(rootSc) else Nil) ++
+        val entries: Seq[(String, org.apache.hadoop.fs.Path, Seq[String])] =
+          (if (fs.exists(rootSc))
+            Seq(("", rootSc, segsUnder(new org.apache.hadoop.fs.Path(base))))
+           else Nil) ++
             Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_pqres_model")))
-              .getOrElse(Array.empty).map(_.getPath).toSeq
-        if (candidates.length != 1) return None
-        val model = graft.operators.PQ.load(spark, candidates.head.toString)
-        Some(ResAdc(model.m, model.codebooks(0).length,
-          spark.sparkContext.broadcast(model)))
+              .getOrElse(Array.empty).toSeq.map { st =>
+                val bdir = st.getPath.getParent
+                (bdir.getName, st.getPath, segsUnder(bdir))
+              }
+        if (entries.isEmpty) return None
+        val models: Map[String, graft.operators.PQModel] = entries.map {
+          case (key, sc, _) => key -> graft.operators.PQ.load(spark, sc.toString)
+        }.toMap
+        val segDir: Map[String, String] = entries.flatMap {
+          case (key, _, segs) => segs.map(_ -> key)
+        }.toMap
+        Some(ResAdc(spark.sparkContext.broadcast(models),
+          spark.sparkContext.broadcast(segDir)))
       } catch {
         case _: Exception => None
       }
@@ -1401,18 +1422,24 @@ object Ann {
     * |cell|²). None when the segment carries no residual payload — callers
     * fall back to the global ADC scorer for that segment (mixed trees:
     * aligned-flush batches persist no residual codes). */
-  private[graft] def resSegState(entry: SegmentCache.Entry, resB: Option[ResAdc])
-      : Option[(Array[Int], Array[Double], Array[Double], Double)] =
+  private[graft] def resSegState(entry: SegmentCache.Entry, segId: String,
+      resB: Option[ResAdc])
+      : Option[(graft.operators.PQModel, Array[Int], Array[Double], Array[Double], Double)] =
     resB.flatMap { ra =>
       val rcf = entry.resCodesFlat
       val cell = entry.cell
-      if (rcf == null || cell == null || rcf.length != entry.ids.length * ra.m) None
-      else {
-        val (cdots, rmags) = graft.operators.PQ.adcTables(cell, ra.modelB.value)
-        var cn = 0.0; var j = 0
-        while (j < cell.length) { cn += cell(j) * cell(j); j += 1 }
-        Some((rcf, cdots, rmags, cn))
-      }
+      if (rcf == null || cell == null) None
+      else ra.segDirB.value.get(segId)
+        .flatMap(d => ra.modelsB.value.get(d))
+        .flatMap { model =>
+          if (rcf.length != entry.ids.length * model.m) None
+          else {
+            val (cdots, rmags) = graft.operators.PQ.adcTables(cell, model)
+            var cn = 0.0; var j = 0
+            while (j < cell.length) { cn += cell(j) * cell(j); j += 1 }
+            Some((model, rcf, cdots, rmags, cn))
+          }
+        }
     }
 
   /** Gathered residual-ADC scorer (node i's residual code at
@@ -1445,18 +1472,18 @@ object Ann {
     * defined. */
   private def pickApproxScorer(
       entry: SegmentCache.Entry,
-      resSeg: Option[(Array[Int], Array[Double], Array[Double], Double)],
-      resB: Option[ResAdc], resTables: TaskAdcTables,
+      resSeg: Option[(graft.operators.PQModel, Array[Int], Array[Double], Array[Double], Double)],
+      tabs: TaskAdcTables,
       qKey: Long, qv: Array[Float], mc: Int,
       m: Int, kk: Int, dots: Array[Double], mags: Array[Double], qn: Double): Int => Double =
     resSeg match {
-      case Some((rcf, cdots, rmags, cn)) =>
-        val ra = resB.get
-        val (rdots, _, rqn) = resTables(qKey, qv)
+      case Some((model, rcf, cdots, rmags, cn)) =>
+        val (rdots, _, rqn) = tabs(model, qKey, qv)
         val cell = entry.cell
         var qc = 0.0; var j = 0
         while (j < qv.length) { qc += qv(j) * cell(j); j += 1 }
-        resAdcScorer(rcf, ra.m, ra.kk, mc, rdots, cdots, rmags, rqn, cn, qc)
+        resAdcScorer(rcf, model.m, model.codebooks(0).length, mc,
+          rdots, cdots, rmags, rqn, cn, qc)
       case None => adcScorer(entry.codesFlat, m, kk, mc, dots, mags, qn)
     }
 
@@ -1827,12 +1854,7 @@ object Ann {
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedPg
                          else selectedPg.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
-        val gTabs: TaskAdcTables = adcB match {
-          case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
-        }
-        val rTabs: TaskAdcTables = resAdcB match {
-          case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
-        }
+        val tabs = new TaskAdcTables
         groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
           liveConst = deletesEmpty)
           .flatMap { sg =>
@@ -1842,11 +1864,11 @@ object Ann {
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-            val resSeg = resSegState(entry, resAdcB)
+            val resSeg = resSegState(entry, sg.segId, resAdcB)
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
-                case Some((m, kk, _)) if hasCodes =>
+                case Some((m, kk, mb)) if hasCodes =>
                   // Compressed route: [[mergePaged]] re-slices global pages
                   // from the exact-ordered union of per-segment candidates,
                   // so per-segment page boundaries don't matter — only the
@@ -1857,8 +1879,8 @@ object Ann {
                   // compressed SSP, `GraphSearcher.java:509-547`).
                   val totalK = pagesB.sum
                   val width = math.max(math.max(rerankK, ef), p.adcFrontierPerK * totalK)
-                  val (dots, mags, qn) = gTabs(qi, qv)
-                  val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                  val approx = pickApproxScorer(entry, resSeg, tabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val (cands, _) = g.searchResumableScored(approx, width, width, i => live(i))
                   val exact = g.exactScorer(qv)
@@ -2033,12 +2055,7 @@ object Ann {
       case Some(_) => // create: queries ride the broadcast; with routing
         // active, each segment searches only the queries routed TO it
         idxRdd.mapPartitions { it =>
-          val gTabs: TaskAdcTables = adcB match {
-            case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
-          }
-          val rTabs: TaskAdcTables = resAdcB match {
-            case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
-          }
+          val tabs = new TaskAdcTables
           groupSegTask(it, path, tok, segToks, p, segQueriesB, nQ, 1, liveConst)
             .flatMap { sg =>
               if (sg.qIdx.isEmpty) Iterator.empty
@@ -2047,15 +2064,15 @@ object Ann {
                 val g = entry.graph
                 val ids = entry.ids
                 val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-                val resSeg = resSegState(entry, resAdcB)
+                val resSeg = resSegState(entry, sg.segId, resAdcB)
                 sg.qIdx.iterator.flatMap { qi =>
                   val (qid, qv) = qB.get.value(qi)
                   adcB match {
-                    case Some((m, kk, _)) if twoPhase && hasCodes =>
+                    case Some((m, kk, mb)) if twoPhase && hasCodes =>
                       // compressed cursor: approx traversal, exact rerank
                       // of this page's candidates before the pool merge
-                      val (dots, mags, qn) = gTabs(qi, qv)
-                      val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                      val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                      val approx = pickApproxScorer(entry, resSeg, tabs,
                         qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                       val (cands, st) = g.searchResumableScored(approx, pageCands,
                         math.max(ef, pageCands), i => live(i))
@@ -2135,12 +2152,7 @@ object Ann {
           .partitionBy(bySeg)
           .values
         idxRdd.zipPartitions(curRdd) { (idxIt, curIt) =>
-          val gTabs: TaskAdcTables = adcB match {
-            case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
-          }
-          val rTabs: TaskAdcTables = resAdcB match {
-            case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
-          }
+          val tabs = new TaskAdcTables
           // index side consumed first (groupSegTask drains it), then the
           // partition's cursors resume against the resident assemblies
           val groups = groupSegTask(idxIt, path, tok, segToks, p, None, nQ, 1, liveConst)
@@ -2159,15 +2171,15 @@ object Ann {
                 val g = entry.graph
                 val ids = entry.ids
                 val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-                val resSeg = resSegState(entry, resAdcB)
+                val resSeg = resSegState(entry, segId, resAdcB)
                 curs.iterator.flatMap { c =>
                   adcB match {
-                    case Some((m, kk, _)) if twoPhase && hasCodes =>
+                    case Some((m, kk, mb)) if twoPhase && hasCodes =>
                       // resume on the SAME approx scorer the cursor was
                       // exported from (packed heap scores stay on one
                       // scale), exact-rerank the new candidates
-                      val (dots, mags, qn) = gTabs(c._2, c._3)
-                      val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                      val (dots, mags, qn) = tabs(mb.value, c._2, c._3)
+                      val approx = pickApproxScorer(entry, resSeg, tabs,
                         c._2, c._3, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                       val st = g.importCursorScored(approx, i => live(i),
                         c._4, c._5, c._6, c._7)
@@ -2349,12 +2361,7 @@ object Ann {
     val perSegmentRdd = (if (pinnedOpt.isDefined && chunks <= 1) selectedTh
      else selectedTh.repartition(col("seg"), col("__chunk")))
       .queryExecution.toRdd.mapPartitions { it =>
-        val gTabs: TaskAdcTables = adcB match {
-          case Some((_, _, mb)) => new TaskAdcTables(mb.value); case None => null
-        }
-        val rTabs: TaskAdcTables = resAdcB match {
-          case Some(r) => new TaskAdcTables(r.modelB.value); case None => null
-        }
+        val tabs = new TaskAdcTables
         groupSegTask(it, path, tok, segToks, p, segQueriesB, qB.value.length, chunks,
           liveConst = deletesEmpty)
           .flatMap { sg =>
@@ -2364,11 +2371,11 @@ object Ann {
             val g = entry.graph
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
-            val resSeg = resSegState(entry, resAdcB)
+            val resSeg = resSegState(entry, sg.segId, resAdcB)
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
               adcB match {
-                case Some((m, kk, _)) if hasCodes =>
+                case Some((m, kk, mb)) if hasCodes =>
                   // Compressed traversal: collect + adaptive-stop on the
                   // ADC scale, then exact rerank and threshold re-check.
                   // Collection runs at a margin BELOW the threshold:
@@ -2380,8 +2387,8 @@ object Ann {
                   // calibrated from measured quantization error (see
                   // Params.thresholdAdcMargin) — both scorers are already
                   // in hand here, so the sample costs sN extra scores.
-                  val (dots, mags, qn) = gTabs(qi, qv)
-                  val approx = pickApproxScorer(entry, resSeg, resAdcB, rTabs,
+                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                  val approx = pickApproxScorer(entry, resSeg, tabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val exact = g.exactScorer(qv)
                   val margin =
@@ -2856,13 +2863,27 @@ object Ann {
                else raw.withColumn("pq_code", lit(null).cast("array<int>"))
       val c1 = if (c0.columns.contains("upper_nbrs")) c0
               else c0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
-      // residual serving payload survives repair: the segment stays the
-      // same cell and surviving rows' residual codes are still valid —
-      // only res_cell must ride to the NEW local_id=0 row below
-      val c2 = if (c1.columns.contains("res_code")) c1
-               else c1.withColumn("res_code", lit(null).cast("array<int>"))
-      val c = if (c2.columns.contains("res_cell")) c2
-              else c2.withColumn("res_cell", lit(null).cast("array<double>"))
+      // residual serving payload survives repair WHEN the tree's model is
+      // the ROOT sidecar: the segment stays the same cell and surviving
+      // rows' codes stay valid under it (res_cell re-homes to the new
+      // local 0 below). On batch-nested trees the rewritten segments land
+      // at the ROOT level — away from their batch dir's sidecar — so the
+      // payload is dropped there instead of silently mispairing
+      // ([[loadResAdc]] pairs by dir); those segments fall back to
+      // global ADC.
+      val rootScExists = {
+        val mp = new org.apache.hadoop.fs.Path(
+          s"${path.stripSuffix("/*").stripSuffix("/")}/_pqres_model")
+        try mp.getFileSystem(spark.sessionState.newHadoopConf()).exists(mp)
+        catch { case _: Exception => false }
+      }
+      val c2a = if (c1.columns.contains("res_code")) c1
+                else c1.withColumn("res_code", lit(null).cast("array<int>"))
+      val c2b = if (c2a.columns.contains("res_cell")) c2a
+                else c2a.withColumn("res_cell", lit(null).cast("array<double>"))
+      val c = if (rootScExists) c2b
+              else c2b.withColumn("res_code", lit(null).cast("array<int>"))
+                .withColumn("res_cell", lit(null).cast("array<double>"))
       if (hasNvq) c
       else c.withColumn("nvq_code", lit(null).cast("array<int>"))
         .withColumn("nvq_params", lit(null).cast("array<array<double>>"))

@@ -128,12 +128,13 @@ class ResAdcSpec extends SparkSpec {
     }
   }
 
-  test("service-layout mixed tree: residual engages via the batch=0 sidecar; flush segments fall back; two models disable") {
+  test("service-layout mixed tree: per-batch residual models pair by dir; flush batches carry their own") {
     // the service layout puts the clustered build at batch=0 under the
-    // generation dir and aligned flushes at batch=N siblings — the
-    // residual sidecar must resolve one level down (like _cells/_pq_model)
-    // and flush segments (which persist NO res codes — their residual
-    // model is flush-local) must fall back to global ADC per segment
+    // generation dir and aligned flushes at batch=N siblings — EVERY
+    // pqM>0 batch persists residual codes under ITS OWN `_pqres_model`
+    // sidecar (the flush's model trains on the flush's residuals against
+    // the serving cells), and serving pairs each segment with the model
+    // of the dir it lives in — never across batches
     val rows = clustered(nc = 8, per = 150, d = 16, seed = 67)
     val base = rows.toDF("id", "vec").repartition(4, col("id"))
     val root = java.nio.file.Files.createTempDirectory("graft_resadc_mix").toString
@@ -144,29 +145,39 @@ class ResAdcSpec extends SparkSpec {
       .map { case ((_, v), i) => (100000L + i, v) }
     Ann.buildIndexAlignedTo(flushRows.toDF("id", "vec"), s"$root/idx/batch=1", p, cells)
     Ann.invalidateSegmentCounts(s"$root/idx")
-    // pairing safety: batch=0 rows carry res codes, flush rows none
+    // both batches carry residual codes, each with its own sidecar
     val df = spark.read.option("mergeSchema", "true")
       .option("basePath", s"$root/idx").parquet(s"$root/idx")
     assert(df.filter(col("batch") === 0 && col("res_code").isNull).count() === 0)
-    assert(df.filter(col("batch") === 1 && col("res_code").isNotNull).count() === 0)
-    // the one batch=0 sidecar resolves (residual serving ON for the tree)
+    assert(df.filter(col("batch") === 1 && col("res_code").isNull).count() === 0,
+      "aligned flushes persist residual codes under their own sidecar")
     val tok0 = Ann.buildToken(spark, s"$root/idx")
-    assert(Ann.loadResAdc(spark, s"$root/idx", tok0, rerankK = 10).isDefined,
-      "residual model must resolve one level down (service layout)")
-    // two-phase search over the MIXED tree works end-to-end (residual on
-    // batch=0 segments, global fallback on flush segments, shared floors)
+    val ra = Ann.loadResAdc(spark, s"$root/idx", tok0, rerankK = 10)
+    assert(ra.isDefined, "residual models must resolve one level down (service layout)")
+    assert(ra.get.modelsB.value.keySet === Set("batch=0", "batch=1"),
+      s"one model per batch dir, got ${ra.get.modelsB.value.keySet}")
+    // every segment pairs with its OWN dir's model
+    val segBatch = df.select(col("seg"), col("batch")).distinct().collect()
+      .map(r => (r.getString(0), s"batch=${r.getInt(1)}")).toMap
+    val segDir = ra.get.segDirB.value
+    segBatch.foreach { case (seg, bdir) =>
+      assert(segDir.get(seg).contains(bdir), s"segment $seg paired with ${segDir.get(seg)}, expected $bdir")
+    }
+    // two-phase search over the MIXED tree works end-to-end (each batch's
+    // segments scored under their own residual model, floors shared)
     val all = rows ++ flushRows
     val queries = (rows.take(10) ++ flushRows.take(5)).toDF("qid", "qvec")
     val truth = KnnExact.knn(all.toDF("id", "vec"), queries, 10, "COSINE")
     val got = Ann.searchIndex(spark, s"$root/idx", queries, 10, 64, p, rerankK = 20)
     assert(recallOf(got, truth) >= 0.85, "mixed-tree two-phase recall")
-    // a SECOND clustered batch (own model) makes pairing ambiguous: the
-    // loader must disable residual serving outright, never guess
+    // a THIRD batch (another clustered build, its own model) is likewise
+    // paired by dir — more models never disable, they compose
     Ann.buildIndexClustered(base.withColumn("id", col("id") + 200000L),
       s"$root/idx/batch=2", p, nlist = 8)
-    assert(Ann.loadResAdc(spark, s"$root/idx",
-        Ann.buildToken(spark, s"$root/idx"), rerankK = 10).isEmpty,
-      "two residual sidecars under one tree must disable residual serving")
+    val ra2 = Ann.loadResAdc(spark, s"$root/idx",
+      Ann.buildToken(spark, s"$root/idx"), rerankK = 10)
+    assert(ra2.isDefined && ra2.get.modelsB.value.size === 3,
+      "per-batch models compose, one per sidecar dir")
   }
 
   test("residual ADC beats global ADC at zero rerank slack (equal rerankK, routed)") {
