@@ -188,7 +188,7 @@ object Ann {
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
       CentroidCache.clear(); ClusteredMarkerCache.clear()
-      AdcModelCache.clear(); ResAdcCache.clear() }
+      SidecarModelCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
     * call this after every write; search cache keys embed the token, so a
@@ -1206,13 +1206,18 @@ object Ann {
             val hasCodes = codes != null && codes.length > 0 && codes(0) != null
             // residual serving state, once per (task, segment): cell LUTs
             val resSeg = resSegState(entry, sg.segId, resAdcB)
+            // global two-phase model paired with THIS segment's dir (per-
+            // batch models: multi-batch trees two-phase correctly instead
+            // of never engaging under a root-only lookup)
+            val gMod = adcB.flatMap(_.forSeg(sg.segId))
             val vc = new Vamana.VisitCounter // task-local: exact under shared cached graphs
             val rc = new Vamana.VisitCounter // exact reranks performed
             val out = qIdx.map { qi =>
               val (qid, qv) = qB.value(qi)
-              val found = adcB match {
-                case Some((m, kk, mb)) if hasCodes =>
-                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
+              val found = gMod match {
+                case Some(gm) if hasCodes =>
+                  val m = gm.m; val kk = gm.codebooks(0).length
+                  val (dots, mags, qn) = tabs(gm, qi, qv)
                   val mc = adcMetricCode(p.metric)
                   val floor = if (shareRerankFloor)
                     floors.getOrElse(qi, Double.NegativeInfinity)
@@ -1277,50 +1282,71 @@ object Ann {
     * path. The token keys invalidation exactly like the segment caches —
     * a rebuild/repair/compact changes it and the stale entry is simply
     * never hit again (bounded: one tiny model broadcast per live tree). */
-  private object AdcModelCache {
-    private val m = new scala.collection.concurrent.TrieMap[(String, String), Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])]]()
-    def getOrCompute(k: (String, String),
-        f: => Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])])
-        : Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])] =
-      m.getOrElseUpdate(k, f)
-    def clear(): Unit = m.clear()
-  }
-  private object ResAdcCache {
-    private val m = new scala.collection.concurrent.TrieMap[(String, String), Option[ResAdc]]()
-    def getOrCompute(k: (String, String), f: => Option[ResAdc]): Option[ResAdc] =
+  private object SidecarModelCache {
+    private val m = new scala.collection.concurrent.TrieMap[(String, String, String), Option[SidecarModels]]()
+    def getOrCompute(k: (String, String, String), f: => Option[SidecarModels]): Option[SidecarModels] =
       m.getOrElseUpdate(k, f)
     def clear(): Unit = m.clear()
   }
 
-  /** PQ-model broadcast for the two-phase routes: loads the sidecar under
-    * `path`. None when two-phase is off or the tree has no sidecar
-    * (callers fall back to the exact beam). Returns (m, k, modelB).
+  /** Per-batch PQ-model broadcasts for the two-phase routes: one model
+    * per sidecar dir (tree root and/or each batch dir) plus the
+    * segment → dir pairing — a batch's codes only ever score under the
+    * model that encoded them, and a segment whose dir has no sidecar
+    * falls back (global ADC absent → exact beam). None when two-phase is
+    * off or NO sidecar exists anywhere under the tree.
     *
     * Per-QUERY ADC tables are built ON the executor at first use
     * ([[TaskAdcTables]]) — the former driver-side precompute+broadcast was
     * O(batch × m × k) doubles (~327 MB for a 10k-query serving batch
-    * against k=256 codebooks), a driver/broadcast scale hazard; the model
-    * itself is k·dim doubles (~131 KB) and a table build is k·dim flops
-    * per (task, query) — a few dozen node scores' worth, noise vs the
+    * against k=256 codebooks), a driver/broadcast scale hazard; each model
+    * is k·dim doubles (~131 KB) and a table build is k·dim flops per
+    * (task, model, query) — a few dozen node scores' worth, noise vs the
     * beam. */
   private def loadAdcTables(
       spark: SparkSession,
       path: String,
       tok: String,
-      rerankK: Int): Option[(Int, Int, org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])] =
-    if (rerankK > 0) AdcModelCache.getOrCompute((pinKey(path), tok), {
+      rerankK: Int): Option[SidecarModels] =
+    loadSidecarModels(spark, path, tok, rerankK, "_pq_model")
+
+  private def loadSidecarModels(
+      spark: SparkSession,
+      path: String,
+      tok: String,
+      rerankK: Int,
+      sidecarName: String): Option[SidecarModels] =
+    if (rerankK > 0) SidecarModelCache.getOrCompute((pinKey(path), tok, sidecarName), {
       try {
-        val sidecar = s"${path.stripSuffix("/*").stripSuffix("/")}/_pq_model"
-        // existence-check first: a missing sidecar must fall back silently,
-        // not emit a DataSource "All paths were ignored" WARN (see
-        // loadAnySidecar)
-        val sp = new org.apache.hadoop.fs.Path(sidecar)
-        if (!sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp))
-          return None
-        val model = graft.operators.PQ.load(spark, sidecar)
-        Some((model.m, model.codebooks(0).length, spark.sparkContext.broadcast(model)))
+        val base = path.stripSuffix("/*").stripSuffix("/")
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def segsUnder(dir: org.apache.hadoop.fs.Path): Seq[String] =
+          try fs.listStatus(dir).toSeq
+            .filter(_.getPath.getName.startsWith("seg="))
+            .map(_.getPath.getName.stripPrefix("seg="))
+          catch { case _: Exception => Seq.empty }
+        val rootSc = new org.apache.hadoop.fs.Path(s"$base/$sidecarName")
+        val entries: Seq[(String, org.apache.hadoop.fs.Path, Seq[String])] =
+          (if (fs.exists(rootSc))
+            Seq(("", rootSc, segsUnder(new org.apache.hadoop.fs.Path(base))))
+           else Nil) ++
+            Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/$sidecarName")))
+              .getOrElse(Array.empty).toSeq.map { st =>
+                val bdir = st.getPath.getParent
+                (bdir.getName, st.getPath, segsUnder(bdir))
+              }
+        if (entries.isEmpty) return None
+        val models: Map[String, graft.operators.PQModel] = entries.map {
+          case (key, sc, _) => key -> graft.operators.PQ.load(spark, sc.toString)
+        }.toMap
+        val segDir: Map[String, String] = entries.flatMap {
+          case (key, _, segs) => segs.map(_ -> key)
+        }.toMap
+        Some(SidecarModels(spark.sparkContext.broadcast(models),
+          spark.sparkContext.broadcast(segDir)))
       } catch {
-        case _: Exception => None // no sidecar -> fall back to exact beam
+        case _: Exception => None // no sidecar -> fall back
       }
     }) else None
 
@@ -1360,63 +1386,30 @@ object Ann {
     * [[SegmentCache.Entry.cell]] — each k·dim flops, noise vs the beam —
     * so NOTHING broadcast grows with the batch size or the cell count
     * (10⁴–10⁵ cells, 10⁴+ query batches at 100 TB). */
-  private[graft] final case class ResAdc(
-      /** batch-dir key ("" = tree root) -> that batch's residual model. */
+  private[graft] final case class SidecarModels(
+      /** batch-dir key ("" = tree root) -> that batch's model. */
       modelsB: org.apache.spark.broadcast.Broadcast[Map[String, graft.operators.PQModel]],
       /** segment id -> its batch-dir key — the pairing that makes
-        * PER-BATCH residual models sound: a flush batch's codes only ever
-        * score under the model that encoded them. O(#segments) strings,
-        * broadcast once per (path, token). */
-      segDirB: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+        * PER-BATCH models sound: a batch's codes only ever score under
+        * the model that encoded them (each buildIndex trains its OWN
+        * global `_pq_model`, and each clustered build / aligned flush its
+        * own `_pqres_model`). O(#segments) strings, broadcast once per
+        * (path, token). */
+      segDirB: org.apache.spark.broadcast.Broadcast[Map[String, String]]) {
+    /** The model paired with `segId`, if its dir carries this sidecar. */
+    def forSeg(segId: String): Option[graft.operators.PQModel] =
+      segDirB.value.get(segId).flatMap(modelsB.value.get)
+  }
+  private[graft] type ResAdc = SidecarModels
 
-  /** Load `_pqres_model` + per-query residual ADC tables; None when absent
-    * (serving falls back to global-codebook ADC per segment). */
+  /** Residual-model maps (`_pqres_model` sidecars); None when absent —
+    * serving falls back to global-codebook ADC per segment. */
   private[graft] def loadResAdc(
       spark: SparkSession,
       path: String,
       tok: String,
       rerankK: Int): Option[ResAdc] =
-    if (rerankK > 0) ResAdcCache.getOrCompute((pinKey(path), tok), {
-      try {
-        val base = path.stripSuffix("/*").stripSuffix("/")
-        val fs = new org.apache.hadoop.fs.Path(base)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        // PER-BATCH residual models: the root sidecar (bare clustered
-        // tree) plus one per batch dir (the service layout's clustered
-        // build at batch=0, and aligned flushes each training on THEIR
-        // rows against the serving cells). Each segment pairs with the
-        // model of the dir it lives in — scoring codes under the wrong
-        // codebooks would silently corrupt beam ordering, so pairing is
-        // by construction, never by guess: a segment whose dir has no
-        // sidecar simply falls back to global ADC.
-        def segsUnder(dir: org.apache.hadoop.fs.Path): Seq[String] =
-          try fs.listStatus(dir).toSeq
-            .filter(_.getPath.getName.startsWith("seg="))
-            .map(_.getPath.getName.stripPrefix("seg="))
-          catch { case _: Exception => Seq.empty }
-        val rootSc = new org.apache.hadoop.fs.Path(s"$base/_pqres_model")
-        val entries: Seq[(String, org.apache.hadoop.fs.Path, Seq[String])] =
-          (if (fs.exists(rootSc))
-            Seq(("", rootSc, segsUnder(new org.apache.hadoop.fs.Path(base))))
-           else Nil) ++
-            Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/*/_pqres_model")))
-              .getOrElse(Array.empty).toSeq.map { st =>
-                val bdir = st.getPath.getParent
-                (bdir.getName, st.getPath, segsUnder(bdir))
-              }
-        if (entries.isEmpty) return None
-        val models: Map[String, graft.operators.PQModel] = entries.map {
-          case (key, sc, _) => key -> graft.operators.PQ.load(spark, sc.toString)
-        }.toMap
-        val segDir: Map[String, String] = entries.flatMap {
-          case (key, _, segs) => segs.map(_ -> key)
-        }.toMap
-        Some(ResAdc(spark.sparkContext.broadcast(models),
-          spark.sparkContext.broadcast(segDir)))
-      } catch {
-        case _: Exception => None
-      }
-    }) else None
+    loadSidecarModels(spark, path, tok, rerankK, "_pqres_model")
 
   /** Per-(task, segment) residual state: (resCodesFlat, cdots, rmags,
     * |cell|²). None when the segment carries no residual payload — callers
@@ -1429,8 +1422,7 @@ object Ann {
       val rcf = entry.resCodesFlat
       val cell = entry.cell
       if (rcf == null || cell == null) None
-      else ra.segDirB.value.get(segId)
-        .flatMap(d => ra.modelsB.value.get(d))
+      else ra.forSeg(segId)
         .flatMap { model =>
           if (rcf.length != entry.ids.length * model.m) None
           else {
@@ -1865,10 +1857,12 @@ object Ann {
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
             val resSeg = resSegState(entry, sg.segId, resAdcB)
+            val gMod = adcB.flatMap(_.forSeg(sg.segId))
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
-              adcB match {
-                case Some((m, kk, mb)) if hasCodes =>
+              gMod match {
+                case Some(gm) if hasCodes =>
+                  val m = gm.m; val kk = gm.codebooks(0).length
                   // Compressed route: [[mergePaged]] re-slices global pages
                   // from the exact-ordered union of per-segment candidates,
                   // so per-segment page boundaries don't matter — only the
@@ -1879,7 +1873,7 @@ object Ann {
                   // compressed SSP, `GraphSearcher.java:509-547`).
                   val totalK = pagesB.sum
                   val width = math.max(math.max(rerankK, ef), p.adcFrontierPerK * totalK)
-                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                  val (dots, mags, qn) = tabs(gm, qi, qv)
                   val approx = pickApproxScorer(entry, resSeg, tabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val (cands, _) = g.searchResumableScored(approx, width, width, i => live(i))
@@ -2065,13 +2059,15 @@ object Ann {
                 val ids = entry.ids
                 val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
                 val resSeg = resSegState(entry, sg.segId, resAdcB)
+                val gMod = adcB.flatMap(_.forSeg(sg.segId))
                 sg.qIdx.iterator.flatMap { qi =>
                   val (qid, qv) = qB.get.value(qi)
-                  adcB match {
-                    case Some((m, kk, mb)) if twoPhase && hasCodes =>
+                  gMod match {
+                    case Some(gm) if twoPhase && hasCodes =>
                       // compressed cursor: approx traversal, exact rerank
                       // of this page's candidates before the pool merge
-                      val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                      val m = gm.m; val kk = gm.codebooks(0).length
+                      val (dots, mags, qn) = tabs(gm, qi, qv)
                       val approx = pickApproxScorer(entry, resSeg, tabs,
                         qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                       val (cands, st) = g.searchResumableScored(approx, pageCands,
@@ -2172,13 +2168,15 @@ object Ann {
                 val ids = entry.ids
                 val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
                 val resSeg = resSegState(entry, segId, resAdcB)
+                val gMod = adcB.flatMap(_.forSeg(segId))
                 curs.iterator.flatMap { c =>
-                  adcB match {
-                    case Some((m, kk, mb)) if twoPhase && hasCodes =>
+                  gMod match {
+                    case Some(gm) if twoPhase && hasCodes =>
                       // resume on the SAME approx scorer the cursor was
                       // exported from (packed heap scores stay on one
                       // scale), exact-rerank the new candidates
-                      val (dots, mags, qn) = tabs(mb.value, c._2, c._3)
+                      val m = gm.m; val kk = gm.codebooks(0).length
+                      val (dots, mags, qn) = tabs(gm, c._2, c._3)
                       val approx = pickApproxScorer(entry, resSeg, tabs,
                         c._2, c._3, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                       val st = g.importCursorScored(approx, i => live(i),
@@ -2372,10 +2370,12 @@ object Ann {
             val ids = entry.ids
             val hasCodes = entry.codes != null && entry.codes.length > 0 && entry.codes(0) != null
             val resSeg = resSegState(entry, sg.segId, resAdcB)
+            val gMod = adcB.flatMap(_.forSeg(sg.segId))
             sg.qIdx.iterator.flatMap { qi =>
               val (qid, qv) = qB.value(qi)
-              adcB match {
-                case Some((m, kk, mb)) if hasCodes =>
+              gMod match {
+                case Some(gm) if hasCodes =>
+                  val m = gm.m; val kk = gm.codebooks(0).length
                   // Compressed traversal: collect + adaptive-stop on the
                   // ADC scale, then exact rerank and threshold re-check.
                   // Collection runs at a margin BELOW the threshold:
@@ -2387,7 +2387,7 @@ object Ann {
                   // calibrated from measured quantization error (see
                   // Params.thresholdAdcMargin) — both scorers are already
                   // in hand here, so the sample costs sN extra scores.
-                  val (dots, mags, qn) = tabs(mb.value, qi, qv)
+                  val (dots, mags, qn) = tabs(gm, qi, qv)
                   val approx = pickApproxScorer(entry, resSeg, tabs,
                     qi, qv, adcMetricCode(p.metric), m, kk, dots, mags, qn)
                   val exact = g.exactScorer(qv)

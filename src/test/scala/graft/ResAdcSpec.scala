@@ -164,12 +164,20 @@ class ResAdcSpec extends SparkSpec {
       assert(segDir.get(seg).contains(bdir), s"segment $seg paired with ${segDir.get(seg)}, expected $bdir")
     }
     // two-phase search over the MIXED tree works end-to-end (each batch's
-    // segments scored under their own residual model, floors shared)
+    // segments scored under their own residual model, floors shared) AND
+    // actually ENGAGES: pre-r13 the global `_pq_model` lookup was
+    // root-only, so batch-nested trees silently fell back to the exact
+    // beam and never two-phased at all — reranked > 0 proves the
+    // compressed branch ran
     val all = rows ++ flushRows
     val queries = (rows.take(10) ++ flushRows.take(5)).toDF("qid", "qvec")
     val truth = KnnExact.knn(all.toDF("id", "vec"), queries, 10, "COSINE")
-    val got = Ann.searchIndex(spark, s"$root/idx", queries, 10, 64, p, rerankK = 20)
+    val metrics = Ann.newMetrics(spark)
+    val got = Ann.searchIndex(spark, s"$root/idx", queries, 10, 64, p,
+      rerankK = 20, metrics = Some(metrics))
     assert(recallOf(got, truth) >= 0.85, "mixed-tree two-phase recall")
+    assert(metrics.reranked.value > 0L,
+      "two-phase must ENGAGE on a batch-nested tree (per-batch global models)")
     // a THIRD batch (another clustered build, its own model) is likewise
     // paired by dir — more models never disable, they compose
     Ann.buildIndexClustered(base.withColumn("id", col("id") + 200000L),
