@@ -187,7 +187,7 @@ object Ann {
   /** Drop all cached segment graphs (call after overwriting an index path). */
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
-      CentroidCache.clear(); ClusteredMarkerCache.clear()
+      CentroidCache.clear(); ClusteredMarkerCache.clear(); CoarseCache.clear()
       SidecarModelCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
@@ -1901,12 +1901,17 @@ object Ann {
     * batch route ([[searchIndexPaged]], exact path) page for page.
     *
     * Layout under statePath: `cursors/` (qid, seg, qvec + exported beam
-    * state) and `pool/` (produced-but-not-yet-emitted candidates). State
-    * cost per (query, PROBED segment) is O(visited nodes) — the bitsets
-    * export density-adaptive ([[Vamana.encodeBits]]), and on clustered
-    * trees only the ~sqrt(segments) probed segments carry cursors — so
-    * state scales with beam work, not with tree size. Writes go to a
-    * temp dir and swap in atomically per page. Exact traversal. */
+    * state) and `pool/` (the page/pool split relation; rank 0 rows are the
+    * produced-but-not-yet-emitted candidates, rank > 0 rows were emitted
+    * as their page and are filtered out on the next read). State cost per
+    * (query, PROBED segment) is O(visited nodes) — the bitsets export
+    * density-adaptive ([[Vamana.encodeBits]]), and on clustered trees only
+    * the ~sqrt(segments) probed segments carry cursors — so state scales
+    * with beam work, not with tree size. Writes go to a temp dir and swap
+    * in atomically per page; a page's fixed cost is three sequential job
+    * walls (search checkpoint, split+pool write with the cursors write
+    * overlapped, one tiny page read-back) — scheduler constants,
+    * independent of tree size. Exact traversal. */
   def openPagedSession(
       spark: SparkSession,
       path: String,
@@ -2087,17 +2092,41 @@ object Ann {
         val cursorsPath = new org.apache.hadoop.fs.Path(s"$statePath/cursors")
         require(fs.exists(cursorsPath),
           s"no open session at $statePath — call openPagedSession first")
-        val cursors = spark.read.parquet(cursorsPath.toString)
+        // write-through memo: if THIS driver wrote the current state dirs
+        // (filesystem fingerprint match), the guard fields are known and
+        // the cursors read can skip parquet schema inference — two fixed
+        // per-page driver costs. A fresh JVM or an externally-modified dir
+        // misses the memo and takes the full read path (cross-JVM resume
+        // untouched).
+        val memo = SessMemoCache.get(statePath)
+          .filter(_.cursorsFp == dirFingerprint(fs, cursorsPath))
+        val cursors = memo match {
+          case Some(_) => spark.read.schema(
+            "seg string, qid bigint, qvec array<float>, visited binary, " +
+              "returned binary, frontier array<bigint>, evicted array<bigint>, " +
+              "tok string, two_phase boolean").parquet(cursorsPath.toString)
+          case None => spark.read.parquet(cursorsPath.toString)
+        }
         // cursors index LOCAL ids of the segment assembly they were
         // exported from; a rebuild/repair/compact under the session would
         // silently remap those ids to different rows — fail loudly instead
-        val cursorToks = cursors.select("tok").distinct().collect().map(_.getString(0))
-        // mode guard: a session opened compressed must resume compressed
-        // (the cursor's visited/returned sets reflect APPROX traversal;
-        // resuming exact over them would silently mix semantics) — and
-        // vice versa. Pre-r13 sessions lack the column: exact.
-        val storedTwoPhase = cursors.columns.contains("two_phase") &&
-          cursors.select("two_phase").distinct().collect().exists(_.getBoolean(0))
+        // ONE guard job for both checks (these run per page; two separate
+        // distinct().collect()s were two fixed-cost jobs)
+        val (cursorToks, storedTwoPhase) = memo match {
+          case Some(mm) => (Array(mm.tok), mm.twoPhase)
+          case None =>
+            val hasTp = cursors.columns.contains("two_phase")
+            val guardRows = cursors
+              .select(col("tok") +: (if (hasTp) Seq(col("two_phase")) else Nil): _*)
+              .distinct().collect()
+            (guardRows.map(_.getString(0)).distinct,
+              // mode guard source: a session opened compressed must resume
+              // compressed (the cursor's visited/returned sets reflect
+              // APPROX traversal; resuming exact over them would silently
+              // mix semantics) — and vice versa. Pre-r13 sessions lack the
+              // column: exact.
+              hasTp && guardRows.exists(_.getBoolean(1)))
+        }
         require(storedTwoPhase == twoPhase,
           s"session at $statePath was opened with " +
             s"${if (storedTwoPhase) "rerankK > 0 (compressed)" else "rerankK = 0 (exact)"} — " +
@@ -2194,81 +2223,141 @@ object Ann {
           }
         }
     }
+    // per-phase wall clocks to stderr when SPARK_GRAFT_SESS_TIMING is set
+    // (fixed-cost attribution; zero overhead otherwise)
+    val sessT0 = System.nanoTime()
+    var sessTLast = sessT0
+    val sessTiming = sys.env.contains("SPARK_GRAFT_SESS_TIMING")
+    def mark(phase: String): Unit = if (sessTiming) {
+      val now = System.nanoTime()
+      System.err.println(f"[sess] $phase%-12s ${(now - sessTLast) / 1e9}%.3fs " +
+        f"(total ${(now - sessT0) / 1e9}%.3fs)")
+      sessTLast = now
+    }
+    mark("plan")
+    // materialize ONCE in memory (localCheckpoint beats any write-then-
+    // read-back scheme here — measured: a partitionBy("kind") parquet
+    // round-trip for the same purpose cost +0.4s/page at 1M x 64), then
+    // the cursors write streams from the checkpointed blocks and OVERLAPS
+    // the page/pool split below
     val out = spark.createDataset(outRdd)
       .toDF("seg", "kind", "qid", "qvec", "visited", "returned", "frontier",
         "evicted", "node_id", "score")
       .localCheckpoint(true) // materialize BEFORE touching the old state dirs
+    mark("search_ckpt")
 
+    def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(dst, true)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"session state swap failed for $dst")
+    }
     // atomic-ish state swap: the new dir lands fully, then replaces the old
     def swap(df: DataFrame, name: String): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(s"$statePath/${name}_tmp")
-      val dst = new org.apache.hadoop.fs.Path(s"$statePath/$name")
       df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new IllegalStateException(s"session state swap failed for $name")
+      rename(tmp, new org.apache.hadoop.fs.Path(s"$statePath/$name"))
     }
     // the cursors swap depends ONLY on the (checkpointed) out — kick it
     // off NOW so its write overlaps the page/pool split computation below
     // (each is a fixed-cost job; overlapping them shaves one job's wall
     // from every page)
+    // coalesce narrows the 32-task/32-file write to 8 (cursor state is a
+    // few MB; the commit protocol's per-file renames were the cost)
     val cursorsDf = out.filter(col("kind") === 1)
       .select(col("qid"), col("seg"), col("qvec"), col("visited"),
         col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
         lit(twoPhase).as("two_phase"))
+      .coalesce(8)
     val swapPool = java.util.concurrent.Executors.newFixedThreadPool(1)
     val cursorsFut = swapPool.submit(new Runnable {
       def run(): Unit = swap(cursorsDf, "cursors")
     })
 
     val producedScored = out.filter(col("kind") === 0)
-      .select(col("qid"), col("node_id").as("nid"), col("score"))
+      .select(col("qid").cast("long"), col("node_id").cast("long").as("nid"),
+        col("score").cast("double"))
     val poolPath = new org.apache.hadoop.fs.Path(s"$statePath/pool")
-    val poolDf =
-      if (fs.exists(poolPath)) spark.read.parquet(poolPath.toString)
-      else spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "score")
+    // pool rows come from the write-through memo when THIS driver wrote
+    // the current pool dir (fingerprint match) — skipping a parquet
+    // listing + scan per page; fresh JVMs read the dir
+    val poolMemo: Option[Array[(Long, Long, Double)]] = SessMemoCache
+      .get(statePath).filter(_.poolFp == dirFingerprint(fs, poolPath)).map(_.pool)
     // pooled candidates were scored on an EARLIER page: re-filter against
     // the CURRENT tombstones (the fresh rows were live-filtered in-task,
     // but the pool predates deletes added between pages). The rewritten
     // pool below inherits the filter, so the state self-heals.
-    val merged = producedScored.unionByName(poolDf)
-    val candidates = deletes match {
-      case Some(d) => merged.join(
-        broadcast(d.select(col(d.columns.head).cast("long").as("nid")).distinct()),
-        Seq("nid"), "left_anti")
-      case None => merged
+    //
+    // The page/pool SPLIT runs on the DRIVER: candidates are (qid, nid,
+    // score) triples bounded by queries x probed segments x pageCands plus
+    // the carried pool — the same order as the query batch this route
+    // already collects for its broadcast (the big per-row payloads, cursor
+    // blobs, never leave the executors). A distributed groupByKey split
+    // measured 0.4-0.5s/page at 1M x 64 in pure shuffle+commit fixed costs
+    // for ~0.2 MB of data; collecting and splitting here cuts the page's
+    // critical path to the search checkpoint plus ONE single-task pool
+    // write. Ordering contract unchanged (score desc, nid asc — TopK.udf).
+    val delSet: java.util.HashSet[java.lang.Long] = deletes match {
+      case Some(d) =>
+        val s = new java.util.HashSet[java.lang.Long]()
+        d.select(col(d.columns.head).cast("long")).distinct().collect()
+          .foreach(r => s.add(r.getLong(0)))
+        s
+      case None => null
     }
-    // ONE grouped pass splits candidates into this page's ranked top-k
-    // (rank > 0) and the carried pool (rank 0) — replacing the former
-    // groupBy-TopK + anti-join (two shuffles, two extra materializations)
-    // with one shuffle and one checkpoint. Ordering matches TopK.udf's
-    // contract exactly (score desc, nid asc); per-query state is bounded
-    // (pages-so-far x probed segments x k rows). The checkpoint also cuts
-    // the lineage from the old pool dir BEFORE the swap below deletes it.
-    val split = candidates
-      .select(col("qid").cast("long"), col("nid").cast("long"),
-        col("score").cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
-        val rows = it.toArray.sortBy { case (_, nid, s) => (-s, nid) }
-        rows.iterator.zipWithIndex.map { case ((_, nid, s), i) =>
-          (qid, if (i < k) i + 1 else 0, nid, s)
+    val candRows: Array[(Long, Long, Double)] = poolMemo match {
+      case Some(cached) =>
+        producedScored.as[(Long, Long, Double)].collect() ++ cached
+      case None =>
+        val poolDf =
+          if (fs.exists(poolPath))
+            spark.read.parquet(poolPath.toString)
+              .select(col("qid"), col("nid"), col("score"))
+          else spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "score")
+        producedScored.unionByName(poolDf)
+          .select(col("qid").cast("long"), col("nid").cast("long"),
+            col("score").cast("double"))
+          .as[(Long, Long, Double)].collect()
+    }
+    mark("cand_collect")
+    val pageBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val poolBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    candRows.iterator
+      .filter(r => delSet == null || !delSet.contains(r._2))
+      .toArray.groupBy(_._1).foreach { case (qid, rows) =>
+        val sorted = rows.sortBy { case (_, nid, s) => (-s, nid) }
+        var i = 0
+        while (i < sorted.length) {
+          val (_, nid, s) = sorted(i)
+          if (i < k) pageBuf += ((qid, i + 1, nid, s))
+          else poolBuf += ((qid, nid, s))
+          i += 1
         }
       }
-      .toDF("qid", "rank", "nid", "score")
-      .localCheckpoint(true)
-    val page = split.filter(col("rank") > 0)
-      .select(col("qid"), col("rank").cast("int"), col("nid"), col("score"))
-    val newPool = split.filter(col("rank") === 0).select("qid", "nid", "score")
-
-    // pool swap last (depends on the split checkpoint); the overlapped
-    // cursors swap joins here so a failure in EITHER write surfaces
+    // the pool file is written DRIVER-side (parquet-hadoop writer, same
+    // schema spark.read.parquet sees on a cross-JVM resume): the rows are
+    // already local, and even a single-task Spark job for this ~sub-MB
+    // file measured 0.2s/page in launch+commit fixed costs
     try {
-      swap(newPool, "pool")
+      val poolTmp = new org.apache.hadoop.fs.Path(s"$statePath/pool_tmp")
+      fs.delete(poolTmp, true)
+      writePoolParquet(fs.getConf, new org.apache.hadoop.fs.Path(poolTmp,
+        "part-00000.parquet"), poolBuf)
+      rename(poolTmp, poolPath)
+      mark("pool_write")
+      // the overlapped cursors swap joins here so a failure in EITHER
+      // write surfaces before the page is handed back
       cursorsFut.get()
+      // write-through memo for the NEXT page (fingerprints taken after
+      // both renames; bounded — worst case the next page reads from disk)
+      SessMemoCache.put(statePath, SessMemo(
+        dirFingerprint(fs, new org.apache.hadoop.fs.Path(s"$statePath/cursors")),
+        dirFingerprint(fs, poolPath), tok, twoPhase, poolBuf.toArray))
+      if (SessMemoCache.size > 64) SessMemoCache.clear()
+      mark("swaps")
+      // page sorted (qid, rank) for a deterministic, lineage-free return
+      spark.createDataset(pageBuf.sortBy(t => (t._1, t._2)).toIndexedSeq)
+        .toDF("qid", "rank", "nid", "score")
     } finally swapPool.shutdown()
-    page
   }
 
   /** Transposed neighbor-code blocks for fused-ADC traversal (Q7, jvector
@@ -2457,6 +2546,66 @@ object Ann {
     * RPC on object storage. */
   private val ClusteredMarkerCache = new TokenKeyedMemo[Boolean]
 
+  /** Coarse-router memo (one k-means over the centroid set per
+    * (path, build-token) — seconds at 10^5 cells, amortized across every
+    * serving batch; see [[CoarseRouter]]). */
+  private val CoarseCache = new TokenKeyedMemo[CoarseRouter]
+
+  /** Write-through memo for a persisted session's SMALL durable state
+    * (guard fields + candidate-pool rows — never the cursor blobs), keyed
+    * by statePath and validated by a filesystem FINGERPRINT of the state
+    * dirs: the same driver that wrote a page skips re-reading what it just
+    * wrote, while a fresh JVM (or an externally-modified dir) misses the
+    * memo and takes the full parquet read path — cross-JVM resume is the
+    * session feature and stays fully disk-backed. Pool rows are bounded
+    * by queries x probed segments x page candidates, the same order the
+    * route already holds driver-side for its query broadcast. */
+  private case class SessMemo(cursorsFp: String, poolFp: String, tok: String,
+    twoPhase: Boolean, pool: Array[(Long, Long, Double)])
+  private val SessMemoCache =
+    new scala.collection.concurrent.TrieMap[String, SessMemo]
+
+  /** Driver-side parquet write of a session's (qid, nid, score) pool —
+    * byte-level parquet via parquet-hadoop, schema-compatible with
+    * `spark.read.parquet` so a cross-JVM resume reads it like any other
+    * pool dir. No Spark job: the rows are already local and tiny. */
+  private def writePoolParquet(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path,
+      rows: scala.collection.Seq[(Long, Long, Double)]): Unit = {
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message pool { required int64 qid; required int64 nid; required double score; }")
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, c)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(file)
+      .withConf(c).withType(schema).build()
+    try rows.foreach { case (q, n, s) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add("qid", q); g.add("nid", n); g.add("score", s)
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** Order-insensitive status fingerprint of a state dir (names + lengths
+    * + mtimes) — one FS listing, no Spark job, no file reads. */
+  private def dirFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+
+  /** Cell count at which routing switches from the exact O(S) centroid
+    * scan to two-level coarse routing (see [[CoarseRouter]]). Below it —
+    * every gate fixture — picks are bit-identical to the historical exact
+    * scan. Env-overridable for at-scale validation runs. */
+  private[graft] val CoarseRouteCells: Int =
+    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(4096)
+
+  /** Coarse pool oversampling: candidate pools hold this many times the
+    * requested pick count before the bounded-heap selection (validated
+    * >= 0.95 routing recall at 4096/16384 cells, tools/RoutingScaleMicro). */
+  private[graft] val CoarseOverscan: Int = 4
+
   /** seg -> RDD-partition map of a session's index layout (one tiny entry
     * per segment), memoized per (path + pin identity, build token): lets
     * session cursors partition themselves onto the index's ACTUAL layout
@@ -2554,8 +2703,14 @@ object Ann {
             // Work stays sublinear: 2*sqrt(S) cells, and the walk still
             // stops early when eligible cells run out.
             val floor = if (perSegAcc.isDefined) 2 * base else base
+            // two-level routing at very large cell counts: build the
+            // coarse structure once per (path, token) — see [[CoarseRouter]]
+            val coarse: CoarseRouter =
+              if (centsSorted.length >= CoarseRouteCells)
+                CoarseCache.getOrCompute((path, tok), CoarseRouter.build(centsSorted))
+              else null
             val picks = routePick(qArr.map(_._2), p.metric, centsSorted,
-              eff, floor, want, perSegAcc.orNull, eligible)
+              eff, floor, want, perSegAcc.orNull, eligible, coarse)
             val m = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
             qArr.indices.foreach { qi =>
               picks(qi).foreach { s =>
@@ -2601,7 +2756,15 @@ object Ann {
         * [[Vamana.similarity]] — same accumulation order, the norm product
         * is just computed once per (query, centroid) instead of re-derived
         * element-wise. null = score via Vamana.similarity directly. */
-      centNorms: Array[Double] = null): scala.collection.Seq[String] = {
+      centNorms: Array[Double] = null,
+      /** Two-level routing ([[CoarseRouter]]), engaged by [[routeQueries]]
+        * at >= [[CoarseRouteCells]] cells: candidate pools come from the
+        * best super-centroids' member lists instead of the full scan.
+        * null = exact scan (bit-identical to the historical behavior). */
+      coarse: CoarseRouter = null,
+      /** Bitset over centroid indexes mirroring `eligible` (built once per
+        * batch by [[routePick]]); only read when `coarse` is set. */
+      eligMask: Array[Long] = null): scala.collection.Seq[String] = {
 
     val qNorm: Double = if (centNorms == null) 0.0 else {
       var na = 0.0; var i = 0
@@ -2638,7 +2801,9 @@ object Ann {
     }
 
     if (perSeg == null) {
-      val idxs = topM(null, eff)
+      val pool0 = if (coarse == null) null
+        else coarse.pool(qvec, metric, CoarseOverscan * eff, null, 0)
+      val idxs = topM(pool0, eff)
       val out = new Array[String](idxs.length)
       var i = 0
       while (i < idxs.length) { out(i) = cents(idxs(i))._1; i += 1 }
@@ -2648,7 +2813,24 @@ object Ann {
       var m = math.max(base, 16)
       var done = false
       while (!done) {
-        val pref = topM(eligible, m)
+        // coarse pool per prefix size; once the doubling prefix covers the
+        // whole eligible set, fall back to EXACTLY that set — termination
+        // and the worst-case walk are the historical exact behavior
+        // masked pools run 2x the unfiltered overscan AND at least half
+        // the eligible set: an accept-list deepens the relevant ranking
+        // (truth spreads into lower-ranked eligible cells), thins each
+        // super's masked member yield, and — for DENSE masks — makes the
+        // walk's 2*sqrt(S)-cell floor intrinsically wide, so a pool
+        // proportional to the picks alone loses contract recall (measured
+        // at 16384 cells: sel50 0.91 at 8m pool vs 1.00 at eligible/2;
+        // RoutingScaleMicro). Net: >= 2x cheaper than the flat walk on
+        // dense masks, 10-20x on sparse ones, recall >= 0.95 everywhere.
+        val cand =
+          if (coarse == null || m >= eligible.length) eligible
+          else coarse.pool(qvec, metric,
+            math.max(2 * CoarseOverscan * m, eligible.length / 2), eligMask,
+            eligible.length)
+        val pref = topM(cand, m)
         out.clear()
         var acc = 0L
         var i = 0
@@ -2679,12 +2861,23 @@ object Ann {
       base: Int,
       want: Long,
       perSeg: Map[String, Long],
-      eligible: Array[Int]): Array[scala.collection.Seq[String]] = {
+      eligible: Array[Int],
+      /** Two-level router for very large cell counts (see [[CoarseRouter]]);
+        * null = exact scan. */
+      coarse: CoarseRouter = null): Array[scala.collection.Seq[String]] = {
     val centNorms: Array[Double] =
       if (metric.toUpperCase == "COSINE") centsSorted.map { case (_, c) =>
         var nb = 0.0; var i = 0
         while (i < c.length) { nb += c(i).toDouble * c(i).toDouble; i += 1 }
         math.sqrt(nb)
+      } else null
+    // eligibility bitset built once per batch (coarse pools check it per
+    // member; an Array[Int].contains would be O(|eligible|) per member)
+    val eligMask: Array[Long] =
+      if (coarse != null && eligible != null) {
+        val mk = new Array[Long]((centsSorted.length + 63) >> 6)
+        eligible.foreach(c => mk(c >>> 6) |= 1L << (c & 63))
+        mk
       } else null
     val picks = new Array[scala.collection.Seq[String]](qvecs.length)
     // dedicated sized pool, not the global Scala pool: routing runs on the
@@ -2694,7 +2887,7 @@ object Ann {
     if (qvecs.length <= 1) {
       qvecs.indices.foreach { qi =>
         picks(qi) = pickSegments(qvecs(qi), metric, centsSorted, eff, base, want,
-          perSeg, eligible, centNorms)
+          perSeg, eligible, centNorms, coarse, eligMask)
       }
     } else {
       val threads = math.min(qvecs.length,
@@ -2705,7 +2898,7 @@ object Ann {
           pool.submit(new Runnable {
             def run(): Unit =
               picks(qi) = pickSegments(qvecs(qi), metric, centsSorted, eff, base,
-                want, perSeg, eligible, centNorms)
+                want, perSeg, eligible, centNorms, coarse, eligMask)
           })
         }
         futs.foreach(_.get())

@@ -1,0 +1,213 @@
+package graft.index
+
+/** Two-level (coarse) centroid routing for trees with MANY segments.
+  *
+  * [[Ann.pickSegments]] scores every segment centroid per query — O(S·d).
+  * Fine at the gate fixtures (16 cells) and still sub-second at 4096, but
+  * a 100 TB clustered tree has 10^4–10^5 cells, and a 10k-query serving
+  * batch then puts ~10^10–10^11 multiply-adds on the DRIVER per batch —
+  * the routing step itself becomes the scale bottleneck after r11 removed
+  * the sort. The classic fix (FAISS's coarse quantizer over an IVF's own
+  * centroid set — public knowledge, no jvector counterpart since the
+  * reference never cell-partitions) is a second clustering level:
+  * k-means the S centroids into ~sqrt(S) super-centroids ONCE per
+  * (path, build-token), then per query score only the supers and expand
+  * the best supers' member lists into an oversampled candidate pool for
+  * the existing bounded-heap pick — O(sqrt(S)·d + pool) per query.
+  *
+  * Engaged by [[Ann.routeQueries]] only at `cells >= Ann.CoarseRouteCells`
+  * (default 4096): below the threshold routing is BIT-IDENTICAL to the
+  * exact scan, so every existing gate/spec fixture (<= 64 cells) is
+  * untouched. Above it, picks are approximate relative to the exact
+  * top-eff centroid ranking; routing recall is validated at 4096 and
+  * 16384 cells by `tools/RoutingScaleMicro` (>= 0.95 at every planted
+  * selectivity) and `CoarseRouteSpec`. The filtered accepted-mass walk
+  * keeps its termination AND worst-case exactness: when the walk's
+  * doubling prefix reaches the full eligible set, the pool falls back to
+  * exactly that set, reproducing today's behavior.
+  *
+  * Clustering is seeded EUCLIDEAN k-means (stride-sampled k-means++ init,
+  * a few Lloyd iterations; assignment parallel across driver cores,
+  * accumulation sequential — deterministic regardless of thread
+  * scheduling). Euclidean on raw vectors is the standard coarse-quantizer
+  * choice for all three metrics; the per-query SUPER ordering uses the
+  * serving metric itself.
+  */
+private[graft] final class CoarseRouter(
+    val superCents: Array[Array[Float]],
+    /** member centroid indexes per super (into the name-sorted cents). */
+    val members: Array[Array[Int]],
+    val total: Int) {
+
+  /** Candidate centroid-index pool for one query: supers ranked by
+    * `metric` similarity best-first, member lists appended (whole supers;
+    * the caller's heap prunes) until `need` members pass `mask`
+    * (null = unfiltered). Returns every masked member when `need` meets
+    * or exceeds the masked total — the caller's exact-fallback guarantee. */
+  def pool(qvec: Array[Float], metric: String, need: Int,
+      mask: Array[Long], maskCount: Int): Array[Int] = {
+    val ns = superCents.length
+    val packed = new Array[Long](ns)
+    var s = 0
+    while (s < ns) {
+      packed(s) = LongHeap.pack(Vamana.similarity(metric, qvec, superCents(s)), s)
+      s += 1
+    }
+    java.util.Arrays.sort(packed) // ascending — walk from the top end
+    val target = math.min(need, if (mask == null) total else maskCount)
+    val b = new scala.collection.mutable.ArrayBuilder.ofInt
+    b.sizeHint(math.min(total, need + 16))
+    // spill assignment means a centroid can live in two supers — dedup so
+    // the caller's heap never sees (and so never picks) an index twice
+    val seen = new Array[Long]((total + 63) >> 6)
+    // breadth floor: expand at least ~sqrt(supers) supers regardless of
+    // the member target — a member-count rule alone can stop after 2-3
+    // (spilled) supers and lose head-of-ranking cells that sit just over a
+    // super boundary. Cost stays sublinear: sqrt(sqrt-S) extra lists.
+    val minSupers = math.min(ns, math.max(4, math.ceil(math.sqrt(ns.toDouble)).toInt))
+    var got = 0
+    var p = ns - 1
+    while (p >= 0 && (got < target || ns - 1 - p < minSupers)) {
+      val mem = members(LongHeap.id(packed(p)))
+      var i = 0
+      while (i < mem.length) {
+        val c = mem(i)
+        if ((mask == null || ((mask(c >>> 6) >>> (c & 63)) & 1L) != 0L) &&
+            ((seen(c >>> 6) >>> (c & 63)) & 1L) == 0L) {
+          seen(c >>> 6) |= 1L << (c & 63)
+          b += c; got += 1
+        }
+        i += 1
+      }
+      p -= 1
+    }
+    b.result()
+  }
+}
+
+private[graft] object CoarseRouter {
+
+  def build(cents: Array[(String, Array[Float])], seed: Long = 20260815L,
+      /** supers = superFactor * sqrt(S): finer supers cost a slightly
+        * longer super scan (still sublinear) and buy expansion granularity
+        * — the filtered walk picks up to 2*sqrt(S) cells and needs its
+        * pool to track the eligible ranking closely. */
+      superFactor: Int = 4): CoarseRouter = {
+    val S = cents.length
+    val d = cents(0)._2.length
+    val k = math.max(2, math.min(S / 2,
+      superFactor * math.ceil(math.sqrt(S.toDouble)).toInt))
+    val vecs = cents.map(_._2)
+
+    @inline def dist2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val df = a(i).toDouble - b(i).toDouble; acc += df * df; i += 1
+      }
+      acc
+    }
+
+    // k-means++ on a bounded deterministic stride sample (init quality
+    // only needs coverage, not every point)
+    val sampleN = math.min(S, math.max(k * 8, 4096))
+    val sample = Array.tabulate(sampleN)(i => vecs(((i.toLong * S) / sampleN).toInt))
+    val rnd = new java.util.Random(seed)
+    val centers = new Array[Array[Float]](k)
+    centers(0) = sample(rnd.nextInt(sampleN)).clone()
+    val minD = Array.fill(sampleN)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var tot = 0.0
+      var i = 0
+      while (i < sampleN) {
+        val dd = dist2(sample(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        tot += minD(i)
+        i += 1
+      }
+      var r = rnd.nextDouble() * tot
+      var pick = sampleN - 1
+      i = 0
+      var done = false
+      while (i < sampleN && !done) {
+        r -= minD(i)
+        if (r <= 0) { pick = i; done = true }
+        i += 1
+      }
+      centers(c) = sample(pick).clone()
+      c += 1
+    }
+
+    // Lloyd iterations over ALL S centroids: parallel assign (pure,
+    // index-addressed writes), sequential accumulate (deterministic).
+    // assign2 tracks the SECOND-nearest super for the final spill pass.
+    val assign = new Array[Int](S)
+    val assign2 = new Array[Int](S)
+    val threads = math.max(1, Runtime.getRuntime.availableProcessors - 2)
+    def assignAll(): Unit = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val chunk = math.max(1, (S + threads - 1) / threads)
+        val futs = (0 until S by chunk).map { lo =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = lo
+              val hi = math.min(S, lo + chunk)
+              while (i < hi) {
+                var best = 0; var bd = Double.MaxValue
+                var best2 = 0; var bd2 = Double.MaxValue
+                var j = 0
+                while (j < k) {
+                  val dd = dist2(vecs(i), centers(j))
+                  if (dd < bd) { bd2 = bd; best2 = best; bd = dd; best = j }
+                  else if (dd < bd2) { bd2 = dd; best2 = j }
+                  j += 1
+                }
+                assign(i) = best
+                assign2(i) = best2
+                i += 1
+              }
+            }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    var iter = 0
+    while (iter < 4) {
+      assignAll()
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < S) {
+        val a = assign(i); val v = vecs(i)
+        var j = 0
+        while (j < d) { sums(a)(j) += v(j); j += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0)
+          centers(j) = Array.tabulate(d)(x => (sums(j)(x) / counts(j)).toFloat)
+        j += 1
+      }
+      iter += 1
+    }
+    assignAll()
+
+    // spill assignment (IVF "replica" trick): every centroid joins BOTH its
+    // nearest supers, so cells near a super boundary — exactly the ones an
+    // exact top-eff ranking picks from several supers — stay reachable from
+    // either side. 2x member storage (ints), large pick-overlap gain.
+    val members = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    var i = 0
+    while (i < S) { members(assign(i)) += i; i += 1 }
+    i = 0
+    while (i < S) {
+      if (assign2(i) != assign(i)) members(assign2(i)) += i
+      i += 1
+    }
+    new CoarseRouter(centers, members.map(_.result()), S)
+  }
+}

@@ -83,6 +83,50 @@ object RoutingScaleMicro {
     val want = 4L * topK // FilterRouteOversample * k
     println(s"cells=$nCells rows=$n base=$base floor=$floor want=$want")
 
+    // two-level coarse routing arm (see CoarseRouter): same picks API,
+    // candidate pools from sqrt(S) super-centroids instead of a full scan
+    val tb = System.nanoTime()
+    val coarse = graft.index.CoarseRouter.build(cents)
+    println(f"coarse build ${(System.nanoTime() - tb) / 1e9}%.2fs " +
+      s"(supers=${coarse.superCents.length})")
+    // UNFILTERED routing: per-query wall + recall of the coarse pick vs
+    // the exact top-base centroid scan (the serving default's shape)
+    locally {
+      def run(c: graft.index.CoarseRouter): (Double, Array[Set[String]]) = {
+        val t0 = System.nanoTime()
+        val picks = Ann.routePick(queries, "COSINE", cents, base, base, 0L,
+          null, null, c)
+        ((System.nanoTime() - t0) / 1e9, picks.map(_.toSet))
+      }
+      run(null); run(coarse) // warm
+      val (tFlat, exact) = run(null)
+      val (tCoarse, approx) = run(coarse)
+      // routing recall vs the exact TRUE top-k cells (the metric that
+      // matters: is the truth's cell probed?)
+      var hit = 0; var tot = 0
+      queries.indices.foreach { qi =>
+        val q = queries(qi)
+        val h = new graft.index.LongHeap(topK, min = true)
+        var id = 0
+        while (id < n) {
+          val packed = graft.index.LongHeap.pack(cosine(q, vecs(id)), id)
+          if (h.size < topK) h.push(packed)
+          else if (packed > h.top) { h.pop(); h.push(packed) }
+          id += 1
+        }
+        while (h.size > 0) {
+          val tid = graft.index.LongHeap.id(h.pop())
+          tot += 1
+          if (approx(qi).contains(f"c${tid % nCells}%05d")) hit += 1
+        }
+      }
+      val overlap = queries.indices.map(qi =>
+        (exact(qi) & approx(qi)).size.toDouble / exact(qi).size).sum / queries.length
+      println(f"unfiltered: flat=${tFlat}%.3fs coarse=${tCoarse}%.3fs " +
+        f"(${tFlat / tCoarse}%.1fx) pick-overlap=$overlap%.3f " +
+        f"truth-cell-recall=${hit.toDouble / tot}%.4f")
+    }
+
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       Runtime.getRuntime.availableProcessors)
     try {
@@ -95,12 +139,16 @@ object RoutingScaleMicro {
         }.toMap
         val eligible: Array[Int] =
           (0 until nCells).filter(c => perSeg.contains(f"c$c%05d")).toArray
-        // per-query: routing picks + exact filtered truth, parallel
+        val eligMask = new Array[Long]((nCells + 63) >> 6)
+        eligible.foreach(c => eligMask(c >>> 6) |= 1L << (c & 63))
+        // per-query: routing picks (flat + coarse) + exact filtered truth
         val futs = queries.map { q =>
-          pool.submit(new java.util.concurrent.Callable[(Int, Int, Int)] {
-            def call(): (Int, Int, Int) = {
+          pool.submit(new java.util.concurrent.Callable[(Int, Int, Int, Int)] {
+            def call(): (Int, Int, Int, Int) = {
               val picks = Ann.pickSegments(q, "COSINE", cents, base, floor,
                 want, perSeg, eligible).toSet
+              val picksC = Ann.pickSegments(q, "COSINE", cents, base, floor,
+                want, perSeg, eligible, null, coarse, eligMask).toSet
               // exact filtered top-k (score desc, id asc)
               val h = new graft.index.LongHeap(topK, min = true)
               var id = 0
@@ -112,21 +160,25 @@ object RoutingScaleMicro {
                 }
                 id += 1
               }
-              var hit = 0; var tot = 0
+              var hit = 0; var hitC = 0; var tot = 0
               while (h.size > 0) {
-                val tid = graft.index.LongHeap.id(h.pop())
+                val cell = f"c${graft.index.LongHeap.id(h.pop()) % nCells}%05d"
                 tot += 1
-                if (picks.contains(f"c${tid % nCells}%05d")) hit += 1
+                if (picks.contains(cell)) hit += 1
+                if (picksC.contains(cell)) hitC += 1
               }
-              (hit, tot, picks.size)
+              (hit, hitC, tot, picksC.size)
             }
           })
         }
         val res = futs.map(_.get())
-        val recall = res.map(_._1).sum.toDouble / res.map(_._2).sum
-        val probed = res.map(_._3).sum.toDouble / res.length
+        val tot = res.map(_._3).sum
+        val recall = res.map(_._1).sum.toDouble / tot
+        val recallC = res.map(_._2).sum.toDouble / tot
+        val probed = res.map(_._4).sum.toDouble / res.length
         println(f"$label%-8s eligible=${eligible.length}%5d routing-recall=$recall%.4f " +
-          f"probed=${probed}%.1f cells (${100.0 * probed / nCells}%.2f%% of tree)")
+          f"coarse=$recallC%.4f probed=${probed}%.1f cells " +
+          f"(${100.0 * probed / nCells}%.2f%% of tree)")
       }
     } finally pool.shutdown()
   }
