@@ -2597,8 +2597,9 @@ object Ann {
   /** Cell count at which routing switches from the exact O(S) centroid
     * scan to two-level coarse routing (see [[CoarseRouter]]). Below it —
     * every gate fixture — picks are bit-identical to the historical exact
-    * scan. Env-overridable for at-scale validation runs. */
-  private[graft] val CoarseRouteCells: Int =
+    * scan. Env-overridable; a var so A/B probes (tools/CoarseRouteProbe)
+    * can flip arms inside one JVM. */
+  private[graft] var CoarseRouteCells: Int =
     sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(4096)
 
   /** Coarse pool oversampling: candidate pools hold this many times the
