@@ -317,6 +317,18 @@ object Ivf {
     * turns into page-level skips; exact re-score, final top-k.
     *
     * Returns (qid, rank, nid, score) like [[search]]. */
+  /** Query-chunk size for the declarative ADC routes: bounds the broadcast
+    * per-query table frame (two m*k double tables per query) at ~64 MB.
+    * m=8, k=256 -> 4096 queries/chunk. Spec override forces small chunks
+    * to pin chunked == unchunked results. */
+  private[graft] var adcChunkOverride: Int = 0
+  private def adcChunkSize(pq: graft.operators.PQModel): Int =
+    if (adcChunkOverride > 0) adcChunkOverride
+    else {
+      val perQ = 2L * pq.codebooks.length * pq.codebooks(0).length * 8L
+      math.max(256, (64L * 1024 * 1024 / math.max(1L, perQ)).toInt)
+    }
+
   def searchPartitionedPQ(
       path: String,
       queries: DataFrame,
@@ -333,6 +345,23 @@ object Ivf {
     import spark.implicits._
     val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // auto-chunk very large batches: the declarative route broadcasts a
+    // per-query ADC table frame of O(batch x m x k) doubles (the codegen
+    // lookup-sum needs columns), which at 10k+ queries x k=256 becomes a
+    // multi-hundred-MB broadcast — a driver/executor memory hazard at
+    // 100 TB batch sizes. Queries are independent, so a chunked union is
+    // EXACT; chunks select by qid from the ORIGINAL frame so column types
+    // and values reach scoring bit-identically. The graph routes never
+    // need this (tables build in-task from a model-only broadcast).
+    val chunkQ = adcChunkSize(pq)
+    if (qRows.length > chunkQ) {
+      return qRows.map(_._1).grouped(chunkQ).map { qids =>
+        searchPartitionedPQ(path,
+          queries.filter(col("qid").cast("long")
+            .isin(qids.map(java.lang.Long.valueOf).toSeq: _*)),
+          model, pq, nprobe, topK, rerankK, baseId, baseVec, maxPushdownIds)
+      }.reduce(_ unionByName _)
+    }
     val probePairs = qRows.flatMap { case (qid, qv) =>
       model.nearestClusters(qv, nprobe).map(c => (qid, c))
     }
@@ -500,6 +529,19 @@ object Ivf {
     import spark.implicits._
     val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // same auto-chunking as [[searchPartitionedPQ]]: the per-query ADC
+    // frame is O(batch x m x k); threshold queries are independent so the
+    // chunked union is exact (per-query margins calibrate per chunk)
+    val chunkQ = adcChunkSize(pq)
+    if (qRows.length > chunkQ) {
+      return qRows.map(_._1).grouped(chunkQ).map { qids =>
+        thresholdSearchPartitionedPQ(path,
+          queries.filter(col("qid").cast("long")
+            .isin(qids.map(java.lang.Long.valueOf).toSeq: _*)),
+          model, pq, nprobe, threshold, adcMargin, baseId, baseVec,
+          maxPushdownIds)
+      }.reduce(_ unionByName _)
+    }
     val probePairs = qRows.flatMap { case (qid, qv) =>
       model.nearestClusters(qv, nprobe).map(c => (qid, c))
     }

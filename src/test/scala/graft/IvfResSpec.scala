@@ -87,5 +87,37 @@ class IvfResSpec extends SparkSpec {
     info(s"residual threshold recall: ${1.0 - missing.toDouble / math.max(1, total)} of $total")
     assert(missing.toDouble / math.max(1, total) <= 0.05,
       s"residual threshold route missed $missing of $total probed-exact hits")
+
+    // AUTO-CHUNKED large-batch path: the per-query ADC frame is bounded by
+    // chunking the query set; per-query independence makes the union exact
+    // — pinned row-for-row against the unchunked run on BOTH layouts and
+    // both routes (7 forces 30 queries into 5 chunks)
+    for (pth <- Seq(s"$root/res" -> pqRes, s"$root/glob" -> pqGlob)) {
+      val (p, pq) = pth
+      val whole = Ivf.searchPartitionedPQ(p, queries, model, pq, nprobe,
+        topK = 10, rerankK = 10, baseId = "id", baseVec = "vec")
+        .select("qid", "rank", "nid", "score").collect().toSet
+      Ivf.adcChunkOverride = 7
+      try {
+        val chunked = Ivf.searchPartitionedPQ(p, queries, model, pq, nprobe,
+          topK = 10, rerankK = 10, baseId = "id", baseVec = "vec")
+          .select("qid", "rank", "nid", "score").collect().toSet
+        assert(chunked === whole, s"chunked top-k must equal unchunked on $p")
+      } finally Ivf.adcChunkOverride = 0
+    }
+    Ivf.adcChunkOverride = 7
+    try {
+      // threshold route: precision contract must hold under chunking (the
+      // auto-margin is sampled per chunk, so HIT SETS may differ slightly;
+      // pin exactness by fixing the margin)
+      val thChunked = Ivf.thresholdSearchPartitionedPQ(s"$root/res", queries,
+        model, pqRes, nprobe, t, adcMargin = 0.1, baseId = "id", baseVec = "vec")
+        .select("qid", "nid").collect().toSet
+      Ivf.adcChunkOverride = 0
+      val thWhole = Ivf.thresholdSearchPartitionedPQ(s"$root/res", queries,
+        model, pqRes, nprobe, t, adcMargin = 0.1, baseId = "id", baseVec = "vec")
+        .select("qid", "nid").collect().toSet
+      assert(thChunked === thWhole, "chunked threshold must equal unchunked at a pinned margin")
+    } finally Ivf.adcChunkOverride = 0
   }
 }
