@@ -188,7 +188,7 @@ object Ann {
   def clearSegmentCache(): Unit =
     { SegmentCache.clear(); TransientGraphCache.clear(); SegCountCache.clear()
       CentroidCache.clear(); ClusteredMarkerCache.clear(); CoarseCache.clear()
-      SidecarModelCache.clear() }
+      SidecarModelCache.clear(); SessMemoCache.clear() }
 
   /** Write a fresh content token (`_build_id`) at an index root. Mutators
     * call this after every write; search cache keys embed the token, so a
