@@ -2277,6 +2277,75 @@ object Ann {
       .select(col("qid").cast("long"), col("node_id").cast("long").as("nid"),
         col("score").cast("double"))
     val poolPath = new org.apache.hadoop.fs.Path(s"$statePath/pool")
+
+    // BIG sessions keep the page/pool split DISTRIBUTED: the driver-side
+    // split below collects candidate triples bounded by cursors x
+    // pageCands, which a 10^5-query session would turn into a driver
+    // memory hazard. The bound is known at OPEN time (cursor rows x page
+    // candidates, no counting job) and recorded as a `_big` marker in the
+    // session state so every later page — any JVM — takes the same path.
+    val bigMarker = new org.apache.hadoop.fs.Path(s"$statePath/_big")
+    if (queriesOpt.isDefined) {
+      val cursorRows: Long = segQueriesB match {
+        case Some(b) => b.value.valuesIterator.map(_.length.toLong).sum
+        case None => nQ.toLong * SegCountCache.getOrCompute(s"$path|$tok",
+          math.max(1, raw.filter(col("local_id") === 0)
+            .select("seg").distinct().count().toInt))
+      }
+      if (cursorRows * math.max(k, pageCands) > BigSessionRows)
+        fs.create(bigMarker, true).close()
+      else fs.delete(bigMarker, false)
+    }
+    if (fs.exists(bigMarker)) {
+      // distributed split (one grouped shuffle pass, pool dir = the whole
+      // split relation): candidates never land on the driver. The page
+      // frame's lineage reads the NEW pool dir — consume it before asking
+      // for the next page (it replaces that dir).
+      val poolDfB =
+        if (fs.exists(poolPath)) {
+          val rawP = spark.read.parquet(poolPath.toString)
+          (if (rawP.columns.contains("rank")) rawP.filter(col("rank") === 0)
+           else rawP).select(col("qid"), col("nid"), col("score"))
+        } else spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "score")
+      val merged = producedScored.unionByName(poolDfB)
+      val candidates = deletes match {
+        case Some(d) => merged.join(
+          broadcast(d.select(col(d.columns.head).cast("long").as("nid")).distinct()),
+          Seq("nid"), "left_anti")
+        case None => merged
+      }
+      val split = candidates
+        .select(col("qid").cast("long"), col("nid").cast("long"),
+          col("score").cast("double"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+          val rows = it.toArray.sortBy { case (_, nid, s) => (-s, nid) }
+          rows.iterator.zipWithIndex.map { case ((_, nid, s), i) =>
+            (qid, if (i < k) i + 1 else 0, nid, s)
+          }
+        }
+        .toDF("qid", "rank", "nid", "score")
+      val poolTmp = new org.apache.hadoop.fs.Path(s"$statePath/pool_tmp")
+      try {
+        split.write.mode("overwrite").parquet(poolTmp.toString)
+        mark("split_write")
+        rename(poolTmp, poolPath)
+        cursorsFut.get()
+        SessMemoCache.remove(statePath) // big sessions never memo the pool
+        mark("swaps")
+        // localCheckpoint: every page reads the SAME pool path, so a lazy
+        // return would canonicalize to the same plan page after page —
+        // and Spark's CacheManager would then serve a user's cached page 1
+        // for page 2 (plan-identity substitution). The checkpoint makes
+        // each page a distinct, materialized RDD-backed frame, also immune
+        // to the next page's pool rename.
+        return spark.read.parquet(poolPath.toString).filter(col("rank") > 0)
+          .select(col("qid"), col("rank").cast("int"), col("nid"), col("score"))
+          .localCheckpoint(true)
+      } finally swapPool.shutdown()
+    }
+
     // pool rows come from the write-through memo when THIS driver wrote
     // the current pool dir (fingerprint match) — skipping a parquet
     // listing + scan per page; fresh JVMs read the dir
@@ -2564,6 +2633,15 @@ object Ann {
     twoPhase: Boolean, pool: Array[(Long, Long, Double)])
   private val SessMemoCache =
     new scala.collection.concurrent.TrieMap[String, SessMemo]
+
+  /** Candidate-row bound above which a persisted session keeps its
+    * page/pool split DISTRIBUTED instead of the driver-side fast path
+    * (~4M triples ≈ 100 MB of driver tuples). Decided at open time from
+    * cursor rows x page candidates and recorded as a `_big` marker in the
+    * session state. Env `SPARK_GRAFT_SESS_BIG_ROWS`; a var so specs can
+    * force the distributed path on small fixtures. */
+  private[graft] var BigSessionRows: Long =
+    sys.env.get("SPARK_GRAFT_SESS_BIG_ROWS").map(_.toLong).getOrElse(4000000L)
 
   /** Driver-side parquet write of a session's (qid, nid, score) pool —
     * byte-level parquet via parquet-hadoop, schema-compatible with

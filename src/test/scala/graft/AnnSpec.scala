@@ -518,6 +518,42 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot survive a rebuild"))
   }
 
+  test("BIG persisted session: distributed split path, page for page equal to the batch route") {
+    // sessions whose candidate bound exceeds BigSessionRows keep the
+    // page/pool split distributed (no driver collect) — forced tiny here
+    val tmp = java.nio.file.Files.createTempDirectory("annsessbig").toString
+    val base = randVectors(4000, 16, seed = 93).toDF("id", "vec").repartition(3)
+    val params = Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64,
+      segmentRows = 2048)
+    Ann.buildIndex(base, s"$tmp/idx", params)
+    val queries = randVectors(9, 16, seed = 94).toDF("qid", "qvec")
+    val k = 10
+    val statePath = s"$tmp/session"
+    val saved = Ann.BigSessionRows
+    Ann.BigSessionRows = 1
+    try {
+      val p1 = Ann.openPagedSession(spark, s"$tmp/idx", statePath, queries, k,
+        ef = 64, params).cache()
+      p1.count()
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/_big")),
+        "big-session marker must be written at open")
+      val p2 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params).cache()
+      p2.count()
+      val p3 = Ann.nextSessionPage(spark, s"$tmp/idx", statePath, k, ef = 64, params).cache()
+      p3.count()
+      val batch = Ann.searchIndexPaged(spark, s"$tmp/idx", queries,
+        pages = Seq(k, k, k), ef = 64, params)
+      val sessTagged = p1.withColumn("page", lit(1))
+        .union(p2.withColumn("page", lit(2))).union(p3.withColumn("page", lit(3)))
+        .select("qid", "page", "rank", "nid")
+      val diff = sessTagged.except(batch.select("qid", "page", "rank", "nid")).count() +
+        batch.select("qid", "page", "rank", "nid").except(sessTagged).count()
+      assert(diff === 0L, "big-session pages must equal the batch route's pages")
+    } finally Ann.BigSessionRows = saved
+  }
+
   test("persisted session over a PINNED index matches the unpinned session page for page") {
     // the pinned session path is structurally different: the index side
     // runs WITHOUT a per-page shuffle and cursors land on the pin's actual
