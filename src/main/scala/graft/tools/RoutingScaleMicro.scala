@@ -90,13 +90,24 @@ object RoutingScaleMicro {
     println(f"coarse build ${(System.nanoTime() - tb) / 1e9}%.2fs " +
       s"(supers=${coarse.superCents.length})")
     // UNFILTERED routing: per-query wall + recall of the coarse pick vs
-    // the exact top-base centroid scan (the serving default's shape)
+    // the exact top-base centroid scan (the serving default's shape).
+    // Timing uses a LARGER query batch (arg 3, default 2048) — per-query
+    // routing cost only dominates at serving batch sizes.
     locally {
+      val timeQ = args.lift(2).map(_.toInt).getOrElse(2048)
+      val timingQueries = Array.tabulate(timeQ) { qi =>
+        val r = new java.util.Random(qi * 7919L + 13)
+        val c = centers(r.nextInt(nCells))
+        Array.tabulate(d)(j => c(j) + r.nextGaussian().toFloat)
+      }
       def run(c: graft.index.CoarseRouter): (Double, Array[Set[String]]) = {
         val t0 = System.nanoTime()
+        Ann.routePick(timingQueries, "COSINE", cents, base, base, 0L,
+          null, null, c)
+        val wall = (System.nanoTime() - t0) / 1e9
         val picks = Ann.routePick(queries, "COSINE", cents, base, base, 0L,
           null, null, c)
-        ((System.nanoTime() - t0) / 1e9, picks.map(_.toSet))
+        (wall, picks.map(_.toSet))
       }
       run(null); run(coarse) // warm
       val (tFlat, exact) = run(null)
