@@ -295,7 +295,8 @@ object Bench {
     case class MsegNumbers(buildSec: Double, segs: Long,
         qpsExh: Double, qpsRouted: Double, vrExh: Double, vrRouted: Double,
         p99Exh: Double, p99Routed: Double,
-        recParity: Double, recAbsExh: Double, recAbsRouted: Double)
+        recParity: Double, recAbsExh: Double, recAbsRouted: Double,
+        qpsRoutedEf256: Double, recAbsRoutedEf256: Double)
 
     def msegMeasure(p: Ann.Params, withLatency: Boolean): MsegNumbers = {
       val path = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
@@ -356,9 +357,23 @@ object Bench {
       val recParity = Metrics.recallAtK(routedRes, exhRes, topK).head().getDouble(0)
       val recAbsExh = Metrics.recallAtK(exhRes, msegTruth, topK).head().getDouble(0)
       val recAbsRouted = Metrics.recallAtK(routedRes, msegTruth, topK).head().getDouble(0)
+      // ef frontier on the SAME tree (r13-cont finding, NOTES_r13 §12):
+      // query-time beam width buys recall with no build cost and — at this
+      // batch shape — flat batch wall (the 50-query batch is scheduler-
+      // bound, not beam-bound): deg32 ef64 0.806 -> ef256 0.952 recall_abs,
+      // dominating the deg64 BUILD (0.942 at 2.2x build). Measured and
+      // reported so the artifact shows the serving-time quality lever.
+      val efHi = 256
+      def runHi(): Unit = Ann.searchIndex(spark, path, msegQueries, topK,
+        ef = efHi, p, probeSegments = Ann.AutoProbe).count()
+      runHi()
+      val qpsHi = 50.0 / (1 to 2).map(_ => time(runHi())._2).min
+      val recAbsHi = Metrics.recallAtK(
+        Ann.searchIndex(spark, path, msegQueries, topK, ef = efHi, p,
+          probeSegments = Ann.AutoProbe), msegTruth, topK).head().getDouble(0)
       Ann.unpin(path)
       MsegNumbers(buildS, segs, qpsExh, qpsRouted, vrExh, vrRouted,
-        p99Exh, p99Routed, recParity, recAbsExh, recAbsRouted)
+        p99Exh, p99Routed, recParity, recAbsExh, recAbsRouted, qpsHi, recAbsHi)
     }
 
     val mseg = msegMeasure(msegParams, withLatency = true)
@@ -367,7 +382,8 @@ object Bench {
         f"qps exh=${x.qpsExh}%.1f routed=${x.qpsRouted}%.1f " +
         f"vr exh=${x.vrExh}%.4f routed=${x.vrRouted}%.4f " +
         f"p99 exh=${x.p99Exh}%.1f routed=${x.p99Routed}%.1f rec=${x.recParity}%.3f " +
-        f"rec_abs exh=${x.recAbsExh}%.3f routed=${x.recAbsRouted}%.3f")
+        f"rec_abs exh=${x.recAbsExh}%.3f routed=${x.recAbsRouted}%.3f " +
+        f"ef256: qps=${x.qpsRoutedEf256}%.1f rec_abs=${x.recAbsRoutedEf256}%.3f")
     msegTruth.unpersist()
 
     // ---- engine-kernel throughput: the reference's measurement basis is an
@@ -495,7 +511,8 @@ object Bench {
         s""""vr":[${num(mseg.vrExh, 4)},${num(mseg.vrRouted, 4)}],""" +
         s""""p99_ms":[${num(mseg.p99Exh, 1)},${num(mseg.p99Routed, 1)}],""" +
         s""""recall":${num(mseg.recParity, 3)},""" +
-        s""""recall_abs":[${num(mseg.recAbsExh, 3)},${num(mseg.recAbsRouted, 3)}]},""" +
+        s""""recall_abs":[${num(mseg.recAbsExh, 3)},${num(mseg.recAbsRouted, 3)}],""" +
+        s""""ef256":[${num(mseg.qpsRoutedEf256, 1)},${num(mseg.recAbsRoutedEf256, 3)}]},""" +
         // (mseg16 continuity block retired in r13 per the r11 agreement —
         // the degree frontier lives in NOTES_r13 §4; SPARK_GRAFT_MSEG_DEG
         // reruns any point)

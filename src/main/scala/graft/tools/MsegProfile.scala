@@ -80,6 +80,27 @@ object MsegProfile {
       System.err.println(f"[msegprof] exact-recall@10 ${hit.toDouble / want.count()}%.3f")
     }
 
+    // SPARK_GRAFT_EF_SWEEP: query-time quality frontier on the SAME tree —
+    // recall_abs + routed batch wall per ef. Build degree buys graph
+    // quality at construction cost; ef buys beam coverage at QUERY cost.
+    // The headline choice should sit on the better of the two frontiers.
+    if (sys.env.contains("SPARK_GRAFT_EF_SWEEP")) {
+      val truth = graft.operators.KnnExact.knn(df, queries, 10, "COSINE").cache()
+      val truthN = truth.count()
+      for (ef <- Seq(64, 96, 128, 192, 256)) {
+        Ann.searchIndex(spark, path, queries, 10, ef = ef, params,
+          probeSegments = Ann.AutoProbe).count() // warm plan
+        val t0 = System.nanoTime()
+        val got = Ann.searchIndex(spark, path, queries, 10, ef = ef, params,
+          probeSegments = Ann.AutoProbe)
+        val hit = got.select("qid", "nid")
+          .join(truth.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+        System.err.println(f"[msegprof] efsweep ef=$ef%-4d recall_abs=" +
+          f"${hit.toDouble / truthN}%.3f batch=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      truth.unpersist()
+    }
+
     def timed(name: String)(body: => Unit): Unit = {
       body // warm
       val ts = (1 to passes).map { _ =>
