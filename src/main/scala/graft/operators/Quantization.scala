@@ -475,6 +475,31 @@ object PQ {
     val rnd = new scala.util.Random(seed)
     val dim = points(0).length
     val centers = new Array[Array[Double]](k)
+    // The two O(n·k·d) loops (k-means++ distance refresh, Lloyd assign)
+    // run parallel across driver cores — BIT-IDENTICAL to the sequential
+    // form: every parallel write is index-addressed (no accumulation), and
+    // the order-sensitive parts (d2 prefix walk, centroid accumulation)
+    // stay sequential. Without this, Ivf.train at nlist >= 4096 was a
+    // single-thread driver wall (128k sample x 4096 x 64d x 6 iters
+    // ~ 2e11 flops — minutes; intractable toward 10^5 cells).
+    val threads =
+      if (points.length.toLong * k * dim < (1L << 24)) 1
+      else math.max(1, Runtime.getRuntime.availableProcessors - 2)
+    val pool = if (threads == 1) null
+      else java.util.concurrent.Executors.newFixedThreadPool(threads)
+    def parChunks(body: (Int, Int) => Unit): Unit = {
+      if (pool == null) body(0, points.length)
+      else {
+        val chunk = math.max(1, (points.length + threads - 1) / threads)
+        val futs = (0 until points.length by chunk).map { lo =>
+          pool.submit(new Runnable {
+            def run(): Unit = body(lo, math.min(points.length, lo + chunk))
+          })
+        }
+        futs.foreach(_.get())
+      }
+    }
+    try {
     // k-means++ seeding
     centers(0) = points(rnd.nextInt(points.length)).clone()
     val d2 = Array.fill(points.length)(Double.MaxValue)
@@ -482,9 +507,9 @@ object PQ {
     // training arithmetic is free to change in ulps; only ENCODE argmin
     // must stay sequential-double to match the DuckDB oracle's list_reduce.
     val kern = graft.simd.Kernels.INSTANCE
-    def updateD2(c: Array[Double]): Unit = {
-      var i = 0
-      while (i < points.length) {
+    def updateD2(c: Array[Double]): Unit = parChunks { (lo, hi) =>
+      var i = lo
+      while (i < hi) {
         val d = kern.l2sqD(points(i), c)
         if (d < d2(i)) d2(i) = d
         i += 1
@@ -510,21 +535,23 @@ object PQ {
     val assign = new Array[Int](points.length)
     var it = 0
     while (it < iters) {
-      var i = 0
-      while (i < points.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          val d = kern.l2sqD(points(i), centers(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+      parChunks { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val d = kern.l2sqD(points(i), centers(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
         }
-        assign(i) = best
-        i += 1
       }
       val sums = Array.fill(k, dim)(0.0)
       val counts = new Array[Int](k)
-      i = 0
+      var i = 0
       while (i < points.length) {
         val a = assign(i)
         counts(a) += 1
@@ -543,6 +570,7 @@ object PQ {
       it += 1
     }
     centers
+    } finally { if (pool != null) pool.shutdown() }
   }
 
   /** Anisotropic k-means refinement (ScaNN "Accelerating Large-Scale
