@@ -891,11 +891,15 @@ object Ann {
     // through its cluster's preimage, and hash partitioning becomes the
     // exact identity map — same shuffle it would do anyway, zero extra
     // passes.
-    val preimage = identityPreimages(nlist)
+    // cluster count comes from the MODEL, not the request: hierarchical
+    // training (Ivf.trainHierarchical, very large nlist) may return a few
+    // more/fewer centroids than asked
+    val nCells = model.centroids.length
+    val preimage = identityPreimages(nCells)
     val parted = assigned
       .withColumn("_route",
         element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
-      .repartition(nlist, col("_route"))
+      .repartition(nCells, col("_route"))
       .drop("_route", "cluster_id")
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
       pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc,

@@ -219,7 +219,12 @@ object Ivf {
     sys.env.get("SPARK_GRAFT_COARSE_ASSIGN_CELLS").map(_.toInt).getOrElse(4096)
 
   /** Train nlist centroids on a bounded sample (reuses PQ's deterministic
-    * k-means++; same sampling contract as PQ training). */
+    * k-means++; same sampling contract as PQ training). At
+    * nlist >= [[HierTrainCells]] training goes HIERARCHICAL
+    * ([[trainHierarchical]]): single-level k-means needs >= nlist sample
+    * points and O(sample * nlist * d) driver work — intractable toward
+    * 10^5 cells even parallelized (and a 128k sample is 1.3 points/cell
+    * at 10^5, degenerate clustering). */
   def train(
       df: DataFrame,
       vecCol: String,
@@ -228,8 +233,106 @@ object Ivf {
       iters: Int = 6,
       sampleCap: Int = 128000,
       seed: Long = 1L): IvfModel = {
+    if (nlist >= HierTrainCells)
+      return trainHierarchical(df, vecCol, nlist, metric, iters, seed)
     val vectors = graft.operators.Sampling.sampleVectors(df, vecCol, sampleCap, seed)
     IvfModel(metric, PQ.kmeans(vectors, math.min(nlist, vectors.length), iters, seed))
+  }
+
+  /** Cell count at which [[train]] switches to [[trainHierarchical]].
+    * Env-overridable; a var so specs can exercise the hierarchical path on
+    * small fixtures. */
+  private[graft] var HierTrainCells: Int =
+    sys.env.get("SPARK_GRAFT_HIER_TRAIN_CELLS").map(_.toInt).getOrElse(32768)
+
+  /** Hierarchical (two-level) k-means training — the scale path for very
+    * large cell counts (standard large-nlist IVF practice; FAISS reaches
+    * the same shape through its HNSW/IVF coarse quantizers over trained
+    * sub-lists). Level 1 trains ~sqrt(nlist) SUPER clusters with the
+    * existing bounded-sample driver k-means; level 2 sub-clusters each
+    * super INSIDE ITS EXECUTOR GROUP (flatMapGroups): per-super targets
+    * are mass-proportional (largest-remainder rounding sums exactly to
+    * nlist), each group trains on an order-insensitive bounded sample
+    * (smallest content-hash — deterministic under any partitioning or
+    * shuffle order), and the final model is the union of sub-centroids.
+    * Work per group is O(sample_s * k_s * d) — thousands of independent
+    * small k-means jobs instead of one impossible nlist-wide one, so
+    * training scales out with executors. The returned model may hold
+    * FEWER than nlist centroids when a super's rows cannot support its
+    * quota (tiny/empty supers); callers size layouts from
+    * `model.centroids.length`. */
+  def trainHierarchical(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      metric: String = "COSINE",
+      iters: Int = 6,
+      seed: Long = 1L): IvfModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ns = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val superModel = train(df, vecCol, ns, metric, iters,
+      sampleCap = math.max(32768, ns * 64), seed)
+    val nsEff = superModel.centroids.length
+    val assigned = assign(df, vecCol, superModel, "__sup")
+      .select(col("__sup"), col(vecCol).cast("array<double>").as("__v"))
+    // mass-proportional quotas, largest remainder, exactly nlist total
+    val counts: Map[Int, Long] = assigned.groupBy("__sup").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val total = math.max(1L, counts.values.sum)
+    val raw = (0 until nsEff).map { s =>
+      val share = nlist.toDouble * counts.getOrElse(s, 0L) / total
+      (s, share.toInt, share - share.toInt)
+    }
+    val base = raw.map { case (s, w, _) => (s, math.max(if (counts.getOrElse(s, 0L) > 0) 1 else 0, w)) }.toMap
+    var left = nlist - base.values.sum
+    val order = raw.sortBy { case (_, _, frac) => -frac }.map(_._1)
+    val quota = scala.collection.mutable.Map(base.toSeq: _*)
+    var oi = 0
+    while (left > 0 && oi < order.length) {
+      val s = order(oi)
+      if (counts.getOrElse(s, 0L) > 0) { quota(s) = quota(s) + 1; left -= 1 }
+      oi = (oi + 1) % order.length
+      if (oi == 0 && left > 0 && !order.exists(s => counts.getOrElse(s, 0L) > 0)) left = 0
+    }
+    val quotaB = spark.sparkContext.broadcast(quota.toMap)
+    val subCents: Array[Array[Double]] = assigned
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sup: Int, it: Iterator[(Int, Array[Double])]) =>
+        val k = quotaB.value.getOrElse(sup, 0)
+        if (k <= 0) Iterator.empty
+        else {
+          // order-insensitive bounded sample: keep the cap rows with the
+          // SMALLEST seeded content hash — deterministic regardless of
+          // iteration order, so training is reproducible run to run
+          val cap = math.max(256, 16 * k)
+          val heap = new java.util.PriorityQueue[(Long, Array[Double])](
+            cap + 1, (a: (Long, Array[Double]), b: (Long, Array[Double])) =>
+              java.lang.Long.compare(b._1, a._1)) // max-heap on hash: evict largest
+          it.foreach { case (_, v) =>
+            var h = seed * 1000003L + sup
+            var i = 0
+            while (i < v.length) {
+              h = h * 31 + java.lang.Double.doubleToLongBits(v(i)); i += 1
+            }
+            h = h ^ (h >>> 33)
+            if (heap.size < cap) heap.add((h, v))
+            else if (h < heap.peek()._1) { heap.poll(); heap.add((h, v)) }
+          }
+          // deterministic input ORDER for k-means: ascending hash
+          val pts = heap.toArray(Array.empty[(Long, Array[Double])])
+            .sortBy(_._1).map(_._2)
+          if (pts.isEmpty) Iterator.empty
+          else PQ.kmeans(pts, math.min(k, pts.length), iters, seed * 131 + sup)
+            .iterator.map(c => (sup, c.toSeq))
+        }
+      }
+      // (sup, subspace-order) sort makes the final centroid INDEXING
+      // deterministic too — cluster ids are positions in this array
+      .collect().sortBy { case (s, c) => (s, c.mkString(",")) }
+      .map(_._2.toArray)
+    IvfModel(metric, subCents)
   }
 
   /** Assign each row to its nearest centroid — the write-path partitioner.
