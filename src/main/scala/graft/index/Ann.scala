@@ -2679,14 +2679,21 @@ object Ann {
   /** Cell count at which routing switches from the exact O(S) centroid
     * scan to two-level coarse routing (see [[CoarseRouter]]). Below it —
     * every gate fixture — picks are bit-identical to the historical exact
-    * scan. Env-overridable; a var so A/B probes (tools/CoarseRouteProbe)
-    * can flip arms inside one JVM. */
+    * scan. 65536 is the measured crossover: recall-safe pools are ~32x the
+    * pick count, and below ~64k cells the flat scan's sequential SIMD
+    * scoring beats pool construction's random member access (1.1x at 16k,
+    * 1.6x at 65k, growing with S — a 100 TB tree has 10^5-10^6 cells where
+    * the pool fraction 32*sqrt(S)/S makes the win 5-10x). Env-overridable;
+    * a var so A/B probes (tools/CoarseRouteProbe) can flip arms in one JVM. */
   private[graft] var CoarseRouteCells: Int =
-    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(4096)
+    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(65536)
 
-  /** Coarse pool oversampling: candidate pools hold this many times the
-    * requested pick count before the bounded-heap selection (validated
-    * >= 0.95 routing recall at 4096/16384 cells, tools/RoutingScaleMicro). */
+  /** Coarse pool oversampling base: filtered pools hold 2x this times the
+    * prefix size (+ the eligible/2 term), unfiltered serving pools 8x this
+    * times the pick count (validated >= 0.95 routing recall at 4096-65536
+    * planted cells by tools/RoutingScaleMicro AND on real k-means trees by
+    * tools/CoarseRouteProbe — real centroid sets are noisier and set the
+    * constants). */
   private[graft] val CoarseOverscan: Int = 4
 
   /** seg -> RDD-partition map of a session's index layout (one tiny entry
@@ -2884,8 +2891,13 @@ object Ann {
     }
 
     if (perSeg == null) {
+      // 8x the filtered multiplier (= 32x the picks): real k-means centroid
+      // rankings are noisy and spread across supers — 4x pools measured
+      // 0.9325 routed recall_abs on a real 16384-cell tree vs 0.9930 flat,
+      // 32x restores 0.9735 (>= the 0.95 contract) while still scoring
+      // ~8x fewer cells than the flat scan at 16384+ (CoarseRouteProbe)
       val pool0 = if (coarse == null) null
-        else coarse.pool(qvec, metric, CoarseOverscan * eff, null, 0)
+        else coarse.pool(qvec, metric, 8 * CoarseOverscan * eff, null, 0)
       val idxs = topM(pool0, eff)
       val out = new Array[String](idxs.length)
       var i = 0

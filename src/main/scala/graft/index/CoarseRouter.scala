@@ -63,7 +63,12 @@ private[graft] final class CoarseRouter(
     // breadth floor: expand at least ~sqrt(supers) supers regardless of
     // the member target — a member-count rule alone can stop after 2-3
     // (spilled) supers and lose head-of-ranking cells that sit just over a
-    // super boundary. Cost stays sublinear: sqrt(sqrt-S) extra lists.
+    // super boundary. DEPTH is the caller's `need`: on real k-means
+    // centroid sets (noisy, overlapping cells — unlike planted per-cell
+    // means) the relevant ranking spreads wide, and the serving caller
+    // passes ~32x its pick count (a super-count floor like ns/8 was
+    // measured to over-correct: at 65536 cells it built 25% pools whose
+    // branch-y dedup appends ran SLOWER than the flat SIMD scan).
     val minSupers = math.min(ns, math.max(4, math.ceil(math.sqrt(ns.toDouble)).toInt))
     var got = 0
     var p = ns - 1

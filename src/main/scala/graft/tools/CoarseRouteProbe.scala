@@ -40,11 +40,18 @@ object CoarseRouteProbe {
     }
     val df = spark.range(0, n, 1, threads).map(i => (i, vecOf(i).toSeq)).toDF("id", "vec")
     val params = graft.index.Ann.Params(metric = "COSINE", maxDegree = 16, beamWidth = 64)
-    val path = java.nio.file.Files.createTempDirectory("graft_crprobe").toString + "/idx"
-    val t0 = System.nanoTime()
-    Ann.buildIndexClustered(df, path, params, nlist = cells)
-    System.err.println(f"[crprobe] build ${(System.nanoTime() - t0) / 1e9}%.1fs " +
-      s"(n=$n cells=$cells)")
+    // arg 4: fixed base dir — reuse an existing build (routing-constant
+    // iteration shouldn't pay a rebuild)
+    val path = args.lift(3).map(_ + "/idx").getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_crprobe").toString + "/idx")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_clustered"))) {
+      val t0 = System.nanoTime()
+      Ann.buildIndexClustered(df, path, params, nlist = cells)
+      System.err.println(f"[crprobe] build ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        s"(n=$n cells=$cells)")
+    } else System.err.println(s"[crprobe] reusing index at $path")
     Ann.pin(spark, path)
 
     val nQ = 200
