@@ -3122,8 +3122,11 @@ object Ann {
     * segments a delete batch lands in and rebuilding the whole index —
     * [[compact]] remains the full-rebuild path for segment right-sizing.
     *
-    * `path` must be a plain (non-glob) index root; for streaming batch
-    * trees, repair each batch root. */
+    * `path` must be a plain (non-glob) index root. Batch-nested trees
+    * (service layout, `batch=N/seg=...`) repair in place: each rewritten
+    * segment lands back in ITS OWN batch dir, so per-batch sidecar
+    * pairing ([[loadResAdc]] pairs segment -> dir) survives the rewrite
+    * and residual ADC serving stays engaged on repaired segments. */
   def repairDeleted(
       spark: SparkSession,
       path: String,
@@ -3133,11 +3136,17 @@ object Ann {
     require(!path.contains("*"), "repairDeleted takes a plain index root, not a glob")
     val p = params
     val raw = readIndex(spark, path)
+    val hasBatch = raw.columns.contains("batch")
     val delDf = deletes.select(col(deletes.columns.head).cast("long").as("__del")).distinct()
-    val affected: Array[String] = raw
+    // (seg, batch-key) pairs: batch-key "" on flat trees. Segments never
+    // span batch dirs, so the pair set is one row per affected segment.
+    val affected: Array[(String, String)] = raw
       .join(broadcast(delDf), raw("node_id") === col("__del"))
-      .select("seg").distinct().as[String].collect()
+      .select(col("seg"),
+        if (hasBatch) col("batch").cast("string") else lit(""))
+      .distinct().as[(String, String)].collect()
     if (affected.isEmpty) return
+    val affectedSegs = affected.map(_._1)
     val delB = spark.sparkContext.broadcast(
       delDf.as[Long].collect().toSet)
 
@@ -3151,42 +3160,49 @@ object Ann {
                else raw.withColumn("pq_code", lit(null).cast("array<int>"))
       val c1 = if (c0.columns.contains("upper_nbrs")) c0
               else c0.withColumn("upper_nbrs", lit(null).cast("array<array<int>>"))
-      // residual serving payload survives repair WHEN the tree's model is
-      // the ROOT sidecar: the segment stays the same cell and surviving
-      // rows' codes stay valid under it (res_cell re-homes to the new
-      // local 0 below). On batch-nested trees the rewritten segments land
-      // at the ROOT level — away from their batch dir's sidecar — so the
-      // payload is dropped there instead of silently mispairing
-      // ([[loadResAdc]] pairs by dir); those segments fall back to
-      // global ADC.
-      val rootScExists = {
-        val mp = new org.apache.hadoop.fs.Path(
-          s"${path.stripSuffix("/*").stripSuffix("/")}/_pqres_model")
-        try mp.getFileSystem(spark.sessionState.newHadoopConf()).exists(mp)
+      // residual serving payload survives repair when the segment's OWN
+      // dir carries a `_pqres_model` sidecar: the segment stays the same
+      // cell, surviving rows' codes stay valid under that dir's model
+      // (res_cell re-homes to the new local 0 below), and the rewrite
+      // lands back in the same dir so [[loadResAdc]]'s segment -> dir
+      // pairing still resolves. Segments whose dir has no sidecar
+      // (pre-r13 trees) drop the payload instead of silently mispairing.
+      val base0 = path.stripSuffix("/*").stripSuffix("/")
+      val fs0 = new org.apache.hadoop.fs.Path(base0)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def scExists(dir: String): Boolean =
+        try fs0.exists(new org.apache.hadoop.fs.Path(s"$dir/_pqres_model"))
         catch { case _: Exception => false }
-      }
+      val keepRes: org.apache.spark.sql.Column =
+        if (!hasBatch) lit(scExists(base0))
+        else {
+          val ok = affected.map(_._2).distinct
+            .filter(b => scExists(s"$base0/batch=$b")).toSeq
+          if (ok.isEmpty) lit(false) else col("batch").cast("string").isin(ok: _*)
+        }
       val c2a = if (c1.columns.contains("res_code")) c1
                 else c1.withColumn("res_code", lit(null).cast("array<int>"))
       val c2b = if (c2a.columns.contains("res_cell")) c2a
                 else c2a.withColumn("res_cell", lit(null).cast("array<double>"))
-      val c = if (rootScExists) c2b
-              else c2b.withColumn("res_code", lit(null).cast("array<int>"))
-                .withColumn("res_cell", lit(null).cast("array<double>"))
+      val c = c2b
+        .withColumn("res_code", when(keepRes, col("res_code")).cast("array<int>"))
+        .withColumn("res_cell", when(keepRes, col("res_cell")).cast("array<double>"))
       if (hasNvq) c
       else c.withColumn("nvq_code", lit(null).cast("array<int>"))
         .withColumn("nvq_params", lit(null).cast("array<array<double>>"))
         .withColumn("nvq_bits", lit(0))
     }
     val patched = withCode
-      .filter(col("seg").isin(affected.toSeq: _*))
+      .filter(col("seg").isin(affectedSegs.toSeq: _*))
       .select(col("seg"), col("local_id").cast("int"), col("node_id").cast("long"),
         col("vec").cast("array<float>"), col("neighbors").cast("array<int>"),
         col("is_entry"), col("pq_code").cast("array<int>"),
         col("nvq_code").cast("array<int>"), col("nvq_params").cast("array<array<double>>"),
         col("nvq_bits").cast("int"), col("upper_nbrs").cast("array<array<int>>"),
-        col("res_code").cast("array<int>"), col("res_cell").cast("array<double>"))
+        col("res_code").cast("array<int>"), col("res_cell").cast("array<double>"),
+        (if (hasBatch) col("batch").cast("string") else lit("")).as("bkey"))
       .repartition(col("seg"))
-      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Array[Int], Array[Double])]
+      .as[(String, Int, Long, Array[Float], Array[Int], Boolean, Array[Int], Array[Int], Array[Array[Double]], Int, Array[Array[Int]], Array[Int], Array[Double], String)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
@@ -3204,6 +3220,7 @@ object Ann {
           // drops rows (the old local-0 row may itself be tombstoned)
           val resCell: Array[Double] =
             sorted.iterator.map(_._13).collectFirst { case c if c != null => c }.orNull
+          val bkey = sorted(0)._14 // constant per segment
           val deleted = new java.util.BitSet(sorted.length)
           sorted.foreach { r => if (delB.value.contains(r._3)) deleted.set(r._2) }
           g.repairDeleted(deleted)
@@ -3234,22 +3251,29 @@ object Ann {
               (newSeg, nw, r._3, if (nvq) null else r._4,
                 g.neighbors(r._2).iterator.map(remap(_)).toArray,
                 nw == newEntry, if (nw == 0) centroid else null, r._7, r._8, r._9, r._10,
-                upper, r._12, if (nw == 0) resCell else null)
+                upper, r._12, if (nw == 0) resCell else null, bkey)
             }
           }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
         "seg_centroid", "pq_code", "nvq_code", "nvq_params", "nvq_bits", "upper_nbrs",
-        "res_code", "res_cell")
+        "res_code", "res_cell", "batch")
     // nvq columns always written (uniform tree schema — see buildIndex);
-    // legacy trees without them stay readable via readIndex's mergeSchema
-    patched.write.mode("append").partitionBy("seg").parquet(path)
+    // legacy trees without them stay readable via readIndex's mergeSchema.
+    // Batch-nested trees rewrite IN PLACE: partitionBy(batch, seg) lands
+    // each repaired segment back in its source batch dir, keeping the
+    // per-batch sidecar pairing (and the dir layout) intact.
+    if (hasBatch)
+      patched.write.mode("append").partitionBy("batch", "seg").parquet(path)
+    else
+      patched.drop("batch").write.mode("append").partitionBy("seg").parquet(path)
     // drop the replaced segment directories AFTER the new ones land
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    affected.foreach { s =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/seg=$s"), true)
+    affected.foreach { case (s, b) =>
+      val dir = if (b.isEmpty) s"$path/seg=$s" else s"$path/batch=$b/seg=$s"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
     // new content token (cluster-wide cache invalidation; the local clear
     // only covers this JVM) + refresh any pinned materialization so a warm

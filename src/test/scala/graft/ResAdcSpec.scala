@@ -188,6 +188,53 @@ class ResAdcSpec extends SparkSpec {
       "per-batch models compose, one per sidecar dir")
   }
 
+  test("repair on a batch-nested tree keeps residual serving on every segment (no global fallback)") {
+    // r13 left a gap: repairDeleted rewrote segments to the ROOT of a
+    // batch-nested tree, away from their batch dir's `_pqres_model`, so
+    // repaired segments silently fell back to global ADC (and the stale
+    // source segment dir was never dropped). The rewrite now lands back in
+    // the segment's own batch dir: pairing survives by construction.
+    val rows = clustered(nc = 8, per = 150, d = 16, seed = 91)
+    val base = rows.toDF("id", "vec").repartition(4, col("id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_resadc_rep").toString
+    val idx = s"$root/idx"
+    val p = Ann.Params(metric = "COSINE", maxDegree = 12, beamWidth = 48, pqM = 4)
+    Ann.buildIndexClustered(base, s"$idx/batch=0", p, nlist = 8)
+    val cells = Ann.loadCells(spark, idx).get
+    val flushRows = clustered(nc = 8, per = 40, d = 16, seed = 91).zipWithIndex
+      .map { case ((_, v), i) => (100000L + i, v) }
+    Ann.buildIndexAlignedTo(flushRows.toDF("id", "vec"), s"$idx/batch=1", p, cells)
+    Ann.invalidateSegmentCounts(idx)
+    val n0 = spark.read.option("mergeSchema", "true").option("basePath", idx)
+      .parquet(idx).count()
+    // tombstone rows from BOTH batches so segments rewrite in each dir
+    val dels = Seq(3L, 20L, 77L, 100005L, 100011L).toDF("id")
+    Ann.repairDeleted(spark, idx, dels, p)
+    val df = spark.read.option("mergeSchema", "true").option("basePath", idx)
+      .parquet(idx)
+    assert(df.count() === n0 - 5, "repair drops exactly the tombstoned rows")
+    assert(df.filter(col("node_id").isin(3L, 20L, 77L, 100005L, 100011L)).count() === 0)
+    assert(df.filter(col("res_code").isNull).count() === 0,
+      "every surviving node keeps its residual code through a nested repair")
+    // EVERY segment — repaired ones included — still pairs with its own
+    // batch dir's residual model
+    val ra = Ann.loadResAdc(spark, idx, Ann.buildToken(spark, idx), rerankK = 10)
+    assert(ra.isDefined)
+    val segBatch = df.select(col("seg"), col("batch")).distinct().collect()
+      .map(r => (r.getString(0), s"batch=${r.getInt(1)}"))
+    val segDir = ra.get.segDirB.value
+    segBatch.foreach { case (seg, bdir) =>
+      assert(segDir.get(seg).contains(bdir),
+        s"repaired segment $seg paired with ${segDir.get(seg)}, expected $bdir")
+    }
+    // and serving still works end-to-end on the repaired tree
+    val live = (rows ++ flushRows).filterNot(r => Set(3L, 20L, 77L, 100005L, 100011L)(r._1))
+    val queries = live.take(15).toDF("qid", "qvec")
+    val truth = KnnExact.knn(live.toDF("id", "vec"), queries, 10, "COSINE")
+    val got = Ann.searchIndex(spark, idx, queries, 10, 64, p, rerankK = 20)
+    assert(recallOf(got, truth) >= 0.85, "post-repair two-phase recall on nested tree")
+  }
+
   test("residual ADC beats global ADC at zero rerank slack (equal rerankK, routed)") {
     val rows = clustered(nc = 16, per = 200, d = 16, seed = 53)
     val base = rows.toDF("id", "vec").repartition(8, col("id"))
