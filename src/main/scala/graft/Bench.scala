@@ -21,6 +21,36 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def load1m(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Clean-window guard for the contention-sensitive blocks (mseg serving,
+    * kernel micro): the JSON artifact is the CONTRACT, and two rounds
+    * running recorded those blocks inside somebody's load window (r13:
+    * kernel_qps 18k vs 119-150k idle — an 8x swing on a pure CPU micro).
+    * Defer the block start (bounded) until 1-minute load falls under the
+    * gate; the load actually seen at block start is recorded in the
+    * artifact as the block's own window marker. Our OWN preceding blocks
+    * inflate load1m too (32 runnable threads decay with a ~60s time
+    * constant), so waiting here also stops the bench from measuring its
+    * own wake. Returns the load at go-time. */
+  private def cleanWindow(tag: String,
+      gate: Double = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.5),
+      maxWaitSec: Int = 480): Double = {
+    var l = load1m()
+    val t0 = System.nanoTime()
+    while (l > gate && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[$tag] load1m $l%.1f > gate $gate%.1f — deferring 20s " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.0fs waited)")
+      Thread.sleep(20000)
+      l = load1m()
+    }
+    if (l > gate)
+      System.err.println(f"[$tag] proceeding CONTENDED at load1m $l%.1f " +
+        f"(gate $gate%.1f, wait budget ${maxWaitSec}s exhausted) — marker in artifact")
+    l
+  }
+
   def main(args: Array[String]): Unit = {
     val loadAtStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -296,7 +326,7 @@ object Bench {
         qpsExh: Double, qpsRouted: Double, vrExh: Double, vrRouted: Double,
         p99Exh: Double, p99Routed: Double,
         recParity: Double, recAbsExh: Double, recAbsRouted: Double,
-        qpsRoutedEf256: Double, recAbsRoutedEf256: Double)
+        qpsRoutedEf256: Double, recAbsRoutedEf256: Double, winLoad: Double)
 
     def msegMeasure(p: Ann.Params, withLatency: Boolean): MsegNumbers = {
       val path = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
@@ -304,6 +334,10 @@ object Bench {
         Ann.buildIndexClustered(msegDf, path, p, nlist = msegClusters))
       val segs = Ann.readIndex(spark, path).select("seg").distinct().count()
       Ann.pin(spark, path)
+      // serving measurements start in a CLEAN window (the build itself just
+      // ran 32 threads for minutes — load1m needs ~2 min to decay); the
+      // go-time load is the block's window marker in the artifact
+      val winLoad = cleanWindow("mseg-serve")
       // exhaustive and routed are measured INTERLEAVED (one run of each per
       // pass, best pass per mode — same protocol as the headline sections):
       // measured back-to-back, a contention window that lands inside one
@@ -373,7 +407,8 @@ object Bench {
           probeSegments = Ann.AutoProbe), msegTruth, topK).head().getDouble(0)
       Ann.unpin(path)
       MsegNumbers(buildS, segs, qpsExh, qpsRouted, vrExh, vrRouted,
-        p99Exh, p99Routed, recParity, recAbsExh, recAbsRouted, qpsHi, recAbsHi)
+        p99Exh, p99Routed, recParity, recAbsExh, recAbsRouted, qpsHi, recAbsHi,
+        winLoad)
     }
 
     val mseg = msegMeasure(msegParams, withLatency = true)
@@ -391,6 +426,10 @@ object Bench {
     // ThroughputBenchmark run zero scheduling layers). ann_qps above charges
     // every batch a full Spark job; the kernel numbers isolate the engine
     // itself for the apples-to-apples comparison with BASELINE.md. ----
+    // kernel micro in a clean window too: a pure-CPU parallel-stream
+    // measurement is the single most contention-sensitive number in the
+    // artifact (r13: 18k contended vs 119-150k idle on the same binary)
+    val kernelWinLoad = cleanWindow("kernel")
     val localRows = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qLocal = queries.select(col("qid").cast("long"), col("qvec").cast("array<float>"))
@@ -512,7 +551,11 @@ object Bench {
         s""""p99_ms":[${num(mseg.p99Exh, 1)},${num(mseg.p99Routed, 1)}],""" +
         s""""recall":${num(mseg.recParity, 3)},""" +
         s""""recall_abs":[${num(mseg.recAbsExh, 3)},${num(mseg.recAbsRouted, 3)}],""" +
-        s""""ef256":[${num(mseg.qpsRoutedEf256, 1)},${num(mseg.recAbsRoutedEf256, 3)}]},""" +
+        s""""ef256":[${num(mseg.qpsRoutedEf256, 1)},${num(mseg.recAbsRoutedEf256, 3)}],""" +
+        // per-block window markers (r13 verdict #3): the 1-min load at the
+        // start of the mseg SERVING block / kernel block after the clean-
+        // window gate — a contended artifact is visible block by block
+        s""""w":${num(mseg.winLoad, 1)}},""" +
         // (mseg16 continuity block retired in r13 per the r11 agreement —
         // the degree frontier lives in NOTES_r13 §4; SPARK_GRAFT_MSEG_DEG
         // reruns any point)
@@ -523,7 +566,7 @@ object Bench {
          else s""""expanded_ratio":${num(expandedRatio, 4)},""" +
            s""""pq_fused_qps":${num(pqFusedQps, 1)},"pq_gathered_qps":${num(pqGatheredQps, 1)},""") +
         s""""pq_recall_at_10":${num(pqRecall, 4)},"pq_build_sec":${num(pqBuildSec, 3)},""" +
-        s""""kernel_qps":${num(kernelQps, 1)},""" +
+        s""""kernel_qps":${num(kernelQps, 1)},"kernel_w":${num(kernelWinLoad, 1)},""" +
         (if (level >= 2) "" else s""""kernel_build_vps":${num(kernelBuildVps, 1)},""") +
         // pinned-route p99 survives compaction (reference LatencyBenchmark's
         // headline number); the avg + kernel latencies are full-mode detail

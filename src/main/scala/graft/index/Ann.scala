@@ -2392,6 +2392,13 @@ object Ann {
           .as[(Long, Long, Double)].collect()
     }
     mark("cand_collect")
+    // per-page re-check of the big-session bound: the open-time decision
+    // used ONE page's production bound, but the carried pool accumulates
+    // across pages. Flip the NEXT page to the distributed split before the
+    // driver collect can keep growing — this page's collect stays bounded
+    // by the threshold plus one page's production (itself under the
+    // threshold, or the open check would have marked the session big).
+    if (candRows.length > BigSessionRows) fs.create(bigMarker, true).close()
     val pageBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
     val poolBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     candRows.iterator
@@ -2425,7 +2432,6 @@ object Ann {
       SessMemoCache.put(statePath, SessMemo(
         dirFingerprint(fs, new org.apache.hadoop.fs.Path(s"$statePath/cursors")),
         dirFingerprint(fs, poolPath), tok, twoPhase, poolBuf.toArray))
-      if (SessMemoCache.size > 64) SessMemoCache.clear()
       mark("swaps")
       // page sorted (qid, rank) for a deterministic, lineage-free return
       spark.createDataset(pageBuf.sortBy(t => (t._1, t._2)).toIndexedSeq)
@@ -2635,17 +2641,48 @@ object Ann {
     * route already holds driver-side for its query broadcast. */
   private case class SessMemo(cursorsFp: String, poolFp: String, tok: String,
     twoPhase: Boolean, pool: Array[(Long, Long, Double)])
-  private val SessMemoCache =
-    new scala.collection.concurrent.TrieMap[String, SessMemo]
+  private object SessMemoCache {
+    /** Eviction budget is TOTAL POOL ROWS retained, not session count: a
+      * boxed (Long, Long, Double) triple is ~110 bytes of driver heap
+      * (Tuple3 + two boxed Longs + a boxed Double), so a row-blind
+      * 64-session cap could retain 64 near-threshold pools — tens of GB.
+      * 2M rows ≈ ~220 MB worst case; eviction is insertion-ordered and a
+      * single over-budget pool is simply never memoized (the next page
+      * reads the pool dir from disk — correctness is disk-backed always). */
+    private[graft] var MaxPoolRows: Long = 2000000L
+    private val m = new java.util.LinkedHashMap[String, SessMemo]()
+    def get(k: String): Option[SessMemo] = m.synchronized(Option(m.get(k)))
+    def put(k: String, v: SessMemo): Unit = m.synchronized {
+      m.remove(k)
+      if (v.pool.length <= MaxPoolRows) {
+        m.put(k, v)
+        var total = 0L
+        val vs = m.values.iterator()
+        while (vs.hasNext) total += vs.next().pool.length.toLong
+        val it = m.entrySet().iterator()
+        while (total > MaxPoolRows && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { total -= e.getValue.pool.length; it.remove() }
+        }
+      }
+    }
+    def remove(k: String): Unit = m.synchronized { m.remove(k); () }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
 
   /** Candidate-row bound above which a persisted session keeps its
     * page/pool split DISTRIBUTED instead of the driver-side fast path
-    * (~4M triples ≈ 100 MB of driver tuples). Decided at open time from
-    * cursor rows x page candidates and recorded as a `_big` marker in the
-    * session state. Env `SPARK_GRAFT_SESS_BIG_ROWS`; a var so specs can
-    * force the distributed path on small fixtures. */
+    * (boxed triples are ~110 bytes each — 2M rows ≈ ~220 MB of driver
+    * heap). Decided at open time from cursor rows x page candidates,
+    * recorded as a `_big` marker in the session state, and RE-EVALUATED
+    * per page against the actual collected candidate count: the carried
+    * pool grows across pages (each page adds up to cursorRows x pageCands
+    * rows and retires only nQ x k), so a session opened under the bound
+    * can outgrow it mid-session — the marker then flips all later pages
+    * to the distributed path. Env `SPARK_GRAFT_SESS_BIG_ROWS`; a var so
+    * specs can force the distributed path on small fixtures. */
   private[graft] var BigSessionRows: Long =
-    sys.env.get("SPARK_GRAFT_SESS_BIG_ROWS").map(_.toLong).getOrElse(4000000L)
+    sys.env.get("SPARK_GRAFT_SESS_BIG_ROWS").map(_.toLong).getOrElse(2000000L)
 
   /** Driver-side parquet write of a session's (qid, nid, score) pool —
     * byte-level parquet via parquet-hadoop, schema-compatible with

@@ -167,11 +167,12 @@ object Ivf {
       val vn = if (metricCode == 2) math.sqrt(kern.dotD(v, v)) else 0.0
       // probe pools run deep (measured on unstructured centroids — the
       // adversarial case: 4*nprobe pools lost 15% of the exact top-8 probe
-      // set, 256-member pools 8%; 512 holds >= 0.95 overlap) — CONSTANT in
-      // S, so at 10^5 cells it is still a 0.5% scan and the per-row win
-      // keeps growing with the centroid count
+      // set, 256-member pools 8%; CoarsePoolBase=512 holds >= 0.95
+      // overlap) — CONSTANT in S, so at 10^5 cells it is still a 0.5% scan
+      // and the per-row win keeps growing with the centroid count
       val pool =
-        if (coarseLevel.isDefined) coarsePool(v, vn, math.max(512, 16 * nprobe))
+        if (coarseLevel.isDefined)
+          coarsePool(v, vn, math.max(Ivf.CoarsePoolBase, 16 * nprobe))
         else null
       topNExact(v, vn, pool, nprobe)
     }
@@ -180,12 +181,15 @@ object Ivf {
       simWith(v, if (metricCode == 2) math.sqrt(kern.dotD(v, v)) else 0.0, c)
 
     /** Nearest centroid with the row's norm computed ONCE (ties to the
-      * lowest cluster id, same order as [[nearestClusters]]). Above
-      * [[Ivf.CoarseAssignCells]] the argmax runs over the coarse pool. */
+      * lowest cluster id, same order as [[nearestClusters]] — above
+      * [[Ivf.CoarseAssignCells]] both draw the SAME
+      * [[Ivf.CoarsePoolBase]]-member coarse pool, so
+      * `assignOne(v) == nearestClusters(v, 1).head` holds on every
+      * centroid set, structured or not). */
     def assignOne(v: Array[Double]): Int = {
       val vn = if (metricCode == 2) math.sqrt(kern.dotD(v, v)) else 0.0
       if (coarseLevel.isDefined) {
-        val pool = coarsePool(v, vn, 32)
+        val pool = coarsePool(v, vn, Ivf.CoarsePoolBase)
         var best = -1
         var bestS = Double.MinValue
         var i = 0
@@ -217,6 +221,15 @@ object Ivf {
     * specs can force the coarse path on small fixtures. */
   private[graft] var CoarseAssignCells: Int =
     sys.env.get("SPARK_GRAFT_COARSE_ASSIGN_CELLS").map(_.toInt).getOrElse(4096)
+
+  /** The ONE coarse-pool size both [[IvfModel.assignOne]] and
+    * [[IvfModel.nearestClusters]] draw from (the probe path widens it to
+    * 16*nprobe when that is larger). Sharing the constant is a correctness
+    * contract, not a tuning nicety: with different pools assignOne(v) could
+    * disagree with nearestClusters(v, 1).head — and small pools measurably
+    * lose head accuracy on unstructured centroid sets (32-member pools were
+    * validated only on a well-clustered COSINE fixture). */
+  private[graft] val CoarsePoolBase: Int = 512
 
   /** Train nlist centroids on a bounded sample (reuses PQ's deterministic
     * k-means++; same sampling contract as PQ training). At
@@ -257,10 +270,12 @@ object Ivf {
     * shuffle order), and the final model is the union of sub-centroids.
     * Work per group is O(sample_s * k_s * d) — thousands of independent
     * small k-means jobs instead of one impossible nlist-wide one, so
-    * training scales out with executors. The returned model may hold
-    * FEWER than nlist centroids when a super's rows cannot support its
-    * quota (tiny/empty supers); callers size layouts from
-    * `model.centroids.length`. */
+    * training scales out with executors. The quota sum is pinned to
+    * EXACTLY nlist (floors that overshoot — every nonempty super is
+    * bumped to >= 1 — are trimmed back from the largest quotas), but the
+    * returned model may still hold FEWER than nlist centroids when a
+    * super's rows cannot support its quota (tiny supers); callers size
+    * layouts from `model.centroids.length`, never the requested nlist. */
   def trainHierarchical(
       df: DataFrame,
       vecCol: String,
@@ -295,6 +310,19 @@ object Ivf {
       oi = (oi + 1) % order.length
       if (oi == 0 && left > 0 && !order.exists(s => counts.getOrElse(s, 0L) > 0)) left = 0
     }
+    // the >= 1 floor on nonempty supers can OVERSHOOT nlist (many tiny
+    // supers each bumped to 1): trim 1 from the largest-quota supers until
+    // the sum lands exactly on nlist. Terminates: whenever the sum exceeds
+    // nlist >= #nonempty-supers, some quota > 1 remains to trim.
+    if (left < 0) {
+      val trimOrder = quota.toSeq.sortBy { case (s, q) => (-q, s) }.map(_._1).toArray
+      var ti = 0
+      while (left < 0) {
+        val s = trimOrder(ti % trimOrder.length)
+        if (quota(s) > 1) { quota(s) -= 1; left += 1 }
+        ti += 1
+      }
+    }
     val quotaB = spark.sparkContext.broadcast(quota.toMap)
     val subCents: Array[Array[Double]] = assigned
       .as[(Int, Array[Double])]
@@ -328,9 +356,20 @@ object Ivf {
             .iterator.map(c => (sup, c.toSeq))
         }
       }
-      // (sup, subspace-order) sort makes the final centroid INDEXING
-      // deterministic too — cluster ids are positions in this array
-      .collect().sortBy { case (s, c) => (s, c.mkString(",")) }
+      // (sup, numeric-lexicographic) sort makes the final centroid INDEXING
+      // deterministic too — cluster ids are positions in this array. A
+      // direct element-wise comparator: the former mkString(",") key
+      // allocated a string per centroid per comparison (O(n log n) of them
+      // at 10^5 centroids) and ordered "10" < "9".
+      .collect().sortWith { case ((s1, c1), (s2, c2)) =>
+        if (s1 != s2) s1 < s2
+        else {
+          var i = 0
+          val n = math.min(c1.length, c2.length)
+          while (i < n && c1(i) == c2(i)) i += 1
+          if (i < n) c1(i) < c2(i) else c1.length < c2.length
+        }
+      }
       .map(_._2.toArray)
     IvfModel(metric, subCents)
   }
@@ -766,8 +805,13 @@ object Ivf {
     val qRows = queries.select(col("qid").cast("long"), col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // same auto-chunking as [[searchPartitionedPQ]]: the per-query ADC
-    // frame is O(batch x m x k); threshold queries are independent so the
-    // chunked union is exact (per-query margins calibrate per chunk)
+    // frame is O(batch x m x k). PRECISION is exact by construction
+    // (phase 2 rescores at full resolution); with a PINNED adcMargin the
+    // chunked union is row-for-row exact, but the default auto-margin
+    // samples its deviation estimate from each chunk's pruned probe set,
+    // so phase-1 margins — and hence recall/hit sets — can differ
+    // slightly from an unchunked run (IvfResSpec pins the margin to
+    // assert equality for this reason)
     val chunkQ = adcChunkSize(pq)
     if (qRows.length > chunkQ) {
       return qRows.map(_._1).grouped(chunkQ).map { qids =>

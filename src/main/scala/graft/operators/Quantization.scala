@@ -482,8 +482,13 @@ object PQ {
     // stay sequential. Without this, Ivf.train at nlist >= 4096 was a
     // single-thread driver wall (128k sample x 4096 x 64d x 6 iters
     // ~ 2e11 flops — minutes; intractable toward 10^5 cells).
+    // DRIVER-only parallelism: inside an executor task (TaskContext set —
+    // e.g. Ivf.trainHierarchical runs one kmeans per super concurrently in
+    // flatMapGroups) spawning cores-2 threads per task would oversubscribe
+    // the CPU N-fold; there the scheduler already owns the parallelism.
     val threads =
       if (points.length.toLong * k * dim < (1L << 24)) 1
+      else if (org.apache.spark.TaskContext.get() != null) 1
       else math.max(1, Runtime.getRuntime.availableProcessors - 2)
     val pool = if (threads == 1) null
       else java.util.concurrent.Executors.newFixedThreadPool(threads)

@@ -543,13 +543,25 @@ object ServiceQueries {
     // in-distribution flush: cell-aligned batch, tree STAYS routable and
     // the routed search still tracks the exhaustive answer on the (now
     // two-batch) tree
-    svc.write("cg", fromCenters(10000 until 10200))
+    val flushRows = fromCenters(10000 until 10200)
+    svc.write("cg", flushRows)
     svc.optimize("cg")
     val stillRoutable = routable() == 1L
     val got2 = svc.search("cg", queries, limit = 10)
     val exh2 = graft.index.Ann.searchIndex(s, s"$root/cg/gen=1/*", queries, 10, 64,
       params, probeSegments = 0)
     val flushParity = recallOf(got2, exh2)
+    // ef is the first-class serving-time QUALITY lever (the reference's
+    // `SEARCH <searchEf> ...` — IPCService.java:85-93): a wider beam buys
+    // recall at ZERO build cost, and on routed clustered trees ef=256 is
+    // the recommended quality setting (4Mx64 frontier: deg32 + ef256 =
+    // 0.952 recall_abs, dominating the 2.2x-costlier deg64 BUILD). Gate:
+    // SEARCH at ef256 on the routed two-batch tree recalls at least the
+    // ef64 arm against exact truth over the full live corpus.
+    val want2 = graft.operators.KnnExact.knn(
+      rows.unionByName(flushRows), queries, 10, "COSINE")
+    val rEf64 = recallOf(got2, want2)
+    val rEf256 = recallOf(svc.search("cg", queries, limit = 10, ef = 256), want2)
     // drifted flush: an all-positive shifted blob no old cell describes —
     // MaxAlignDrift trips and the tree demotes to exhaustive serving
     svc.write("cg", (5000 until 5100).map(i =>
@@ -564,6 +576,7 @@ object ServiceQueries {
       ("svc_cluster_parity_ge_0_95", 0.95, parity >= 0.95),
       ("svc_cluster_flush_stays_routable", 1.0, stillRoutable),
       ("svc_cluster_flush_parity_ge_0_95", 0.95, flushParity >= 0.95),
+      ("svc_cluster_ef256_recall_ge_ef64", 1.0, rEf256 >= rEf64 && rEf256 >= 0.9),
       ("svc_cluster_drift_demotes", 1.0, demoted))
   }
 
@@ -575,6 +588,7 @@ object ServiceQueries {
     ("svc_cluster_parity_ge_0_95", 0.95),
     ("svc_cluster_flush_stays_routable", 1.0),
     ("svc_cluster_flush_parity_ge_0_95", 0.95),
+    ("svc_cluster_ef256_recall_ge_ef64", 1.0),
     ("svc_cluster_drift_demotes", 1.0)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

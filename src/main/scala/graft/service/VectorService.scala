@@ -342,7 +342,17 @@ class VectorService(spark: SparkSession, root: String) {
     * flushed rows drift past [[VectorService.MaxAlignDrift]] x the build
     * baseline (or on a merge compaction, which re-packs segments across
     * cells). [[memory]] reports the regime (`segments` / `routable` rows)
-    * so operators can see which one they're in. */
+    * so operators can see which one they're in.
+    *
+    * `ef` — the serving-time QUALITY lever (the reference's
+    * `SEARCH <searchEf> ...`, `IPCService.java:85-93`): beam width per
+    * probed segment. Wider beams buy recall at ZERO build cost and, on
+    * routed trees, near-flat batch cost (the beam is a minority of the
+    * job at serving batch shapes). Default 64 is the throughput point;
+    * **ef = 256 is the recommended quality setting on routed clustered
+    * trees** — measured at 4M x 64 segments: deg32 + ef256 reaches
+    * 0.952 recall_abs, dominating a deg64 BUILD (0.942 at 2.2x the
+    * build cost). Gated: `svc_cluster_ef256_recall_ge_ef64`. */
   def search(name: String, queries: DataFrame, limit: Int, ef: Int = 64): DataFrame = {
     val m = meta(name)
     val gen = currentGen(name)

@@ -88,6 +88,15 @@ class CoarseAssignSpec extends AnyFunSuite {
       assert(recC >= 0.95, f"coarse probe data recall $recC%.4f < 0.95")
       assert(recC >= recE - 0.02,
         f"coarse probe recall $recC%.4f lags exact $recE%.4f by > 0.02")
+      // assignOne == nearestClusters(v, 1).head on the coarse path: both
+      // draw the SAME CoarsePoolBase pool, so the head contract holds by
+      // construction — pinned here because with different pool sizes it
+      // silently broke (assignOne's former 32-member pool could disagree)
+      (0 until 500).foreach { _ =>
+        val v = Array.fill(d)(rnd.nextGaussian() * 2) // UNSTRUCTURED query
+        assert(coarseModel.assignOne(v) == coarseModel.nearestClusters(v, 1).head,
+          "assignOne must equal nearestClusters(v,1).head on the coarse path")
+      }
       // determinism: the structure is seeded — two models agree exactly
       val coarseModel2 = {
         Ivf.CoarseAssignCells = 512
