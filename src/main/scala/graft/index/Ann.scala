@@ -2039,6 +2039,27 @@ object Ann {
     val liveConst = deletes.isEmpty
     val nQ = qB.map(_.value.length).getOrElse(1)
 
+    // BIG-session decision, made BEFORE the page materializes: it shapes
+    // the cursors READ (smaller columnar batches), the cursors WRITE (no
+    // 8-file coalesce), and the page/pool split strategy. Known at open
+    // from cursor rows x page candidates (no counting job), recorded as a
+    // `_big` marker so every later page — any JVM — takes the same path;
+    // the driver-split path also re-checks per page and can write the
+    // marker mid-session (see below).
+    val bigMarker = new org.apache.hadoop.fs.Path(s"$statePath/_big")
+    val bigSession: Boolean =
+      if (queriesOpt.isDefined) {
+        val cursorRows: Long = segQueriesB match {
+          case Some(b) => b.value.valuesIterator.map(_.length.toLong).sum
+          case None => nQ.toLong * SegCountCache.getOrCompute(s"$path|$tok",
+            math.max(1, raw.filter(col("local_id") === 0)
+              .select("seg").distinct().count().toInt))
+        }
+        val big = cursorRows * math.max(k, pageCands) > BigSessionRows
+        if (big) fs.create(bigMarker, true).close() else fs.delete(bigMarker, false)
+        big
+      } else fs.exists(bigMarker)
+
     // full tuple type spelled out (not an alias): Spark's implicit
     // Encoder derivation does not see through type aliases
     def emit(segId: String, qid: Long, qv: Array[Float], g: Vamana,
@@ -2243,11 +2264,40 @@ object Ann {
     // read-back scheme here — measured: a partitionBy("kind") parquet
     // round-trip for the same purpose cost +0.4s/page at 1M x 64), then
     // the cursors write streams from the checkpointed blocks and OVERLAPS
-    // the page/pool split below
-    val out = spark.createDataset(outRdd)
+    // the page/pool split below.
+    //
+    // BIG sessions invert that trade: their durable cursor state runs to
+    // GBs (10^5 queries x ~8 probed segments x ~8 KB of bitset/heap blobs
+    // per cursor — SessScaleMicro measured 6.5-8.4 GB at 1M x 64), so
+    // holding the page's out relation in block-manager MEMORY doubled the
+    // footprint and OOMed a 16 GB driver. Their materialization is a
+    // STREAMING parquet write partitioned by kind: blobs flow from the
+    // search tasks to disk without ever being resident all at once, the
+    // kind=1 partition then BECOMES the cursors dir by rename (no second
+    // write of the blobs), and the page/pool split reads the small kind=0
+    // rows. The +0.4 s disk round-trip that lost to localCheckpoint on
+    // small sessions is noise against a big page's wall. Their cursor
+    // READS (the next page's resume pass) also run at a 256-row columnar
+    // batch — 4096-row batches of multi-KB blob rows put multi-ten-MB
+    // column vectors on every task at once.
+    val outTmp = new org.apache.hadoop.fs.Path(s"$statePath/out_tmp")
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val savedBatch = if (bigSession) Some(spark.conf.get(batchKey, "4096")) else None
+    if (bigSession) spark.conf.set(batchKey, "256")
+    val outBase = spark.createDataset(outRdd)
       .toDF("seg", "kind", "qid", "qvec", "visited", "returned", "frontier",
         "evicted", "node_id", "score")
-      .localCheckpoint(true) // materialize BEFORE touching the old state dirs
+    val out =
+      if (!bigSession)
+        outBase.localCheckpoint(true) // materialize BEFORE touching old state dirs
+      else {
+        fs.delete(outTmp, true)
+        outBase
+          .withColumn("tok", lit(tok)).withColumn("two_phase", lit(twoPhase))
+          .write.partitionBy("kind").parquet(outTmp.toString)
+        spark.read.option("basePath", outTmp.toString).parquet(outTmp.toString)
+      }
+    savedBatch.foreach(v => spark.conf.set(batchKey, v))
     mark("search_ckpt")
 
     def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
@@ -2261,20 +2311,28 @@ object Ann {
       df.write.mode("overwrite").parquet(tmp.toString)
       rename(tmp, new org.apache.hadoop.fs.Path(s"$statePath/$name"))
     }
-    // the cursors swap depends ONLY on the (checkpointed) out — kick it
-    // off NOW so its write overlaps the page/pool split computation below
-    // (each is a fixed-cost job; overlapping them shaves one job's wall
-    // from every page)
-    // coalesce narrows the 32-task/32-file write to 8 (cursor state is a
-    // few MB; the commit protocol's per-file renames were the cost)
-    val cursorsDf = out.filter(col("kind") === 1)
-      .select(col("qid"), col("seg"), col("qvec"), col("visited"),
-        col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
-        lit(twoPhase).as("two_phase"))
-      .coalesce(8)
+    // the cursors swap depends ONLY on the materialized out — kick it off
+    // NOW so it overlaps the page/pool split computation below (each is a
+    // fixed-cost job; overlapping them shaves one job's wall from every
+    // page). Small sessions write the 9-column cursors relation from the
+    // checkpointed blocks (coalesce(8): cursor state is a few MB and the
+    // commit protocol's per-file renames were the cost); big sessions
+    // already streamed their cursors to disk as out_tmp/kind=1 — the swap
+    // is ONE rename, the blobs are never written twice.
     val swapPool = java.util.concurrent.Executors.newFixedThreadPool(1)
     val cursorsFut = swapPool.submit(new Runnable {
-      def run(): Unit = swap(cursorsDf, "cursors")
+      def run(): Unit =
+        if (bigSession)
+          rename(new org.apache.hadoop.fs.Path(s"$outTmp/kind=1"),
+            new org.apache.hadoop.fs.Path(s"$statePath/cursors"))
+        else {
+          val cursorsDf = out.filter(col("kind") === 1)
+            .select(col("qid"), col("seg"), col("qvec"), col("visited"),
+              col("returned"), col("frontier"), col("evicted"), lit(tok).as("tok"),
+              lit(twoPhase).as("two_phase"))
+            .coalesce(8)
+          swap(cursorsDf, "cursors")
+        }
     })
 
     val producedScored = out.filter(col("kind") === 0)
@@ -2285,22 +2343,9 @@ object Ann {
     // BIG sessions keep the page/pool split DISTRIBUTED: the driver-side
     // split below collects candidate triples bounded by cursors x
     // pageCands, which a 10^5-query session would turn into a driver
-    // memory hazard. The bound is known at OPEN time (cursor rows x page
-    // candidates, no counting job) and recorded as a `_big` marker in the
-    // session state so every later page — any JVM — takes the same path.
-    val bigMarker = new org.apache.hadoop.fs.Path(s"$statePath/_big")
-    if (queriesOpt.isDefined) {
-      val cursorRows: Long = segQueriesB match {
-        case Some(b) => b.value.valuesIterator.map(_.length.toLong).sum
-        case None => nQ.toLong * SegCountCache.getOrCompute(s"$path|$tok",
-          math.max(1, raw.filter(col("local_id") === 0)
-            .select("seg").distinct().count().toInt))
-      }
-      if (cursorRows * math.max(k, pageCands) > BigSessionRows)
-        fs.create(bigMarker, true).close()
-      else fs.delete(bigMarker, false)
-    }
-    if (fs.exists(bigMarker)) {
+    // memory hazard (decision hoisted above — it also shapes the cursor
+    // read/write).
+    if (bigSession) {
       // distributed split (one grouped shuffle pass, pool dir = the whole
       // split relation): candidates never land on the driver. The page
       // frame's lineage reads the NEW pool dir — consume it before asking
@@ -2336,6 +2381,9 @@ object Ann {
         mark("split_write")
         rename(poolTmp, poolPath)
         cursorsFut.get()
+        // kind=1 is renamed away and kind=0 is consumed into the pool —
+        // the streamed materialization dir is done
+        fs.delete(outTmp, true)
         SessMemoCache.remove(statePath) // big sessions never memo the pool
         mark("swaps")
         // localCheckpoint: every page reads the SAME pool path, so a lazy
@@ -2716,22 +2764,31 @@ object Ann {
   /** Cell count at which routing switches from the exact O(S) centroid
     * scan to two-level coarse routing (see [[CoarseRouter]]). Below it —
     * every gate fixture — picks are bit-identical to the historical exact
-    * scan. 65536 is the measured crossover: recall-safe pools are ~32x the
-    * pick count, and below ~64k cells the flat scan's sequential SIMD
-    * scoring beats pool construction's random member access (1.1x at 16k,
-    * 1.6x at 65k, growing with S — a 100 TB tree has 10^5-10^6 cells where
-    * the pool fraction 32*sqrt(S)/S makes the win 5-10x). Env-overridable;
-    * a var so A/B probes (tools/CoarseRouteProbe) can flip arms in one JVM. */
+    * scan. The r14 END-TO-END recalibration (CoarseRouteProbe /
+    * ClusteredLifecycleProbe on REAL 1M-row trees) showed the r13 32x
+    * pools lose 1.4-2.5 pt recall_abs vs flat routing at 16k-32k cells;
+    * PARITY (±0.005) needs 64x pools ([[CoarseOverscan]] = 8), and with
+    * parity pools the flat/coarse wall crossover moves out: 0.9x at 65k
+    * cells, 1.4x at 262k (RoutingScaleMicro, 4096-query batches). 131072
+    * is the measured break-even neighborhood — engagement starts where
+    * the win is real AND recall holds; at 10^5-10^6 cells (the 100 TB
+    * regime) the pool fraction 64*sqrt(S)/S keeps shrinking and the win
+    * grows. Env-overridable; a var so A/B probes (tools/CoarseRouteProbe,
+    * tools/CoarseTuneProbe) can flip arms in one JVM. */
   private[graft] var CoarseRouteCells: Int =
-    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(65536)
+    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(131072)
 
-  /** Coarse pool oversampling base: filtered pools hold 2x this times the
-    * prefix size (+ the eligible/2 term), unfiltered serving pools 8x this
-    * times the pick count (validated >= 0.95 routing recall at 4096-65536
-    * planted cells by tools/RoutingScaleMicro AND on real k-means trees by
-    * tools/CoarseRouteProbe — real centroid sets are noisier and set the
-    * constants). */
-  private[graft] val CoarseOverscan: Int = 4
+  /** Coarse-pool depth multiplier: unfiltered pools run 8x this times the
+    * pick count, filtered walks 2x this times the prefix (see routePick).
+    * Default 8 (64x picks) = the RECALL-PARITY depth on real k-means
+    * trees — the r13 value (4, 32x picks) held the >= 0.95 contract but
+    * measured 0.979-vs-0.993 (16k cells) and 0.956-vs-0.981 (32k) against
+    * the flat arm end-to-end; 8 restores ±0.005 parity at both sizes
+    * (tools/CoarseTuneProbe sweep; spill-3 was measured to buy nothing).
+    * A var (env `SPARK_GRAFT_COARSE_OVERSCAN`) so the A/B probes can
+    * sweep depth on one built tree. */
+  private[graft] var CoarseOverscan: Int =
+    sys.env.get("SPARK_GRAFT_COARSE_OVERSCAN").map(_.toInt).getOrElse(8)
 
   /** seg -> RDD-partition map of a session's index layout (one tiny entry
     * per segment), memoized per (path + pin identity, build token): lets

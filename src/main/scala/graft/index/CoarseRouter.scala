@@ -92,6 +92,14 @@ private[graft] final class CoarseRouter(
 
 private[graft] object CoarseRouter {
 
+  /** Spill degree: every centroid joins its `Spill` nearest supers. 2 was
+    * the r13 shipping value; 3 adds 50% member storage and buys head-cell
+    * retention on REAL (noisy) centroid sets where a head cell's two
+    * nearest supers can both rank below the pool cutoff. Env
+    * `SPARK_GRAFT_COARSE_SPILL`; a var for one-tree A/B sweeps. */
+  private[graft] var Spill: Int =
+    sys.env.get("SPARK_GRAFT_COARSE_SPILL").map(_.toInt).getOrElse(2)
+
   def build(cents: Array[(String, Array[Float])], seed: Long = 20260815L,
       /** supers = superFactor * sqrt(S): finer supers cost a slightly
         * longer super scan (still sublinear) and buy expansion granularity
@@ -145,9 +153,10 @@ private[graft] object CoarseRouter {
 
     // Lloyd iterations over ALL S centroids: parallel assign (pure,
     // index-addressed writes), sequential accumulate (deterministic).
-    // assign2 tracks the SECOND-nearest super for the final spill pass.
-    val assign = new Array[Int](S)
-    val assign2 = new Array[Int](S)
+    // assignTop tracks the `spill` nearest supers for the final spill pass
+    // (slot 0 = the Lloyd assignment).
+    val spill = math.max(1, math.min(k, Spill))
+    val assignTop = Array.ofDim[Int](S, spill)
     val threads = math.max(1, Runtime.getRuntime.availableProcessors - 2)
     def assignAll(): Unit = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -156,20 +165,26 @@ private[graft] object CoarseRouter {
         val futs = (0 until S by chunk).map { lo =>
           pool.submit(new Runnable {
             def run(): Unit = {
+              val bd = new Array[Double](spill)
+              val bi = new Array[Int](spill)
               var i = lo
               val hi = math.min(S, lo + chunk)
               while (i < hi) {
-                var best = 0; var bd = Double.MaxValue
-                var best2 = 0; var bd2 = Double.MaxValue
+                java.util.Arrays.fill(bd, Double.MaxValue)
+                java.util.Arrays.fill(bi, 0)
                 var j = 0
                 while (j < k) {
                   val dd = dist2(vecs(i), centers(j))
-                  if (dd < bd) { bd2 = bd; best2 = best; bd = dd; best = j }
-                  else if (dd < bd2) { bd2 = dd; best2 = j }
+                  if (dd < bd(spill - 1)) {
+                    var p = spill - 1
+                    while (p > 0 && bd(p - 1) > dd) {
+                      bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+                    }
+                    bd(p) = dd; bi(p) = j
+                  }
                   j += 1
                 }
-                assign(i) = best
-                assign2(i) = best2
+                System.arraycopy(bi, 0, assignTop(i), 0, spill)
                 i += 1
               }
             }
@@ -185,7 +200,7 @@ private[graft] object CoarseRouter {
       val counts = new Array[Int](k)
       var i = 0
       while (i < S) {
-        val a = assign(i); val v = vecs(i)
+        val a = assignTop(i)(0); val v = vecs(i)
         var j = 0
         while (j < d) { sums(a)(j) += v(j); j += 1 }
         counts(a) += 1
@@ -201,17 +216,24 @@ private[graft] object CoarseRouter {
     }
     assignAll()
 
-    // spill assignment (IVF "replica" trick): every centroid joins BOTH its
-    // nearest supers, so cells near a super boundary — exactly the ones an
-    // exact top-eff ranking picks from several supers — stay reachable from
-    // either side. 2x member storage (ints), large pick-overlap gain.
+    // spill assignment (IVF "replica" trick): every centroid joins its
+    // `spill` nearest supers, so cells near a super boundary — exactly the
+    // ones an exact top-eff ranking picks from several supers — stay
+    // reachable from each side. spill-x member storage (ints), large
+    // pick-overlap gain.
     val members = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofInt)
-    var i = 0
-    while (i < S) { members(assign(i)) += i; i += 1 }
-    i = 0
-    while (i < S) {
-      if (assign2(i) != assign(i)) members(assign2(i)) += i
-      i += 1
+    var s = 0
+    while (s < spill) {
+      var i = 0
+      while (i < S) {
+        val a = assignTop(i)(s)
+        var dup = false
+        var p = 0
+        while (p < s && !dup) { dup = assignTop(i)(p) == a; p += 1 }
+        if (!dup) members(a) += i
+        i += 1
+      }
+      s += 1
     }
     new CoarseRouter(centers, members.map(_.result()), S)
   }
