@@ -1061,10 +1061,18 @@ object Ann {
         * cannot improve the merged top-k (jvector rerankFloor,
         * `GraphSearcher.java:386-404`). Off switch exists for measurement. */
       shareRerankFloor: Boolean = true,
-      /** Two-phase only: traverse on the fused transposed neighbor-code
-        * layout (Q7, jvector FusedPQ) instead of the gathered flat-code
-        * path. Results are identical (spec-asserted). Default OFF — the
-        * data (kernel micro `tools.FusedMicro`, 50k x 64d, AVX-512 box,
+      /** Two-phase only, FLAT trees only: traverse on the fused transposed
+        * neighbor-code layout (Q7, jvector FusedPQ) instead of the gathered
+        * flat-code path. On clustered (residual-paired) trees this flag is
+        * a NO-OP by decision (r14): the residual payload takes precedence —
+        * fused blocks hold GLOBAL codes, which are ordering noise inside
+        * tight cells (1M x 64 cells: 0.16 vs 0.63 recall_abs), and
+        * composing fused blocks from residual codes was adjudicated and
+        * RETIRED (fused's measured end-to-end win on flat trees is ~2.4%
+        * — the beam is a minority of a serving batch — against degree-x
+        * residual-code memory and a third scorer variant; NOTES_r14 §6).
+        * Results are identical to gathered (spec-asserted). Default OFF —
+        * the data (kernel micro `tools.FusedMicro`, 50k x 64d, AVX-512 box,
         * Panama strip-gather `adcBlockF` active, re-measured r9 2026-08):
         * m=8 fused 66ms vs gathered 76ms (1.15x), m=16 fused 78ms vs
         * gathered 89-117ms (1.15-1.30x, gathered-side variance) — real but
