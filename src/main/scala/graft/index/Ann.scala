@@ -2963,14 +2963,44 @@ object Ann {
       while (i < qvec.length) { na += qvec(i).toDouble * qvec(i).toDouble; i += 1 }
       math.sqrt(na)
     }
-    @inline def score(idx: Int): Double =
-      if (centNorms == null) Vamana.similarity(metric, qvec, cents(idx)._2)
-      else {
-        val c = cents(idx)._2
-        var d = 0.0; var i = 0
-        while (i < c.length) { d += qvec(i).toDouble * c(i).toDouble; i += 1 }
-        (1.0 + d / (qNorm * centNorms(idx))) / 2.0
+    // metric code hoisted: Vamana.similarity per (query, centroid) paid a
+    // toUpperCase string allocation per call — at 10^5 cells x 10^4-query
+    // batches that is 10^9 allocations on the routing driver. Arithmetic
+    // (and hence picks) is bit-identical to the similarity() branches.
+    val mcode: Int =
+      if (centNorms != null) 2
+      else metric.toUpperCase match {
+        case "EUCLIDEAN" => 0
+        case "DOT_PRODUCT" | "DOT" => 1
+        case "COSINE" => 3 // cosine WITHOUT hoisted norms (rare caller)
+        case m => throw new IllegalArgumentException(s"unknown metric: $m")
       }
+    @inline def score(idx: Int): Double = {
+      val c = cents(idx)._2
+      (mcode: @annotation.switch) match {
+        case 0 =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val t = qvec(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+          1.0 / (1.0 + d)
+        case 1 =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { d += qvec(i).toDouble * c(i).toDouble; i += 1 }
+          (1.0 + d) / 2.0
+        case 2 =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { d += qvec(i).toDouble * c(i).toDouble; i += 1 }
+          (1.0 + d / (qNorm * centNorms(idx))) / 2.0
+        case _ =>
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < c.length) {
+            d += qvec(i).toDouble * c(i).toDouble
+            na += qvec(i).toDouble * qvec(i).toDouble
+            nb += c(i).toDouble * c(i).toDouble
+            i += 1
+          }
+          (1.0 + d / (math.sqrt(na) * math.sqrt(nb))) / 2.0
+      }
+    }
 
     // top-m indexes of `pool` (null = all of cents), returned best-first
     def topM(pool: Array[Int], m: Int): Array[Int] = {

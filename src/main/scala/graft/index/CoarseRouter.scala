@@ -39,6 +39,19 @@ private[graft] final class CoarseRouter(
     val members: Array[Array[Int]],
     val total: Int) {
 
+  /** Hoisted cosine norms of the supers (computed once per router — the
+    * per-(query, super) `Vamana.similarity` call recomputed BOTH norms
+    * and allocated a `toUpperCase` string per call: ~6M allocations and
+    * 3x the flops per 4096-query routing batch at 1452 supers). Same
+    * arithmetic as the inline path (sqrt of a sequential double sum), so
+    * similarity values — and hence picks — are bit-identical. */
+  @transient private lazy val superNormSqrts: Array[Double] =
+    superCents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+
   /** Candidate centroid-index pool for one query: supers ranked by
     * `metric` similarity best-first, member lists appended (whole supers;
     * the caller's heap prunes) until `need` members pass `mask`
@@ -47,10 +60,36 @@ private[graft] final class CoarseRouter(
   def pool(qvec: Array[Float], metric: String, need: Int,
       mask: Array[Long], maskCount: Int): Array[Int] = {
     val ns = superCents.length
+    val mc = metric.toUpperCase match {
+      case "EUCLIDEAN" => 0
+      case "DOT_PRODUCT" | "DOT" => 1
+      case "COSINE" => 2
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    val qn: Double = if (mc != 2) 0.0 else {
+      var s = 0.0; var i = 0
+      while (i < qvec.length) { s += qvec(i).toDouble * qvec(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
     val packed = new Array[Long](ns)
     var s = 0
     while (s < ns) {
-      packed(s) = LongHeap.pack(Vamana.similarity(metric, qvec, superCents(s)), s)
+      val c = superCents(s)
+      var d = 0.0
+      var i = 0
+      if (mc == 0) {
+        while (i < c.length) {
+          val t = qvec(i).toDouble - c(i).toDouble; d += t * t; i += 1
+        }
+      } else {
+        while (i < c.length) { d += qvec(i).toDouble * c(i).toDouble; i += 1 }
+      }
+      val sim = (mc: @annotation.switch) match {
+        case 0 => 1.0 / (1.0 + d)
+        case 1 => (1.0 + d) / 2.0
+        case _ => (1.0 + d / (qn * superNormSqrts(s))) / 2.0
+      }
+      packed(s) = LongHeap.pack(sim, s)
       s += 1
     }
     java.util.Arrays.sort(packed) // ascending — walk from the top end
