@@ -140,17 +140,47 @@ case class AdcLookupSumExpr(left: Expression, right: Expression, kk: Int)
     copy(l, r)
 }
 
+/** One Broadcast per live model INSTANCE (weak-keyed memo). The
+  * model-carrying expressions below reference multi-MB driver objects — an
+  * [[graft.index.Ivf.IvfModel]] at 10^5 cells is ~70 MB of centroids plus
+  * its coarse level — and `addReferenceObj` on the RAW model serializes it
+  * into every stage's task binary, so each job re-ships the model as many
+  * times as it has stages (Spark's "Broadcasting large task binary" warning
+  * at 131072 cells: 181 MiB per stage). Holding a Broadcast HANDLE instead
+  * ships the model once per SparkContext and lets every stage and job reuse
+  * the executor-cached blocks. Weak keys let the ContextCleaner reclaim the
+  * broadcast once the model itself is unreachable; the memo also keeps
+  * expression equality intact (same model => same Broadcast instance). */
+private[graft] object ModelBroadcast {
+  private val memo = new java.util.WeakHashMap[AnyRef,
+    org.apache.spark.broadcast.Broadcast[_]]()
+  def of[T <: AnyRef](model: T): org.apache.spark.broadcast.Broadcast[T] =
+    memo.synchronized {
+      val hit = memo.get(model)
+      if (hit != null) hit.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+      else {
+        val b = org.apache.spark.sql.SparkSession.active.sparkContext
+          .broadcast(model: AnyRef)
+        memo.put(model, b)
+        b.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+      }
+    }
+}
+
 /** Nearest-centroid assignment as a native codegen expression — the IVF
   * write-path partitioner ([[graft.index.Ivf.assign]]). It runs once per
   * corpus row when writing a cluster-partitioned layout, so at 100 TB it is
   * the hottest scalar on the ingest path: a Scala UDF pays a boxed
   * Seq[Double] conversion per row, while this stays primitive
-  * (ArrayData.toDoubleArray) and rides whole-stage codegen. The model is
-  * attached via addReferenceObj so generated code calls the SAME
+  * (ArrayData.toDoubleArray) and rides whole-stage codegen. The model rides
+  * a [[ModelBroadcast]] handle (resolved once per generated-class instance,
+  * never per row) so generated code calls the SAME
   * [[graft.index.Ivf.IvfModel.assignOne]] the driver-side probe routing
   * uses — one assignment implementation everywhere. */
-case class NearestCentroidExpr(child: Expression, model: graft.index.Ivf.IvfModel)
+case class NearestCentroidExpr(child: Expression,
+    modelB: org.apache.spark.broadcast.Broadcast[graft.index.Ivf.IvfModel])
     extends UnaryExpression {
+  @transient private lazy val model = modelB.value
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -163,8 +193,11 @@ case class NearestCentroidExpr(child: Expression, model: graft.index.Ivf.IvfMode
     model.assignOne(v.asInstanceOf[ArrayData].toDoubleArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modelRef = ctx.addReferenceObj("ivfModel", model, model.getClass.getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $modelRef.assignOne($v.toDoubleArray());")
+    val cls = classOf[graft.index.Ivf.IvfModel].getName
+    val bRef = ctx.addReferenceObj("ivfModelB", modelB,
+      "org.apache.spark.broadcast.Broadcast")
+    val mVar = ctx.addMutableState(cls, "ivfModel", v => s"$v = ($cls) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $mVar.assignOne($v.toDoubleArray());")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
@@ -176,8 +209,10 @@ case class NearestCentroidExpr(child: Expression, model: graft.index.Ivf.IvfMode
   * contract is written against — sequential-double argmin, bit-identical
   * to the DuckDB list_reduce recomputation — so swapping the boxed UDF for
   * this changes per-row overhead, never arithmetic. */
-case class PqEncodeExpr(child: Expression, model: graft.operators.PQModel)
+case class PqEncodeExpr(child: Expression,
+    modelB: org.apache.spark.broadcast.Broadcast[graft.operators.PQModel])
     extends UnaryExpression {
+  @transient private lazy val model = modelB.value
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -190,10 +225,13 @@ case class PqEncodeExpr(child: Expression, model: graft.operators.PQModel)
     ArrayData.toArrayData(model.encodeOne(v.asInstanceOf[ArrayData].toDoubleArray()))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modelRef = ctx.addReferenceObj("pqModel", model, model.getClass.getName)
+    val cls = classOf[graft.operators.PQModel].getName
+    val bRef = ctx.addReferenceObj("pqModelB", modelB,
+      "org.apache.spark.broadcast.Broadcast")
+    val mVar = ctx.addMutableState(cls, "pqModel", v => s"$v = ($cls) $bRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
-        s"$modelRef.encodeOne($v.toDoubleArray()));")
+        s"$mVar.encodeOne($v.toDoubleArray()));")
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
@@ -201,8 +239,10 @@ case class PqEncodeExpr(child: Expression, model: graft.operators.PQModel)
 
 /** nprobe nearest clusters per row ([[graft.index.Ivf.knnJoin]]'s probe
   * fan-out — once per LEFT row of the embedding-dedup join at 100 TB). */
-case class NearestClustersExpr(child: Expression, model: graft.index.Ivf.IvfModel, nprobe: Int)
+case class NearestClustersExpr(child: Expression,
+    modelB: org.apache.spark.broadcast.Broadcast[graft.index.Ivf.IvfModel], nprobe: Int)
     extends UnaryExpression {
+  @transient private lazy val model = modelB.value
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -215,13 +255,50 @@ case class NearestClustersExpr(child: Expression, model: graft.index.Ivf.IvfMode
     ArrayData.toArrayData(model.nearestClusters(v.asInstanceOf[ArrayData].toDoubleArray(), nprobe))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modelRef = ctx.addReferenceObj("ivfModel", model, model.getClass.getName)
+    val cls = classOf[graft.index.Ivf.IvfModel].getName
+    val bRef = ctx.addReferenceObj("ivfModelB", modelB,
+      "org.apache.spark.broadcast.Broadcast")
+    val mVar = ctx.addMutableState(cls, "ivfModel", v => s"$v = ($cls) $bRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
-        s"$modelRef.nearestClusters($v.toDoubleArray(), $nprobe));")
+        s"$mVar.nearestClusters($v.toDoubleArray(), $nprobe));")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestClustersExpr = copy(child = c)
+}
+
+/** Centroid lookup by cluster id from a broadcast [[graft.index.Ivf.IvfModel]]
+  * — replaces the `element_at(typedLit(centroids), id + 1)` pattern on the
+  * residual paths (v − centroid[cell]), which embedded the FULL centroid set
+  * as a Literal in the plan (and so in every stage's task binary: ~70 MB of
+  * boxed Seqs at 10^5 cells). Returns the exact same array<double> rows the
+  * literal route produced — residual arithmetic stays bit-identical. */
+case class CentroidAtExpr(child: Expression,
+    modelB: org.apache.spark.broadcast.Broadcast[graft.index.Ivf.IvfModel])
+    extends UnaryExpression {
+  @transient private lazy val model = modelB.value
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_at expects int cluster id, got $other")
+  }
+
+  override def nullSafeEval(id: Any): Any =
+    ArrayData.toArrayData(model.centroids(id.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[graft.index.Ivf.IvfModel].getName
+    val bRef = ctx.addReferenceObj("ivfModelB", modelB,
+      "org.apache.spark.broadcast.Broadcast")
+    val mVar = ctx.addMutableState(cls, "ivfModel", v => s"$v = ($cls) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"$mVar.centroids()[$id]);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CentroidAtExpr = copy(child = c)
 }
 
 /** Self-contained NVQ row decode (codes, per-subvector params, bits →
@@ -253,11 +330,13 @@ object VectorExpressions {
   def adcLookupSum(table: Column, codes: Column, kk: Int): Column =
     column(AdcLookupSumExpr(expression(table), expression(codes), kk))
   def nearestCentroid(vec: Column, model: graft.index.Ivf.IvfModel): Column =
-    column(NearestCentroidExpr(expression(vec), model))
+    column(NearestCentroidExpr(expression(vec), ModelBroadcast.of(model)))
   def nearestClusters(vec: Column, model: graft.index.Ivf.IvfModel, nprobe: Int): Column =
-    column(NearestClustersExpr(expression(vec), model, nprobe))
+    column(NearestClustersExpr(expression(vec), ModelBroadcast.of(model), nprobe))
   def pqEncode(vec: Column, model: graft.operators.PQModel): Column =
-    column(PqEncodeExpr(expression(vec), model))
+    column(PqEncodeExpr(expression(vec), ModelBroadcast.of(model)))
+  def centroidAt(clusterId: Column, model: graft.index.Ivf.IvfModel): Column =
+    column(CentroidAtExpr(expression(clusterId), ModelBroadcast.of(model)))
   def nvqDecode(codes: Column, params: Column, bits: Column): Column =
     column(NvqDecodeExpr(expression(codes), expression(params), expression(bits)))
 }

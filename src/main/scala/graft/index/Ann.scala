@@ -669,6 +669,13 @@ object Ann {
       case Some(m) => v => m.encodeOne(v.map(_.toDouble))
       case None => _ => null
     }
+    // The cell model inside resBuild is ~70 MB at 10^5 cells; capturing the
+    // Option directly in the partition closure below would serialize it into
+    // EVERY build stage's task binary. Ship it as ONE memoized broadcast and
+    // capture only the handle (the closure must not mention `resBuild`).
+    val resBuildB: Option[org.apache.spark.broadcast.Broadcast[
+      (graft.operators.PQModel, Ivf.IvfModel)]] =
+      resBuild.map(graft.functions.ModelBroadcast.of(_))
     val indexed = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -685,7 +692,7 @@ object Ann {
           // otherwise each row encodes lazily at emission and is collected
           // immediately.
           val codes: Array[Array[Int]] =
-            if (p.pqBuild && resBuild.isEmpty && pqModel.isDefined)
+            if (p.pqBuild && resBuildB.isEmpty && pqModel.isDefined)
               rows.map(r => encodeCode(r._2)) else null
           // residual codes + shared cell for clustered builds: this
           // partition IS one k-means cell, so the first row's assignment
@@ -693,8 +700,8 @@ object Ann {
           // construction scoring (pqBuild) and, with persistRes, the
           // persisted residual-ADC serving codes
           val resData: Option[(Array[Int], Array[Double])] =
-            if (resBuild.isDefined && (p.pqBuild || persistRes)) {
-              val (resModel, cellModel) = resBuild.get
+            if (resBuildB.isDefined && (p.pqBuild || persistRes)) {
+              val (resModel, cellModel) = resBuildB.get.value
               val cell = cellModel.centroids(
                 cellModel.assignOne(rows(0)._2.map(_.toDouble)))
               val flat = new Array[Int](rows.length * resModel.m)
@@ -717,7 +724,7 @@ object Ann {
               // residual codes (+ centroid terms for DOT/COSINE)
               val (flat, cell) = resData.get
               val sc = new graft.operators.ResidualPQPairScorer(
-                resBuild.get._1, flat, p.metric, cell)
+                resBuildB.get.value._1, flat, p.metric, cell)
               shell.buildApprox(sc.score, sc.entryNode(), p.buildThreads)
             } else if (codes != null) {
               val mm = pqModel.get
@@ -751,7 +758,7 @@ object Ann {
             // the tree's `_pqres_model`) + the encoding cell on local 0
             val resCode: Array[Int] =
               if (persistRes && resData.isDefined) {
-                val rm = resBuild.get._1.m
+                val rm = resBuildB.get.value._1.m
                 java.util.Arrays.copyOfRange(resData.get._1, i * rm, (i + 1) * rm)
               } else null
             (seg, i, rows(i)._1, storedVec, g.neighbors(i).toArray, i == g.entryNode,
@@ -859,10 +866,9 @@ object Ann {
     // with the residual shift).
     val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
       if (params.pqM > 0) {
-        val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
         val resFrame = assigned.withColumn("__res",
-          graft.functions.VectorFunctions.sub(
-            col(baseVec), element_at(centLit, col("cluster_id") + 1)))
+          graft.functions.VectorFunctions.sub(col(baseVec),
+            graft.functions.VectorExpressions.centroidAt(col("cluster_id"), model)))
         // residual granularity is free to exceed serving pqM: within-cell
         // residuals are small, and reconstruction error must sit well under
         // the within-cell neighbor-distance spread for code scores to rank
@@ -1015,10 +1021,10 @@ object Ann {
     // ([[loadResAdc]]) — per-batch models are sound by construction.
     val resBuild: Option[(graft.operators.PQModel, Ivf.IvfModel)] =
       if (params.pqM > 0) {
-        val centLit = typedLit(cells.model.centroids.map(_.toSeq).toSeq)
         val resFrame = assigned.withColumn("__res",
-          graft.functions.VectorFunctions.sub(
-            col(baseVec), element_at(centLit, col("cluster_id") + 1)))
+          graft.functions.VectorFunctions.sub(col(baseVec),
+            graft.functions.VectorExpressions.centroidAt(
+              col("cluster_id"), cells.model)))
         val resM = math.max(params.pqM, cells.model.centroids(0).length / 4)
         Some((graft.operators.PQ.train(resFrame, "__res", resM, params.pqK),
           cells.model))

@@ -473,9 +473,9 @@ object Ivf {
       model: IvfModel,
       m: Int,
       k: Int = 256): graft.operators.PQModel = {
-    val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
     val resFrame = assign(df, vecCol, model).withColumn("__res",
-      VectorFunctions.sub(col(vecCol), element_at(centLit, col("cluster_id") + 1)))
+      VectorFunctions.sub(col(vecCol),
+        graft.functions.VectorExpressions.centroidAt(col("cluster_id"), model)))
     PQ.train(resFrame, "__res", m, k)
   }
 
@@ -549,10 +549,10 @@ object Ivf {
     val opts = Map("parquet.page.row.count.limit" -> "2048") ++ options
     val encoded =
       if (residualPq) {
-        val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
         PQ.encode(
           assign(df, vecCol, model).withColumn("__res",
-            VectorFunctions.sub(col(vecCol), element_at(centLit, col("cluster_id") + 1))),
+            VectorFunctions.sub(col(vecCol),
+              graft.functions.VectorExpressions.centroidAt(col("cluster_id"), model))),
           "__res", pq).drop("__res")
       } else PQ.encode(assign(df, vecCol, model), vecCol, pq)
     val sorted = encoded

@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * 0.9930 flat — outside the ±0.01 parity bar the crossover analysis
   * assumed.
   *
-  * Run: sbt "runMain graft.tools.CoarseTuneProbe <n> <cells> <threads> <baseDir>"
+  * Run: sbt "runMain graft.tools.CoarseTuneProbe <n> <cells> <threads> <baseDir>
+  *           [centerSeed] [rerankK]"
+  * centerSeed 11 (default) matches CoarseRouteProbe trees; 17 matches
+  * ClusteredLifecycleProbe trees (whose two-phase serving also wants
+  * rerankK=40, the oq4 slack the lifecycle arms use).
   */
 object CoarseTuneProbe {
   def main(args: Array[String]): Unit = {
@@ -22,6 +26,8 @@ object CoarseTuneProbe {
     val threads = args.lift(2).map(_.toInt).getOrElse(32)
     val base = args.lift(3).getOrElse(
       throw new IllegalArgumentException("pass the CoarseRouteProbe base dir"))
+    val centerSeed = args.lift(4).map(_.toLong).getOrElse(11L)
+    val rerankK = args.lift(5).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-coarse-tune-probe")
@@ -34,7 +40,7 @@ object CoarseTuneProbe {
     // SAME corpus generator as CoarseRouteProbe (seed 11): the reused tree
     // was built from exactly these vectors
     val dim = 64
-    val rnd = new java.util.Random(11)
+    val rnd = new java.util.Random(centerSeed)
     val centers = Array.fill(cells)(Array.fill(dim)(rnd.nextGaussian().toFloat * 2f))
     val centersB = spark.sparkContext.broadcast(centers)
     def vecOf(i: Long): Array[Float] = {
@@ -66,7 +72,7 @@ object CoarseTuneProbe {
         Seq("qid", "nid"), "left_semi").count().toDouble / wantN
 
     // (overscan, spill); (0, _) = the flat arm reference
-    val combos = Seq((0, 2), (4, 2), (4, 3), (8, 2), (8, 3), (16, 2))
+    val combos = Seq((0, 2), (4, 2), (4, 3), (8, 2), (8, 3), (16, 2), (32, 2))
     for ((os, sp) <- combos) {
       val flat = os == 0
       Ann.CoarseRouteCells = if (flat) Int.MaxValue else 4096
@@ -74,17 +80,17 @@ object CoarseTuneProbe {
       Ann.clearSegmentCache()
       Ann.unpin(path); Ann.pin(spark, path)
       Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
-        probeSegments = Ann.AutoProbe).count() // warm (also builds the router)
+        probeSegments = Ann.AutoProbe, rerankK = rerankK).count() // warm (also builds the router)
       val tb = System.nanoTime()
       val got = Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
-        probeSegments = Ann.AutoProbe)
+        probeSegments = Ann.AutoProbe, rerankK = rerankK)
       val rec = recallOf(got, truth, truthN)
       val wall = (System.nanoTime() - tb) / 1e9
       Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
-        probeSegments = Ann.AutoProbe, accepts = Some(accepts)).count()
+        probeSegments = Ann.AutoProbe, rerankK = rerankK, accepts = Some(accepts)).count()
       val tf = System.nanoTime()
       val gotF = Ann.searchIndex(spark, path, queries, 10, ef = 64, params,
-        probeSegments = Ann.AutoProbe, accepts = Some(accepts))
+        probeSegments = Ann.AutoProbe, rerankK = rerankK, accepts = Some(accepts))
       val recF = recallOf(gotF, truthF, truthFN)
       val wallF = (System.nanoTime() - tf) / 1e9
       val tag = if (flat) "flat" else s"os=$os,sp=$sp"

@@ -89,4 +89,29 @@ class VectorFunctionsSpec extends SparkSpec {
       s"assignment not inside a codegen span:\n$plan")
     assert(!plan.contains("UDF"), s"UDF node in plan:\n$plan")
   }
+
+  test("centroidAt matches the element_at(typedLit) route bit-exactly and stays codegen") {
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val rnd = new scala.util.Random(9)
+    val model = graft.index.Ivf.IvfModel("EUCLIDEAN",
+      Array.fill(7)(Array.fill(5)(rnd.nextDouble() * 2 - 1)))
+    val df = (0 until 50).map(i => (i.toLong, i % 7)).toDF("id", "cluster_id")
+    val centLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val both = df.select(col("id"),
+        graft.functions.VectorExpressions.centroidAt(col("cluster_id"), model).as("a"),
+        element_at(centLit, col("cluster_id") + 1).as("b"))
+      .collect()
+    both.foreach { r =>
+      // the residual paths (v - centroid[cell]) swapped the plan-embedded
+      // literal for this broadcast lookup — arithmetic must be bit-identical
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2), s"row ${r.getLong(0)}")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_centat").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(graft.functions.VectorExpressions.centroidAt(col("cluster_id"), model))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [centroidatexpr"),
+      s"centroid lookup not inside a codegen span:\n$plan")
+  }
 }
