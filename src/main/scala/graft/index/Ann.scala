@@ -2776,31 +2776,38 @@ object Ann {
       .sorted.mkString("|")
 
   /** Cell count at which routing switches from the exact O(S) centroid
-    * scan to two-level coarse routing (see [[CoarseRouter]]). Below it —
-    * every gate fixture — picks are bit-identical to the historical exact
-    * scan. The r14 END-TO-END recalibration (CoarseRouteProbe /
-    * ClusteredLifecycleProbe on REAL 1M-row trees) showed the r13 32x
-    * pools lose 1.4-2.5 pt recall_abs vs flat routing at 16k-32k cells;
-    * PARITY (±0.005) needs 64x pools ([[CoarseOverscan]] = 8), and with
-    * parity pools the flat/coarse wall crossover moves out: 0.9x at 65k
-    * cells, 1.4x at 262k (RoutingScaleMicro, 4096-query batches). 131072
-    * is the measured break-even neighborhood — engagement starts where
-    * the win is real AND recall holds; at 10^5-10^6 cells (the 100 TB
-    * regime) the pool fraction 64*sqrt(S)/S keeps shrinking and the win
-    * grows. Env-overridable; a var so A/B probes (tools/CoarseRouteProbe,
-    * tools/CoarseTuneProbe) can flip arms in one JVM. */
+    * scan to two-level coarse routing (see [[CoarseRouter]]). Below it
+    * picks are bit-identical to the historical exact scan.
+    *
+    * DEFAULT: OFF at every scale (Int.MaxValue). The r14 end-to-end
+    * measurements on REAL k-means trees killed auto-engagement honestly:
+    * recall parity with the flat scan needs overscan 8 at 16k-32k cells
+    * but 32 at 131k (ClusteredLifecycleProbe + CoarseTuneProbe, 4M x
+    * 131072: flat 0.9845; os=8 0.9555, os=16 0.9715, os=32 0.9835) — the
+    * parity pool covers ~50-70% of ALL cells and roughly doubles per 4x
+    * cells, i.e. it grows ~linearly in S. Coarse routing on real centroid
+    * sets is therefore a CONSTANT-FACTOR routing-stage win at best
+    * (1.2-1.4x on the routing stage alone at fixed sub-parity pools,
+    * RoutingScaleMicro), and routing is < 5% of end-to-end serving CPU at
+    * every measured scale — the lifecycle batch walls at 131k cells are
+    * equal within noise across all arms. Opt in (env
+    * `SPARK_GRAFT_COARSE_CELLS`) only if a deployment at >= 10^5 cells
+    * measures driver routing CPU as a real bottleneck AND accepts the
+    * 1-3 pt routed-recall trade at the default overscan. A var so A/B
+    * probes (tools/CoarseRouteProbe, tools/CoarseTuneProbe,
+    * tools/ClusteredLifecycleProbe) can flip arms in one JVM. */
   private[graft] var CoarseRouteCells: Int =
-    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(131072)
+    sys.env.get("SPARK_GRAFT_COARSE_CELLS").map(_.toInt).getOrElse(Int.MaxValue)
 
   /** Coarse-pool depth multiplier: unfiltered pools run 8x this times the
     * pick count, filtered walks 2x this times the prefix (see routePick).
-    * Default 8 (64x picks) = the RECALL-PARITY depth on real k-means
-    * trees — the r13 value (4, 32x picks) held the >= 0.95 contract but
-    * measured 0.979-vs-0.993 (16k cells) and 0.956-vs-0.981 (32k) against
-    * the flat arm end-to-end; 8 restores ±0.005 parity at both sizes
-    * (tools/CoarseTuneProbe sweep; spill-3 was measured to buy nothing).
-    * A var (env `SPARK_GRAFT_COARSE_OVERSCAN`) so the A/B probes can
-    * sweep depth on one built tree. */
+    * 8 (64x picks) is recall-parity depth at 16k-32k cells; 131k cells
+    * measured os=8 -2.9 pt / os=16 -1.3 pt / os=32 -0.1 pt vs flat
+    * (CoarseTuneProbe on the ClusteredLifecycleProbe tree, 4M x 131072,
+    * rerankK=40) — parity depth grows with the cell count, which is why
+    * coarse routing is opt-in (see [[CoarseRouteCells]]). A var (env
+    * `SPARK_GRAFT_COARSE_OVERSCAN`) so the A/B probes can sweep depth on
+    * one built tree. */
   private[graft] var CoarseOverscan: Int =
     sys.env.get("SPARK_GRAFT_COARSE_OVERSCAN").map(_.toInt).getOrElse(8)
 
