@@ -679,7 +679,16 @@ object Ann {
     val indexed = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val rows = it.toArray
+        // canonical insert order: rows arrive in SHUFFLE FETCH order (both
+        // repartition routes — segmented()'s round-robin and the clustered
+        // identity map — sit behind an exchange), which varies with memory
+        // pressure and fetch scheduling. The graph build, the float
+        // centroid sum, and the seg id all consume this order, so without
+        // the sort the SAME inputs could build measurably different trees
+        // in different environments (caught as mseg recall_abs 0.806 vs
+        // 0.788 between a standalone build and one inside a warm bench
+        // JVM). Sorting by id pins the tree to its content.
+        val rows = it.toArray.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
         else {
           val seg = java.util.UUID.nameUUIDFromBytes(

@@ -398,14 +398,35 @@ object BQPairScorer {
   * training at 128k vectors — ProductQuantization.java:62-64; same contract
   * reused by IVF). */
 private[graft] object Sampling {
+  /** PARTITION-LAYOUT-INVARIANT bounded sample: the `cap` rows with the
+    * smallest seeded content hash, in hash order (trainHierarchical's
+    * pattern). The previous `df.sample(...).limit(cap)` was seeded PER
+    * PARTITION and `limit` kept whichever partitions answered first, so the
+    * trained model — and every index built from it — silently depended on
+    * the input's partition COUNT: the same 4M rows at 4 vs 32 input
+    * partitions trained different centroids and built trees with mseg
+    * recall_abs 0.788 vs 0.806. At 100 TB partition layouts are never
+    * stable across runs; a training sample must be a function of the ROWS
+    * alone. A hash-threshold prefilter bounds the top-cap sort to
+    * ~1.25*cap expected rows; ties break on the vector itself. */
   def sampleVectors(df: DataFrame, vecCol: String, cap: Int, seed: Long): Array[Array[Double]] = {
     val total = df.count()
-    val sampled =
-      if (total <= cap) df.select(vecCol)
-      else df.select(vecCol).sample(withReplacement = false,
-        math.min(1.0, cap * 1.1 / total), seed).limit(cap)
-    sampled.select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val casted = df.select(col(vecCol).cast("array<double>").as("__v"))
+    if (total <= cap)
+      return casted.withColumn("__h", xxhash64(col("__v"), lit(seed)))
+        .orderBy(col("__h"), col("__v")).select("__v")
+        .collect().map(_.getSeq[Double](0).toArray)
+    val hashed = casted.withColumn("__h", xxhash64(col("__v"), lit(seed)))
+    def takeSmallest(src: DataFrame): Array[Array[Double]] =
+      src.orderBy(col("__h"), col("__v")).limit(cap).select("__v")
+        .collect().map(_.getSeq[Double](0).toArray)
+    val frac = math.min(1.0, cap * 1.25 / total)
+    // threshold over the full signed-long hash range (double precision is
+    // plenty: the margin above cap is >= 20 sigma at any cap >= 64)
+    val bound = (Long.MinValue + frac * 1.8446744073709552e19).toLong
+    val pre = takeSmallest(hashed.where(col("__h") <= lit(bound)))
+    if (pre.length >= cap) pre
+    else takeSmallest(hashed) // tiny caps: prefilter variance can undershoot
   }
 
   /** Balanced proportional sampling across strata (the reference's
@@ -421,7 +442,9 @@ private[graft] object Sampling {
       .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
     if (total <= cap)
-      return df.select(col(vecCol).cast("array<double>"))
+      return df.select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__h", xxhash64(col("__v"), lit(seed)))
+        .orderBy(col("__h"), col("__v")).select("__v")
         .collect().map(_.getSeq[Double](0).toArray)
     val n = counts.length
     val minPer = math.min(1000L, cap.toLong / n)
@@ -437,21 +460,22 @@ private[graft] object Sampling {
     while (assigned < cap) {
       for (s <- quota.keys if assigned < cap) { quota(s) += 1; assigned += 1 }
     }
-    val byCount = counts.toMap
-    // oversample per stratum, then trim to the exact quota deterministically
-    val fractions = quota.map { case (s, q) =>
-      s -> math.min(1.0, q * 1.2 / math.max(1L, byCount(s)))
-    }.toMap
+    // per-stratum smallest-content-hash quota (no sampleBy: its per-
+    // partition seeding made the sample — hence the retrained model —
+    // depend on the input's partition layout, same hazard as
+    // [[sampleVectors]]); one window pass, output in deterministic
+    // (stratum, hash) order so k-means seeding sees a stable sequence
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(col("__r"))
-    df.select(col(strataCol).cast("string").as(strataCol), col(vecCol))
-      .stat.sampleBy(strataCol, fractions, seed)
-      .withColumn("__r", org.apache.spark.sql.functions.hash(col(vecCol).cast("array<float>")))
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") <= org.apache.spark.sql.functions.element_at(
-        org.apache.spark.sql.functions.typedLit(quota.map { case (k, v) => k -> v.toInt }.toMap),
+      .partitionBy(strataCol).orderBy(col("__r"), col("__v"))
+    df.select(col(strataCol).cast("string").as(strataCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__r", xxhash64(col("__v"), lit(seed)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= element_at(
+        typedLit(quota.map { case (k, v) => k -> v.toInt }.toMap),
         col(strataCol)))
-      .select(col(vecCol).cast("array<double>"))
+      .orderBy(col(strataCol), col("__r"), col("__v"))
+      .select(col("__v"))
       .collect().map(_.getSeq[Double](0).toArray)
   }
 }
