@@ -493,7 +493,16 @@ object Ann {
     val want = math.max(1, math.min((n / p.segmentRows + 1).toInt,
       df.sparkSession.sparkContext.defaultParallelism * 4))
     val parts = df.rdd.getNumPartitions
-    if (parts < want) df.repartition(want)
+    // hash-partition on the id column (every caller passes (id, vec[, ...])
+    // with the id first), NOT round-robin repartition(want): round-robin
+    // assigns rows to segments by their position in the INPUT partition
+    // layout, so the same table at a different partition count produced
+    // different segment memberships — different trees from identical rows.
+    // Hash-by-id membership is a function of the rows alone (same
+    // canonicality the clustered route gets from its identity map); the
+    // coalesce branch below stays layout-dependent by design (it exists to
+    // avoid re-shuffling small service flushes).
+    if (parts < want) df.repartition(want, col(df.columns.head))
     // confetti guard: a driver-parallelized flush (service WRITE batches)
     // arrives as many sub-segmentRows partitions, which would become
     // sub-sized segments — per-segment beam/routing overhead with none of

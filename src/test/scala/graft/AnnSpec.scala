@@ -972,7 +972,10 @@ class AnnSpec extends SparkSpec {
     val want = KnnExact.knn(base, queries, 10, "COSINE")
     val rShared = recallOf(shared, want)
     val rSolo = recallOf(solo, want)
-    assert(rShared >= rSolo - 0.05, s"floor sharing cost recall: $rShared vs $rSolo")
+    // 1e-9 slack: the bound is meant to be inclusive, and the new canonical
+    // model draw lands rShared EXACTLY 0.05 under rSolo (16/320 hits) where
+    // double subtraction loses an ulp (0.996875 - 0.05 > 0.946875 as doubles)
+    assert(rShared >= rSolo - 0.05 - 1e-9, s"floor sharing cost recall: $rShared vs $rSolo")
     assert(rShared >= 0.9, s"two-phase recall $rShared < 0.9")
   }
 
