@@ -659,7 +659,20 @@ object Ann {
         * MATCHING `_pqres_model` sidecar at ITS dir ([[buildIndexClustered]]
         * at the tree root, [[buildIndexAlignedTo]] at the batch dir) —
         * serving pairs segments with their dir's model. */
-      persistRes: Boolean = false): Unit = {
+      persistRes: Boolean = false,
+      /** Cell-id column for GROUPED clustered builds: when set, a shuffle
+        * partition may carry MANY k-means cells and one segment is built
+        * per distinct cell value (rows grouped in-task, cells processed in
+        * ascending id order), instead of one segment per partition. The
+        * output rows are IDENTICAL to the one-cell-per-partition layout —
+        * seg UUIDs derive from each cell's row ids and every per-segment
+        * computation consumes only the cell's own rows — only the TASK
+        * layout changes: task count follows compute, not cell count.
+        * (131072 single-cell tasks were ~all scheduler/writer fixed cost:
+        * ~150 ms/task against a sub-ms 32-row graph build; grouped, the
+        * same write runs at a few hundred tasks. Grouping is spec-pinned
+        * row-identical — GroupedBuildSpec.) */
+      cellCol: Option[String] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val p = params
@@ -685,9 +698,23 @@ object Ann {
     val resBuildB: Option[org.apache.spark.broadcast.Broadcast[
       (graft.operators.PQModel, Ivf.IvfModel)]] =
       resBuild.map(graft.functions.ModelBroadcast.of(_))
-    val indexed = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>")), p)
-      .as[(Long, Array[Float])]
+    val cellExpr = cellCol.map(c => col(c).cast("int")).getOrElse(lit(-1)).as("__cell")
+    val indexed = segmented(base.select(col(baseId).cast("long"), col(baseVec).cast("array<float>"), cellExpr), p)
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
+        val all = it.toArray
+        // one segment per CELL when a cell column rides along (grouped
+        // clustered build: a task carries a contiguous cell-id range),
+        // else the whole partition is one segment. Cells build in
+        // ascending id order — with the per-cell id sort below, the
+        // emitted rows are a function of the rows alone, identical across
+        // task groupings (GroupedBuildSpec pins this).
+        val groups: Iterator[Array[(Long, Array[Float])]] =
+          if (all.isEmpty) Iterator.empty
+          else if (all(0)._3 < 0) Iterator(all.map(r => (r._1, r._2)))
+          else all.groupBy(_._3).toArray.sortBy(_._1).iterator
+            .map(_._2.map(r => (r._1, r._2)))
+        groups.flatMap { unsorted =>
         // canonical insert order: rows arrive in SHUFFLE FETCH order (both
         // repartition routes — segmented()'s round-robin and the clustered
         // identity map — sit behind an exchange), which varies with memory
@@ -697,7 +724,7 @@ object Ann {
         // in different environments (caught as mseg recall_abs 0.806 vs
         // 0.788 between a standalone build and one inside a warm bench
         // JVM). Sorting by id pins the tree to its content.
-        val rows = it.toArray.sortBy(_._1)
+        val rows = unsorted.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
         else {
           val seg = java.util.UUID.nameUUIDFromBytes(
@@ -791,6 +818,7 @@ object Ann {
               resCode,
               if (i == 0 && persistRes && resData.isDefined) resData.get._2 else null)
           }
+        }
         }
       }
       .toDF("seg", "local_id", "node_id", "vec", "neighbors", "is_entry",
@@ -897,9 +925,10 @@ object Ann {
         Some((graft.operators.PQ.train(resFrame, "__res", resM, params.pqK),
           model))
       } else None
-    // IDENTITY-partition on cluster id: cluster c IS partition c, so every
-    // segment holds exactly one k-means cell and its centroid is honest.
-    // The two stock DataFrame partitioners both break this invariant:
+    // IDENTITY-partition on the cell GROUP: every segment holds exactly one
+    // k-means cell (buildIndex's cellCol grouping splits a task's cells
+    // back into per-cell segments), so its centroid is honest. The two
+    // stock DataFrame partitioners both break this invariant:
     // hash partitioning merges geometrically UNRELATED clusters on
     // collisions, and repartitionByRange SAMPLES its boundaries, which
     // lands them mid-cluster — either way some segments straddle cells and
@@ -909,25 +938,55 @@ object Ann {
     // it to 1.0). Rather than dropping to an RDD custom Partitioner (Row
     // ser/deser on the whole table, off the Tungsten shuffle path), stay
     // in the DataFrame API by inverting Spark's partitioner: repartition's
-    // placement is pmod(murmur3(key, 42), nlist), so precompute one int
-    // PREIMAGE per cluster (x_c with hash(x_c) % nlist == c — expected
-    // nlist·ln(nlist) probes, driver-side, microseconds), route each row
-    // through its cluster's preimage, and hash partitioning becomes the
+    // placement is pmod(murmur3(key, 42), n), so precompute one int
+    // PREIMAGE per target partition (x_p with hash(x_p) % n == p —
+    // expected n·ln(n) probes, driver-side, microseconds), route each row
+    // through its group's preimage, and hash partitioning becomes the
     // exact identity map — same shuffle it would do anyway, zero extra
     // passes.
     // cluster count comes from the MODEL, not the request: hierarchical
     // training (Ivf.trainHierarchical, very large nlist) may return a few
     // more/fewer centroids than asked
     val nCells = model.centroids.length
-    val preimage = identityPreimages(nCells)
+    // GROUPED task layout: a write task carries a contiguous RANGE of whole
+    // cells (buildIndex splits them back into one segment per cell), sized
+    // so task count follows compute — resident rows per task bounded by
+    // [[GroupRowsTarget]] — instead of the cell count. One-cell-per-task
+    // was ~all fixed cost at large cell counts (150 ms/task of scheduler +
+    // parquet-writer overhead against a sub-ms 32-row graph build: the
+    // write job at 1M x 32768 dropped ~10x grouped). The parallelism floor
+    // keeps a real cluster saturated; below it the layout degenerates to
+    // exactly the old one-cell-per-task identity map. Output rows are
+    // IDENTICAL under any grouping (GroupedBuildSpec).
+    val nRows = base.count()
+    val rowsPerCell = math.max(1L, nRows / math.max(1, nCells))
+    val cellsPerTask = math.max(1L, math.min(256L, GroupRowsTarget / rowsPerCell)).toInt
+    val minTasks = math.min(nCells.toLong,
+      base.sparkSession.sparkContext.defaultParallelism.toLong * 4).toInt
+    val nGroups = math.max((nCells + cellsPerTask - 1) / cellsPerTask, minTasks)
+    val cpg = (nCells + nGroups - 1) / nGroups
+    val preimage = identityPreimages(nGroups)
     val parted = assigned
       .withColumn("_route",
-        element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
-      .repartition(nCells, col("_route"))
-      .drop("_route", "cluster_id")
+        element_at(array(preimage.map(lit(_)).toSeq: _*),
+          (col("cluster_id") / lit(cpg)).cast("int") + 1))
+      .repartition(nGroups, col("_route"))
+      .drop("_route")
+    // global-model PQ training runs on `base`, NEVER on `parted`: handing
+    // the identity-repartitioned relation to buildIndex made its sampling
+    // jobs (count + top-cap collect) re-execute the full nCells-partition
+    // pipeline — BuildPhaseProbe measured those jobs at ~55% of the whole
+    // build wall at 1M x 32768 (381 s vs the write's 155 s). The model is
+    // IDENTICAL either way: sampling is partition-layout-invariant
+    // (content-hash order, ReproducibleBuildSpec).
+    val pqGlobal: Option[graft.operators.PQModel] =
+      if (pqModelIn.isDefined) pqModelIn
+      else if (params.pqM > 0)
+        Some(graft.operators.PQ.train(base, baseVec, params.pqM, params.pqK))
+      else None
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
-      pqModelIn = pqModelIn, buildVisitedAcc = buildVisitedAcc,
-      resBuild = resBuild, persistRes = true)
+      pqModelIn = pqGlobal, buildVisitedAcc = buildVisitedAcc,
+      resBuild = resBuild, persistRes = true, cellCol = Some("cluster_id"))
     // cell-model sidecar AFTER the main write (overwrite would wipe it):
     // incremental flushes load it to stay cell-aligned ([[buildIndexAlignedTo]])
     saveCells(base.sparkSession, CellModel(model, cellBaselineDist(base, baseVec, model)), s"$path/_cells")
@@ -1024,12 +1083,24 @@ object Ann {
       baseVec: String = "vec"): Double = {
     val nlist = cells.model.centroids.length
     val assigned = Ivf.assign(base, baseVec, cells.model)
-    val preimage = identityPreimages(nlist)
+    // grouped task layout, same as [[buildIndexClustered]]: a flush fans
+    // out into up to nlist cell-aligned segments, but its TASK count
+    // follows the flush's compute (one-cell-per-task paid the full
+    // scheduler/writer fixed cost per cell for flush-sized row counts)
+    val nRows = base.count()
+    val rowsPerCell = math.max(1L, nRows / math.max(1, nlist))
+    val cellsPerTask = math.max(1L, math.min(256L, GroupRowsTarget / rowsPerCell)).toInt
+    val minTasks = math.min(nlist.toLong,
+      base.sparkSession.sparkContext.defaultParallelism.toLong * 4).toInt
+    val nGroups = math.max((nlist + cellsPerTask - 1) / cellsPerTask, minTasks)
+    val cpg = (nlist + nGroups - 1) / nGroups
+    val preimage = identityPreimages(nGroups)
     val parted = assigned
       .withColumn("_route",
-        element_at(array(preimage.map(lit(_)).toSeq: _*), col("cluster_id") + 1))
-      .repartition(nlist, col("_route"))
-      .drop("_route", "cluster_id")
+        element_at(array(preimage.map(lit(_)).toSeq: _*),
+          (col("cluster_id") / lit(cpg)).cast("int") + 1))
+      .repartition(nGroups, col("_route"))
+      .drop("_route")
     // residual model for the flush (any pqM > 0, like buildIndexClustered):
     // trains on the FLUSH's residuals against the SERVING tree's cells —
     // flush-sized, cheap. Construction scores on it when pqBuild is set
@@ -1047,8 +1118,16 @@ object Ann {
         Some((graft.operators.PQ.train(resFrame, "__res", resM, params.pqK),
           cells.model))
       } else None
+    // same hoist as [[buildIndexClustered]]: train the global model on the
+    // flush rows, not the identity-repartitioned relation (whose sampling
+    // jobs would re-run the nlist-partition pipeline)
+    val pqGlobal: Option[graft.operators.PQModel] =
+      if (params.pqM > 0)
+        Some(graft.operators.PQ.train(base, baseVec, params.pqM, params.pqK))
+      else None
     buildIndex(parted, path, params.copy(segmentRows = 0), baseId, baseVec,
-      resBuild = resBuild, persistRes = true)
+      pqModelIn = pqGlobal, resBuild = resBuild, persistRes = true,
+      cellCol = Some("cluster_id"))
     resBuild.foreach { case (rm, _) =>
       graft.operators.PQ.save(base.sparkSession, rm, s"$path/_pqres_model")
     }
@@ -2763,6 +2842,17 @@ object Ann {
     * specs can force the distributed path on small fixtures. */
   private[graft] var BigSessionRows: Long =
     sys.env.get("SPARK_GRAFT_SESS_BIG_ROWS").map(_.toLong).getOrElse(2000000L)
+
+  /** Target resident rows per GROUPED clustered-build task (the grouping in
+    * [[buildIndexClustered]] / [[buildIndexAlignedTo]]): cells per task =
+    * min(256, target / rowsPerCell), floored so the cluster stays saturated
+    * (defaultParallelism x 4 tasks minimum). 2^17 rows ≈ 64 MB of float
+    * vectors at 64d — well inside an executor core's share while amortizing
+    * the ~150 ms/task scheduler + parquet-writer fixed cost across whole
+    * cells. Env `SPARK_GRAFT_GROUP_ROWS`; a var so GroupedBuildSpec can
+    * force both layouts on one fixture. */
+  private[graft] var GroupRowsTarget: Long =
+    sys.env.get("SPARK_GRAFT_GROUP_ROWS").map(_.toLong).getOrElse(1L << 17)
 
   /** Driver-side parquet write of a session's (qid, nid, score) pool —
     * byte-level parquet via parquet-hadoop, schema-compatible with

@@ -412,21 +412,54 @@ private[graft] object Sampling {
   def sampleVectors(df: DataFrame, vecCol: String, cap: Int, seed: Long): Array[Array[Double]] = {
     val total = df.count()
     val casted = df.select(col(vecCol).cast("array<double>").as("__v"))
-    if (total <= cap)
-      return casted.withColumn("__h", xxhash64(col("__v"), lit(seed)))
-        .orderBy(col("__h"), col("__v")).select("__v")
-        .collect().map(_.getSeq[Double](0).toArray)
     val hashed = casted.withColumn("__h", xxhash64(col("__v"), lit(seed)))
-    def takeSmallest(src: DataFrame): Array[Array[Double]] =
-      src.orderBy(col("__h"), col("__v")).limit(cap).select("__v")
-        .collect().map(_.getSeq[Double](0).toArray)
+    // the (hash, vector) order is applied DRIVER-side over the bounded
+    // candidate set, never as a cluster sort: `orderBy(...).limit(cap)`
+    // ran a top-cap heap on EVERY map task — ruinous on many-partition
+    // relations (at a 32768-partition input each task paid the top-131072
+    // machinery for ~32 rows; BuildPhaseProbe measured the sampling jobs
+    // at ~55% of a whole clustered build) — and the no-limit variant was a
+    // full global sort with a range-partitioner sampling pass. Ties beyond
+    // the hash can only be bit-identical vectors (xxhash64 hashes the raw
+    // bytes, so distinct vectors share a hash only at 2^-64), so the
+    // driver comparator's tiebreak order cannot change the sample.
+    def sortTake(rows: Array[(Long, Array[Double])], n: Int): Array[Array[Double]] = {
+      java.util.Arrays.sort(rows, new java.util.Comparator[(Long, Array[Double])] {
+        def compare(a: (Long, Array[Double]), b: (Long, Array[Double])): Int = {
+          val h = java.lang.Long.compare(a._1, b._1)
+          if (h != 0) return h
+          val (x, y) = (a._2, b._2)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = java.lang.Double.compare(x(i), y(i))
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Integer.compare(x.length, y.length)
+        }
+      })
+      val out = new Array[Array[Double]](math.min(n, rows.length))
+      var i = 0
+      while (i < out.length) { out(i) = rows(i)._2; i += 1 }
+      out
+    }
+    def collectHashed(src: DataFrame): Array[(Long, Array[Double])] =
+      src.select(col("__h"), col("__v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (total <= cap) return sortTake(collectHashed(hashed), total.toInt)
     val frac = math.min(1.0, cap * 1.25 / total)
     // threshold over the full signed-long hash range (double precision is
     // plenty: the margin above cap is >= 20 sigma at any cap >= 64)
     val bound = (Long.MinValue + frac * 1.8446744073709552e19).toLong
-    val pre = takeSmallest(hashed.where(col("__h") <= lit(bound)))
-    if (pre.length >= cap) pre
-    else takeSmallest(hashed) // tiny caps: prefilter variance can undershoot
+    val pre = collectHashed(hashed.where(col("__h") <= lit(bound)))
+    if (pre.length >= cap) sortTake(pre, cap)
+    else {
+      // tiny caps: prefilter variance can undershoot — fall back to the
+      // cluster-side bounded top-cap (cheap exactly when cap is tiny)
+      hashed.orderBy(col("__h"), col("__v")).limit(cap).select("__v")
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
   }
 
   /** Balanced proportional sampling across strata (the reference's
