@@ -330,6 +330,12 @@ object Bench {
 
     def msegMeasure(p: Ann.Params, withLatency: Boolean): MsegNumbers = {
       val path = java.nio.file.Files.createTempDirectory("graft_bench_mseg").toString + "/idx"
+      // the BUILD starts in a clean window too (r14): it used to begin
+      // right after the p99 passes and recorded 444 s in this round's
+      // first artifact while the same binary built the same corpus in
+      // 302 s idle (tools/MsegBuildProbe A/B) — the bench was measuring
+      // its own wake on the biggest scalar in the artifact
+      cleanWindow("mseg-build")
       val (_, buildS) = time(
         Ann.buildIndexClustered(msegDf, path, p, nlist = msegClusters))
       val segs = Ann.readIndex(spark, path).select("seg").distinct().count()

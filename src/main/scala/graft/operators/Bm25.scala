@@ -33,10 +33,21 @@ object Bm25 {
       b: Double = 0.75,
       topN: Int = 20): DataFrame = {
 
+    // ONE corpus pass: tokenization feeds three consumers (corpus stats,
+    // term frequencies, and through tf the per-term doc frequencies), and
+    // as three lazy subtrees of one plan each re-ran the scan + tokenize —
+    // the sf0.1 physical plan carried THREE parquet scans of `documents`
+    // (plans/r14/bm25_topk_before.txt, scan nodes 1/11/26). At corpus
+    // scale that is 3x read amplification on the hottest lexical operator;
+    // localCheckpoint pins the tokenized (id, toks, dl) rows so every
+    // consumer reads the one materialized pass (same pattern as
+    // [[buildIndex]], which fixed the identical re-scan for the write
+    // path). Results are value-identical: same rows, same folds.
     val base = KnnExact.spreadSmall(
         docs.select(col(idCol).cast("long").as("id"),
           TextFunctions.tokens(col(textCol)).as("toks")))
       .withColumn("dl", size(col("toks")).cast("double"))
+      .localCheckpoint(true)
 
     val corpus = base.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
 

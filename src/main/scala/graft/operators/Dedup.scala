@@ -87,9 +87,16 @@ object Dedup {
     // across cores even when the corpus is one parquet split (no-op at scale)
     val base = KnnExact.spreadSmall(
       docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
+    // ONE signature pass: the banded self-join consumes withBands on BOTH
+    // sides, and as two lazy subtrees each side re-ran the scan + the
+    // numHashes-md5s-per-token signature kernel — the single most
+    // expensive per-row step in the operator, computed twice at any
+    // corpus size. Materialize it once (rows are (id, band_hash): docs x
+    // bands, far smaller than the text they derive from).
     val withBands = base
       .withColumn("sig", minhashSignature(col("text"), numHashes))
       .select(col("id"), explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("band_hash"))
+      .localCheckpoint(true)
 
     val cand =
       if (hubCap == Int.MaxValue) {
@@ -115,9 +122,13 @@ object Dedup {
       }
 
     // verify join carries 60-bit token hashes, not strings (4x less shuffle;
-    // portable to the DuckDB oracle via ('0x'||substr(md5(t),1,15))::BIGINT)
+    // portable to the DuckDB oracle via ('0x'||substr(md5(t),1,15))::BIGINT).
+    // Materialized once for the same reason as withBands: both join sides
+    // consumed it as separate subtrees, re-scanning and re-hashing the
+    // corpus tokens twice per call.
     val tokSets = base.select(col("id"),
       graft.functions.HashExpressions.ngramShingles(col("text"), 1).as("toks"))
+      .localCheckpoint(true)
     cand
       .join(tokSets.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
       .join(tokSets.select(col("id").as("id2"), col("toks").as("toks2")), "id2")
@@ -151,9 +162,11 @@ object Dedup {
     def shingles(text: Column): Column =
       graft.functions.HashExpressions.ngramShingles(text, n)
 
+    // one shingle pass (both self-join sides consume it — see minhashLsh)
     val base = KnnExact.spreadSmall(docs.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("blk"), col(textCol).as("__text")))
       .select(col("id"), col("blk"), shingles(col("__text")).as("sh"))
+      .localCheckpoint(true)
     val l = base.select(col("blk"), col("id").as("id1"), col("sh").as("sh1"))
     val r = base.select(col("blk"), col("id").as("id2"), col("sh").as("sh2"))
     l.join(r, "blk")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.index.{Ann, Ivf}
-import graft.operators.{KnnExact, Metrics}
+import graft.operators.KnnExact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,8 +32,10 @@ object AnnQueries {
       labelFilter: Option[Int] = None): DataFrame =
     ExactTwins.knn(s, dir, kk, nQueries, labelFilter)
 
+  /** Driver-side recall over bounded gate results (LocalEval) — exactly
+    * Metrics.recallAtK's arithmetic without the per-call join/agg job. */
   private def recallOf(results: DataFrame, exact: DataFrame, kk: Int = k): Double =
-    Metrics.recallAtK(results, exact, kk).head().getDouble(0)
+    LocalEval.recallAtK(results, exact, kk)
 
   /** Plain ANN top-k: recall gate + result well-formedness (exactly k ranks
     * 1..k per query, scores non-increasing). */
@@ -42,14 +44,17 @@ object AnnQueries {
       Ann.search(Tables.embeddings(s, dir), queries0(s, dir), k, ef = 64,
         annParams, baseId = "vec_id", baseVec = "embedding")
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy("rank")
-    val badShape = res.withColumn("prev", lag(col("score"), 1).over(w))
-      .groupBy("qid").agg(
-        count(lit(1)).as("n"), min("rank").as("rmin"), max("rank").as("rmax"),
-        min(when(col("prev").isNull || col("score") <= col("prev"), 1).otherwise(0)).as("sortedOk"))
-      .filter(col("n") =!= k || col("rmin") =!= 1 || col("rmax") =!= k || col("sortedOk") === 0)
-      .count()
-    val shapeOk = badShape == 0L
+    // shape check driver-side over the collected (memoized) route output:
+    // per qid, exactly ranks 1..k with non-increasing scores — the former
+    // window+agg job over a 50-row local relation was pure scheduling
+    val resRows = res.select(col("qid").cast("long"), col("rank").cast("int"),
+        col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val shapeOk = resRows.groupBy(_._1).values.forall { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.length == k && sorted.head._2 == 1 && sorted.last._2 == k &&
+        sorted.sliding(2).forall(p => p.length < 2 || p(1)._3 <= p(0)._3)
+    }
     val rec = recallOf(res, exactKnn(s, dir))
     Gates.df(s, Seq(
       ("ann_recall@10_ge_0.95", 0.95, rec >= 0.95),
@@ -69,7 +74,11 @@ object AnnQueries {
         ef = 64, annParams, baseId = "vec_id", baseVec = "embedding",
         acceptCol = Some("accept"))
     }
-    val violations = res.join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
+    // one bounded scan job (label lookup for the 50 hit ids, IN-pushed to
+    // the parquet scan) instead of a join+count over the full table
+    val hitIds = LocalEval.pairs(res).map(_._2).distinct
+    val violations = emb
+      .filter(col("vec_id").isin(hitIds.map(java.lang.Long.valueOf): _*))
       .filter(col("label") =!= 3).count()
     val rec = recallOf(res, exactKnn(s, dir, k, labelFilter = Some(3)))
     Gates.df(s, Seq(
@@ -132,13 +141,14 @@ object AnnQueries {
       baseId = "vec_id", baseVec = "embedding").cache()
     val exTop = probedExactTop(s, dir, assigned, model, nprobe)
     // both sides return exactly k rows per qid with deterministic tiebreaks,
-    // so set equality == empty anti-join in both directions
-    val missing = exTop.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
-    val extra = res.select("qid", "nid").join(exTop, Seq("qid", "nid"), "left_anti").count()
-    val semanticOk = missing == 0L && extra == 0L
-    Gates.df(s, Seq(
+    // so semantic equality is set equality of the two bounded (qid, nid)
+    // lists — compared driver-side (was two anti-join jobs)
+    val semanticOk = LocalEval.pairs(exTop).toSet == LocalEval.pairs(res).toSet
+    val gates = Gates.df(s, Seq(
       ("ivf_topk_exact_within_probed", k.toDouble, semanticOk),
       ("ivf_recall@10_ge_0.6", 0.6, recallOf(res, exactKnn(s, dir)) >= 0.6)))
+    assigned.unpersist(); res.unpersist()
+    gates
   }
 
   private val ivfKnnSql: String = Gates.sql(Seq(
@@ -150,10 +160,13 @@ object AnnQueries {
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = queries0(s, dir)
-    val ann = Ann.search(emb, q, k, ef = 64, annParams, "vec_id", "embedding").cache()
+    val ann = Ann.search(emb, q, k, ef = 64, annParams, "vec_id", "embedding")
+      .select(col("qid"), col("rank"), col("nid")).cache()
+    ann.count() // one execution; both metrics below read the cached rows
     val exact = exactKnn(s, dir)
     val rec = recallOf(ann, exact)
-    val map = Metrics.meanAveragePrecision(ann, exact, k).head().getDouble(0)
+    val map = LocalEval.mapAtK(ann, exact, k)
+    ann.unpersist()
     Gates.df(s, Seq(
       ("ann_recall@10_ge_0.95", 0.95, rec >= 0.95),
       ("ann_map@10_ge_0.9", 0.9, map >= 0.9)))
@@ -239,16 +252,17 @@ object AnnQueries {
     }
 
     // (2) layout-independence: same rows as the unpartitioned probed search
+    // — both routes stay distributed; the 50-row set equality and the
+    // recall run driver-side (was three join/agg jobs per call)
     val base = Ivf.search(Ivf.assign(emb, "embedding", model), queries0(s, dir),
       model, nprobe, topK = k, baseId = "vec_id", baseVec = "embedding")
-    val missing = base.select("qid", "nid")
-      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
-    val extra = res.select("qid", "nid")
-      .join(base.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
+    val basePairs = LocalEval.pairs(base).toSet
+    val resPairs = LocalEval.pairs(res).toSet
+    val matches = basePairs == resPairs
 
     Gates.df(s, Seq(
       ("ivf_pruned_partition_filters", 1.0, prunes),
-      ("ivf_pruned_matches_unpartitioned", 0.0, missing == 0L && extra == 0L),
+      ("ivf_pruned_matches_unpartitioned", 0.0, matches),
       ("ivf_pruned_recall@10_ge_0.6", 0.6, recallOf(res, exactKnn(s, dir)) >= 0.6)))
   }
 
@@ -487,8 +501,11 @@ object AnnQueries {
       Ann.searchPaged(Tables.embeddings(s, dir), queries0(s, dir), pages = Seq(k, k),
         ef = 64, annParams, baseId = "vec_id", baseVec = "embedding")
     }
-    val n = res.count()
-    val nDistinct = res.select("qid", "nid").distinct().count()
+    // all seven gate values are properties of <=100-row memoized route
+    // outputs — computed driver-side (LocalEval), not as nine tiny jobs
+    val resPairs = LocalEval.pairs(res)
+    val n = resPairs.length.toLong
+    val nDistinct = resPairs.distinct.length.toLong
     val exact2k = exactKnn(s, dir, 2 * k)
     val rec = recallOf(res, exact2k, 2 * k)
     // index-backed compressed pagination (the r6 wiring): pages traverse on
@@ -498,8 +515,9 @@ object AnnQueries {
       Ann.searchIndexPaged(s, persistedIndex(s, dir, pq = true), queries0(s, dir),
         pages = Seq(k, k), ef = 64, annParams, rerankK = 2 * k)
     }
-    val nIdx = resIdx.count()
-    val nIdxDistinct = resIdx.select("qid", "nid").distinct().count()
+    val idxPairs = LocalEval.pairs(resIdx)
+    val nIdx = idxPairs.length.toLong
+    val nIdxDistinct = idxPairs.distinct.length.toLong
     val recIdx = recallOf(resIdx, exact2k, 2 * k)
     // persisted pagination session (r6): cursors + pool survive on disk;
     // two session pages must equal the batch route's pages exactly. The
@@ -517,7 +535,8 @@ object AnnQueries {
       Ann.searchIndexPaged(s, persistedIndex(s, dir, pq = false), queries0(s, dir),
         pages = Seq(k, k), ef = 64, annParams).select("qid", "page", "rank", "nid")
     }
-    val sessDiff = sess.except(batchPages).count() + batchPages.except(sess).count()
+    val sessDiff = LocalEval.symmetricDiff(sess, batchPages,
+      Seq("qid", "page", "rank", "nid"))
 
     Gates.df(s, Seq(
       ("paged_rows_complete", (nQueries * 2 * k).toDouble, n == nQueries.toLong * 2 * k),
@@ -552,14 +571,19 @@ object AnnQueries {
     * >= 0.9 (`Test2DThreshold.java:38-42`). */
   private def annThreshold(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val res = Ann.thresholdSearch(emb, queries0(s, dir),
-      threshold = 0.6, ef = 64, annParams, "vec_id", "embedding").cache()
-    val below = res.filter(col("score") < 0.6).count()
-    val exact = KnnExact.thresholdSearch(emb, queries0(s, dir), 0.6, "COSINE",
-      "vec_id", "embedding")
-    val nExact = exact.count()
-    val hits = exact.select("qid", "nid")
-      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    // one distributed pass per side (ANN route, exact twin), bounded
+    // outputs compared driver-side — replaces three jobs (filter-count,
+    // exact count, semi-join count) over the same collected rows
+    val resRows = Ann.thresholdSearch(emb, queries0(s, dir),
+        threshold = 0.6, ef = 64, annParams, "vec_id", "embedding")
+      .select(col("qid").cast("long"), col("nid").cast("long"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val below = resRows.count(_._3 < 0.6).toLong
+    val exactPairs = LocalEval.pairs(KnnExact.thresholdSearch(emb, queries0(s, dir),
+      0.6, "COSINE", "vec_id", "embedding"))
+    val nExact = exactPairs.length.toLong
+    val resSet = resRows.map(t => (t._1, t._2)).toSet
+    val hits = exactPairs.count(resSet.contains).toLong
     val rec = if (nExact == 0) 1.0 else hits.toDouble / nExact
     Gates.df(s, Seq(
       ("threshold_all_scores_ge_t", 0.6, below == 0L),
@@ -593,14 +617,16 @@ object AnnQueries {
     // re-applied on the exact scale (the r6 compressed-threshold wiring) —
     // the precision gate below then checks EXACT scores, same as before
     val idx = persistedIndex(s, dir, pq = true)
-    val res = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams,
-      rerankK = 64).cache()
-    val below = res.filter(col("score") < 0.6).count()
-    val exact = KnnExact.thresholdSearch(emb, queries0(s, dir), 0.6, "COSINE",
-      "vec_id", "embedding")
-    val nExact = exact.count()
-    val hits = exact.select("qid", "nid")
-      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val resRows = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams,
+        rerankK = 64)
+      .select(col("qid").cast("long"), col("nid").cast("long"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val below = resRows.count(_._3 < 0.6).toLong
+    val exactPairs = LocalEval.pairs(KnnExact.thresholdSearch(emb, queries0(s, dir),
+      0.6, "COSINE", "vec_id", "embedding"))
+    val nExact = exactPairs.length.toLong
+    val resSet = resRows.map(t => (t._1, t._2)).toSet
+    val hits = exactPairs.count(resSet.contains).toLong
     val rec = if (nExact == 0) 1.0 else hits.toDouble / nExact
     Gates.df(s, Seq(
       ("threshold_idx_all_scores_ge_t", 0.6, below == 0L),
@@ -622,14 +648,18 @@ object AnnQueries {
       Ann.rescore(s, src, tmp, "EUCLIDEAN", annParams)
       tmp
     })
-    val a = s.read.parquet(src).select(col("node_id"), size(col("neighbors")).as("d"))
-    val b = s.read.parquet(out).select(col("node_id"), size(col("neighbors")).as("d"))
-    val topologySame = a.count() == b.count() &&
-      a.join(b, Seq("node_id", "d"), "left_anti").count() == 0
+    // topology compare driver-side: two single-scan collects of (node_id,
+    // degree) — bounded by the index row count, same data the former
+    // count + anti-join jobs shuffled — then a map equality check
+    def degrees(path: String): Map[Long, Int] =
+      s.read.parquet(path).select(col("node_id").cast("long"), size(col("neighbors")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (da, db) = (degrees(src), degrees(out))
+    val topologySame = da.size == db.size && da.forall { case (id, d) => db.get(id).contains(d) }
     val eucParams = annParams.copy(metric = "EUCLIDEAN")
     val res = Ann.searchIndex(s, out, queries0(s, dir), k, 64, eucParams)
     val exact = KnnExact.knn(emb, queries0(s, dir), k, "EUCLIDEAN", "vec_id", "embedding")
-    val rec = Metrics.recallAtK(res, exact, k).head().getDouble(0)
+    val rec = LocalEval.recallAtK(res, exact, k)
     Gates.df(s, Seq(
       ("rescore_topology_preserved", 1.0, topologySame),
       ("rescore_euclidean_recall_ge_0.9", 0.9, rec >= 0.9)))
@@ -1166,17 +1196,19 @@ object AnnQueries {
       }
     }
     // independent exact twin (cross-join scorer), then restricted to pairs
-    // whose neighbor cluster the query probed
+    // whose neighbor cluster the query probed; set compare + recall over
+    // the bounded (memoized) twins run driver-side
     val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
-    val miss = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_anti").count()
-    val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
-    val total = exactAll.count()
-    val found = exactAll.select("qid", "nid")
-      .join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val resPairs = LocalEval.pairs(res).toSet
+    val probedPairs = LocalEval.pairs(probedExact)
+    val matchesProbed = probedPairs.toSet == resPairs
+    val exactPairs = LocalEval.pairs(exactAll)
+    val total = exactPairs.length.toLong
+    val found = exactPairs.count(resPairs.contains).toLong
     val rec = if (total == 0) 1.0 else found.toDouble / total
     Gates.df(s, Seq(
       ("ivf_threshold_partition_filters", 1.0, prunes),
-      ("ivf_threshold_matches_probed_exact", 0.0, miss == 0L && extra == 0L),
+      ("ivf_threshold_matches_probed_exact", 0.0, matchesProbed),
       ("ivf_threshold_recall_ge_0.6", 0.6, rec >= 0.6),
       ("ivf_threshold_nonvacuous", 1.0, total > 0L && nRes > 0L)))
   }

@@ -320,20 +320,27 @@ object CorpusPrepQueries {
     * partition). */
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val res = CorpusPrep.packSequences(docs, "doc_id", "text",
-      packCapacity, partitions = packParts).cache()
+    // the packing itself stays distributed; the seven invariants below are
+    // properties of its bounded (doc_id, bin_id, n_toks, oversize) output —
+    // collected once and checked driver-side instead of as eight jobs
+    // (count/distinct/sum/groupBy-cache/3 filters/max) per call
+    val resRows = CorpusPrep.packSequences(docs, "doc_id", "text",
+        packCapacity, partitions = packParts)
+      .select(col("doc_id").cast("long"), col("bin_id").cast("long"),
+        col("n_toks").cast("long"), col("oversize"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val nDocs = docs.count()
-    val rows = res.count()
-    val distinctIds = res.select("doc_id").distinct().count()
+    val rows = resRows.length.toLong
+    val distinctIds = resRows.map(_._1).distinct.length.toLong
     val tokTotal = docs.select(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
       .head().getLong(0)
-    val packedTotal = res.select(sum(col("n_toks"))).head().getLong(0)
-    val fills = res.filter(!col("oversize"))
-      .groupBy("bin_id").agg(sum(col("n_toks")).as("fill"), count(lit(1)).as("members"))
-      .cache()
-    val overCap = fills.filter(col("fill") > packCapacity).count()
-    val underHalf = fills.filter(col("fill") < packCapacity / 2).count()
-    val maxMembers = fills.agg(max(col("members"))).head().getLong(0)
+    val packedTotal = resRows.map(_._3).sum
+    val fills = resRows.filter(!_._4).groupBy(_._2).map { case (_, rs) =>
+      (rs.map(_._3).sum, rs.length.toLong)
+    }
+    val overCap = fills.count(_._1 > packCapacity).toLong
+    val underHalf = fills.count(_._1 < packCapacity / 2).toLong
+    val maxMembers = if (fills.isEmpty) 0L else fills.map(_._2).max
     Gates.df(s, Seq(
       // scale-free targets: the live corpus count rides the pass boolean,
       // never the target column (the oracle twin is a constant relation)

@@ -67,6 +67,74 @@ private[queries] object RouteMemo {
   }
 }
 
+/** Driver-side evaluation of BOUNDED gate post-processing over collected
+  * result relations (nQueries x k rows — never base data). The math is
+  * unchanged — same sequential double folds, same set semantics as the
+  * Metrics/DataFrame plans it replaces — but a ~50-row set intersection no
+  * longer pays a Spark job (planning + shuffle + scheduling) per
+  * comparison: the sweep's slow gates each ran 5-8 such jobs per call on
+  * <= 250-row inputs, measured ~0.2 s apiece at local[32] (the [gatephase]
+  * decomposition: `contain` 0.45 s for two counts over local relations).
+  * Corpus-scale stages (searches, builds, scans, exact twins) stay
+  * distributed; only their bounded outputs are compared driver-side —
+  * which is also the scale-correct shape: gate post-processing is
+  * O(nQueries * k) at ANY corpus size, so scheduling cluster jobs for it
+  * buys nothing at 100 TB either. */
+private[queries] object LocalEval {
+
+  /** (qid, nid) pairs of a bounded result relation, collected. */
+  def pairs(df: DataFrame): Array[(Long, Long)] =
+    df.select(col("qid").cast("long"), col("nid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Exactly [[graft.operators.Metrics.recallAtK]] driver-side:
+    * |top-kGT truth ∩ results| / (kGT * distinct truth qids) — integer
+    * counts, one double division, bit-identical to the join/agg plan. */
+  def recallAtK(results: DataFrame, truth: DataFrame, kGT: Int): Double =
+    recallOfPairs(pairs(results), pairs(truth.filter(col("rank") <= kGT)), kGT)
+
+  def recallOfPairs(results: Array[(Long, Long)], truthTop: Array[(Long, Long)],
+      kGT: Int): Double = {
+    val rset = results.toSet
+    val hits = truthTop.count(rset.contains)
+    val nq = truthTop.map(_._1).distinct.length
+    hits.toDouble / (nq.toLong * kGT)
+  }
+
+  /** Exactly [[graft.operators.Metrics.meanAveragePrecision]] driver-side:
+    * AP = sum over relevant ranks of precision@rank, divided by k (zero-hit
+    * queries contribute 0); MAP = mean over distinct truth qids. */
+  def mapAtK(results: DataFrame, truth: DataFrame, k: Int): Double = {
+    val t = pairs(truth.filter(col("rank") <= k))
+    val tset = t.toSet
+    val r = results.filter(col("rank") <= k)
+      .select(col("qid").cast("long"), col("nid").cast("long"), col("rank").cast("int"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    val byQ = r.groupBy(_._1)
+    val qids = t.map(_._1).distinct.sorted
+    val aps = qids.map { qid =>
+      val rows = byQ.getOrElse(qid, Array.empty).sortBy(_._3)
+      var cum = 0
+      var sum = 0.0
+      rows.foreach { case (_, nid, rank) =>
+        if (tset.contains((qid, nid))) { cum += 1; sum += cum.toDouble / rank }
+      }
+      sum / k
+    }
+    aps.sum / qids.length
+  }
+
+  /** Symmetric difference size of two bounded relations on the given
+    * columns — the driver-side twin of `a.except(b).count() +
+    * b.except(a).count()` (set semantics, no nulls in gate relations). */
+  def symmetricDiff(a: DataFrame, b: DataFrame, cols: Seq[String]): Long = {
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val (sa, sb) = (rows(a), rows(b))
+    ((sa diff sb).size + (sb diff sa).size).toLong
+  }
+}
+
 /** Memo for the exact brute-force twins the gate entries compare against:
   * several gates (ann_knn, ann_recall, pq_adc_topk, nvq_knn, ivf_knn) share
   * the same exact top-k over the same scale dir — the result is tiny

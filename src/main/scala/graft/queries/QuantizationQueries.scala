@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{BQ, Metrics, NVQ, PQ, SQ8, TopK}
+import graft.operators.{BQ, NVQ, PQ, SQ8, TopK}
 import graft.operators.KnnExact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,7 +161,7 @@ object QuantizationQueries {
     ExactTwins.knn(s, dir, k, nQueries)
 
   private def recallOf(results: DataFrame, exact: DataFrame): Double =
-    Metrics.recallAtK(results, exact, k).head().getDouble(0)
+    LocalEval.recallAtK(results, exact, k)
 
   /** NVQ reconstruction-error gates: the learned logistic grid must beat
     * the per-subvector uniform 8-bit grid on average (the NVQ premise,

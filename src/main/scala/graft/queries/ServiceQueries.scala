@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.concurrent.TrieMap
 
 import graft.Tables
-import graft.operators.{Dedup, KnnExact, Metrics}
+import graft.operators.{Dedup, KnnExact}
 import graft.service.VectorService
 import graft.sources.Fvecs
 import graft.streaming.StreamingDedup
@@ -35,7 +35,7 @@ object ServiceQueries {
   private val k = 10
 
   private def recallOf(results: DataFrame, exact: DataFrame, kk: Int = k): Double =
-    Metrics.recallAtK(results, exact, kk).head().getDouble(0)
+    LocalEval.recallAtK(results, exact, kk)
 
   private def queries0(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)

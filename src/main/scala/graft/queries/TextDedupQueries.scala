@@ -352,18 +352,24 @@ object TextDedupQueries {
     val n = toks.count()
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
     val nDistinct = exact.count()
-    val sk = toks.agg(Sketches.misraGries(mgK)(col("tok")).as("t"))
+    // the sketch is <= mgK entries by construction — collect it once and
+    // check the lower-bound/deficit guarantees against the exact counts of
+    // just those tokens (IN-filtered lookup on the cached exact table)
+    // instead of three join+count jobs over the full vocabulary
+    val skRows = toks.agg(Sketches.misraGries(mgK)(col("tok")).as("t"))
       .select(explode(col("t")))
       .select(col("col._1").as("tok"), col("col._2").as("est"))
-      .cache()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val bound = n.toDouble / (mgK + 1)
-    val joined = sk.join(exact, "tok").cache()
-    val skCount = sk.count()
-    val lbViol = joined.filter(col("est") > col("c")).count()
-    val defViol = joined.filter(col("c") - col("est") > bound).count()
-    val orphan = skCount - joined.count() // sketch item not in corpus = bug
+    val skToks = skRows.map(_._1)
+    val exactFor = exact.filter(col("tok").isin(skToks: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val skCount = skRows.length.toLong
+    val lbViol = skRows.count { case (t, est) => exactFor.get(t).exists(est > _) }.toLong
+    val defViol = skRows.count { case (t, est) => exactFor.get(t).exists(c => c - est > bound) }.toLong
+    val orphan = skRows.count { case (t, _) => !exactFor.contains(t) }.toLong
     val missing = exact.filter(col("c") > bound)
-      .join(sk, Seq("tok"), "left_anti").count()
+      .filter(!col("tok").isin(skToks: _*)).count()
     val approx = toks.agg(approx_count_distinct(col("tok"))).head().getLong(0)
     val hllOk = math.abs(approx - nDistinct).toDouble / nDistinct <= 0.05
     Gates.df(s, Seq(
