@@ -404,12 +404,16 @@ object AnnQueries {
         }
       d
     }
-    val nRes = res.count()
+    // subset/recall checks over the memoized bounded routes run driver-side
+    val resPairs = LocalEval.pairs(res)
+    val nRes = resPairs.length.toLong
     val codesOnlyScan = ivfPqPlanChecks((dir, "codes_only"))
     val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
-    val extra = res.select("qid", "nid").join(probedExact, Seq("qid", "nid"), "left_anti").count()
-    val nTwin = probedExact.count()
-    val found = probedExact.join(res.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+    val twinSet = LocalEval.pairs(probedExact).toSet
+    val extra = resPairs.count(!twinSet.contains(_)).toLong
+    val nTwin = twinSet.size.toLong
+    val resSet = resPairs.toSet
+    val found = twinSet.count(resSet.contains).toLong
     val rec = if (nTwin == 0) 1.0 else found.toDouble / nTwin
     Gates.df(s, Seq(
       ("ivfpq_threshold_codes_only_scan", 1.0, codesOnlyScan),
@@ -681,8 +685,12 @@ object AnnQueries {
     }
     val f = run(true)
     val g = run(false)
-    val identical = f.count() == g.count() &&
-      f.join(g, Seq("qid", "rank", "nid", "score"), "left_anti").count() == 0
+    // bit-identity over the two memoized 50-row routes, driver-side
+    def rows(df: DataFrame): Seq[Seq[Any]] =
+      df.select(col("qid"), col("rank"), col("nid"), col("score"))
+        .collect().toSeq.map(_.toSeq)
+    val (fr, gr) = (rows(f), rows(g))
+    val identical = fr.length == gr.length && fr.toSet == gr.toSet
     val rec = recallOf(f, exactKnn(s, dir))
     Gates.df(s, Seq(
       ("fused_identical_to_gathered", 1.0, identical),
