@@ -331,6 +331,11 @@ object Dedup {
     import spark.implicits._
     val cents = model.centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cluster_id", "centroid")
+    // ONE assignment pass: `assigned` feeds four consumers (both sides of
+    // the near-dup self-join, the CC group labels, and the final keep
+    // join), and as lazy subtrees each re-ran the per-row
+    // nearest-centroid scan — the most expensive per-row step on this
+    // path, executed ~4x at any corpus size (same fix as minhashLsh).
     val assigned = graft.index.Ivf
       .assign(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
         "v", model, "cluster_id")
@@ -338,6 +343,7 @@ object Dedup {
       .withColumn("c_sim", round(VectorFunctions.similarity(metric)(
         col("v").cast("array<double>"), col("centroid")), 9))
       .drop("centroid")
+      .localCheckpoint(true)
     val pairs = embeddingNearDup(assigned, "id", "v", "cluster_id", threshold, hubCap)
     val groups = duplicateGroups(assigned.select("id"), "id", pairs)
     val keepOrder = keep match {
