@@ -34,20 +34,31 @@ object Bench {
     * inflate load1m too (32 runnable threads decay with a ~60s time
     * constant), so waiting here also stops the bench from measuring its
     * own wake. Returns the load at go-time. */
+  /** Wait budget SHARED across every clean-window gate in one bench run
+    * (r14: there are now four — headline, mseg build, mseg serve, kernel).
+    * Per-window budgets would stack: on a PERMANENTLY loaded box (the r13
+    * artifact ran at load1m 6.4) four exhausted 480 s budgets would stall
+    * the whole bench ~32 min before proceeding contended anyway. One pool
+    * bounds the worst-case added wall at ~10 min while an idle box still
+    * pays only the actual decay time. */
+  private var cleanWaitPoolSec: Double =
+    sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toDouble).getOrElse(600.0)
+
   private def cleanWindow(tag: String,
-      gate: Double = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.5),
-      maxWaitSec: Int = 480): Double = {
+      gate: Double = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.5)): Double = {
     var l = load1m()
     val t0 = System.nanoTime()
-    while (l > gate && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+    def waited: Double = (System.nanoTime() - t0) / 1e9
+    while (l > gate && waited < cleanWaitPoolSec) {
       System.err.println(f"[$tag] load1m $l%.1f > gate $gate%.1f — deferring 20s " +
-        f"(${(System.nanoTime() - t0) / 1e9}%.0fs waited)")
+        f"($waited%.0fs waited, pool ${cleanWaitPoolSec}%.0fs)")
       Thread.sleep(20000)
       l = load1m()
     }
+    cleanWaitPoolSec = math.max(0.0, cleanWaitPoolSec - waited)
     if (l > gate)
       System.err.println(f"[$tag] proceeding CONTENDED at load1m $l%.1f " +
-        f"(gate $gate%.1f, wait budget ${maxWaitSec}s exhausted) — marker in artifact")
+        f"(gate $gate%.1f, shared wait pool exhausted) — marker in artifact")
     l
   }
 
