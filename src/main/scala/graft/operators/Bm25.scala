@@ -43,6 +43,21 @@ object Bm25 {
     // consumer reads the one materialized pass (same pattern as
     // [[buildIndex]], which fixed the identical re-scan for the write
     // path). Results are value-identical: same rows, same folds.
+    //
+    // Why localCheckpoint(true) and NOT .persist() (r14 verdict #4 asked):
+    // persist registers the plan with the session CacheManager, which
+    // substitutes the cached relation into every LATER query whose
+    // canonicalized subtree matches — a repeat call of this operator on the
+    // same corpus would silently serve the previous call's materialized
+    // rows instead of recomputing (cross-invocation result caching, which
+    // the bench/oracle contract forbids and which no caller can unpersist
+    // at the right time, since consumers are lazy). localCheckpoint blocks
+    // are scoped to this call's RDD and are GC-released. CLUSTER CAVEAT:
+    // executor-local blocks are unreplicated and the lineage is truncated,
+    // so on a multi-executor deployment an executor loss mid-query fails
+    // the job instead of recomputing — a long-lived cluster service should
+    // swap this for Dataset.checkpoint against a reliable checkpoint dir
+    // (same single-pass plan, durable blocks).
     val base = KnnExact.spreadSmall(
         docs.select(col(idCol).cast("long").as("id"),
           TextFunctions.tokens(col(textCol)).as("toks")))
@@ -57,10 +72,17 @@ object Bm25 {
       .groupBy("id", "tok")
       .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
 
-    val docFreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-
+    // document frequency as a window over the AGGREGATED tf rows (one row
+    // per matching (doc, term)): the former broadcast-join of a separate
+    // docFreq aggregate re-executed the whole explode+filter+shuffle tf
+    // subtree a second time as the broadcast build side — a full extra
+    // pass over the matching postings at any corpus size. The window costs
+    // one exchange of the already-aggregated rows (O(matching docs x query
+    // terms)) instead; df values are identical (tf has exactly one row per
+    // (id, tok)).
+    val byTok = Window.partitionBy("tok")
     val scored = tf
-      .join(broadcast(docFreq), "tok")
+      .withColumn("df", count(lit(1)).over(byTok).cast("double"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) /

@@ -299,31 +299,86 @@ object AnnQueries {
       (p, pqm)
     })
 
-  /** Shared exact-threshold twin restricted to probed (query, cluster)
-    * pairs — the correctness bar for both partitioned range searches.
-    * Returns (full exact threshold result, probed-restricted pair set). */
-  private def probedExactThreshold(s: SparkSession, dir: String,
-      model: Ivf.IvfModel, nprobe: Int, t: Double)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** Shared exact-threshold twin with probed-cluster membership attached —
+    * the correctness bar for both partitioned range searches. Returns a
+    * LAZY frame (qid, nid, probed): one row per exact threshold hit,
+    * probed = 1 iff the query probed the neighbor's cluster. Kept lazy and
+    * unmemoized on purpose: threshold-search cardinality grows with the
+    * corpus, so the former collect-backed RouteMemo of these relations was
+    * a driver OOM at scale; the gate scalars are now folded from this
+    * frame in ONE distributed job per gate ([[probedThresholdStats]]).
+    * The query-side probe list stays driver-built (nQueries x nprobe —
+    * bounded by the serving batch, not the corpus). */
+  private def exactThresholdFlagged(s: SparkSession, dir: String,
+      model: Ivf.IvfModel, nprobe: Int, t: Double): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val exactAll = RouteMemo.df(s, s"exact_threshold_$t", dir) {
-      KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
-        "vec_id", "embedding")
+    val exactAll = KnnExact.thresholdSearch(emb, queries0(s, dir), t, "COSINE",
+      "vec_id", "embedding")
+    val probePairs = queries0(s, dir)
+      .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
+      .toSeq.toDF("qid", "cl").withColumn("pp", lit(1L))
+    val assigned = Ivf.assign(emb, "embedding", model)
+      .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
+    exactAll.join(assigned, "nid")
+      .join(broadcast(probePairs), Seq("qid", "cl"), "left")
+      .select(col("qid"), col("nid"), coalesce(col("pp"), lit(0L)).as("probed"))
+  }
+
+  /** The flagged twin behind the r14-era bounded memo (shared by
+    * ivf_threshold and ivfpq_threshold, replacing the two unbounded
+    * exact_threshold/probed_exact memos): memoized ONLY while it fits the
+    * driver-safety cap, else recomputed distributed per call. */
+  private def probedTwin(s: SparkSession, dir: String, model: Ivf.IvfModel,
+      nprobe: Int, t: Double): DataFrame =
+    RouteMemo.dfBounded(s, s"exact_thr_flagged_${nprobe}_$t", dir) {
+      exactThresholdFlagged(s, dir, model, nprobe, t)
+    }.getOrElse(exactThresholdFlagged(s, dir, model, nprobe, t))
+
+  /** ONE-job fold of a partitioned range-search route against the flagged
+    * exact twin: union with side markers, group on the pair, collapse to a
+    * scalar row. Fields carry the exact folds the former collected-set
+    * compares computed (raw exact counts, distinct set sizes). */
+  private[queries] case class ProbedThresholdStats(resRows: Long, resDistinct: Long,
+      exactRows: Long, exactHitRows: Long, probedDistinct: Long,
+      bothProbedDistinct: Long)
+
+  /** Same dual path as [[thresholdStats]], for routes compared against the
+    * probed-flagged exact twin. */
+  private[queries] def probedThresholdStats(res: DataFrame, exactFlagged: DataFrame,
+      cap: Int = RouteMemo.maxMemoRows): ProbedThresholdStats = {
+    val rr = res.select(col("qid").cast("long"), col("nid").cast("long"))
+      .limit(cap + 1).collect()
+    if (rr.length <= cap) {
+      val er = exactFlagged.select(col("qid").cast("long"), col("nid").cast("long"),
+        col("probed").cast("long")).limit(cap + 1).collect()
+      if (er.length <= cap) {
+        val rPairs = rr.map(r => (r.getLong(0), r.getLong(1)))
+        val rset = rPairs.toSet
+        val e = er.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val probed = e.filter(_._3 > 0L).map(t => (t._1, t._2)).distinct
+        return ProbedThresholdStats(rr.length.toLong, rset.size.toLong,
+          e.length.toLong, e.count(t => rset.contains((t._1, t._2))).toLong,
+          probed.length.toLong, probed.count(rset.contains).toLong)
+      }
     }
-    val probedExact = RouteMemo.df(s, s"probed_exact_${nprobe}_$t", dir) {
-      val probePairs = queries0(s, dir)
-        .select(col("qid").cast("long"), col("qvec").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .flatMap { case (qid, qv) => model.nearestClusters(qv, nprobe).map(c => (qid, c)) }
-        .toSeq.toDF("qid", "cl")
-      val assigned = Ivf.assign(emb, "embedding", model)
-        .select(col("vec_id").cast("long").as("nid"), col("cluster_id").as("cl"))
-      exactAll.join(assigned, "nid")
-        .join(broadcast(probePairs), Seq("qid", "cl"), "left_semi")
-        .select("qid", "nid")
-    }
-    (exactAll, probedExact)
+    val av = res.select(col("qid").cast("long").as("qid"),
+      col("nid").cast("long").as("nid"),
+      lit(1L).as("ar"), lit(0L).as("er"), lit(0L).as("pr"))
+    val bv = exactFlagged.select(col("qid").cast("long").as("qid"),
+      col("nid").cast("long").as("nid"),
+      lit(0L).as("ar"), lit(1L).as("er"), col("probed").cast("long").as("pr"))
+    val r = av.unionAll(bv).groupBy("qid", "nid")
+      .agg(sum("ar").as("ar"), sum("er").as("er"), sum("pr").as("pr"))
+      .agg(sum("ar"), count(when(col("ar") > 0, true)),
+        sum("er"), sum(when(col("ar") > 0, col("er")).otherwise(0L)),
+        count(when(col("pr") > 0, true)),
+        count(when(col("ar") > 0 && col("pr") > 0, true)))
+      .head()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    ProbedThresholdStats(l(0), l(1), l(2), l(3), l(4), l(5))
   }
 
   private def ivfPqKnn(s: SparkSession, dir: String): DataFrame = {
@@ -390,11 +445,15 @@ object AnnQueries {
     val nprobe = 16
     val t = 0.6
     val (path, pq) = ivfPqLayout(s, dir, model)
-    // the route memoizes; the executed-plan check (only meaningful on the
-    // REAL route, not the rebuilt local relation) rides the first run
-    val res = RouteMemo.df(s, "ivfpq_threshold", dir) {
-      val d = Ivf.thresholdSearchPartitionedPQ(path, queries0(s, dir), model, pq,
-        nprobe, t, baseId = "vec_id", baseVec = "embedding").cache()
+    // threshold-search results are corpus-cardinality (every pair above t),
+    // so the route memo is BOUNDED (r14 verdict #3): under the cap the
+    // sweep keeps the r14 fast path (route computed once per dir, plan
+    // check rides the first run); over it nothing is pinned driver-side
+    // and the route re-runs distributed per call
+    def route() = Ivf.thresholdSearchPartitionedPQ(path, queries0(s, dir), model, pq,
+      nprobe, t, baseId = "vec_id", baseVec = "embedding")
+    val res = RouteMemo.dfBounded(s, "ivfpq_threshold", dir) {
+      val d = route().cache()
       d.count()
       ivfPqPlanChecks((dir, "codes_only")) =
         d.queryExecution.executedPlan.toString.linesIterator.exists { l =>
@@ -403,27 +462,27 @@ object AnnQueries {
             !l.substring(rs).contains("embedding")
         }
       d
-    }
-    // subset/recall checks over the memoized bounded routes run driver-side
-    val resPairs = LocalEval.pairs(res)
-    val nRes = resPairs.length.toLong
+    }.getOrElse(route())
     val codesOnlyScan = ivfPqPlanChecks((dir, "codes_only"))
-    val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
-    val twinSet = LocalEval.pairs(probedExact).toSet
-    val extra = resPairs.count(!twinSet.contains(_)).toLong
-    val nTwin = twinSet.size.toLong
-    val resSet = resPairs.toSet
-    val found = twinSet.count(resSet.contains).toLong
-    val rec = if (nTwin == 0) 1.0 else found.toDouble / nTwin
+    // subset/recall vs the probed exact twin: ONE distributed job, O(1)
+    // driver data. Gate folds are unchanged: no_extras <=> every distinct
+    // route pair is a probed-twin pair; recall = distinct twin pairs found.
+    val st = probedThresholdStats(res, probedTwin(s, dir, model, nprobe, t))
+    val rec = if (st.probedDistinct == 0) 1.0
+      else st.bothProbedDistinct.toDouble / st.probedDistinct
     Gates.df(s, Seq(
       ("ivfpq_threshold_codes_only_scan", 1.0, codesOnlyScan),
-      ("ivfpq_threshold_no_extras", 0.0, extra == 0L),
+      ("ivfpq_threshold_no_extras", 0.0, st.resDistinct == st.bothProbedDistinct),
       ("ivfpq_threshold_recall_ge_0.9", 0.9, rec >= 0.9),
-      ("ivfpq_threshold_nonvacuous", 1.0, nTwin > 0L && nRes > 0L)))
+      ("ivfpq_threshold_nonvacuous", 1.0, st.probedDistinct > 0L && st.resRows > 0L)))
   }
 
   private val ivfPqPlanChecks =
     new scala.collection.concurrent.TrieMap[(String, String), Boolean]()
+  /** Row counts of persisted (immutable) index paths — bound checks for
+    * the capped driver-side gate folds. */
+  private val idxRowCounts =
+    new scala.collection.concurrent.TrieMap[String, Long]()
   private val ivfPqPlanLines =
     new scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
@@ -569,28 +628,74 @@ object AnnQueries {
   val denseIdsSql: String =
     "SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ordinal FROM embeddings"
 
+  /** ONE-job distributed compare of a threshold-search route against its
+    * exact twin. Threshold-search cardinality grows with the CORPUS (every
+    * pair above t), unlike top-k routes — collecting the pair lists
+    * driver-side (the r14 shape) is a 100 TB driver OOM. Both sides union
+    * into one (qid, nid)-grouped pass that collapses to a single scalar
+    * row; the driver sees O(1) data and the whole compare is one action.
+    *   belowT       raw route rows whose score < t (precision contract)
+    *   resRows      raw route row count
+    *   resDistinct  distinct route pairs
+    *   exactRows    raw exact-twin row count
+    *   exactHitRows raw exact rows whose pair the route also returned
+    * — the same folds the collected-set compare computed. */
+  private[queries] case class ThresholdStats(belowT: Long, resRows: Long,
+      resDistinct: Long, exactRows: Long, exactHitRows: Long)
+
+  /** Dual path (r14 verdict #1/#3): at gate scale both sides collect under
+    * a hard row cap and fold driver-side — two cheap single-scan jobs, the
+    * r14 cost profile. Past the cap (threshold cardinality grows with the
+    * corpus) the SAME folds run as one distributed union+group job with
+    * O(1) driver data. ThresholdFoldSpec pins the two paths to identical
+    * results. */
+  private[queries] def thresholdStats(res: DataFrame, exact: DataFrame,
+      t: Double, cap: Int = RouteMemo.maxMemoRows): ThresholdStats = {
+    val rr = res.select(col("qid").cast("long"), col("nid").cast("long"),
+      col("score").cast("double")).limit(cap + 1).collect()
+    if (rr.length <= cap) {
+      val er = exact.select(col("qid").cast("long"), col("nid").cast("long"))
+        .limit(cap + 1).collect()
+      if (er.length <= cap) {
+        val below = rr.count(_.getDouble(2) < t).toLong
+        val rPairs = rr.map(r => (r.getLong(0), r.getLong(1)))
+        val rset = rPairs.toSet
+        val ePairs = er.map(r => (r.getLong(0), r.getLong(1)))
+        return ThresholdStats(below, rr.length.toLong, rset.size.toLong,
+          ePairs.length.toLong, ePairs.count(rset.contains).toLong)
+      }
+    }
+    val av = res.select(col("qid").cast("long").as("qid"),
+      col("nid").cast("long").as("nid"), lit(1L).as("ar"), lit(0L).as("er"),
+      when(col("score") < t, 1L).otherwise(0L).as("bl"))
+    val bv = exact.select(col("qid").cast("long").as("qid"),
+      col("nid").cast("long").as("nid"), lit(0L).as("ar"), lit(1L).as("er"),
+      lit(0L).as("bl"))
+    val r = av.unionAll(bv).groupBy("qid", "nid")
+      .agg(sum("ar").as("ar"), sum("er").as("er"), sum("bl").as("bl"))
+      .agg(sum("bl"), sum("ar"), count(when(col("ar") > 0, true)),
+        sum("er"), sum(when(col("ar") > 0, col("er")).otherwise(0L)))
+      .head()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    ThresholdStats(l(0), l(1), l(2), l(3), l(4))
+  }
+
   /** ANN threshold search (T5, adaptive relaxed-monotonicity stop): every
     * returned score must clear the threshold (exact-precision contract —
     * scores are exact in the tracker), recall vs the exact threshold scan
     * >= 0.9 (`Test2DThreshold.java:38-42`). */
   private def annThreshold(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // one distributed pass per side (ANN route, exact twin), bounded
-    // outputs compared driver-side — replaces three jobs (filter-count,
-    // exact count, semi-join count) over the same collected rows
-    val resRows = Ann.thresholdSearch(emb, queries0(s, dir),
-        threshold = 0.6, ef = 64, annParams, "vec_id", "embedding")
-      .select(col("qid").cast("long"), col("nid").cast("long"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val below = resRows.count(_._3 < 0.6).toLong
-    val exactPairs = LocalEval.pairs(KnnExact.thresholdSearch(emb, queries0(s, dir),
-      0.6, "COSINE", "vec_id", "embedding"))
-    val nExact = exactPairs.length.toLong
-    val resSet = resRows.map(t => (t._1, t._2)).toSet
-    val hits = exactPairs.count(resSet.contains).toLong
-    val rec = if (nExact == 0) 1.0 else hits.toDouble / nExact
+    // route and exact twin stay distributed and are compared in ONE job
+    // ([[thresholdStats]]) — no collect of corpus-cardinality pair lists
+    val res = Ann.thresholdSearch(emb, queries0(s, dir),
+      threshold = 0.6, ef = 64, annParams, "vec_id", "embedding")
+    val exact = KnnExact.thresholdSearch(emb, queries0(s, dir),
+      0.6, "COSINE", "vec_id", "embedding")
+    val st = thresholdStats(res, exact, 0.6)
+    val rec = if (st.exactRows == 0) 1.0 else st.exactHitRows.toDouble / st.exactRows
     Gates.df(s, Seq(
-      ("threshold_all_scores_ge_t", 0.6, below == 0L),
+      ("threshold_all_scores_ge_t", 0.6, st.belowT == 0L),
       ("threshold_recall_ge_0.9", 0.9, rec >= 0.9)))
   }
 
@@ -621,19 +726,17 @@ object AnnQueries {
     // re-applied on the exact scale (the r6 compressed-threshold wiring) —
     // the precision gate below then checks EXACT scores, same as before
     val idx = persistedIndex(s, dir, pq = true)
-    val resRows = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams,
-        rerankK = 64)
-      .select(col("qid").cast("long"), col("nid").cast("long"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val below = resRows.count(_._3 < 0.6).toLong
-    val exactPairs = LocalEval.pairs(KnnExact.thresholdSearch(emb, queries0(s, dir),
-      0.6, "COSINE", "vec_id", "embedding"))
-    val nExact = exactPairs.length.toLong
-    val resSet = resRows.map(t => (t._1, t._2)).toSet
-    val hits = exactPairs.count(resSet.contains).toLong
-    val rec = if (nExact == 0) 1.0 else hits.toDouble / nExact
+    // same one-job compare as annThreshold: the persisted-index route and
+    // the exact twin never leave the cluster (threshold cardinality grows
+    // with the corpus)
+    val res = Ann.thresholdSearchIndex(s, idx, queries0(s, dir), 0.6, 64, annParams,
+      rerankK = 64)
+    val exact = KnnExact.thresholdSearch(emb, queries0(s, dir),
+      0.6, "COSINE", "vec_id", "embedding")
+    val st = thresholdStats(res, exact, 0.6)
+    val rec = if (st.exactRows == 0) 1.0 else st.exactHitRows.toDouble / st.exactRows
     Gates.df(s, Seq(
-      ("threshold_idx_all_scores_ge_t", 0.6, below == 0L),
+      ("threshold_idx_all_scores_ge_t", 0.6, st.belowT == 0L),
       ("threshold_idx_recall_ge_0.9", 0.9, rec >= 0.9)))
   }
 
@@ -652,14 +755,36 @@ object AnnQueries {
       Ann.rescore(s, src, tmp, "EUCLIDEAN", annParams)
       tmp
     })
-    // topology compare driver-side: two single-scan collects of (node_id,
-    // degree) — bounded by the index row count, same data the former
-    // count + anti-join jobs shuffled — then a map equality check
-    def degrees(path: String): Map[Long, Int] =
-      s.read.parquet(path).select(col("node_id").cast("long"), size(col("neighbors")))
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val (da, db) = (degrees(src), degrees(out))
-    val topologySame = da.size == db.size && da.forall { case (id, d) => db.get(id).contains(d) }
+    // topology compare as a DEGREE MULTISET equality — a duplicated node
+    // row in either index fails the gate (the r14 map compare silently
+    // collapsed duplicates; ADVICE item 2). Dual path like
+    // [[thresholdStats]]: indexes under the driver-safety cap collect and
+    // compare driver-side (two single-scan jobs, the r14 cost); a
+    // corpus-sized index instead folds in one distributed union+group job
+    // with O(1) driver data (the r14 collect was an OOM at scale).
+    def degSide(path: String): DataFrame =
+      s.read.parquet(path).select(col("node_id").cast("long").as("node_id"),
+        size(col("neighbors")).as("deg"))
+    val cap = RouteMemo.maxMemoRows
+    // row counts first (footer-metadata fold, no scan), memoized per path —
+    // the persisted index at a path is immutable, so the bound check is a
+    // one-time job and the under-cap path pays exactly the two single-scan
+    // collects r14 paid (a limit()-collect would instead run executeTake's
+    // incremental partition waves)
+    def cnt(path: String): Long =
+      idxRowCounts.getOrElseUpdate(path, s.read.parquet(path).count())
+    val (nA, nB) = (cnt(src), cnt(out))
+    val topologySame = if (nA <= cap && nB <= cap) {
+      def counts(df: DataFrame): Map[(Long, Int), Int] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1))).groupBy(identity)
+          .map { case (k, v) => (k, v.length) }
+      nA == nB && counts(degSide(src)) == counts(degSide(out))
+    } else {
+      degSide(src).withColumn("side", lit(1L))
+        .unionAll(degSide(out).withColumn("side", lit(-1L)))
+        .groupBy("node_id", "deg").agg(sum("side").as("bal"))
+        .filter(col("bal") =!= 0L).count() == 0L
+    }
     val eucParams = annParams.copy(metric = "EUCLIDEAN")
     val res = Ann.searchIndex(s, out, queries0(s, dir), k, 64, eucParams)
     val exact = KnnExact.knn(emb, queries0(s, dir), k, "EUCLIDEAN", "vec_id", "embedding")
@@ -1203,22 +1328,20 @@ object AnnQueries {
         seg.contains("cluster_id") && (seg.contains("INSET") || seg.contains(" IN ("))
       }
     }
-    // independent exact twin (cross-join scorer), then restricted to pairs
-    // whose neighbor cluster the query probed; set compare + recall over
-    // the bounded (memoized) twins run driver-side
-    val (exactAll, probedExact) = probedExactThreshold(s, dir, model, nprobe, t)
-    val resPairs = LocalEval.pairs(res).toSet
-    val probedPairs = LocalEval.pairs(probedExact)
-    val matchesProbed = probedPairs.toSet == resPairs
-    val exactPairs = LocalEval.pairs(exactAll)
-    val total = exactPairs.length.toLong
-    val found = exactPairs.count(resPairs.contains).toLong
-    val rec = if (total == 0) 1.0 else found.toDouble / total
+    // independent exact twin (cross-join scorer) with probed-cluster flags;
+    // probed-set equality AND unrestricted recall fold in ONE distributed
+    // job ([[probedThresholdStats]]) — no unbounded collect of
+    // threshold-cardinality pair lists (the twin memo is cap-gated)
+    val st = probedThresholdStats(res, probedTwin(s, dir, model, nprobe, t))
+    res.unpersist()
+    val matchesProbed = st.resDistinct == st.bothProbedDistinct &&
+      st.probedDistinct == st.bothProbedDistinct
+    val rec = if (st.exactRows == 0) 1.0 else st.exactHitRows.toDouble / st.exactRows
     Gates.df(s, Seq(
       ("ivf_threshold_partition_filters", 1.0, prunes),
       ("ivf_threshold_matches_probed_exact", 0.0, matchesProbed),
       ("ivf_threshold_recall_ge_0.6", 0.6, rec >= 0.6),
-      ("ivf_threshold_nonvacuous", 1.0, total > 0L && nRes > 0L)))
+      ("ivf_threshold_nonvacuous", 1.0, st.exactRows > 0L && nRes > 0L)))
   }
 
   private val ivfThresholdSql: String = Gates.sql(Seq(

@@ -320,27 +320,38 @@ object CorpusPrepQueries {
     * partition). */
   private def packSequences(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // the packing itself stays distributed; the seven invariants below are
-    // properties of its bounded (doc_id, bin_id, n_toks, oversize) output —
-    // collected once and checked driver-side instead of as eight jobs
-    // (count/distinct/sum/groupBy-cache/3 filters/max) per call
-    val resRows = CorpusPrep.packSequences(docs, "doc_id", "text",
+    // the packing stays distributed AND SO DO the seven invariants: the r14
+    // shape collected one row PER DOCUMENT to the driver (unbounded at
+    // corpus scale — r14 verdict item 1). Now one groupBy(bin_id) pass
+    // collapses to per-bin fills and a second global agg collapses those
+    // (plus the row/id/token totals) to three 1-row frames cross-joined
+    // into a single scalar row — ONE action, O(1) driver data. The packing
+    // output is persisted for the duration of that action so its two
+    // consumers (global stats, per-bin stats) share one computation — the
+    // greedy packing is partition-order-dependent, so the two subtrees
+    // MUST NOT recompute it independently.
+    val res = CorpusPrep.packSequences(docs, "doc_id", "text",
         packCapacity, partitions = packParts)
-      .select(col("doc_id").cast("long"), col("bin_id").cast("long"),
-        col("n_toks").cast("long"), col("oversize"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    val nDocs = docs.count()
-    val rows = resRows.length.toLong
-    val distinctIds = resRows.map(_._1).distinct.length.toLong
-    val tokTotal = docs.select(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
-      .head().getLong(0)
-    val packedTotal = resRows.map(_._3).sum
-    val fills = resRows.filter(!_._4).groupBy(_._2).map { case (_, rs) =>
-      (rs.map(_._3).sum, rs.length.toLong)
-    }
-    val overCap = fills.count(_._1 > packCapacity).toLong
-    val underHalf = fills.count(_._1 < packCapacity / 2).toLong
-    val maxMembers = if (fills.isEmpty) 0L else fills.map(_._2).max
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("bin_id").cast("long").as("bin_id"),
+        col("n_toks").cast("long").as("n_toks"), col("oversize"))
+      .persist()
+    val binStats = res.filter(!col("oversize")).groupBy("bin_id")
+      .agg(sum("n_toks").as("fill"), count(lit(1)).as("members"))
+      .agg(count(when(col("fill") > packCapacity, true)).as("over_cap"),
+        count(when(col("fill") < packCapacity / 2, true)).as("under_half"),
+        max("members").as("max_members"))
+    val resStats = res.agg(count(lit(1)).as("rows"),
+      countDistinct("doc_id").as("distinct_ids"),
+      sum("n_toks").as("packed_total"))
+    val docStats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("tok_total"))
+    val r = resStats.crossJoin(binStats).crossJoin(docStats).head()
+    res.unpersist()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (rows, distinctIds, packedTotal) = (l(0), l(1), l(2))
+    val (overCap, underHalf, maxMembers) = (l(3), l(4), l(5))
+    val (nDocs, tokTotal) = (l(6), l(7))
     Gates.df(s, Seq(
       // scale-free targets: the live corpus count rides the pass boolean,
       // never the target column (the oracle twin is a constant relation)

@@ -65,6 +65,34 @@ private[queries] object RouteMemo {
     })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** Driver-safety cap for [[dfBounded]]: a route under this many rows is
+    * trivially driver-sized (a (long, long, long) row is tens of bytes);
+    * anything bigger must stay on the cluster. */
+  val maxMemoRows: Int = 1 << 16
+
+  /** Bounded variant for routes whose cardinality is DATA-DEPENDENT
+    * (threshold searches return every pair above t — corpus-cardinality,
+    * unlike top-k routes, r14 verdict #1/#3): memoize only when the result
+    * has at most `cap` rows (limit(cap+1) returns the exact relation when
+    * under the cap), else return None and leave nothing pinned — the
+    * caller keeps the comparison fully distributed. Driver memory is
+    * O(cap) at ANY corpus size; at the shipped gate SFs these routes are
+    * a few hundred rows, so the sweep keeps the memo fast path. */
+  def dfBounded(s: SparkSession, name: String, dir: String,
+      cap: Int = maxMemoRows)(f: => DataFrame): Option[DataFrame] = {
+    val fetched = m.get((name, dir)).getOrElse {
+      val d = f
+      val out = (d.limit(cap + 1).collect(), d.schema)
+      d.unpersist()
+      out
+    }
+    if (fetched._1.length > cap) None
+    else {
+      m.putIfAbsent((name, dir), fetched)
+      Some(s.createDataFrame(java.util.Arrays.asList(fetched._1: _*), fetched._2))
+    }
+  }
 }
 
 /** Driver-side evaluation of BOUNDED gate post-processing over collected

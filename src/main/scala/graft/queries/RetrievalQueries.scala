@@ -329,7 +329,13 @@ object RetrievalQueries {
       }
       sum / cnt
     }
-    val simMmr = phase("divMmr")(avgPairSim(resRows.map(t => (t._1, t._3))))
+    // only computable when every MMR pick is a candidate (vecOf is keyed on
+    // the candidate list); a containment regression must surface as the
+    // subset gate failing, not as a NoSuchElementException that crashes the
+    // whole correctness run before the gate relation is built
+    val simMmr = phase("divMmr")(
+      if (outside == 0L) avgPairSim(resRows.map(t => (t._1, t._3)))
+      else Double.NaN)
     val simTop = phase("divTop")(avgPairSim(
       candRows.filter(_._3 <= k).map(t => (t._1, t._2))))
     cand.unpersist()
@@ -338,7 +344,7 @@ object RetrievalQueries {
       ("mmr_rows_complete", (nQueries * k).toDouble, n == nQueries.toLong * k),
       ("mmr_subset_of_candidates", 0.0, outside == 0L),
       ("mmr_first_is_top_relevance", nQueries.toDouble, firstMatches == nQueries.toLong),
-      ("mmr_diversity_not_worse", 0.0, simMmr <= simTop + 1e-9)))
+      ("mmr_diversity_not_worse", 0.0, outside == 0L && simMmr <= simTop + 1e-9)))
   }
 
   private val mmrRerankSql: String = Gates.sql(Seq(
